@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.GraftShims
+
+/** Public Column API for the strsim kernels (the Spark-native analogue of
+  * `polars_strsim/__init__.py`'s five exported functions, extended to the
+  * seven north-star kernels), plus SQL registration.
+  *
+  * Usage:
+  * {{{
+  *   import graft.functions._
+  *   df.select(jaro_winkler($"name_a", $"name_b"))
+  *   // or, after functions.registerAll(spark):
+  *   spark.sql("SELECT jaro_winkler(name_a, name_b) FROM pairs")
+  * }}}
+  *
+  * String overloads mirror the reference's str→column coercion
+  * (`polars_strsim/utils.py:34-43`): a bare string names a column.
+  * Literals broadcast via `lit(...)` (the reference's length-1 Series
+  * broadcast, strsim.rs:61-66, is native to relational expressions).
+  */
+package object functions {
+
+  private def col(name: String): Column = org.apache.spark.sql.functions.col(name)
+  private def wrap(e: Expression): Column = GraftShims.column(e)
+  private def expr(c: Column): Expression = GraftShims.expression(c)
+
+  def levenshtein_sim(a: Column, b: Column): Column = wrap(LevenshteinSim(expr(a), expr(b)))
+  def levenshtein_sim(a: String, b: String): Column = levenshtein_sim(col(a), col(b))
+
+  def jaro_sim(a: Column, b: Column): Column = wrap(JaroSim(expr(a), expr(b)))
+  def jaro_sim(a: String, b: String): Column = jaro_sim(col(a), col(b))
+
+  def jaro_winkler_sim(a: Column, b: Column): Column = wrap(JaroWinklerSim(expr(a), expr(b)))
+  def jaro_winkler_sim(a: String, b: String): Column = jaro_winkler_sim(col(a), col(b))
+
+  def jaccard_sim(a: Column, b: Column): Column = wrap(JaccardSim(expr(a), expr(b)))
+  def jaccard_sim(a: String, b: String): Column = jaccard_sim(col(a), col(b))
+
+  def sorensen_dice_sim(a: Column, b: Column): Column = wrap(SorensenDiceSim(expr(a), expr(b)))
+  def sorensen_dice_sim(a: String, b: String): Column = sorensen_dice_sim(col(a), col(b))
+
+  def damerau_levenshtein_sim(a: Column, b: Column): Column =
+    wrap(DamerauLevenshteinSim(expr(a), expr(b)))
+  def damerau_levenshtein_sim(a: String, b: String): Column =
+    damerau_levenshtein_sim(col(a), col(b))
+
+  def hamming_sim(a: Column, b: Column): Column = wrap(HammingSim(expr(a), expr(b)))
+  def hamming_sim(a: String, b: String): Column = hamming_sim(col(a), col(b))
+
+  /** SQL function names → expression builders. Names match the reference's
+    * Python API (`polars_strsim/__init__.py:63-69`) plus the two additions. */
+  val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
+    "levenshtein_sim" -> (es => LevenshteinSim(es(0), es(1))),
+    "jaro" -> (es => JaroSim(es(0), es(1))),
+    "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
+    "jaccard" -> (es => JaccardSim(es(0), es(1))),
+    "sorensen_dice" -> (es => SorensenDiceSim(es(0), es(1))),
+    "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
+    "hamming_sim" -> (es => HammingSim(es(0), es(1))),
+  )
+
+  /** Register all kernels with the session's FunctionRegistry for SQL use. */
+  def registerAll(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      GraftShims.registerFunction(spark, name, builder)
+    }
+}
