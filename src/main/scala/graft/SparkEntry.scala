@@ -1,13 +1,150 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry has a matching `oracleSql` entry (ANSI SQL runnable
+  * by DuckDB over the same parquet tables) unless the semantics are not
+  * SQL-expressible, in which case the driver records a rows-only check.
+  *
+  * Oracle notes (validated empirically against DuckDB 1.x in tools/):
+  *  - DuckDB `levenshtein`/`damerau_levenshtein` are code-point edit
+  *    distances matching our kernels on ASCII data (testdata is all-ASCII;
+  *    DuckDB is byte-based on non-ASCII, our kernels are code-point —
+  *    Unicode is covered by the sbt conformance suite instead).
+  *  - DuckDB `jaro_similarity`/`jaro_winkler_similarity` match the
+  *    reference's floored-transposition semantics exactly except both-empty
+  *    (DuckDB 0.0, reference 1.0) — handled by the CASE WHEN a=b wrapper.
+  *  - Multiset Jaccard/Dice have no DuckDB builtin; the oracle reimplements
+  *    them relationally (unnest per-character counts → Σmin/Σmax).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Customer self-pairs blocked on nationkey (blocking key ≙ §7.2). */
+  private def customerPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+      col("c_nationkey").as("nk"))
+    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("c_nationkey").as("nk"))
+    a.join(b, "nk").where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"), col("na"), col("nb"))
+  }
+
+  /** Part self-pairs blocked on brand (spaces + repeated chars exercise the
+    * multiset kernels). */
+  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = s.read.parquet(s"$dir/part.parquet")
+    val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+      col("p_brand").as("bk"))
+    val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+      col("p_brand").as("bk"))
+    a.join(b, "bk").where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"), col("na"), col("nb"))
+  }
+
+  private val customerPairsSql =
+    """FROM customer a JOIN customer b
+      | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey""".stripMargin
+
+  private val partPairsSql =
+    """FROM part a JOIN part b
+      | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey""".stripMargin
+
+  /** Multiset (bag-of-chars) similarity oracle: explode both strings to
+    * per-char counts, then Σmin / Σmax (jaccard) or 2Σmin / (|a|+|b|)
+    * (dice). Matches reference strsim.rs:286-344 semantics relationally. */
+  private def bagSimSql(simExpr: String): String =
+    s"""WITH pairs AS (
+       |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+       |         a.p_name AS na, b.p_name AS nb
+       |  $partPairsSql
+       |), exploded AS (
+       |  SELECT ka, kb, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
+       |  UNION ALL
+       |  SELECT ka, kb, unnest(string_split(nb, '')) AS ch, 0 AS ac, 1 AS bc FROM pairs
+       |), counts AS (
+       |  SELECT ka, kb, ch, sum(ac) AS ca, sum(cb) AS cb
+       |  FROM (SELECT ka, kb, ch, ac, bc AS cb FROM exploded) GROUP BY ka, kb, ch
+       |), sums AS (
+       |  SELECT ka, kb, sum(least(ca, cb)) AS inter,
+       |         sum(greatest(ca, cb)) AS uni, sum(ca) + sum(cb) AS total
+       |  FROM counts GROUP BY ka, kb
+       |)
+       |SELECT p.ka, p.kb,
+       |       CASE WHEN p.na = p.nb THEN 1.0 ELSE $simExpr END AS sim
+       |FROM pairs p JOIN sums s ON p.ka = s.ka AND p.kb = s.kb""".stripMargin
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * §7.2 minimum end-to-end slice: scan → blocked self-join → kernel
+    * scoring in filter+project (blocking + scoring in miniature). */
+  def entry(spark: SparkSession): DataFrame = {
+    val pairs = customerPairs(spark, "/root/testdata/sf0.001")
+    pairs.select(col("ka"), col("kb"),
+        jaro_winkler_sim(col("na"), col("nb")).as("jw"),
+        sorensen_dice_sim(col("na"), col("nb")).as("dice"))
+      .where(col("jw") + col("dice") >= 1.8)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_levenshtein_sim" -> ((s, dir) => customerPairs(s, dir)
+      .select(col("ka"), col("kb"), levenshtein_sim(col("na"), col("nb")).as("sim"))),
+    "q_damerau_levenshtein_sim" -> ((s, dir) => customerPairs(s, dir)
+      .select(col("ka"), col("kb"), damerau_levenshtein_sim(col("na"), col("nb")).as("sim"))),
+    "q_hamming_sim" -> ((s, dir) => customerPairs(s, dir)
+      .select(col("ka"), col("kb"), hamming_sim(col("na"), col("nb")).as("sim"))),
+    "q_jaro_sim" -> ((s, dir) => customerPairs(s, dir)
+      .select(col("ka"), col("kb"), jaro_sim(col("na"), col("nb")).as("sim"))),
+    "q_jaro_winkler_sim" -> ((s, dir) => customerPairs(s, dir)
+      .select(col("ka"), col("kb"), jaro_winkler_sim(col("na"), col("nb")).as("sim"))),
+    "q_jaccard_sim" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"), jaccard_sim(col("na"), col("nb")).as("sim"))),
+    "q_sorensen_dice_sim" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"), sorensen_dice_sim(col("na"), col("nb")).as("sim"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_levenshtein_sim" ->
+      s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  CASE WHEN a.c_name = b.c_name THEN 1.0
+         |       ELSE 1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+         |            / greatest(length(a.c_name), length(b.c_name)) END AS sim
+         |$customerPairsSql""".stripMargin,
+    "q_damerau_levenshtein_sim" ->
+      s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  CASE WHEN a.c_name = b.c_name THEN 1.0
+         |       ELSE 1.0 - CAST(damerau_levenshtein(a.c_name, b.c_name) AS DOUBLE)
+         |            / greatest(length(a.c_name), length(b.c_name)) END AS sim
+         |$customerPairsSql""".stripMargin,
+    "q_hamming_sim" ->
+      s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  CASE WHEN a.c_name = b.c_name THEN 1.0
+         |       ELSE 1.0 - CAST(
+         |         mismatches(substr(a.c_name, 1, least(length(a.c_name), length(b.c_name))),
+         |                    substr(b.c_name, 1, least(length(a.c_name), length(b.c_name))))
+         |         + abs(length(a.c_name) - length(b.c_name)) AS DOUBLE)
+         |         / greatest(length(a.c_name), length(b.c_name)) END AS sim
+         |$customerPairsSql""".stripMargin,
+    "q_jaro_sim" ->
+      s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  CASE WHEN a.c_name = b.c_name THEN 1.0
+         |       ELSE jaro_similarity(a.c_name, b.c_name) END AS sim
+         |$customerPairsSql""".stripMargin,
+    "q_jaro_winkler_sim" ->
+      s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  CASE WHEN a.c_name = b.c_name THEN 1.0
+         |       ELSE jaro_winkler_similarity(a.c_name, b.c_name) END AS sim
+         |$customerPairsSql""".stripMargin,
+    "q_jaccard_sim" ->
+      bagSimSql("CAST(s.inter AS DOUBLE) / s.uni"),
+    "q_sorensen_dice_sim" ->
+      bagSimSql("2.0 * CAST(s.inter AS DOUBLE) / s.total"),
+  )
 }
