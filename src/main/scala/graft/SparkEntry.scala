@@ -106,6 +106,50 @@ object SparkEntry {
       .select(col("ka"), col("kb"), jaccard_sim(col("na"), col("nb")).as("sim"))),
     "q_sorensen_dice_sim" -> ((s, dir) => partPairs(s, dir)
       .select(col("ka"), col("kb"), sorensen_dice_sim(col("na"), col("nb")).as("sim"))),
+
+    // ---- pipeline-stage operators (SURVEY.md §2.3) over driver tables ----
+
+    // normalization → blocking key (stage: dedup/normalize)
+    "q_block_keys" -> ((s, dir) => s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("id"),
+        regexp_replace(lower(col("p_name")), "[^a-z]", "").as("block_key"))),
+
+    // capped candidate-pair generation (stage: blocking self-join with
+    // hot-bucket cap; exercises graft.operators.Linkage.candidatePairs)
+    "q_candidate_pairs" -> ((s, dir) => {
+      val keys = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("url"),
+          concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("key"))
+      graft.operators.Linkage.candidatePairs(keys, bucketCap = 15)
+        .select(col("url_a").as("ka"), col("url_b").as("kb"))
+    }),
+
+    // composite scoring + threshold (stage: pairwise scoring, JW + Dice)
+    "q_match_pairs" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        (jaro_winkler_sim(col("na"), col("nb")) +
+          sorensen_dice_sim(col("na"), col("nb"))).as("score"))
+      .where(col("score") >= 1.75)
+      .select(col("ka"), col("kb"))),
+
+    // transitive clustering (stage: large-star/small-star connected
+    // components; exercises graft.operators.ConnectedComponents)
+    "q_connected_components" -> ((s, dir) => {
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka"), col("kb"))
+      graft.operators.ConnectedComponents.run(edges)
+    }),
+
+    // MinHash band keys (stage: secondary blocking). xxhash64 has no DuckDB
+    // analogue → rows-only check; semantics are covered by LinkageSpec.
+    "q_minhash_band_keys" -> ((s, dir) => {
+      val ex = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").cast("string").as("url"),
+          regexp_replace(lower(col("p_name")), "[^a-z]", "").as("name_norm"))
+      graft.operators.Linkage.minhashBandKeys(ex)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +190,63 @@ object SparkEntry {
       bagSimSql("CAST(s.inter AS DOUBLE) / s.uni"),
     "q_sorensen_dice_sim" ->
       bagSimSql("2.0 * CAST(s.inter AS DOUBLE) / s.total"),
+    "q_block_keys" ->
+      """SELECT p_partkey AS id,
+        |  regexp_replace(lower(p_name), '[^a-z]', '', 'g') AS block_key
+        |FROM part""".stripMargin,
+    "q_candidate_pairs" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS key
+        |  FROM customer
+        |), sized AS (
+        |  SELECT key, count(*) AS n FROM keys GROUP BY key
+        |), good AS (
+        |  SELECT k.id, k.key FROM keys k JOIN sized s ON k.key = s.key
+        |  WHERE s.n <= 15
+        |)
+        |SELECT DISTINCT a.id AS ka, b.id AS kb
+        |FROM good a JOIN good b ON a.key = b.key AND a.id < b.id""".stripMargin,
+    "q_match_pairs" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), exploded AS (
+         |  SELECT ka, kb, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
+         |  UNION ALL
+         |  SELECT ka, kb, unnest(string_split(nb, '')) AS ch, 0 AS ac, 1 AS bc FROM pairs
+         |), counts AS (
+         |  SELECT ka, kb, ch, sum(ac) AS ca, sum(cb) AS cb
+         |  FROM (SELECT ka, kb, ch, ac, bc AS cb FROM exploded) GROUP BY ka, kb, ch
+         |), sums AS (
+         |  SELECT ka, kb, sum(least(ca, cb)) AS inter, sum(ca) + sum(cb) AS total
+         |  FROM counts GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb
+         |FROM pairs p JOIN sums s ON p.ka = s.ka AND p.kb = s.kb
+         |WHERE (CASE WHEN p.na = p.nb THEN 1.0
+         |            ELSE jaro_winkler_similarity(p.na, p.nb) END
+         |     + CASE WHEN p.na = p.nb THEN 1.0
+         |            ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END) >= 1.75""".stripMargin,
+    "q_connected_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND 1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+        |        / greatest(length(a.c_name), length(b.c_name)) >= 0.94
+        |), edges AS (
+        |  SELECT ka AS u, kb AS v FROM pairs
+        |  UNION ALL SELECT kb, ka FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT u AS id FROM edges
+        |), walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
+        |)
+        |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
   )
 }

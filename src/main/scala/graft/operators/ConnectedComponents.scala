@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative DataFrame-based connected components via alternating
+  * large-star / small-star rounds (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SOCC'14 — public algorithm, re-derived here as
+  * pure DataFrame ops; the north rule mandates this formulation).
+  *
+  * Why this and not min-label propagation: label propagation needs
+  * O(diameter) rounds; large-star/small-star converges in O(log n) rounds
+  * on any graph shape, which is what survives web-scale chain-shaped
+  * clusters. Each round is two groupBy/join shuffles on the node id — all
+  * stock Catalyst operators, so AQE re-plans each round from fresh
+  * statistics — and `localCheckpoint` truncates the growing lineage
+  * (SURVEY.md §4.2 watch item).
+  */
+object ConnectedComponents {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges0 DataFrame with two Long columns (any names) = edge ends.
+    * @return DataFrame (id: Long, component: Long) covering every node that
+    *         appears in at least one edge; component = min node id of the
+    *         component. Callers union isolated nodes themselves.
+    */
+  def run(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Seq(c0, c1) = edges0.columns.take(2).toSeq
+    // canonical (src > dst), no self-loops, deduped
+    var edges = edges0
+      .select(greatest(col(c0), col(c1)).as("src"), least(col(c0), col(c1)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var lastSig: (Long, Long) = (-1L, -1L)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // ---- large-star: attach every neighbor v > u to m(u) = min(N(u) ∪ u)
+      val b = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = b.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val large = b.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+
+      // ---- small-star on canonical (src > dst) edges:
+      // m(u) = min(N_<=(u)); emit (v, m) for v in N_<=(u) ∪ {u}, v != m
+      val smins = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val viaDst = large.join(smins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val viaSrc = smins.select(col("src"), col("m").as("dst"))
+      val next = viaDst.union(viaSrc)
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+
+      // bit_xor: order-independent, overflow-free (rows are distinct, so
+      // xor-cancellation of duplicates can't occur)
+      val sigRow = next.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      done = sig == lastSig
+      lastSig = sig
+      edges = next
+      iter += 1
+    }
+    require(done, s"connected components did not converge in $maxIter iterations")
+
+    // converged: edges form stars (node -> component root)
+    val roots = edges.select(col("dst")).distinct()
+      .select(col("dst").as("id"), col("dst").as("component"))
+    edges.select(col("src").as("id"), col("dst").as("component"))
+      .union(roots)
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{jaro_winkler_sim, sorensen_dice_sim}
+
+/** Record-linkage pipeline stages (north rule: blocking → pairwise scoring
+  * → transitive clustering over Common-Crawl-style pages).
+  *
+  * Every stage is a pure `DataFrame → DataFrame` function built from stock
+  * Catalyst operators (scan/filter/project/groupBy/equi-join) so predicate
+  * pushdown, column pruning, partial aggregation, broadcast selection, and
+  * AQE skew-join splitting all apply for free (SURVEY.md §4.2). The only
+  * custom expressions in the hot path are the codegen'd strsim kernels.
+  *
+  * Scale notes (10^12 pages):
+  *  - Blocking keys are Zipfian. Ultra-hot buckets are dropped (standard
+  *    LSH practice — a bucket holding thousands of pages carries no
+  *    discriminative signal and would quadratically explode the pair
+  *    count); the drop is observable in the metrics output, never silent.
+  *  - The pair self-join is an equi-join on the bucket key with AQE skew
+  *    handling; pair dedup is a groupBy on (url_a, url_b), partial
+  *    aggregation makes it map-side combining.
+  *  - html (BINARY) is never read by any stage after extraction — column
+  *    pruning keeps it out of every shuffle (verified in PipelinePlanSpec).
+  */
+object Linkage {
+
+  /** Stage 1 — text extraction + normalization.
+    * Recovers `text` from the raw `html` bytes (byte-identical per url —
+    * the BASELINE.json:15 invariant, checked in [[textInvariantViolations]]),
+    * derives the display title, the normalized entity name, and the
+    * normalized-url blocking key. */
+  def extract(pages: DataFrame): DataFrame = {
+    val textFromHtml = regexp_replace(
+      regexp_extract(decode(col("html"), "UTF-8"), "(?s)<body>\n(.*)\n</body>", 1),
+      "</?p>", "")
+    pages.select(
+      col("url"),
+      textFromHtml.as("text"),
+      col("lang"),
+      regexp_extract(col("url"), "^https?://([^/?]+)", 1).as("host"))
+      .withColumn("title", substring_index(col("text"), "\n", 1))
+      .withColumn("name_norm", regexp_replace(lower(col("title")), "[^a-z0-9]", ""))
+      .withColumn("block_key",
+        regexp_replace(
+          regexp_replace(col("host"), "^(www|m|en|web)\\.", ""),
+          "\\.(com|org|net|example)$", ""))
+  }
+
+  /** Count of urls whose extracted text differs byte-wise from the stored
+    * `text` column — must be 0 (per-row invariant vs the reference). */
+  def textInvariantViolations(pages: DataFrame): Long = {
+    val extracted = extract(pages).select(col("url"), col("text").as("text_ex"))
+    pages.select(col("url"), col("text"))
+      .join(extracted, "url")
+      .where(sha2(encode(col("text"), "UTF-8"), 256) =!=
+        sha2(encode(col("text_ex"), "UTF-8"), 256))
+      .count()
+  }
+
+  /** Char k-shingle set of a string column (whole string when shorter
+    * than k). */
+  private def shingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(0), length(c) - k),
+        i => c.substr(i + 1, lit(k))))
+      .otherwise(array(c))
+
+  /** Stage 2 — MinHash band keys over char shingles of the normalized name
+    * (secondary blocking key; catches host misspellings the normalized-url
+    * key misses). Built-ins only: explode → xxhash64 per seed → groupBy-min
+    * (partial agg = map-side combine) → band hash. */
+  def minhashBandKeys(extracted: DataFrame, numHashes: Int = 12,
+      bands: Int = 6, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sh = extracted
+      .select(col("url"), explode(shingles(col("name_norm"), shingleK)).as("sh"))
+    val hashCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.groupBy(col("url")).agg(hashCols.head, hashCols.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      concat(lit(s"mh$b:"), xxhash64(cols: _*)).as(s"band$b")
+    }
+    sig.select(col("url") +: bandKeys: _*)
+      .select(col("url"), explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("key"))
+  }
+
+  /** Stage 2b — full candidate key set: normalized-url key ∪ MinHash band
+    * keys. Output: (url, key). */
+  def candidateKeys(extracted: DataFrame, numHashes: Int = 12, bands: Int = 6,
+      shingleK: Int = 3): DataFrame = {
+    val urlKeys = extracted.select(col("url"), concat(lit("host:"), col("block_key")).as("key"))
+    urlKeys.union(minhashBandKeys(extracted, numHashes, bands, shingleK))
+  }
+
+  /** Stage 3 — candidate pairs: urls sharing any key, url_a < url_b,
+    * deduped. Buckets larger than `bucketCap` are dropped (logged via
+    * [[droppedBuckets]]). The self-join is an equi-join on `key` —
+    * AQE's skew-join splitting handles residual hot buckets. */
+  def candidatePairs(keys: DataFrame, bucketCap: Int = 200): DataFrame = {
+    val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
+    val good = keys.join(sized.where(col("bucket_n") <= bucketCap), "key")
+    val a = good.select(col("key"), col("url").as("url_a"))
+    val b = good.select(col("key"), col("url").as("url_b"))
+    a.join(b, "key")
+      .where(col("url_a") < col("url_b"))
+      .select(col("url_a"), col("url_b"))
+      .distinct()
+  }
+
+  /** Buckets excluded by `bucketCap` with their sizes — the non-silent
+    * record of what blocking dropped. */
+  def droppedBuckets(keys: DataFrame, bucketCap: Int = 200): DataFrame =
+    keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > bucketCap)
+
+  /** Stage 4 — pairwise scoring: composite Jaro-Winkler + Sørensen-Dice on
+    * the normalized names (the north-star composite). Pure projection over
+    * the candidate pairs joined with the (url → name) side — both joins are
+    * equi-joins on url. */
+  def score(pairs: DataFrame, extracted: DataFrame): DataFrame = {
+    val names = extracted.select(col("url"), col("name_norm"))
+    pairs
+      .join(names.withColumnRenamed("url", "url_a").withColumnRenamed("name_norm", "name_a"), "url_a")
+      .join(names.withColumnRenamed("url", "url_b").withColumnRenamed("name_norm", "name_b"), "url_b")
+      .select(col("url_a"), col("url_b"),
+        jaro_winkler_sim(col("name_a"), col("name_b")).as("jw"),
+        sorensen_dice_sim(col("name_a"), col("name_b")).as("dice"))
+      .withColumn("score", col("jw") + col("dice"))
+  }
+
+  /** Stage 5 — matched pairs at threshold θ. */
+  def matches(scored: DataFrame, theta: Double): DataFrame =
+    scored.where(col("score") >= theta).select(col("url_a"), col("url_b"))
+
+  /** Stage 6 — transitive clustering: hash urls to 64-bit node ids, run
+    * large-star/small-star CC, map back. Output: (url, cluster_id) for every
+    * url in `extracted` (singletons get their own id). */
+  def cluster(matched: DataFrame, extracted: DataFrame): DataFrame = {
+    val nodes = extracted.select(col("url"), xxhash64(col("url")).as("id"))
+    val edges = matched
+      .select(xxhash64(col("url_a")).as("src"), xxhash64(col("url_b")).as("dst"))
+    val assignment = ConnectedComponents.run(edges)
+    nodes.join(assignment, Seq("id"), "left")
+      .select(col("url"), coalesce(col("component"), col("id")).as("cluster_id"))
+  }
+
+  /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
+    * pairs, both restricted to candidate pairs (= pairs sharing a blocking
+    * key, per BASELINE.json:2,14). */
+  def pairwiseF1(predicted: DataFrame, labeled: DataFrame,
+      candidates: DataFrame): (Double, Double, Double) = {
+    val cand = candidates.select(col("url_a"), col("url_b"))
+    val truePairs = labeled.join(cand, Seq("url_a", "url_b"), "left_semi")
+    val pred = predicted.select(col("url_a"), col("url_b"))
+    val tp = pred.join(truePairs, Seq("url_a", "url_b"), "left_semi").count().toDouble
+    val fp = pred.join(truePairs, Seq("url_a", "url_b"), "left_anti").count().toDouble
+    val fn = truePairs.join(pred, Seq("url_a", "url_b"), "left_anti").count().toDouble
+    val precision = if (tp + fp == 0) 1.0 else tp / (tp + fp)
+    val recall = if (tp + fn == 0) 1.0 else tp / (tp + fn)
+    val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
+    (precision, recall, f1)
+  }
+}

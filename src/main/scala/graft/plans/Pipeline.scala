@@ -1,0 +1,149 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+
+/** Checkpointed, resumable record-linkage pipeline (north rule: every stage
+  * checkpoints with per-partition lineage + metrics so a killed job resumes
+  * mid-pipeline).
+  *
+  * Each stage writes parquet to `workDir/<stage>/` and then a
+  * `_manifest.json` (commit marker: written only after a successful write,
+  * so a crash mid-write leaves no manifest and the stage recomputes).
+  * Stage validity is CONTENT-ADDRESSED: a stage's fingerprint hashes the
+  * pipeline config, the input fingerprint, and all upstream fingerprints —
+  * so resume never needs timestamps, and a recomputed upstream with the
+  * same fingerprint keeps downstream checkpoints valid (all stages are
+  * deterministic functions).
+  *
+  * In-sandbox the sink is parquet; on a real cluster the same seam is where
+  * an Iceberg catalog drops in (`spark.read.format("iceberg")` + snapshot
+  * ids instead of content fingerprints) — no Iceberg runtime jar ships in
+  * /opt/spark/jars, so the substitution is documented rather than linked.
+  */
+object Pipeline {
+
+  case class Config(
+      theta: Double = 1.6,
+      numHashes: Int = 12,
+      bands: Int = 6,
+      shingleK: Int = 3,
+      bucketCap: Int = 200) {
+    def fingerprint: String =
+      s"theta=$theta;h=$numHashes;b=$bands;k=$shingleK;cap=$bucketCap;v=1"
+  }
+
+  case class StageResult(name: String, df: DataFrame, fingerprint: String,
+      resumed: Boolean, rows: Long, wallMs: Long)
+
+  case class Result(clusters: DataFrame, stages: Seq[StageResult],
+      metrics: DataFrame)
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Run one checkpointed stage: skip when a valid manifest matches the
+    * fingerprint, else compute, persist, and commit the manifest (with
+    * per-partition row counts = the lineage record). */
+  def stage(spark: SparkSession, workDir: String, name: String,
+      fingerprint: String)(compute: => DataFrame): StageResult = {
+    val dir = s"$workDir/$name"
+    val manifestPath = Paths.get(dir, "_manifest.json")
+    if (Files.exists(manifestPath)) {
+      val m = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      val fpRe = """"fingerprint":\s*"([0-9a-f]+)"""".r
+      val rowsRe = """"rows":\s*(\d+)""".r
+      (fpRe.findFirstMatchIn(m), rowsRe.findFirstMatchIn(m)) match {
+        case (Some(fp), Some(rows)) if fp.group(1) == fingerprint =>
+          return StageResult(name, spark.read.parquet(dir), fingerprint,
+            resumed = true, rows.group(1).toLong, 0L)
+        case _ => // stale or corrupt manifest → recompute
+      }
+    }
+    val t0 = System.nanoTime()
+    compute.write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+    val partCounts = out.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    val rows = partCounts.map(_.split("\"rows\":")(1).stripSuffix("}").toLong).sum
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val manifest =
+      s"""{"stage":${jsonStr(name)},"fingerprint":${jsonStr(fingerprint)},
+         |"rows":$rows,"wallMs":$wallMs,
+         |"partitions":[${partCounts.mkString(",")}]}""".stripMargin.replace("\n", "")
+    Files.write(manifestPath, manifest.getBytes(StandardCharsets.UTF_8))
+    StageResult(name, out, fingerprint, resumed = false, rows, wallMs)
+  }
+
+  /** Cheap content fingerprint of the input corpus: row count + url hash
+    * aggregate (single pruned scan of one column). On Iceberg this is the
+    * snapshot id instead. */
+  def inputFingerprint(pages: DataFrame): String = {
+    val r = pages.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(url))"), lit(0L))).head()
+    sha(s"n=${r.getLong(0)};h=${r.getLong(1)}")
+  }
+
+  /** Full pipeline: extract → candidate keys → candidate pairs → score →
+    * match → cluster, all checkpointed under workDir. */
+  def run(spark: SparkSession, pages: DataFrame, workDir: String,
+      cfg: Config = Config()): Result = {
+    Files.createDirectories(Paths.get(workDir))
+    val inFp = inputFingerprint(pages)
+    val base = sha(cfg.fingerprint + ";" + inFp)
+
+    // stage 0 invariant: extracted text must be byte-identical per url
+    val violations = Linkage.textInvariantViolations(pages)
+    require(violations == 0,
+      s"text extraction invariant violated for $violations urls")
+
+    val fpEx = sha(base + ":extract")
+    val ex = stage(spark, workDir, "01_extracted", fpEx)(Linkage.extract(pages))
+
+    val fpKeys = sha(fpEx + ":keys")
+    val keys = stage(spark, workDir, "02_keys", fpKeys)(
+      Linkage.candidateKeys(ex.df, cfg.numHashes, cfg.bands, cfg.shingleK))
+
+    val fpPairs = sha(fpKeys + ":pairs")
+    val pairs = stage(spark, workDir, "03_pairs", fpPairs)(
+      Linkage.candidatePairs(keys.df, cfg.bucketCap))
+
+    val fpScored = sha(fpPairs + ":scored")
+    val scored = stage(spark, workDir, "04_scored", fpScored)(
+      Linkage.score(pairs.df, ex.df))
+
+    val fpMatch = sha(fpScored + ":matches")
+    val matched = stage(spark, workDir, "05_matches", fpMatch)(
+      Linkage.matches(scored.df, cfg.theta))
+
+    val fpClusters = sha(fpMatch + ":clusters")
+    val clusters = stage(spark, workDir, "06_clusters", fpClusters)(
+      Linkage.cluster(matched.df, ex.df))
+
+    val stages = Seq(ex, keys, pairs, scored, matched, clusters)
+    import spark.implicits._
+    val dropped = Linkage.droppedBuckets(keys.df, cfg.bucketCap).count()
+    val metrics = (stages.map(s => (s.name, "rows", s.rows.toDouble)) ++
+      stages.map(s => (s.name, "wall_ms", s.wallMs.toDouble)) ++
+      stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0)) :+
+      (("02_keys", "dropped_buckets", dropped.toDouble)) :+
+      (("00_input", "text_invariant_violations", violations.toDouble)))
+      .toDF("stage", "metric", "value")
+    metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/99_metrics")
+    Result(clusters.df, stages, metrics)
+  }
+}
