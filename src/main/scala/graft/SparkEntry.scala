@@ -150,6 +150,76 @@ object SparkEntry {
           regexp_replace(lower(col("p_name")), "[^a-z]", "").as("name_norm"))
       graft.operators.Linkage.minhashBandKeys(ex)
     }),
+
+    // ---- training-data operators over documents/embeddings ----
+
+    // token counting + quality scoring + language-ID heuristic
+    "q_text_analysis" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang_id"))
+    }),
+
+    // document fingerprint + simhash signatures (custom codegen
+    // expressions; self-contained hashes → rows-only check, semantics
+    // covered by TextAnalysisSpec)
+    "q_doc_signatures" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        graft.functions.min_kgram_hash(col("text"), 16).as("fingerprint"),
+        graft.functions.simhash64(col("text")).as("simhash"))
+    }),
+
+    // exact dedup via content hash
+    "q_dedup_exact" -> ((s, dir) => graft.operators.Dedup.exactGroups(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // token-set Jaccard near-dup over (lang, source) blocks
+    "q_dedup_ngram_jaccard" -> ((s, dir) => graft.operators.Dedup.ngramJaccardPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5)),
+
+    // MinHash-LSH near-dup (sub-quadratic path; xxhash → rows-only)
+    "q_dedup_minhash_lsh" -> ((s, dir) => graft.operators.Dedup.minhashLshPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5)),
+
+    // SimHash near-dup (rows-only: custom signature kernel)
+    "q_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhashPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 8)),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_ann_bruteforce" -> ((s, dir) => graft.operators.Similarity.bruteForceTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 3)),
+
+    // banded hyperplane-LSH ANN (scale path; rows-only, recall measured
+    // in SimilaritySpec)
+    "q_ann_lsh" -> ((s, dir) => graft.operators.Similarity.lshTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 3, dim = 64)),
+
+    // embedding-cosine near-dup pairs blocked by label
+    "q_dedup_embedding_cosine" -> ((s, dir) => graft.operators.Dedup.embeddingCosinePairs(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      "label", tau = 0.25)),
+
+    // multimodal: typed metadata over a binary column (documents text
+    // re-encoded as the opaque blob — testdata ships no native binary)
+    "q_media_metadata" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      graft.operators.Multimodal.metadata(media, "doc_id", "blob")
+    }),
+
+    // multimodal: batched feature extraction (decode STUB; plumbing real)
+    "q_media_features" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      graft.operators.Multimodal.decodeFeatures(s, media, "doc_id", "blob")
+        .toDF().select(col("id"), col("kind"),
+          concat_ws(",", transform(col("features"), f => format_number(f, 6))).as("features_csv"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,5 +318,86 @@ object SparkEntry {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
         |)
         |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+    "q_text_analysis" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, len(tk) AS n_tokens,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS en_hits,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de_hits,
+        |    len(list_filter(tk, t -> list_contains(['le','la','les','et','des','est','une'], t))) AS fr_hits,
+        |    len(list_filter(tk, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es_hits,
+        |    len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct_n
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_tokens,
+        |  (CASE WHEN n_tokens > 0 THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.2
+        |  + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+        |  + (1.0 - CASE WHEN len(text) > 0 THEN CAST(punct_n AS DOUBLE) / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 AS quality,
+        |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |       ELSE 'es' END AS lang_id
+        |FROM m""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH hashed AS (
+        |  SELECT doc_id AS id, sha256(text) AS content_hash FROM documents
+        |), canon AS (
+        |  SELECT content_hash, min(id) AS canonical_id FROM hashed GROUP BY content_hash
+        |)
+        |SELECT h.id, c.canonical_id, h.content_hash
+        |FROM hashed h JOIN canon c USING (content_hash)""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS tk,
+        |    lang || ' ' || source AS bk
+        |  FROM documents
+        |), scored AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE) AS jaccard
+        |  FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id
+        |)
+        |SELECT ia, ib, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT vec_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM pairs
+        |)
+        |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_dedup_embedding_cosine" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT ia, ib, cos FROM scored WHERE cos >= 0.25""".stripMargin,
+    "q_media_metadata" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, strlen(text) AS n_bytes,
+        |    upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+        |  FROM documents
+        |)
+        |SELECT id, n_bytes,
+        |  CASE WHEN magic LIKE '89504E47%' THEN 'png'
+        |       WHEN magic LIKE 'FFD8FF%' THEN 'jpeg'
+        |       WHEN magic LIKE '474946%' THEN 'gif'
+        |       WHEN magic LIKE '52494646%' THEN 'riff'
+        |       WHEN magic LIKE '3C68746D%' OR magic LIKE '3C21444F%' THEN 'html'
+        |       ELSE 'unknown' END AS kind
+        |FROM m""".stripMargin,
   )
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.strsim.TextKernels
+
+/** Catalyst expressions for the text-analysis kernels (same design as
+  * [[StrSimExpression]]: deterministic, null-intolerant, single static call
+  * inside whole-stage codegen). */
+abstract class TextHashExpression extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+}
+
+/** 64-bit SimHash over whitespace tokens (near-dup signature). */
+case class SimHash64(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Min rolling-hash document fingerprint over byte k-grams. */
+case class MinKGramHash(child: Expression, k: Int) extends TextHashExpression {
+  require(k > 0, "k must be positive")
+  override def prettyName: String = "min_kgram_hash"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minKGramHash(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.minKGramHash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -50,6 +50,12 @@ package object functions {
   def hamming_sim(a: Column, b: Column): Column = wrap(HammingSim(expr(a), expr(b)))
   def hamming_sim(a: String, b: String): Column = hamming_sim(col(a), col(b))
 
+  /** 64-bit SimHash over whitespace tokens (near-dup signature). */
+  def simhash64(c: Column): Column = wrap(SimHash64(expr(c)))
+
+  /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
+  def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
+
   /** SQL function names → expression builders. Names match the reference's
     * Python API (`polars_strsim/__init__.py:63-69`) plus the two additions. */
   val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
@@ -60,6 +66,7 @@ package object functions {
     "sorensen_dice" -> (es => SorensenDiceSim(es(0), es(1))),
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

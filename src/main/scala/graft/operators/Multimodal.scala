@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded media item: id + fixed-dim feature vector (the shape a
+  * downstream embedding/training stage consumes). */
+case class MediaFeatures(id: String, kind: String, features: Array[Float])
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata. The Spark side — schema, partitioning,
+  * batch shape — is real and tested; the actual media decode is a STUB
+  * (this container ships no image/audio libraries): a deterministic fake
+  * feature extractor, clearly marked below, with the exact signature a real
+  * decoder (JNI/FFI or vendored JVM codec) would drop into.
+  */
+object Multimodal {
+
+  /** Typed metadata over a binary column using built-ins only: byte length
+    * + container sniffing from magic bytes (hex of the first 4 bytes).
+    * Runs fully inside codegen; the binary is scanned once, never shuffled. */
+  def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val magic = upper(hex(substring(col(binCol), 1, 4)))
+    df.select(
+      col(idCol).as("id"),
+      length(col(binCol)).as("n_bytes"),
+      when(magic.startsWith("89504E47"), "png")
+        .when(magic.startsWith("FFD8FF"), "jpeg")
+        .when(magic.startsWith("474946"), "gif")
+        .when(magic.startsWith("52494646"), "riff") // wav/avi/webp family
+        .when(magic.startsWith("3C68746D") || magic.startsWith("3C21444F"), "html")
+        .otherwise("unknown").as("kind"))
+  }
+
+  /** ======================== STUB ========================
+    * Deterministic fake decoder standing in for the real media decode
+    * (`???` territory: no codec libraries in this container). Produces a
+    * stable `dim`-float feature from the bytes so the pipeline around it is
+    * fully exercisable and testable. A real implementation replaces ONLY
+    * this function body (same signature, same batch contract). */
+  private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001b3L
+      i += 1
+    }
+    Array.tabulate(dim) { d =>
+      var z = h + 0x9e3779b97f4a7c15L * (d + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toFloat / (1L << 53).toFloat
+    }
+  }
+  /* ====================== END STUB ====================== */
+
+  /** Batched feature extraction over (id, kind, binary). Batch contract:
+    * the decoder sees `batchSize` items at a time per partition (the shape
+    * a vectorized/FFI decoder wants — amortized model/codec setup), and
+    * items never cross partitions. Output schema is fixed:
+    * (id string, kind string, features array<float> of length `dim`). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, idCol: String,
+      binCol: String, dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val withKind = metadata(media, idCol, binCol)
+      .join(media.select(col(idCol).as("id"), col(binCol).as("bin")), "id")
+    withKind.select(col("id").cast("string"), col("kind"), col("bin"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real decoder would process `batch` in one vectorized call
+          batch.map { case (id, kind, bin) =>
+            MediaFeatures(id, kind, decodeStub(bin, dim))
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. All
+  * built-ins (codegen'd) except the fingerprint/simhash kernels, which are
+  * custom codegen expressions — no row-at-a-time UDFs anywhere.
+  *
+  * Formulas are deliberately SQL-expressible with pinned evaluation order
+  * so the DuckDB oracle reproduces them bit-for-bit on the driver tables.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (so leading/trailing space and ""
+    * behave). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Stopword sets per language for the n-gram/stopword language-ID
+    * heuristic. Small on purpose: broadcast as literals into codegen. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "por"),
+  )
+
+  private def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(
+      array(stopwords(lang).map(lit): _*), t)))
+
+  /** Language-ID: argmax of stopword hits over the candidate languages,
+    * 'und' (undetermined) when no stopword matches. Deterministic
+    * tie-break: first language in `order` wins. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val order = Seq("en", "de", "fr", "es")
+    val hits = order.map(l => stopwordHits(toks, l))
+    val best = greatest(hits: _*)
+    val id = order.zip(hits).foldRight(lit("und")) { case ((l, h), acc) =>
+      when(best > 0 && h === best, lit(l)).otherwise(acc)
+    }
+    // null text → null id (Spark's otherwise() would swallow the null)
+    when(c.isNotNull, id)
+  }
+
+  /** Quality score in [0,1]: weighted mix of stopword density, length
+    * adequacy, and alphanumeric cleanliness — the classic cheap heuristics
+    * (length/punct/stopword ratios) used for web-text filtering.
+    * Evaluation order is pinned for oracle bit-exactness. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks).cast("double")
+    val stopRatio = when(nTok > 0,
+      stopwordHits(toks, "en").cast("double") / nTok).otherwise(lit(0.0))
+    val lengthScore = least(nTok / lit(64.0), lit(1.0))
+    val punct = length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("double")
+    val punctRatio = when(length(c) > 0, punct / length(c).cast("double"))
+      .otherwise(lit(0.0))
+    // null text → null score (least()/otherwise() would swallow the null)
+    when(c.isNotNull,
+      stopRatio * lit(0.2) + lengthScore * lit(0.5) +
+        (lit(1.0) - punctRatio) * lit(0.3))
+  }
+
+  /** Per-document analysis frame over (idCol, textCol). */
+  def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_id"),
+      graft.functions.min_kgram_hash(col(textCol), 16).as("fingerprint"),
+      graft.functions.simhash64(col(textCol)).as("simhash"))
+}

@@ -1,0 +1,90 @@
+package graft.strsim
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM text-analysis kernels for the training-data operators
+  * (document fingerprinting + SimHash near-dup signatures). Like
+  * [[StrSimKernels]], these are static methods designed to be called from
+  * whole-stage codegen with zero boxing.
+  *
+  * All hashes are self-contained splitmix64-based (deterministic across
+  * JVMs, no dependence on JVM String.hashCode).
+  */
+object TextKernels {
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hash of the UTF-8 bytes in [from, until): FNV-1a 64 folded through
+    * splitmix (cheap, rolling-friendly enough for token hashing). */
+  private def bytesHash(s: UTF8String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ (s.getByte(i) & 0xFFL)) * 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
+
+  /** 64-bit SimHash over whitespace tokens: each token hash votes ±1 per
+    * bit; the signature bit is the vote sign. Near-duplicate documents get
+    * signatures within a small Hamming distance. */
+  def simhash64(text: UTF8String): Long = {
+    val nb = text.numBytes
+    val votes = new Array[Int](64) // per-row alloc is fine: 256B, escape-analyzed
+    var i = 0
+    while (i < nb) {
+      while (i < nb && isSpace(text.getByte(i))) i += 1
+      val start = i
+      while (i < nb && !isSpace(text.getByte(i))) i += 1
+      if (i > start) {
+        val h = bytesHash(text, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Document fingerprint: minimum rolling hash over all byte k-grams
+    * (w-shingling / Rabin-Karp style). Documents sharing long runs of
+    * identical bytes collide on fingerprints with high probability.
+    * Whole-string hash when shorter than k. */
+  def minKGramHash(text: UTF8String, k: Int): Long = {
+    val nb = text.numBytes
+    if (nb <= k) return bytesHash(text, 0, nb)
+    // rolling polynomial hash base B over bytes, window k, then mix
+    val B = 0x100000001b3L
+    var bk = 1L // B^k
+    var i = 0
+    while (i < k) { bk *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (text.getByte(i) & 0xFFL); i += 1 }
+    var minH = mix(h)
+    while (i < nb) {
+      h = h * B + (text.getByte(i) & 0xFFL) - bk * (text.getByte(i - k) & 0xFFL)
+      val m = mix(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class DedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon", "en", "s1"),
+    (2L, "alpha beta gamma delta epsilon", "en", "s1"), // exact dup of 1
+    (3L, "alpha beta gamma delta zeta", "en", "s1"),    // near dup of 1 (4/6)
+    (4L, "totally different content here now", "en", "s1"),
+    (5L, "alpha beta gamma delta epsilon", "en", "s2"), // exact dup, other block
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exactGroups canonicalizes identical content to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == 1L && g(2L) == 1L && g(5L) == 1L) // cross-block: content only
+    assert(g(3L) == 3L && g(4L) == 4L)
+  }
+
+  test("ngramJaccardPairs finds near-dups within blocks only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // 4/6 = 0.667
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L)) // other block
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // dissimilar
+    val j13 = pairs.find(p => p._1 == 1L && p._2 == 3L).get._3
+    assert(math.abs(j13 - 4.0 / 6.0) < 1e-12)
+  }
+
+  test("minhashLshPairs recovers near-dups with exact verification") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // identical docs share all bands — must be found regardless of block
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 5L)) && keys.contains((2L, 5L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // verification step reports the exact token-set jaccard
+    pairs.filter(p => Set(p._1, p._2) == Set(1L, 2L))
+      .foreach(p => assert(p._3 == 1.0))
+  }
+
+  test("simhashPairs: identical and near-identical docs collide") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = base.replace("token30", "changed")
+    val far = (1 to 60).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical: hamming 0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingCosinePairs respects block and threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),  // cos ~0.994 with 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal to 1
+      (4L, Array(1.0f, 0.0f, 0.0f), 1),  // same dir as 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class SimilaritySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("cosine on hand vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2.0)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+    ).toDF("a", "b", "want")
+    df.select(Similarity.cosine(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+          s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.9f, 0.2f)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(top((1L, 1)) == 2L) // 0.994 beats 0.976
+    assert(top((1L, 2)) == 4L)
+    assert(top((3L, 1)) == 4L) // y-heavy neighbor
+  }
+
+  test("lshTopK achieves useful recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, dim = 64,
+      bands = 8, planesPerBand = 4)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@3 = $recall%.3f (bands=8, planes=4)")
+    // near-random embeddings are LSH's worst case; still well above the
+    // single-bucket-collision floor. Clustered real-world embeddings score
+    // far higher — measured, not assumed (this pins the contract).
+    assert(recall >= 0.3, f"recall $recall%.3f")
+    // every reported cosine must be exact (spot check against brute scores)
+    val bruteCos = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, dim = 64,
+      bands = 8, planesPerBand = 4).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  test("lsh bucket sizes stay sub-quadratic (the scale contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val planes = Similarity.hyperplanes(64, 4, 6, 42L)
+    assert(planes.length == 4 && planes(0).length == 6 && planes(0)(0).length == 64)
+    // candidate pair count well below n^2
+    val cand = Similarity.lshTopK(emb, "vec_id", "embedding", k = 1000, dim = 64)
+      .count()
+    assert(cand < n * n / 4, s"LSH produced near-quadratic candidates: $cand vs ${n * n}")
+  }
+}
