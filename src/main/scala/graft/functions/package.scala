@@ -56,6 +56,9 @@ package object functions {
   /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
   def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
 
+  /** Fused codegen cosine similarity over array<float> columns. */
+  def cosine_sim(a: Column, b: Column): Column = wrap(CosineSim(expr(a), expr(b)))
+
   /** SQL function names → expression builders. Names match the reference's
     * Python API (`polars_strsim/__init__.py:63-69`) plus the two additions. */
   val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
@@ -67,6 +70,7 @@ package object functions {
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */
