@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{jaro_winkler_sim, sorensen_dice_sim}
+import graft.operators.Linkage
+
+/** Structured-Streaming face of the linkage engine: continuous page
+  * ingestion → incremental dedup/blocking/scoring. The same extraction and
+  * scoring expressions as the batch pipeline (they're pure Catalyst
+  * expressions, so they run identically under the micro-batch engine).
+  *
+  * Scale notes: stream-static joins broadcast or shuffle exactly like
+  * batch equi-joins; stateful matching keys its state by block_key, so
+  * state is sharded by the same key the shuffle partitions on; watermarks
+  * bound state growth for the dedup and windowed-metrics operators.
+  */
+object StreamingLinkage {
+
+  /** Candidate record for stateful matching. */
+  case class Keyed(block_key: String, url: String, name_norm: String)
+
+  /** An emitted match. */
+  case class Match(url_a: String, url_b: String, score: Double)
+
+  /** Extraction over a STREAMING pages frame — identical expressions as
+    * batch Linkage.extract (row-local, so fully streamable). */
+  def extractStream(pages: DataFrame): DataFrame = Linkage.extract(pages)
+
+  /** Exact-dup suppression within the watermark horizon: one surviving row
+    * per (content hash); event time = warc_ts. */
+  def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("content_hash", sha2(col("html"), 256))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-static scoring: each arriving page scored against a static
+    * reference index on the shared blocking key (the "match new crawl
+    * against yesterday's entities" shape). Static side is broadcast when
+    * small — stock Catalyst join selection. */
+  def matchAgainstIndex(stream: DataFrame, index: DataFrame,
+      theta: Double): DataFrame = {
+    val s = extractStream(stream)
+      .select(col("url").as("url_a"), col("name_norm").as("name_a"),
+        col("block_key"))
+    val idx = index.select(col("url").as("url_b"), col("name_norm").as("name_b"),
+      col("block_key"))
+    s.join(idx, "block_key")
+      .where(col("url_a") =!= col("url_b"))
+      .select(col("url_a"), col("url_b"),
+        (jaro_winkler_sim(col("name_a"), col("name_b")) +
+          sorensen_dice_sim(col("name_a"), col("name_b"))).as("score"))
+      .where(col("score") >= theta)
+  }
+
+  /** Stateful incremental matching: per block_key, keep the names seen so
+    * far (capped) and emit a match for every new arrival that scores ≥
+    * theta against remembered ones — matches ACROSS micro-batches, which a
+    * plain stream-stream self-join would need full history for.
+    * State per key is bounded by `maxPerKey` (hot keys degrade gracefully,
+    * mirroring the batch bucketCap policy). */
+  def incrementalMatches(spark: SparkSession, keyed: Dataset[Keyed],
+      theta: Double, maxPerKey: Int = 64): Dataset[Match] = {
+    import spark.implicits._
+    keyed
+      .groupByKey(_.block_key)
+      .flatMapGroupsWithState[Seq[(String, String)], Match](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Seq[(String, String)]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer[Match]()
+          rows.foreach { r =>
+            seen.foreach { case (url, name) =>
+              if (url != r.url) {
+                val score =
+                  graft.strsim.StrSimKernels.jaroWinkler(r.name_norm, name) +
+                    graft.strsim.StrSimKernels.sorensenDice(r.name_norm, name)
+                if (score >= theta) {
+                  val (a, b) = if (r.url < url) (r.url, url) else (url, r.url)
+                  out += Match(a, b, score)
+                }
+              }
+            }
+            if (seen.size < maxPerKey) seen = seen :+ (r.url, r.name_norm)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Windowed ingestion metrics: pages and distinct languages per
+    * event-time window (late data bounded by the watermark). */
+  def throughputMetrics(pages: DataFrame, window_ : String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), window_), col("lang"))
+      .agg(count(lit(1)).as("pages"))
+}
