@@ -120,7 +120,22 @@ object SparkEntry {
       val keys = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("url"),
           concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("key"))
-      graft.operators.Linkage.candidatePairs(keys, bucketCap = 15)
+      // bucketCap == hardCap: buckets over 15 are dropped (tier-3 path),
+      // matching the oracle's HAVING-style cut
+      graft.operators.Linkage.candidatePairs(keys, bucketCap = 15, hardCap = 15)
+        .select(col("url_a").as("ka"), col("url_b").as("kb"))
+    }),
+
+    // salted grid self-join (tier-2 skew path): bucketCap=1 forces EVERY
+    // bucket through the fragment-replicate join; result must equal the
+    // plain uncapped self-join (the oracle) — proving salting loses and
+    // invents nothing
+    "q_salted_pairs" -> ((s, dir) => {
+      val keys = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("url"),
+          concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("key"))
+      graft.operators.Linkage.candidatePairs(keys, bucketCap = 1,
+          hardCap = 1000000, saltGroups = 8)
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
     }),
 
@@ -277,6 +292,14 @@ object SparkEntry {
         |)
         |SELECT DISTINCT a.id AS ka, b.id AS kb
         |FROM good a JOIN good b ON a.key = b.key AND a.id < b.id""".stripMargin,
+    "q_salted_pairs" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS key
+        |  FROM customer
+        |)
+        |SELECT DISTINCT a.id AS ka, b.id AS kb
+        |FROM keys a JOIN keys b ON a.key = b.key AND a.id < b.id""".stripMargin,
     "q_match_pairs" ->
       s"""WITH pairs AS (
          |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,

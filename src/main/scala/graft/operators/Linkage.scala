@@ -97,25 +97,63 @@ object Linkage {
   }
 
   /** Stage 3 — candidate pairs: urls sharing any key, url_a < url_b,
-    * deduped. Buckets larger than `bucketCap` are dropped (logged via
-    * [[droppedBuckets]]). The self-join is an equi-join on `key` —
-    * AQE's skew-join splitting handles residual hot buckets. */
-  def candidatePairs(keys: DataFrame, bucketCap: Int = 200): DataFrame = {
+    * deduped. Three-tier skew policy (web blocking keys are Zipfian):
+    *
+    *  1. buckets ≤ `bucketCap`: plain equi-self-join on `key` (AQE
+    *     skew-join splits residual stragglers);
+    *  2. `bucketCap` < n ≤ `hardCap`: SALTED grid self-join
+    *     ([[saltedSelfJoin]]) — a hot bucket's quadratic pair work is
+    *     sharded across `saltGroups`² tasks instead of landing on one
+    *     reducer (the "salted repartitioning" the north rule mandates);
+    *  3. n > `hardCap`: dropped, never silently — [[droppedBuckets]] and
+    *     the pipeline metrics record them (an ultra-hot key carries no
+    *     discriminative signal and would emit ~n²/2 junk pairs).
+    */
+  def candidatePairs(keys: DataFrame, bucketCap: Int = 200,
+      hardCap: Int = 100000, saltGroups: Int = 16): DataFrame = {
     val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
-    val good = keys.join(sized.where(col("bucket_n") <= bucketCap), "key")
+    val keyed = keys.join(sized, "key")
+    val good = keyed.where(col("bucket_n") <= bucketCap)
     val a = good.select(col("key"), col("url").as("url_a"))
     val b = good.select(col("key"), col("url").as("url_b"))
-    a.join(b, "key")
+    val coldPairs = a.join(b, "key")
       .where(col("url_a") < col("url_b"))
       .select(col("url_a"), col("url_b"))
-      .distinct()
+    val hot = keyed
+      .where(col("bucket_n") > bucketCap && col("bucket_n") <= hardCap)
+      .select(col("key"), col("url"))
+    coldPairs.union(saltedSelfJoin(hot, saltGroups)).distinct()
   }
 
-  /** Buckets excluded by `bucketCap` with their sizes — the non-silent
+  /** Salted (fragment-replicate grid) self-join: member u of bucket k with
+    * salt g = hash(u) mod G is replicated to grid cells (k, g, j≥g) on the
+    * left and (k, i≤g, g) on the right; cell (k, i, j) joins fragment i ×
+    * fragment j, so each unordered pair meets in exactly one cell and the
+    * bucket's n²/2 work spreads over G(G+1)/2 reducers at replication
+    * cost G. Equi-join on the salted composite key — no reducer ever sees
+    * a whole hot bucket. */
+  private[operators] def saltedSelfJoin(hot: DataFrame, saltGroups: Int): DataFrame = {
+    val g = pmod(xxhash64(col("url")), lit(saltGroups)).cast("int")
+    val left = hot.select(col("key"), col("url"), g.as("g"))
+      .withColumn("j", explode(sequence(col("g"), lit(saltGroups - 1))))
+      .select(col("key"), col("g").as("gi"), col("j").as("gj"), col("url").as("url_a"))
+    val right = hot.select(col("key"), col("url"), g.as("g"))
+      .withColumn("i", explode(sequence(lit(0), col("g"))))
+      .select(col("key"), col("i").as("gi"), col("g").as("gj"), col("url").as("url_b"))
+    left.join(right, Seq("key", "gi", "gj"))
+      // same-fragment cell (i == j) holds both sides of every intra-fragment
+      // pair: order by url; cross-fragment pairs meet exactly once
+      .where((col("gi") =!= col("gj") && col("url_a") =!= col("url_b")) ||
+        col("url_a") < col("url_b"))
+      .select(least(col("url_a"), col("url_b")).as("url_a"),
+        greatest(col("url_a"), col("url_b")).as("url_b"))
+  }
+
+  /** Buckets excluded by `hardCap` with their sizes — the non-silent
     * record of what blocking dropped. */
-  def droppedBuckets(keys: DataFrame, bucketCap: Int = 200): DataFrame =
+  def droppedBuckets(keys: DataFrame, hardCap: Int = 100000): DataFrame =
     keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > bucketCap)
+      .where(col("bucket_n") > hardCap)
 
   /** Stage 4 — pairwise scoring: composite Jaro-Winkler + Sørensen-Dice on
     * the normalized names (the north-star composite). Pure projection over

@@ -33,9 +33,12 @@ object Pipeline {
       numHashes: Int = 12,
       bands: Int = 6,
       shingleK: Int = 3,
-      bucketCap: Int = 200) {
+      bucketCap: Int = 200,
+      hardCap: Int = 100000,
+      saltGroups: Int = 16) {
     def fingerprint: String =
-      s"theta=$theta;h=$numHashes;b=$bands;k=$shingleK;cap=$bucketCap;v=1"
+      s"theta=$theta;h=$numHashes;b=$bands;k=$shingleK;cap=$bucketCap;" +
+        s"hard=$hardCap;salt=$saltGroups;v=2"
   }
 
   case class StageResult(name: String, df: DataFrame, fingerprint: String,
@@ -120,7 +123,7 @@ object Pipeline {
 
     val fpPairs = sha(fpKeys + ":pairs")
     val pairs = stage(spark, workDir, "03_pairs", fpPairs)(
-      Linkage.candidatePairs(keys.df, cfg.bucketCap))
+      Linkage.candidatePairs(keys.df, cfg.bucketCap, cfg.hardCap, cfg.saltGroups))
 
     val fpScored = sha(fpPairs + ":scored")
     val scored = stage(spark, workDir, "04_scored", fpScored)(
@@ -136,7 +139,7 @@ object Pipeline {
 
     val stages = Seq(ex, keys, pairs, scored, matched, clusters)
     import spark.implicits._
-    val dropped = Linkage.droppedBuckets(keys.df, cfg.bucketCap).count()
+    val dropped = Linkage.droppedBuckets(keys.df, cfg.hardCap).count()
     val metrics = (stages.map(s => (s.name, "rows", s.rows.toDouble)) ++
       stages.map(s => (s.name, "wall_ms", s.wallMs.toDouble)) ++
       stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0)) :+

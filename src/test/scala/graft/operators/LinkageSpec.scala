@@ -80,6 +80,35 @@ class LinkageSpec extends SparkFunSuite {
     assert(fourth.stages.count(!_.resumed) >= 1)
   }
 
+  test("salted grid self-join equals the naive self-join on a skewed fixture") {
+    import spark.implicits._
+    // one hot key (60 members), several cold ones
+    val keys = ((1 to 60).map(i => (s"hot", s"u$i")) ++
+      (1 to 5).map(i => ("cold1", s"c$i")) ++ Seq(("solo", "s1"))).toDF("key", "url")
+    def naive(df: org.apache.spark.sql.DataFrame) = {
+      val a = df.select(col("key"), col("url").as("url_a"))
+      val b = df.select(col("key"), col("url").as("url_b"))
+      a.join(b, "key").where(col("url_a") < col("url_b"))
+        .select("url_a", "url_b").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val expected = naive(keys)
+    // force everything through the salted tier
+    val salted = Linkage.candidatePairs(keys, bucketCap = 1, hardCap = 1000,
+        saltGroups = 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(salted == expected, s"missing=${expected -- salted} extra=${salted -- expected}")
+    // mixed tiers: cold via plain join, hot via salted — same union
+    val mixed = Linkage.candidatePairs(keys, bucketCap = 10, hardCap = 1000,
+        saltGroups = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mixed == expected)
+    // hardCap drops the hot bucket entirely
+    val dropped = Linkage.candidatePairs(keys, bucketCap = 10, hardCap = 50)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dropped == naive(keys.where(col("key") =!= "hot")))
+  }
+
   test("hot-bucket dropping is observable, not silent") {
     val ex = Linkage.extract(pagesDF)
     val keys = Linkage.candidateKeys(ex)
