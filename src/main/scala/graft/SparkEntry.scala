@@ -219,6 +219,11 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       "label", tau = 0.25)),
 
+    // gap-based event sessionization (window functions over the events
+    // log; one shuffle by user, single sort reused by both window passes)
+    "q_sessionize" -> ((s, dir) => graft.operators.Sessionize.sessions(
+      s.read.parquet(s"$dir/events.parquet"), "user_id", "ts")),
+
     // multimodal: typed metadata over a binary column (documents text
     // re-encoded as the opaque blob — testdata ships no native binary)
     "q_media_metadata" -> ((s, dir) => {
@@ -408,6 +413,25 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |)
         |SELECT ia, ib, cos FROM scored WHERE cos >= 0.25""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), ns AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |), sid AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM ns
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
     "q_media_metadata" ->
       """WITH m AS (
         |  SELECT doc_id AS id, strlen(text) AS n_bytes,

@@ -44,11 +44,13 @@ object ConnectedComponents {
       val mins = b.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // no distinct here: duplicates don't change the small-star min
+      // aggregate and the loop-state distinct below cleans the output —
+      // saves one full shuffle per iteration
       val large = b.join(mins, "src")
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct()
 
       // ---- small-star on canonical (src > dst) edges:
       // m(u) = min(N_<=(u)); emit (v, m) for v in N_<=(u) ∪ {u}, v != m
