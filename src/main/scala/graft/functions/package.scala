@@ -71,6 +71,9 @@ package object functions {
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    // k must be a foldable int literal: min_kgram_hash(text, 16)
+    "min_kgram_hash" -> (es => MinKGramHash(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

@@ -274,6 +274,15 @@ object StrSimKernels {
   /** Normalized unrestricted Damerau-Levenshtein similarity
     * (Lowrance-Wagner algorithm; distance semantics match DuckDB's
     * `damerau_levenshtein`, verified on 300 cross-checked vectors). */
+  /** Unrestricted DL needs the FULL (n+2)×(m+2) matrix (the transposition
+    * lookback reaches arbitrarily far up), so memory is quadratic. Cap it:
+    * scoring two 4k-code-point documents would pin 64 MB of scratch per
+    * task thread — at 32 threads that's executor-OOM territory. The
+    * pipeline scores names/keys (tens of chars); long-text similarity
+    * belongs to the linear-memory kernels (levenshtein/jaccard/dice/
+    * simhash). */
+  private val DlMaxCells = 16 * 1024 * 1024
+
   def damerauLevenshtein(a: UTF8String, b: UTF8String): Double = {
     if (a.equals(b)) return 1.0
     if (a.numBytes == 0 || b.numBytes == 0) return 0.0
@@ -281,6 +290,12 @@ object StrSimKernels {
     s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
     val n = decode(a, s.aCp)
     val m = decode(b, s.bCp)
+    if ((n + 2).toLong * (m + 2).toLong > DlMaxCells) {
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein inputs too long ($n x $m code points): the " +
+          s"unrestricted-DL matrix would exceed $DlMaxCells cells per task " +
+          "thread. Use levenshtein_sim / jaccard_sim for long texts.")
+    }
     val w = m + 2 // row width
     if (s.dlH.length < (n + 2) * w) s.dlH = new Array[Int]((n + 2) * w)
     val h = s.dlH

@@ -82,6 +82,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("damerau_levenshtein rejects quadratic-memory inputs with a clear error") {
+    val big = "ab" * 3000 // 6k code points each → 36M cells > 16M cap
+    val e = intercept[IllegalArgumentException] {
+      StrSimKernels.damerauLevenshtein(big, big.reverse)
+    }
+    assert(e.getMessage.contains("too long"))
+    // linear-memory kernels handle the same inputs fine
+    assert(StrSimKernels.levenshtein(big, big.reverse) >= 0.0)
+    assert(StrSimKernels.jaccard(big, big.reverse) == 1.0) // same bag
+  }
+
   test("empty-vs-nonempty is 0, empty-vs-empty is 1 for all kernels") {
     for ((name, f) <- kernels) {
       assert(f("", "") == 1.0, name)
