@@ -214,6 +214,13 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       k = 3, dim = 64)),
 
+    // IVF coarse-quantizer ANN (second scale path; rows-only — centroids
+    // come from an in-engine k-means fit with no DuckDB analogue; recall
+    // + exact-cosine checks live in SimilaritySpec)
+    "q_ann_ivf" -> ((s, dir) => graft.operators.Similarity.ivfTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 3, nCentroids = 16, nProbe = 4)),
+
     // embedding-cosine near-dup pairs blocked by label
     "q_dedup_embedding_cosine" -> ((s, dir) => graft.operators.Dedup.embeddingCosinePairs(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",

@@ -67,6 +67,116 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Spherical-k-means coarse quantizer fit on a deterministic bounded
+    * sample. The sample (≤ `sampleN` vectors, picked by hash order so it is
+    * corpus-wide and reproducible) is collected to the driver — the model
+    * is O(nCentroids × dim) like MLlib's KMeans; the DATA never is. Lloyd
+    * iterations run in a fixed order in double precision, so the returned
+    * centroids are bit-deterministic for a given (input, seed). */
+  private[operators] def fitCentroids(base: DataFrame, nCentroids: Int,
+      iters: Int, sampleN: Int, seed: Long): Array[Array[Float]] = {
+    val rows = base
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleN)
+      .collect()
+    val pts: Array[Array[Double]] = rows.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      if (n == 0.0) v.map(_.toDouble) else v.map(_.toDouble / n)
+    }
+    if (pts.isEmpty) return Array(Array(0.0f))
+    val kk = math.min(nCentroids, pts.length)
+    var cents: Array[Array[Double]] = pts.take(kk).map(_.clone())
+    val dim = pts(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk, dim)(0.0)
+      val counts = new Array[Long](kk)
+      pts.foreach { p =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          val n = math.sqrt(mean.foldLeft(0.0)((acc, x) => acc + x * x))
+          if (n == 0.0) mean else mean.map(_ / n)
+        }
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  private def litVec(c: Array[Float]): Column = array(c.map(lit(_)): _*)
+
+  /** argmax over centroids by cosine; ties break to the LOWER centroid id
+    * (struct max on (cos, -id)). Pure codegen'd expressions — evaluated
+    * per row inside whole-stage codegen, no UDF. */
+  private def nearestCid(v: Column, cents: Array[Array[Float]]): Column = {
+    val scored = cents.indices.map { i =>
+      struct(cosine(v, litVec(cents(i))).as("c"), lit(-i).as("ni"))
+    }
+    array_max(array(scored: _*)).getField("ni") * -1
+  }
+
+  /** The `nProbe` nearest centroid ids, best first (ties: higher id first —
+    * any fixed order works; it only sets which lists are probed). */
+  private def probeCids(v: Column, cents: Array[Array[Float]],
+      nProbe: Int): Column = {
+    val scored = cents.indices.map { i =>
+      struct(cosine(v, litVec(cents(i))).as("c"), lit(i).as("i"))
+    }
+    transform(slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      s => s.getField("i"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
+    * path, complementing [[lshTopK]].
+    *
+    * Index: every vector lands in exactly ONE inverted list (its nearest
+    * centroid), so index size is n rows regardless of recall tuning.
+    * Probe: each query fans out to its `nProbe` nearest centroids, so the
+    * candidate set is the union of nProbe lists — cost Σ probed-list sizes,
+    * not n². One shuffle on the centroid id + the per-vector top-k window.
+    * No (query, neighbor) pair can repeat (a neighbor is indexed once and
+    * probe cids are distinct), so no dedup pass is needed.
+    * Recall vs brute force is measured in SimilaritySpec, not assumed. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 8,
+      sampleN: Int = 4096, seed: Long = 42L): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = fitCentroids(base, nCentroids, iters, sampleN, seed)
+    val index = base.select(
+      nearestCid(col("v"), cents).as("cid"),
+      col("id").as("neighbor_id"), col("v").as("vb"))
+    val probes = base.select(col("id").as("vec_id"), col("v").as("va"),
+      explode(probeCids(col("v"), cents, nProbe)).as("cid"))
+    val scored = probes.join(index, "cid")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("va"), col("vb")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  // ------------------------------------------------------------------ LSH
+
   /** Banded random-hyperplane LSH top-k. Each vector lands in `bands`
     * buckets keyed by the sign pattern of `planesPerBand` projections;
     * candidates = pairs sharing any bucket; exact cosine ranks them.

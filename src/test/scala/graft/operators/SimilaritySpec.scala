@@ -60,6 +60,46 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("ivfTopK achieves useful recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+    val bruteSet = brute.select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+      nCentroids = 16, nProbe = 4)
+    val ivfRows = ivf.collect()
+    val ivfSet = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & ivfSet).size.toDouble / bruteSet.size
+    info(f"IVF recall@3 = $recall%.3f (nCentroids=16, nProbe=4)")
+    assert(recall >= 0.5, f"recall $recall%.3f")
+    // reported cosines are exact, and no (query, neighbor) pair repeats
+    val bruteCos = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivfRows.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+    assert(ivfRows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      == ivfRows.length)
+    // determinism: a second run returns the identical result set
+    val again = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+      nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfSet)
+  }
+
+  test("ivf candidate set stays sub-quadratic (the scale contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    // k large enough that nothing is cut by the top-k window: the surviving
+    // rows ARE the candidate pairs the probe join produced
+    val cand = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 1000000,
+      nCentroids = 16, nProbe = 4).count()
+    // probing 4 of 16 lists caps expected work near n²·(nProbe/nCentroids)
+    assert(cand < n * n / 2,
+      s"IVF produced near-quadratic candidates: $cand vs ${n * n}")
+  }
+
   test("lsh bucket sizes stay sub-quadratic (the scale contract)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = emb.count()
