@@ -21,9 +21,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query must be distinguishable from a slow one: record the
+    // error per query and report it in the JSON (never silently time a -1)
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -44,8 +50,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum + scoreSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pairs_scored":$nScored,"pairs_scored_sec":$scoreSec,"pairs_scored_per_sec":$pairsPerSec,"corpus_pages":$nPages,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","pairs_scored":$nScored,"pairs_scored_sec":$scoreSec,"pairs_scored_per_sec":$pairsPerSec,"corpus_pages":$nPages,"cpus":$cpus}""")
     spark.stop()
   }
 }
@@ -122,8 +133,13 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pairs = spark.read.parquet(pairsDir).cache()
+    // repartition(256) pins the cached partition count regardless of
+    // file-source split planning (which varies with local[N] parallelism):
+    // every measured level runs the identical 256-task layout, 8+ waves
+    // even at 32 cores. The shuffle happens here, outside the timed region.
+    val pairs = spark.read.parquet(pairsDir).repartition(256).cache()
     val nPairs = pairs.count() // materialize outside the timed section
+    val nParts = pairs.rdd.getNumPartitions
 
     def scoredCount(): Long = pairs
       .withColumn("r", explode(sequence(lit(1), lit(repeat))))
@@ -145,7 +161,7 @@ object ScalingBench {
       n = scoredCount()
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
     }
-    println(s"""{"cpus":$cpus,"candidate_pairs":$nPairs,"pairs_scored":$n,"sec":$best,"pairs_per_sec":${n / best}}""")
+    println(s"""{"cpus":$cpus,"candidate_pairs":$nPairs,"partitions":$nParts,"pairs_scored":$n,"sec":$best,"pairs_per_sec":${n / best}}""")
     spark.stop()
   }
 }

@@ -92,12 +92,30 @@ case class SorensenDiceSim(left: Expression, right: Expression) extends StrSimEx
 }
 
 /** Normalized unrestricted Damerau-Levenshtein similarity (north-star
-  * addition; distance matches DuckDB `damerau_levenshtein`). */
+  * addition; distance matches DuckDB `damerau_levenshtein`).
+  *
+  * Long-input policy: when the affix-trimmed DP core would exceed the
+  * kernel's quadratic-memory cap the kernel returns NaN and this expression
+  * returns NULL (never throws — a data-dependent exception would kill a
+  * 10^12-pair job on one pathological document). Callers wanting a score
+  * anyway should fall back to `levenshtein_sim` via `coalesce`. */
 case class DamerauLevenshteinSim(left: Expression, right: Expression) extends StrSimExpression {
   override def prettyName: String = "damerau_levenshtein_sim"
   override protected def kernelMethod: String = "damerauLevenshtein"
+  override def nullable: Boolean = true
   override protected def kernel(a: UTF8String, b: UTF8String): Double =
     StrSimKernels.damerauLevenshtein(a, b)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = StrSimKernels.damerauLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    if (java.lang.Double.isNaN(v)) null else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.strsim.StrSimKernels.damerauLevenshtein($a, $b);
+         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -59,14 +59,17 @@ package object functions {
   /** Fused codegen cosine similarity over array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column = wrap(CosineSim(expr(a), expr(b)))
 
-  /** SQL function names → expression builders. Names match the reference's
-    * Python API (`polars_strsim/__init__.py:63-69`) plus the two additions. */
+  /** SQL function names → expression builders. One convention everywhere:
+    * every similarity kernel is `<name>_sim` (`levenshtein` alone would
+    * shadow Spark's built-in DISTANCE of the same name, and a mixed
+    * bare/suffixed surface invites silent semantic mixups — the suffix
+    * states these return a [0,1] similarity, not a distance). */
   val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
     "levenshtein_sim" -> (es => LevenshteinSim(es(0), es(1))),
-    "jaro" -> (es => JaroSim(es(0), es(1))),
-    "jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
-    "jaccard" -> (es => JaccardSim(es(0), es(1))),
-    "sorensen_dice" -> (es => SorensenDiceSim(es(0), es(1))),
+    "jaro_sim" -> (es => JaroSim(es(0), es(1))),
+    "jaro_winkler_sim" -> (es => JaroWinklerSim(es(0), es(1))),
+    "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
+    "sorensen_dice_sim" -> (es => SorensenDiceSim(es(0), es(1))),
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),

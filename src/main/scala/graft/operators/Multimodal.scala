@@ -16,21 +16,27 @@ case class MediaFeatures(id: String, kind: String, features: Array[Float])
   */
 object Multimodal {
 
+  /** Container kind sniffed from magic bytes (hex of the first 4 bytes) —
+    * a pure per-row expression, shared by [[metadata]] and
+    * [[decodeFeatures]] so neither ever joins the blob back to itself. */
+  private def kindOf(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val magic = upper(hex(substring(bin, 1, 4)))
+    when(magic.startsWith("89504E47"), "png")
+      .when(magic.startsWith("FFD8FF"), "jpeg")
+      .when(magic.startsWith("474946"), "gif")
+      .when(magic.startsWith("52494646"), "riff") // wav/avi/webp family
+      .when(magic.startsWith("3C68746D") || magic.startsWith("3C21444F"), "html")
+      .otherwise("unknown")
+  }
+
   /** Typed metadata over a binary column using built-ins only: byte length
-    * + container sniffing from magic bytes (hex of the first 4 bytes).
+    * + container sniffing from magic bytes.
     * Runs fully inside codegen; the binary is scanned once, never shuffled. */
-  def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val magic = upper(hex(substring(col(binCol), 1, 4)))
+  def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame =
     df.select(
       col(idCol).as("id"),
       length(col(binCol)).as("n_bytes"),
-      when(magic.startsWith("89504E47"), "png")
-        .when(magic.startsWith("FFD8FF"), "jpeg")
-        .when(magic.startsWith("474946"), "gif")
-        .when(magic.startsWith("52494646"), "riff") // wav/avi/webp family
-        .when(magic.startsWith("3C68746D") || magic.startsWith("3C21444F"), "html")
-        .otherwise("unknown").as("kind"))
-  }
+      kindOf(col(binCol)).as("kind"))
 
   /** ======================== STUB ========================
     * Deterministic fake decoder standing in for the real media decode
@@ -62,9 +68,13 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, media: DataFrame, idCol: String,
       binCol: String, dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val withKind = metadata(media, idCol, binCol)
-      .join(media.select(col(idCol).as("id"), col(binCol).as("bin")), "id")
-    withKind.select(col("id").cast("string"), col("kind"), col("bin"))
+    // ONE projection: kind is a per-row expression over the same blob, so
+    // (id, kind, bin) never leaves the scan pipeline — at 100 TB of media a
+    // metadata-then-rejoin would shuffle every blob twice for nothing
+    // (plan shape asserted in PipelinePlanSpec: no Exchange below the map).
+    media
+      .select(col(idCol).cast("string").as("id"),
+        kindOf(col(binCol)).as("kind"), col(binCol).as("bin"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>

@@ -27,9 +27,11 @@ object Sessionize {
       .orderBy(col(tsCol), col("event_id"))
     val withGap = events
       .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
+      // cast("double") keeps sub-second precision (unix_timestamp truncates
+      // to seconds — a 1800.4s gap must not read as 1800s)
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col(tsCol)) - unix_timestamp(col("prev_ts")) > gapSeconds,
+          col(tsCol).cast("double") - col("prev_ts").cast("double") > gapSeconds,
           lit(1)).otherwise(lit(0)))
       .withColumn("session_id",
         sum(col("new_session")).over(

@@ -132,15 +132,18 @@ object Similarity {
     array_max(array(scored: _*)).getField("ni") * -1
   }
 
-  /** The `nProbe` nearest centroid ids, best first (ties: higher id first —
-    * any fixed order works; it only sets which lists are probed). */
+  /** The `nProbe` nearest centroid ids, best first. Ties break to the
+    * LOWER centroid id — the SAME order as [[nearestCid]], so on an exact
+    * tie a vector's own inverted list is always the first list probed
+    * (a mismatched tie order would probe the own list last or drop it
+    * past nProbe, a silent recall leak). */
   private def probeCids(v: Column, cents: Array[Array[Float]],
       nProbe: Int): Column = {
     val scored = cents.indices.map { i =>
-      struct(cosine(v, litVec(cents(i))).as("c"), lit(i).as("i"))
+      struct(cosine(v, litVec(cents(i))).as("c"), lit(-i).as("ni"))
     }
     transform(slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
-      s => s.getField("i"))
+      s => s.getField("ni") * -1)
   }
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale

@@ -300,12 +300,15 @@ object StrSimKernels {
 
   /** Normalized unrestricted Damerau-Levenshtein similarity
     * (Lowrance-Wagner algorithm; distance semantics match DuckDB's
-    * `damerau_levenshtein`, verified on 300 cross-checked vectors). */
-  /** Unrestricted DL needs the FULL (n+2)×(m+2) matrix (the transposition
+    * `damerau_levenshtein`, verified on 300 cross-checked vectors).
+    *
+    * Unrestricted DL needs the FULL (n+2)×(m+2) matrix (the transposition
     * lookback reaches arbitrarily far up), so memory is quadratic. Cap it:
     * scoring two 4k-code-point documents would pin 64 MB of scratch per
-    * task thread — at 32 threads that's executor-OOM territory. The
-    * pipeline scores names/keys (tens of chars); long-text similarity
+    * task thread — at 32 threads that's executor-OOM territory. Inputs
+    * whose affix-trimmed DP core exceeds the cap return NaN (→ SQL NULL at
+    * the expression layer, pinned in ConformanceSpec) rather than throwing:
+    * the pipeline scores names/keys (tens of chars); long-text similarity
     * belongs to the linear-memory kernels (levenshtein/jaccard/dice/
     * simhash). */
   private val DlMaxCells = 16 * 1024 * 1024
@@ -326,12 +329,11 @@ object StrSimKernels {
     val hi = commonSuffix(s, nFull, mFull, lo)
     val n = nFull - lo - hi
     val m = mFull - lo - hi
-    if ((n + 2).toLong * (m + 2).toLong > DlMaxCells) {
-      throw new IllegalArgumentException(
-        s"damerau_levenshtein inputs too long ($n x $m code points): the " +
-          s"unrestricted-DL matrix would exceed $DlMaxCells cells per task " +
-          "thread. Use levenshtein_sim / jaccard_sim for long texts.")
-    }
+    // Over-cap policy: return NaN (the expression layer maps it to SQL
+    // NULL). A throw here would be data-dependent job death — one
+    // pathological document pair killing a 10^12-pair run. NaN cannot
+    // otherwise arise: inputs are non-empty so the denominator is ≥ 1.
+    if ((n + 2).toLong * (m + 2).toLong > DlMaxCells) return Double.NaN
     val w = m + 2 // row width
     if (s.dlH.length < (n + 2) * w) s.dlH = new Array[Int]((n + 2) * w)
     val h = s.dlH

@@ -39,6 +39,13 @@ class MultimodalSpec extends SparkFunSuite {
     assert(m1("png1") != m1("jpg1")) // distinct content → distinct stub features
   }
 
+  test("decodeFeatures never shuffles the blob: single projection, no Exchange") {
+    val out = Multimodal.decodeFeatures(spark, media, "id", "blob", dim = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blob crossed a shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"blob self-join crept back in:\n$plan")
+  }
+
   test("downstream ANN composes over decoded features") {
     val feats = Multimodal.decodeFeatures(spark, media, "id", "blob", dim = 8)
       .toDF().withColumn("vid", xxhash64(col("id")))

@@ -38,9 +38,9 @@ class ConformanceSpec extends SparkFunSuite {
   )
 
   val sqlName: Map[String, String] = Map(
-    "levenshtein" -> "levenshtein_sim", "jaro" -> "jaro",
-    "jaro_winkler" -> "jaro_winkler", "jaccard" -> "jaccard",
-    "sorensen_dice" -> "sorensen_dice",
+    "levenshtein" -> "levenshtein_sim", "jaro" -> "jaro_sim",
+    "jaro_winkler" -> "jaro_winkler_sim", "jaccard" -> "jaccard_sim",
+    "sorensen_dice" -> "sorensen_dice_sim",
     "damerau_levenshtein" -> "damerau_levenshtein_sim",
     "hamming" -> "hamming_sim")
 
@@ -91,6 +91,35 @@ class ConformanceSpec extends SparkFunSuite {
       s"expected codegen in plan:\n$plan")
     val bad = out.collect().filter(r => math.abs(r.getDouble(4) - r.getDouble(3)) >= 1e-8)
     assert(bad.isEmpty, s"${bad.length} codegen mismatches, first: ${bad.take(5).mkString("; ")}")
+  }
+
+  test("damerau_levenshtein long-input policy: null above the DP cell cap, never a throw") {
+    // two 5000-char strings with no shared affix → trimmed core 5000×5000 =
+    // 25M cells > the 16M cap. Kernel → NaN; expression → SQL NULL.
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(5000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val b = Array.fill(5000)(('a' + rnd.nextInt(26)).toChar).mkString
+    assert(a.head != b.head && a.last != b.last) // no affix trim (seed-pinned)
+    assert(java.lang.Double.isNaN(StrSimKernels.damerauLevenshtein(a, b)))
+    val e = DamerauLevenshteinSim(
+      Literal(UTF8String.fromString(a), StringType),
+      Literal(UTF8String.fromString(b), StringType))
+    assert(e.eval(null) == null) // interpreted path
+    import spark.implicits._
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(damerau_levenshtein_sim(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("s"),
+        // the documented fallback recipe for long texts
+        org.apache.spark.sql.functions.coalesce(
+          damerau_levenshtein_sim(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")),
+          levenshtein_sim(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b"))).as("fallback"))
+      .head()
+    assert(row.isNullAt(0)) // codegen path
+    assert(!row.isNullAt(1) && row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    // short inputs are untouched by the policy
+    assert(!java.lang.Double.isNaN(StrSimKernels.damerauLevenshtein("ab", "ba")))
   }
 
   test("constant folding: literal-literal kernel call folds at plan time") {

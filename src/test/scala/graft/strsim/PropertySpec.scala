@@ -82,12 +82,11 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("damerau_levenshtein rejects quadratic-memory inputs with a clear error") {
+  test("damerau_levenshtein guards quadratic-memory inputs with NaN, not a throw") {
     val big = "ab" * 3000 // 6k code points each → 36M cells > 16M cap
-    val e = intercept[IllegalArgumentException] {
-      StrSimKernels.damerauLevenshtein(big, big.reverse)
-    }
-    assert(e.getMessage.contains("too long"))
+    // NaN → SQL NULL at the expression layer (a throw would be
+    // data-dependent job death at 10^12-pair scale)
+    assert(java.lang.Double.isNaN(StrSimKernels.damerauLevenshtein(big, big.reverse)))
     // linear-memory kernels handle the same inputs fine
     assert(StrSimKernels.levenshtein(big, big.reverse) >= 0.0)
     assert(StrSimKernels.jaccard(big, big.reverse) == 1.0) // same bag
