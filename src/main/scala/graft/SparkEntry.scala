@@ -157,13 +157,15 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
-    // MinHash band keys (stage: secondary blocking). xxhash64 has no DuckDB
-    // analogue → rows-only check; semantics are covered by LinkageSpec.
+    // MinHash band keys (stage: secondary blocking). Driven with the
+    // sha256 hash family so DuckDB reproduces the ENTIRE signature+banding
+    // pipeline bit-exactly (same operator code path as the xxhash64
+    // production family — only the hash function is swapped).
     "q_minhash_band_keys" -> ((s, dir) => {
       val ex = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").cast("string").as("url"),
           regexp_replace(lower(col("p_name")), "[^a-z]", "").as("name_norm"))
-      graft.operators.Linkage.minhashBandKeys(ex)
+      graft.operators.Linkage.minhashBandKeys(ex, hashFamily = "sha256")
     }),
 
     // ---- training-data operators over documents/embeddings ----
@@ -196,9 +198,12 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       Seq("lang", "source"), tau = 0.5)),
 
-    // MinHash-LSH near-dup (sub-quadratic path; xxhash → rows-only)
+    // MinHash-LSH near-dup (sub-quadratic path). sha256 family → the full
+    // pipeline (signature, banding, bucket cap, candidate join, exact
+    // verification) is hash-checked against a DuckDB re-derivation.
     "q_dedup_minhash_lsh" -> ((s, dir) => graft.operators.Dedup.minhashLshPairs(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5)),
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5,
+      hashFamily = "sha256")),
 
     // SimHash near-dup (rows-only: custom signature kernel)
     "q_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhashPairs(
@@ -208,18 +213,22 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) => graft.operators.Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 3)),
 
-    // banded hyperplane-LSH ANN (scale path; rows-only, recall measured
-    // in SimilaritySpec)
+    // banded hyperplane-LSH ANN (scale path). The hyperplanes are
+    // plan-time constants, so the oracle re-derives the exact bucket
+    // assignment in SQL with the planes inlined as literals — bucketing,
+    // candidate join, cosine, and top-k window all hash-checked.
     "q_ann_lsh" -> ((s, dir) => graft.operators.Similarity.lshTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       k = 3, dim = 64)),
 
-    // IVF coarse-quantizer ANN (second scale path; rows-only — centroids
-    // come from an in-engine k-means fit with no DuckDB analogue; recall
-    // + exact-cosine checks live in SimilaritySpec)
+    // IVF coarse-quantizer ANN (second scale path). Driven with iters=0 +
+    // sha256 sample order so the centroid set (first 16 sample vectors,
+    // normalized) is SQL-derivable: index assignment, probe fan-out, and
+    // top-k are all hash-checked. The Lloyd fit itself (iters>0) is pure
+    // driver-side model fitting, covered by SimilaritySpec recall tests.
     "q_ann_ivf" -> ((s, dir) => graft.operators.Similarity.ivfTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-      k = 3, nCentroids = 16, nProbe = 4)),
+      k = 3, nCentroids = 16, nProbe = 4, iters = 0, hashOrder = "sha256")),
 
     // embedding-cosine near-dup pairs blocked by label
     "q_dedup_embedding_cosine" -> ((s, dir) => graft.operators.Dedup.embeddingCosinePairs(
@@ -239,6 +248,39 @@ object SparkEntry {
       graft.operators.Multimodal.metadata(media, "doc_id", "blob")
     }),
 
+    // streaming: stream-static match-against-index replayed over the
+    // shared documents table through a real micro-batch query (file
+    // stream source → equi-join + kernel scoring → memory sink). Append
+    // mode over a stream-static join equals the static join over all
+    // input, which is exactly what the DuckDB oracle computes.
+    "q_stream_matches" -> ((s, dir) => {
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val keyedOf = (df: DataFrame) => df.select(
+        col("doc_id").cast("string").as("url"),
+        regexp_replace(lower(substring_index(col("text"), "\n", 1)), "[^a-z0-9]", "")
+          .as("name_norm"),
+        concat(col("lang"), lit(":"), col("source")).as("block_key"))
+      // the file stream source wants a directory; stage the (small) table
+      // file into one — the stream then discovers and replays it
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val stream = s.readStream.schema(static.schema).parquet(streamDir.toString)
+      val matches = graft.streaming.StreamingLinkage.matchKeyedAgainstIndex(
+        keyedOf(stream), keyedOf(static), theta = 1.5)
+      // unique sink name: re-running the query in one session must not
+      // collide with the previous run's registered memory table
+      val sink = "q_stream_matches_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = matches.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(col("url_a"), col("url_b"), col("score"))
+    }),
+
     // multimodal: batched feature extraction (decode STUB; plumbing real)
     "q_media_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
@@ -249,9 +291,177 @@ object SparkEntry {
     }),
   )
 
+  // ---------- oracle builders for the hash-family-upgraded operators ----------
+
+  /** min-sha256 lane aggregates h0..h{k-1} over a shingle column `sh` —
+    * DuckDB's exact mirror of MinHashKernels.shaLanes (hex strings are
+    * byte-monotone, so lexicographic min == byte min). */
+  private def shaLaneAggs(k: Int): String =
+    (0 until k).map(i => s"min(sha256('$i:' || sh)) AS h$i").mkString(", ")
+
+  /** DuckDB cosine over two 64-dim float list columns — the same strict
+    * left folds as the fused CosineSim kernel (pattern proven bit-exact by
+    * q_ann_bruteforce since round 1). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  private def minhashBandKeysOracle: String = {
+    val bandKeys = (0 until 6).map { b =>
+      s"'mh$b:' || sha256(h${2 * b} || '|' || h${2 * b + 1})"
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT CAST(p_partkey AS VARCHAR) AS url,
+       |         regexp_replace(lower(p_name), '[^a-z]', '', 'g') AS nn
+       |  FROM part
+       |), sh AS (
+       |  SELECT url, unnest(CASE WHEN length(nn) >= 3
+       |    THEN list_transform(range(1, length(nn) - 1), i -> substr(nn, i, 3))
+       |    ELSE [nn] END) AS sh
+       |  FROM base
+       |), mins AS (
+       |  SELECT url, ${shaLaneAggs(12)} FROM sh GROUP BY url
+       |)
+       |SELECT url, unnest([$bandKeys]) AS key FROM mins""".stripMargin
+  }
+
+  private def minhashLshOracle: String = {
+    val bandKeys = (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"'$b:' || sha256($hs)"
+    }.mkString(", ")
+    val jac = """CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                |    / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id AS id,
+       |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
+       |  FROM documents
+       |), sh AS (
+       |  SELECT id, unnest(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
+       |    ELSE tk END) AS sh
+       |  FROM base WHERE len(tk) > 0
+       |), mins AS (
+       |  SELECT id, ${shaLaneAggs(16)} FROM sh GROUP BY id
+       |), banded AS (
+       |  SELECT id, unnest([$bandKeys]) AS key FROM mins
+       |), sized AS (
+       |  SELECT key, count(*) AS n FROM banded GROUP BY key
+       |), good AS (
+       |  SELECT b.id, b.key FROM banded b JOIN sized s USING (key) WHERE s.n <= 500
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
+       |)
+       |SELECT c.ia, c.ib, $jac AS jaccard
+       |FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
+       |WHERE $jac >= 0.5""".stripMargin
+  }
+
+  private def annLshOracle: String = {
+    val planes = graft.operators.Similarity.hyperplanes(64, 4, 6, 42L)
+    // CAST('<shortest-roundtrip-repr>' AS DOUBLE): a bare decimal literal
+    // would parse as DECIMAL and lose the exact binary64 value
+    def dot(plane: Array[Double]): String = {
+      val lits = plane.map(v => s"CAST('$v' AS DOUBLE)").mkString(",")
+      s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([$lits])[i]))"
+    }
+    val bandKeys = (0 until 4).map { b =>
+      val bits = (0 until 6).map { p =>
+        s"(CASE WHEN ${dot(planes(b)(p))} > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"'$b:' || CAST($bits AS VARCHAR)"
+    }.mkString(", ")
+    s"""WITH buckets AS (
+       |  SELECT vec_id, unnest([$bandKeys]) AS key FROM embeddings
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.vec_id <> b.vec_id
+       |), scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand c JOIN embeddings ea ON c.vec_id = ea.vec_id
+       |              JOIN embeddings eb ON c.neighbor_id = eb.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  private def annIvfOracle: String =
+    s"""WITH ordered AS (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR) || ':42') ASC, vec_id ASC) AS rn
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT rn - 1 AS cid,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+       |      / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL)) AS cent
+       |  FROM ordered WHERE rn <= 16
+       |), vc AS (
+       |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cent")} AS cs
+       |  FROM embeddings e CROSS JOIN cents c
+       |), vcr AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rr
+       |  FROM vc
+       |), assigned AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM vcr WHERE rr = 1
+       |), probes AS (
+       |  SELECT vec_id, cid FROM vcr WHERE rr <= 4
+       |), scored AS (
+       |  SELECT p.vec_id, a.neighbor_id,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.vec_id <> a.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = p.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = a.neighbor_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin
+
+  private def streamMatchesOracle: String =
+    s"""WITH k AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS url,
+       |    regexp_replace(lower(split_part(text, chr(10), 1)), '[^a-z0-9]', '', 'g') AS name,
+       |    lang || ':' || source AS bk
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT a.url AS url_a, b.url AS url_b, a.name AS na, b.name AS nb
+       |  FROM k a JOIN k b ON a.bk = b.bk AND a.url <> b.url
+       |), exploded AS (
+       |  SELECT url_a, url_b, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
+       |  UNION ALL
+       |  SELECT url_a, url_b, unnest(string_split(nb, '')) AS ch, 0 AS ac, 1 AS bc FROM pairs
+       |), counts AS (
+       |  SELECT url_a, url_b, ch, sum(ac) AS ca, sum(bc) AS cb
+       |  FROM exploded GROUP BY url_a, url_b, ch
+       |), sums AS (
+       |  SELECT url_a, url_b, sum(least(ca, cb)) AS inter, sum(ca) + sum(cb) AS total
+       |  FROM counts GROUP BY url_a, url_b
+       |), scored AS (
+       |  SELECT p.url_a, p.url_b,
+       |    (CASE WHEN p.na = p.nb THEN 1.0
+       |          ELSE jaro_winkler_similarity(p.na, p.nb) END
+       |     + CASE WHEN p.na = p.nb THEN 1.0
+       |            ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END) AS score
+       |  FROM pairs p JOIN sums s ON p.url_a = s.url_a AND p.url_b = s.url_b
+       |)
+       |SELECT url_a, url_b, score FROM scored WHERE score >= 1.5""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_band_keys" -> minhashBandKeysOracle,
+    "q_dedup_minhash_lsh" -> minhashLshOracle,
+    "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle,
+    "q_stream_matches" -> streamMatchesOracle,
     "q_levenshtein_sim" ->
       s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
          |  CASE WHEN a.c_name = b.c_name THEN 1.0

@@ -1,0 +1,226 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash signature kernels.
+  *
+  * Why fused kernels and not `explode(shingles) → groupBy(id).agg(min×k)`:
+  * the exploded form shuffles every shingle row through a wide partial
+  * aggregate — at 100 TB that is a full extra pass over a multiplied
+  * corpus. These kernels compute the whole k-hash signature per document
+  * inside whole-stage codegen: no explode, no aggregate, no shuffle; the
+  * signature projection pipelines straight out of the scan.
+  *
+  * Two hash families:
+  *  - `xxhash64` (production): token/shingle bytes through XXH64, per-hash
+  *    lane derived with one extra hashLong — cheapest per shingle.
+  *  - `sha256` (verification): lane i of shingle `sh` is the hex digest of
+  *    the string "i:sh", and the lane minimum is the lexicographic min of
+  *    hex strings. This is EXACTLY `min(sha256(i || ':' || sh))` in
+  *    DuckDB/ANSI SQL (hex is byte-monotone), which is what makes the
+  *    whole LSH dedup pipeline oracle-checkable end-to-end — same
+  *    algorithm, different hash family, swapped by one parameter.
+  */
+object MinHashKernels {
+
+  private val shaDigest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexChars((bytes(i) >>> 4) & 0xF).toByte
+      out(2 * i + 1) = HexChars(bytes(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** unsigned byte-wise compare (== hex-string lexicographic order) */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** sha256 lane digests of "i:" + shingle for i in [0, k), folded into the
+    * running minima. */
+  private def shaLanes(shingle: UTF8String, k: Int, mins: Array[Array[Byte]]): Unit = {
+    val md = shaDigest.get()
+    val shBytes = shingle.getBytes
+    var i = 0
+    while (i < k) {
+      md.reset()
+      md.update(String.valueOf(i).getBytes("US-ASCII"))
+      md.update(':'.toByte)
+      md.update(shBytes)
+      val d = md.digest()
+      if (mins(i) == null || lessThan(d, mins(i))) mins(i) = d
+      i += 1
+    }
+  }
+
+  private def xxLanes(shingleHash: Long, k: Int, mins: Array[Long]): Unit = {
+    var i = 0
+    while (i < k) {
+      val h = XXH64.hashLong(shingleHash, i.toLong)
+      if (h < mins(i)) mins(i) = h
+      i += 1
+    }
+  }
+
+  private val Sep = UTF8String.fromString(" ")
+
+  // ------------------------------------------------------- token 2-shingles
+
+  /** xxhash64-family signature over token 2-shingles (tokens themselves
+    * when fewer than 2 tokens). Returns array<long> of length k. */
+  def sigTokensXx(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (n == 1) {
+      xxLanes(XXH64.hashUTF8String(tokens.getUTF8String(0), 42L), k, mins)
+    } else {
+      var prev = if (n > 0) XXH64.hashUTF8String(tokens.getUTF8String(0), 42L) else 0L
+      var j = 1
+      while (j < n) {
+        val cur = XXH64.hashUTF8String(tokens.getUTF8String(j), 42L)
+        xxLanes(XXH64.hashLong(cur, prev), k, mins)
+        prev = cur
+        j += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** sha256-family signature over token 2-shingles; shingle string is
+    * `tok_j ++ " " ++ tok_{j+1}` (tokens themselves when fewer than 2).
+    * Returns array<string> of k lowercase hex digests. */
+  def sigTokensSha(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val mins = new Array[Array[Byte]](k)
+    if (n == 1) {
+      shaLanes(tokens.getUTF8String(0), k, mins)
+    } else {
+      var j = 0
+      while (j < n - 1) {
+        shaLanes(UTF8String.concat(tokens.getUTF8String(j), Sep,
+          tokens.getUTF8String(j + 1)), k, mins)
+        j += 1
+      }
+    }
+    val out = new Array[AnyRef](k)
+    var i = 0
+    while (i < k) {
+      out(i) = if (mins(i) == null) UTF8String.EMPTY_UTF8 else toHex(mins(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // --------------------------------------------------------- char k-shingles
+
+  /** Code-point k-gram shingles of `s` fed to the lane fold; whole string
+    * when shorter than k code points (mirrors the blocking-key semantics the
+    * built-in pipeline used). `f` is applied per shingle. */
+  private def foreachCharShingle(s: UTF8String, shingleK: Int)(f: UTF8String => Unit): Unit = {
+    val nChars = s.numChars()
+    if (nChars < shingleK) { f(s); return }
+    var i = 0
+    while (i <= nChars - shingleK) {
+      f(s.substring(i, i + shingleK))
+      i += 1
+    }
+  }
+
+  def sigCharsXx(s: UTF8String, shingleK: Int, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    foreachCharShingle(s, shingleK)(sh => xxLanes(XXH64.hashUTF8String(sh, 42L), k, mins))
+    new GenericArrayData(mins)
+  }
+
+  def sigCharsSha(s: UTF8String, shingleK: Int, k: Int): ArrayData = {
+    val mins = new Array[Array[Byte]](k)
+    foreachCharShingle(s, shingleK)(sh => shaLanes(sh, k, mins))
+    val out = new Array[AnyRef](k)
+    var i = 0
+    while (i < k) {
+      out(i) = if (mins(i) == null) UTF8String.EMPTY_UTF8 else toHex(mins(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for the fused MinHash signature expressions: unary, deterministic,
+  * null-intolerant, single static kernel call inside whole-stage codegen. */
+abstract class MinHashSigExpression extends UnaryExpression with Serializable {
+  def family: String
+  def numHashes: Int
+  require(family == "xxhash64" || family == "sha256",
+    s"unknown minhash family: $family")
+  require(numHashes > 0)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    if (family == "sha256") ArrayType(StringType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
+}
+
+/** minhash_sig(tokens array<string>, k, family) → array of k lane minima
+  * over token 2-shingles. */
+case class MinHashSig(child: Expression, numHashes: Int, family: String)
+    extends MinHashSigExpression {
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  private val kernelMethod =
+    if (family == "sha256") "sigTokensSha" else "sigTokensXx"
+  override protected def nullSafeEval(v: Any): Any =
+    if (family == "sha256") MinHashKernels.sigTokensSha(v.asInstanceOf[ArrayData], numHashes)
+    else MinHashKernels.sigTokensXx(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MinHashKernels.$kernelMethod($v, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_sig_chars(s string, shingleK, k, family) → array of k lane
+  * minima over code-point k-gram shingles (whole string when shorter). */
+case class MinHashSigChars(child: Expression, shingleK: Int, numHashes: Int,
+    family: String) extends MinHashSigExpression {
+  require(shingleK > 0)
+  override def prettyName: String = "minhash_sig_chars"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+  private val kernelMethod =
+    if (family == "sha256") "sigCharsSha" else "sigCharsXx"
+  override protected def nullSafeEval(v: Any): Any =
+    if (family == "sha256")
+      MinHashKernels.sigCharsSha(v.asInstanceOf[UTF8String], shingleK, numHashes)
+    else MinHashKernels.sigCharsXx(v.asInstanceOf[UTF8String], shingleK, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MinHashKernels.$kernelMethod($v, $shingleK, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -20,6 +20,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * matches `list_sum(list_transform(...)) / (sqrt(...) * sqrt(...))`.
   */
 object VectorKernels {
+  /** Packed sign bits of `planes.length` hyperplane projections: bit p is
+    * set iff dot(v, planes(p)) > 0, each dot a strict left fold in double
+    * (identical to DuckDB `list_sum(list_transform(...)) > 0`, which keeps
+    * the LSH bucket assignment oracle-checkable with the planes inlined as
+    * SQL literals). */
+  def sigBits(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(v.numElements(), pl.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        d += v.getFloat(i).toDouble * pl(i)
+        i += 1
+      }
+      if (d > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -36,6 +59,31 @@ object VectorKernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+/** hyperplane_sig(array<float>) → int: packed sign pattern of one LSH
+  * band's hyperplane projections. A fused codegen kernel for the same
+  * reason as [[CosineSim]] — the higher-order-function form evaluates its
+  * lambdas interpreted, ~20× slower, which made band-key computation
+  * dominate LSH ANN. The plane matrix rides along as a codegen reference
+  * object (plan-compile-time constant, never shipped per row). */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.sigBits(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.sigBits($v, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** cosine_sim(array<float>, array<float>) → double. Null-intolerant;

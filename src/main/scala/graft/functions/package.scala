@@ -59,6 +59,21 @@ package object functions {
   /** Fused codegen cosine similarity over array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column = wrap(CosineSim(expr(a), expr(b)))
 
+  /** Packed sign bits of one LSH band's hyperplane projections (fused). */
+  def hyperplane_sig(v: Column, planes: Array[Array[Double]]): Column =
+    wrap(HyperplaneSig(expr(v), planes))
+
+  /** One-pass MinHash signature over token 2-shingles of an array<string>
+    * column; family ∈ {xxhash64 (production), sha256 (oracle-checkable)}. */
+  def minhash_sig(tokens: Column, numHashes: Int, family: String = "xxhash64"): Column =
+    wrap(MinHashSig(expr(tokens), numHashes, family))
+
+  /** One-pass MinHash signature over code-point k-gram shingles of a
+    * string column. */
+  def minhash_sig_chars(s: Column, shingleK: Int, numHashes: Int,
+      family: String = "xxhash64"): Column =
+    wrap(MinHashSigChars(expr(s), shingleK, numHashes, family))
+
   /** SQL function names → expression builders. One convention everywhere:
     * every similarity kernel is `<name>_sim` (`levenshtein` alone would
     * shadow Spark's built-in DISTANCE of the same name, and a mixed

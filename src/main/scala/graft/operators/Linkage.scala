@@ -60,29 +60,28 @@ object Linkage {
       .count()
   }
 
-  /** Char k-shingle set of a string column (whole string when shorter
-    * than k). */
-  private def shingles(c: Column, k: Int): Column =
-    when(length(c) >= k,
-      transform(sequence(lit(0), length(c) - k),
-        i => c.substr(i + 1, lit(k))))
-      .otherwise(array(c))
-
-  /** Stage 2 — MinHash band keys over char shingles of the normalized name
-    * (secondary blocking key; catches host misspellings the normalized-url
-    * key misses). Built-ins only: explode → xxhash64 per seed → groupBy-min
-    * (partial agg = map-side combine) → band hash. */
+  /** Stage 2 — MinHash band keys over char k-shingles of the normalized
+    * name (secondary blocking key; catches host misspellings the
+    * normalized-url key misses). The whole signature is ONE fused codegen
+    * expression per row ([[graft.functions.MinHashSigChars]]) — the old
+    * explode → k-column min-agg form paid a full shuffle of every shingle
+    * row for nothing. `hashFamily` as in [[Dedup.minhashLshPairs]]:
+    * `xxhash64` for production, `sha256` for the ANSI-SQL-reproducible
+    * variant the driver gate hash-checks against DuckDB. */
   def minhashBandKeys(extracted: DataFrame, numHashes: Int = 12,
-      bands: Int = 6, shingleK: Int = 3): DataFrame = {
+      bands: Int = 6, shingleK: Int = 3,
+      hashFamily: String = "xxhash64"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = extracted
-      .select(col("url"), explode(shingles(col("name_norm"), shingleK)).as("sh"))
-    val hashCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sig = sh.groupBy(col("url")).agg(hashCols.head, hashCols.tail: _*)
+    val sig = extracted.select(col("url"),
+      graft.functions.minhash_sig_chars(col("name_norm"), shingleK, numHashes,
+        hashFamily).as("sig"))
     val bandKeys = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      concat(lit(s"mh$b:"), xxhash64(cols: _*)).as(s"band$b")
+      val elems = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+      val h =
+        if (hashFamily == "sha256") sha2(concat_ws("|", elems: _*), 256)
+        else xxhash64(elems: _*)
+      concat(lit(s"mh$b:"), h).as(s"band$b")
     }
     sig.select(col("url") +: bandKeys: _*)
       .select(col("url"), explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("key"))

@@ -27,11 +27,14 @@ object Sessionize {
       .orderBy(col(tsCol), col("event_id"))
     val withGap = events
       .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
-      // cast("double") keeps sub-second precision (unix_timestamp truncates
-      // to seconds — a 1800.4s gap must not read as 1800s)
+      // double epoch seconds keep sub-second precision (unix_timestamp
+      // truncates to seconds — a 1800.4s gap must not read as 1800s);
+      // the hop through TIMESTAMP handles TIMESTAMP_NTZ inputs (identity
+      // under the UTC session timezone the engine pins)
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col(tsCol).cast("double") - col("prev_ts").cast("double") > gapSeconds,
+          col(tsCol).cast("timestamp").cast("double") -
+            col("prev_ts").cast("timestamp").cast("double") > gapSeconds,
           lit(1)).otherwise(lit(0)))
       .withColumn("session_id",
         sum(col("new_session")).over(

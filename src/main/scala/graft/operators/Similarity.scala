@@ -52,8 +52,10 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `bands` bands × `planesPerBand`
-    * planes, components from splitmix64 mapped to [-1, 1). */
-  private[operators] def hyperplanes(dim: Int, bands: Int, planesPerBand: Int,
+    * planes, components from splitmix64 mapped to [-1, 1). Public because
+    * they are plan-time constants: the driver oracle inlines them as SQL
+    * literals to re-derive the exact bucket assignment. */
+  def hyperplanes(dim: Int, bands: Int, planesPerBand: Int,
       seed: Long): Array[Array[Array[Double]]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
@@ -76,9 +78,18 @@ object Similarity {
     * iterations run in a fixed order in double precision, so the returned
     * centroids are bit-deterministic for a given (input, seed). */
   private[operators] def fitCentroids(base: DataFrame, nCentroids: Int,
-      iters: Int, sampleN: Int, seed: Long): Array[Array[Float]] = {
+      iters: Int, sampleN: Int, seed: Long,
+      hashOrder: String = "xxhash64"): Array[Array[Float]] = {
+    // hashOrder picks the deterministic sample shuffle: xxhash64 is the
+    // production default; sha256 gives the identical semantics in a hash
+    // both Spark and ANSI SQL compute bit-equally, which (with iters=0)
+    // makes the whole IVF index/probe path DuckDB-oracle-checkable.
+    val ord =
+      if (hashOrder == "sha256")
+        sha2(concat(col("id").cast("string"), lit(":" + seed)), 256)
+      else xxhash64(col("id"), lit(seed))
     val rows = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .orderBy(ord, col("id"))
       .limit(sampleN)
       .collect()
     val pts: Array[Array[Double]] = rows.map { r =>
@@ -159,9 +170,10 @@ object Similarity {
     * Recall vs brute force is measured in SimilaritySpec, not assumed. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 8,
-      sampleN: Int = 4096, seed: Long = 42L): DataFrame = {
+      sampleN: Int = 4096, seed: Long = 42L,
+      hashOrder: String = "xxhash64"): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = fitCentroids(base, nCentroids, iters, sampleN, seed)
+    val cents = fitCentroids(base, nCentroids, iters, sampleN, seed, hashOrder)
     val index = base.select(
       nearestCid(col("v"), cents).as("cid"),
       col("id").as("neighbor_id"), col("v").as("vb"))
@@ -189,12 +201,13 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bands, planesPerBand, seed)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // band signature = ONE fused codegen call per band (HyperplaneSig);
+    // the interpreted higher-order `dot` here used to dominate the whole
+    // operator (~20× the fused cost). Bit semantics identical: bit p set
+    // iff the left-fold double dot with plane p is > 0.
     val bandKeys = (0 until bands).map { bnd =>
-      val sigBits = (0 until planesPerBand).map { p =>
-        val plane = array(planes(bnd)(p).map(lit): _*)
-        when(dot(col("v"), plane) > 0, lit(1 << p)).otherwise(lit(0))
-      }
-      concat(lit(s"$bnd:"), sigBits.reduce(_ + _)).as(s"band$bnd")
+      concat(lit(s"$bnd:"),
+        graft.functions.hyperplane_sig(col("v"), planes(bnd))).as(s"band$bnd")
     }
     val bucketed = base.select(col("id") +: col("v") +: bandKeys: _*)
       .select(col("id"), col("v"),

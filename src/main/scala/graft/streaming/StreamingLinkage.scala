@@ -42,10 +42,19 @@ object StreamingLinkage {
     * against yesterday's entities" shape). Static side is broadcast when
     * small — stock Catalyst join selection. */
   def matchAgainstIndex(stream: DataFrame, index: DataFrame,
+      theta: Double): DataFrame =
+    matchKeyedAgainstIndex(
+      extractStream(stream).select(col("url"), col("name_norm"), col("block_key")),
+      index.select(col("url"), col("name_norm"), col("block_key")), theta)
+
+  /** Core of [[matchAgainstIndex]] over pre-keyed frames — both sides
+    * shaped (url, name_norm, block_key). Kept separate so any keyed
+    * streaming source (not just the pages corpus) can be matched, and so
+    * the driver gate can replay it over the shared test tables. */
+  def matchKeyedAgainstIndex(stream: DataFrame, index: DataFrame,
       theta: Double): DataFrame = {
-    val s = extractStream(stream)
-      .select(col("url").as("url_a"), col("name_norm").as("name_a"),
-        col("block_key"))
+    val s = stream.select(col("url").as("url_a"), col("name_norm").as("name_a"),
+      col("block_key"))
     val idx = index.select(col("url").as("url_b"), col("name_norm").as("name_b"),
       col("block_key"))
     s.join(idx, "block_key")

@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.operators.Similarity
+
+/** The fused signature expressions must equal their de-fused definitions:
+  * MinHash sha lanes == min over shingles of sha256("i:" ++ shingle), and
+  * HyperplaneSig == the sign pattern of per-plane left-fold dots. These are
+  * the same identities the DuckDB driver oracle re-derives in SQL. */
+class FusedSigSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def sha256hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+
+  test("minhash_sig sha256 family == min of per-shingle sha digests") {
+    val toks = Seq("alpha", "beta", "gamma") // sorted distinct
+    val shingles = Seq("alpha beta", "beta gamma")
+    val got = Seq(Tuple1(toks)).toDF("toks")
+      .select(minhash_sig(col("toks"), 4, "sha256").as("sig"))
+      .head().getSeq[String](0)
+    val want = (0 until 4).map(i => shingles.map(sh => sha256hex(s"$i:$sh")).min)
+    assert(got == want)
+  }
+
+  test("minhash_sig sha256: single token uses the token itself as shingle") {
+    val got = Seq(Tuple1(Seq("solo"))).toDF("toks")
+      .select(minhash_sig(col("toks"), 2, "sha256").as("sig"))
+      .head().getSeq[String](0)
+    assert(got == (0 until 2).map(i => sha256hex(s"$i:solo")))
+  }
+
+  test("minhash_sig_chars sha256: k-gram shingles and whole-short-string") {
+    val got = Seq(Tuple1("abcd")).toDF("s")
+      .select(minhash_sig_chars(col("s"), 3, 2, "sha256").as("sig"))
+      .head().getSeq[String](0)
+    val shingles = Seq("abc", "bcd")
+    assert(got == (0 until 2).map(i => shingles.map(sh => sha256hex(s"$i:$sh")).min))
+    val short = Seq(Tuple1("ab")).toDF("s")
+      .select(minhash_sig_chars(col("s"), 3, 2, "sha256").as("sig"))
+      .head().getSeq[String](0)
+    assert(short == (0 until 2).map(i => sha256hex(s"$i:ab")))
+  }
+
+  test("minhash_sig xxhash64 family: deterministic, k lanes, near-dup docs agree on most lanes") {
+    val a = (1 to 50).map(n => s"tok$n")
+    val b = a.updated(25, "CHANGED") // one token differs
+    val df = Seq((a, b)).toDF("ta", "tb")
+      .select(minhash_sig(col("ta"), 16).as("sa"), minhash_sig(col("tb"), 16).as("sb"))
+    val r = df.head()
+    val sa = r.getSeq[Long](0)
+    val sb = r.getSeq[Long](1)
+    assert(sa.size == 16 && sb.size == 16)
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    assert(agree >= 10, s"near-identical docs should share most lanes, got $agree/16")
+    // determinism across partitioning
+    val again = Seq((a, b)).toDF("ta", "tb").repartition(4)
+      .select(minhash_sig(col("ta"), 16).as("sa")).head().getSeq[Long](0)
+    assert(again == sa)
+  }
+
+  test("hyperplane_sig == sign pattern of interpreted left-fold dots") {
+    val planes = Similarity.hyperplanes(8, 2, 6, 7L)
+    val vecs = Seq(
+      Array(0.5f, -1.0f, 2.0f, 0.0f, 1.5f, -0.25f, 3.0f, -2.0f),
+      Array.fill(8)(0.0f),
+      Array.fill(8)(1.0f))
+    for (band <- 0 until 2; v <- vecs) {
+      val want = planes(band).zipWithIndex.map { case (pl, p) =>
+        val d = pl.zip(v).foldLeft(0.0) { case (acc, (w, x)) => acc + w * x.toDouble }
+        if (d > 0) 1 << p else 0
+      }.sum
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(hyperplane_sig(col("v"), planes(band)).as("sig"))
+        .head().getInt(0)
+      assert(got == want, s"band $band vec ${v.toSeq}")
+    }
+  }
+
+  test("fused signatures run inside whole-stage codegen") {
+    val planes = Similarity.hyperplanes(4, 1, 3, 1L)
+    // repartition blocks ConvertToLocalRelation from folding the tiny
+    // local table at plan time — we want the executed projection
+    val df = Seq((Seq("a", "b"), Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("t", "v")
+      .repartition(1)
+      .select(minhash_sig(col("t"), 4).as("m"),
+        minhash_sig_chars(lit("hello"), 3, 4, "sha256").as("mc"),
+        hyperplane_sig(col("v"), planes(0)).as("h"))
+    df.collect() // materialize so AQE finalizes the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+  }
+}
