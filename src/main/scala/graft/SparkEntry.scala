@@ -179,14 +179,18 @@ object SparkEntry {
         graft.operators.TextAnalysis.langId(col("text")).as("lang_id"))
     }),
 
-    // document fingerprint + simhash signatures (custom codegen
-    // expressions; self-contained hashes → rows-only check, semantics
-    // covered by TextAnalysisSpec)
+    // document fingerprint + simhash signatures, sha256 family: the
+    // fingerprint is the min sha digest over 16-char shingles (a true
+    // min-k-gram fingerprint) and the simhash is the 60-bit sha variant —
+    // both DuckDB-recomputable, so the driver hash-checks them. The
+    // xxhash/FNV production kernels (min_kgram_hash, simhash64) share the
+    // operator structure and are pinned in TextAnalysisSpec/FusedSigSpec.
     "q_doc_signatures" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"),
-        graft.functions.min_kgram_hash(col("text"), 16).as("fingerprint"),
-        graft.functions.simhash64(col("text")).as("simhash"))
+        element_at(graft.functions.minhash_sig_chars(col("text"), 16, 1, "sha256"), 1)
+          .as("fingerprint"),
+        graft.functions.simhash60_sha(col("text")).as("simhash"))
     }),
 
     // exact dedup via content hash
@@ -205,9 +209,12 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5,
       hashFamily = "sha256")),
 
-    // SimHash near-dup (rows-only: custom signature kernel)
+    // SimHash near-dup. sha256 family (60-bit signatures from sha256 token
+    // hashes) → the whole pipeline (signature, 15-bit banding, Hamming
+    // verification) is hash-checked against a DuckDB re-derivation.
     "q_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhashPairs(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 8)),
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      maxHamming = 8, hashFamily = "sha256")),
 
     // brute-force cosine top-k (exact ANN baseline)
     "q_ann_bruteforce" -> ((s, dir) => graft.operators.Similarity.bruteForceTopK(
@@ -255,11 +262,18 @@ object SparkEntry {
     // input, which is exactly what the DuckDB oracle computes.
     "q_stream_matches" -> ((s, dir) => {
       val static = s.read.parquet(s"$dir/documents.parquet")
-      val keyedOf = (df: DataFrame) => df.select(
-        col("doc_id").cast("string").as("url"),
-        regexp_replace(lower(substring_index(col("text"), "\n", 1)), "[^a-z0-9]", "")
-          .as("name_norm"),
-        concat(col("lang"), lit(":"), col("source")).as("block_key"))
+      // block key includes the name's 2-char prefix: (lang, source) alone
+      // makes blocks of ~n/8 docs — quadratic pair blowup with no extra
+      // match signal (near-identical docs share their normalized prefix)
+      val keyedOf = (df: DataFrame) => {
+        val name = regexp_replace(lower(substring_index(col("text"), "\n", 1)),
+          "[^a-z0-9]", "")
+        df.select(
+          col("doc_id").cast("string").as("url"),
+          name.as("name_norm"),
+          concat(col("lang"), lit(":"), col("source"), lit(":"),
+            substring(name, 1, 2)).as("block_key"))
+      }
       // the file stream source wants a directory; stage the (small) table
       // file into one — the stream then discovers and replays it
       val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
@@ -425,11 +439,64 @@ object SparkEntry {
        |)
        |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Per-doc 60-bit sha-family SimHash in SQL: per-token hash = integer
+    * value of the first 15 hex chars of sha256(token); bit b of the
+    * signature set iff the ±1 votes over tokens are positive. Mirrors
+    * TextKernels.simhash60Sha bit for bit. */
+  private val shaSimhashCtes: String =
+    """toks AS (
+      |  SELECT doc_id AS id,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS tok
+      |  FROM documents
+      |), th AS (
+      |  SELECT id, sha256(tok) AS h FROM toks
+      |), bits AS (
+      |  SELECT id, bb.b AS b,
+      |    sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, 15 - (bb.b // 4), 1)) - 1)
+      |                    >> (bb.b % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+      |  GROUP BY id, bb.b
+      |), sig AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY id
+      |)""".stripMargin
+
+  private def dedupSimhashOracle: String = {
+    val bandKeys = (0 until 4).map { b =>
+      s"'$b:' || CAST((sig >> ${b * 15}) & 32767 AS VARCHAR)"
+    }.mkString(", ")
+    s"""WITH $shaSimhashCtes, banded AS (
+       |  SELECT id, sig, unnest([$bandKeys]) AS key FROM sig
+       |), pairs AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib,
+       |    bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM banded a JOIN banded b ON a.key = b.key AND a.id < b.id
+       |)
+       |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 8""".stripMargin
+  }
+
+  private def docSignaturesOracle: String =
+    s"""WITH $shaSimhashCtes, fp AS (
+       |  SELECT id, min(sha256('0:' || sh)) AS fingerprint
+       |  FROM (
+       |    SELECT doc_id AS id, unnest(CASE WHEN length(text) >= 16
+       |      THEN list_transform(range(1, length(text) - 14), i -> substr(text, i, 16))
+       |      ELSE [text] END) AS sh
+       |    FROM documents
+       |  ) GROUP BY id
+       |)
+       |SELECT d.doc_id, f.fingerprint, coalesce(s.sig, 0) AS simhash
+       |FROM documents d
+       |JOIN fp f ON f.id = d.doc_id
+       |LEFT JOIN sig s ON s.id = d.doc_id""".stripMargin
+
   private def streamMatchesOracle: String =
     s"""WITH k AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS url,
        |    regexp_replace(lower(split_part(text, chr(10), 1)), '[^a-z0-9]', '', 'g') AS name,
-       |    lang || ':' || source AS bk
+       |    lang || ':' || source || ':' ||
+       |      substr(regexp_replace(lower(split_part(text, chr(10), 1)), '[^a-z0-9]', '', 'g'), 1, 2) AS bk
        |  FROM documents
        |), pairs AS (
        |  SELECT a.url AS url_a, b.url AS url_b, a.name AS na, b.name AS nb
@@ -462,6 +529,8 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_stream_matches" -> streamMatchesOracle,
+    "q_dedup_simhash" -> dedupSimhashOracle,
+    "q_doc_signatures" -> docSignaturesOracle,
     "q_levenshtein_sim" ->
       s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
          |  CASE WHEN a.c_name = b.c_name THEN 1.0

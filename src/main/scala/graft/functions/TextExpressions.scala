@@ -30,6 +30,18 @@ case class SimHash64(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** 60-bit sha256-family SimHash (per-token hash = top 60 bits of
+  * sha256(token)) — the ANSI-SQL-reproducible variant the driver gate
+  * hash-checks; see [[graft.strsim.TextKernels.simhash60Sha]]. */
+case class SimHashSha60(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "simhash60_sha"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.simhash60Sha(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.simhash60Sha($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Min rolling-hash document fingerprint over byte k-grams. */
 case class MinKGramHash(child: Expression, k: Int) extends TextHashExpression {
   require(k > 0, "k must be positive")

@@ -53,6 +53,9 @@ package object functions {
   /** 64-bit SimHash over whitespace tokens (near-dup signature). */
   def simhash64(c: Column): Column = wrap(SimHash64(expr(c)))
 
+  /** 60-bit sha256-family SimHash (SQL-reproducible variant). */
+  def simhash60_sha(c: Column): Column = wrap(SimHashSha60(expr(c)))
+
   /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
   def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
 

@@ -13,10 +13,23 @@ import org.apache.spark.sql.functions._
   * on any graph shape, which is what survives web-scale chain-shaped
   * clusters. Each round is two groupBy/join shuffles on the node id — all
   * stock Catalyst operators, so AQE re-plans each round from fresh
-  * statistics — and `localCheckpoint` truncates the growing lineage
-  * (SURVEY.md §4.2 watch item).
+  * statistics — and per-round materialization truncates the growing
+  * lineage (SURVEY.md §4.2 watch item).
+  *
+  * Fault tolerance at cluster scale: `localCheckpoint` stores blocks on
+  * executors — losing one executor mid-iteration truncates lineage with no
+  * recompute path and kills the job. Set `graft.cc.checkpointDir` (or pass
+  * `checkpointDir`) to materialize each round to reliable storage
+  * (parquet) instead: an explicit write+readback is one pass over the
+  * round's edges (unlike RDD reliable checkpoint, which recomputes the
+  * plan a second time to write it), survives executor loss, and makes the
+  * loop resumable from the last completed round. In-sandbox (and for
+  * small/medium graphs) the default localCheckpoint is the faster choice.
   */
 object ConnectedComponents {
+
+  /** Result of a CC run: the assignment plus convergence telemetry. */
+  final case class Result(assignment: DataFrame, iterations: Int)
 
   /** Connected components over an undirected edge list.
     *
@@ -25,14 +38,33 @@ object ConnectedComponents {
     *         appears in at least one edge; component = min node id of the
     *         component. Callers union isolated nodes themselves.
     */
-  def run(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges0: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    runWithStats(edges0, maxIter, checkpointDir).assignment
+
+  def runWithStats(edges0: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): Result = {
+    val spark = edges0.sparkSession
+    val dir = checkpointDir.orElse(
+      spark.conf.getOption("graft.cc.checkpointDir"))
+
+    // Materialize a round: truncate lineage and give AQE fresh statistics.
+    // Reliable mode keeps every round on durable storage (executor-loss
+    // safe); local mode keeps blocks on executors (fast, sandbox default).
+    def materialize(df: DataFrame, round: Int): DataFrame = dir match {
+      case Some(d) =>
+        val path = s"$d/cc_round_$round"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+
     val Seq(c0, c1) = edges0.columns.take(2).toSeq
     // canonical (src > dst), no self-loops, deduped
-    var edges = edges0
+    var edges = materialize(edges0
       .select(greatest(col(c0), col(c1)).as("src"), least(col(c0), col(c1)).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), 0)
 
     var lastSig: (Long, Long) = (-1L, -1L)
     var iter = 0
@@ -58,13 +90,15 @@ object ConnectedComponents {
       val viaDst = large.join(smins, "src")
         .select(col("dst").as("src"), col("m").as("dst"))
       val viaSrc = smins.select(col("src"), col("m").as("dst"))
-      val next = viaDst.union(viaSrc)
+      val next = materialize(viaDst.union(viaSrc)
         .where(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(), iter + 1)
 
-      // bit_xor: order-independent, overflow-free (rows are distinct, so
-      // xor-cancellation of duplicates can't occur)
+      // Convergence signature over the MATERIALIZED round (one extra
+      // action, but in reliable mode it re-scans the round's parquet —
+      // never recomputes the joins). bit_xor: order-independent,
+      // overflow-free (rows are distinct, so xor-cancellation of
+      // duplicates can't occur).
       val sigRow = next.agg(
         count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
@@ -79,8 +113,9 @@ object ConnectedComponents {
     // converged: edges form stars (node -> component root)
     val roots = edges.select(col("dst")).distinct()
       .select(col("dst").as("id"), col("dst").as("component"))
-    edges.select(col("src").as("id"), col("dst").as("component"))
+    val assignment = edges.select(col("src").as("id"), col("dst").as("component"))
       .union(roots)
       .groupBy(col("id")).agg(min(col("component")).as("component"))
+    Result(assignment, iter)
   }
 }

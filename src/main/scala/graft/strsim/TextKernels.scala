@@ -63,6 +63,55 @@ object TextKernels {
     sig
   }
 
+  /** \s-compatible whitespace (Java regex \s == RE2 \s == this ASCII set;
+    * includes vertical tab, unlike the FNV simhash's legacy set — the sha
+    * family must tokenize exactly like `string_split_regex(text, '\s+')`
+    * so the DuckDB oracle reproduces it). */
+  private def isSpaceRe(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
+
+  /** 60-bit SimHash over whitespace tokens where the per-token hash is the
+    * top 60 bits (first 15 hex chars) of sha256(token) — every ingredient
+    * is ANSI-SQL-reproducible, which is what lets the driver gate
+    * hash-check the simhash dedup pipeline against DuckDB. Same vote
+    * semantics as [[simhash64]]: token hash votes ±1 per bit, bit set iff
+    * votes > 0. Result is non-negative (bit 60+ never set). */
+  def simhash60Sha(text: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bytes = text.getBytes
+    val nb = bytes.length
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < nb) {
+      while (i < nb && isSpaceRe(bytes(i))) i += 1
+      val start = i
+      while (i < nb && !isSpaceRe(bytes(i))) i += 1
+      if (i > start) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        // big-endian value of the first 8 bytes, low nibble dropped =
+        // the integer the first 15 hex chars spell
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Document fingerprint: minimum rolling hash over all byte k-grams
     * (w-shingling / Rabin-Karp style). Documents sharing long runs of
     * identical bytes collide on fingerprints with high probability.

@@ -35,6 +35,36 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     assert(got.keySet == (0L to 63L).toSet)
   }
 
+  test("round count stays O(log n) on chains (the web-scale shape)") {
+    import spark.implicits._
+    // a diameter-n chain is the adversarial input: label propagation would
+    // need n rounds; large-star/small-star must stay logarithmic
+    for (n <- Seq(64, 256)) {
+      val edges = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("a", "b")
+      val r = ConnectedComponents.runWithStats(edges)
+      assert(r.assignment.agg(max(col("component"))).head().getLong(0) == 0L)
+      val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+      assert(r.iterations <= bound,
+        s"chain n=$n took ${r.iterations} rounds (> $bound = 2·log2 n)")
+    }
+  }
+
+  test("reliable checkpoint mode (parquet rounds) returns identical clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val local = cc(edges)
+    val reliable = ConnectedComponents
+      .run(edges.toDF("a", "b"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // and the rounds actually landed on durable storage
+    val rounds = new java.io.File(dir).list().count(_.startsWith("cc_round_"))
+    assert(rounds >= 2, s"expected parquet round dirs, found $rounds")
+  }
+
   test("two stars + separate pair") {
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 11L), (20L, 12L), (30L, 31L))
     val got = cc(edges)
