@@ -170,11 +170,13 @@ object SparkEntry {
 
     // ---- training-data operators over documents/embeddings ----
 
-    // token counting + quality scoring + language-ID heuristic
+    // token counting (whitespace + BPE-ish regex) + quality scoring +
+    // language-ID heuristic
     "q_text_analysis" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"),
         graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.operators.TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"),
         graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_id"))
     }),
@@ -647,6 +649,7 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT doc_id, n_tokens,
+        |  len(regexp_extract_all(text, '''(s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
         |  (CASE WHEN n_tokens > 0 THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.2
         |  + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
         |  + (1.0 - CASE WHEN len(text) > 0 THEN CAST(punct_n AS DOUBLE) / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 AS quality,

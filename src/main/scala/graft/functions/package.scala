@@ -91,7 +91,13 @@ package object functions {
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "simhash60_sha" -> (es => SimHashSha60(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    // numHashes and family must be foldable literals:
+    // minhash_sig(tokens, 16, 'xxhash64')
+    "minhash_sig" -> (es => MinHashSig(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).toString)),
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),

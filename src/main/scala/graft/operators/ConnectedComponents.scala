@@ -45,8 +45,11 @@ object ConnectedComponents {
   def runWithStats(edges0: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): Result = {
     val spark = edges0.sparkSession
-    val dir = checkpointDir.orElse(
-      spark.conf.getOption("graft.cc.checkpointDir"))
+    // both spellings: "spark."-prefixed survives spark-submit --conf,
+    // the bare key is the programmatic convenience
+    val dir = checkpointDir
+      .orElse(spark.conf.getOption("spark.graft.cc.checkpointDir"))
+      .orElse(spark.conf.getOption("graft.cc.checkpointDir"))
 
     // Materialize a round: truncate lineage and give AQE fresh statistics.
     // Reliable mode keeps every round on durable storage (executor-loss

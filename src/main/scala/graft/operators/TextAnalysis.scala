@@ -20,6 +20,20 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs Java
+    * regex and RE2 interpret identically (no lookahead — RE2 has none):
+    * contractions, letter runs, digit runs, punctuation runs, each
+    * optionally eating one leading space. Whitespace itself is not a
+    * token. */
+  val BpeTokenPattern: String =
+    "'(s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish subword-boundary token count — the cheap proxy for "how many
+    * LLM tokens is this document" used when sizing training mixtures.
+    * Pure codegen (`regexp_extract_all`), oracle-reproducible. */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0)))
+
   /** Stopword sets per language for the n-gram/stopword language-ID
     * heuristic. Small on purpose: broadcast as literals into codegen. */
   val stopwords: Map[String, Seq[String]] = Map(

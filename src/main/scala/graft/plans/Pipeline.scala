@@ -25,6 +25,11 @@ import graft.operators.Linkage
   * an Iceberg catalog drops in (`spark.read.format("iceberg")` + snapshot
   * ids instead of content fingerprints) — no Iceberg runtime jar ships in
   * /opt/spark/jars, so the substitution is documented rather than linked.
+  *
+  * Cluster mode: set `spark.graft.cc.checkpointDir` (read as
+  * `graft.cc.checkpointDir` from the session conf) so the clustering
+  * stage's iterative rounds land on reliable storage instead of executor
+  * localCheckpoint blocks — see [[graft.operators.ConnectedComponents]].
   */
 object Pipeline {
 
@@ -36,9 +41,12 @@ object Pipeline {
       bucketCap: Int = 200,
       hardCap: Int = 100000,
       saltGroups: Int = 16) {
+    // v bumps when stage SEMANTICS change (not just config): v=3 = the
+    // fused xxhash64 MinHash band family replaced the exploded built-in
+    // hashing, so round-1 key checkpoints must not resume.
     def fingerprint: String =
       s"theta=$theta;h=$numHashes;b=$bands;k=$shingleK;cap=$bucketCap;" +
-        s"hard=$hardCap;salt=$saltGroups;v=2"
+        s"hard=$hardCap;salt=$saltGroups;v=3"
   }
 
   case class StageResult(name: String, df: DataFrame, fingerprint: String,
