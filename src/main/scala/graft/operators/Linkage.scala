@@ -110,8 +110,11 @@ object Linkage {
     */
   def candidatePairs(keys: DataFrame, bucketCap: Int = 200,
       hardCap: Int = 100000, saltGroups: Int = 16): DataFrame = {
-    val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
-    val keyed = keys.join(sized, "key")
+    // bucket size via WINDOW count (one shuffle on `key`, reused by the
+    // tier-1 self-join on the same key) instead of groupBy+join-back,
+    // which would re-execute the upstream key computation per join branch
+    val keyed = keys.withColumn("bucket_n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
     val good = keyed.where(col("bucket_n") <= bucketCap)
     val a = good.select(col("key"), col("url").as("url_a"))
     val b = good.select(col("key"), col("url").as("url_b"))
