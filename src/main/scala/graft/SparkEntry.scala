@@ -297,6 +297,40 @@ object SparkEntry {
       s.table(sink).select(col("url_a"), col("url_b"), col("score"))
     }),
 
+    // streaming: STATEFUL cross-batch incremental matching
+    // (flatMapGroupsWithState). Replayed over the documents table with an
+    // uncapped per-key state, every unordered pair scoring ≥ theta is
+    // emitted exactly once (when its second member arrives), regardless of
+    // batch boundaries — which is exactly the half-matrix static join the
+    // oracle computes.
+    "q_stream_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_inc")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val name = regexp_replace(lower(substring_index(col("text"), "\n", 1)),
+        "[^a-z0-9]", "")
+      val keyed = s.readStream.schema(static.schema).parquet(streamDir.toString)
+        .select(
+          concat(col("lang"), lit(":"), col("source"), lit(":"),
+            substring(name, 1, 2)).as("block_key"),
+          col("doc_id").cast("string").as("url"),
+          name.as("name_norm"))
+        .as[graft.streaming.StreamingLinkage.Keyed]
+      val matches = graft.streaming.StreamingLinkage
+        .incrementalMatches(s, keyed, theta = 1.5, maxPerKey = 1000000)
+      val sink = "q_stream_incremental_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = matches.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(col("url_a"), col("url_b"), col("score"))
+    }),
+
     // multimodal: batched feature extraction (decode STUB; plumbing real)
     "q_media_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
@@ -493,7 +527,11 @@ object SparkEntry {
        |JOIN fp f ON f.id = d.doc_id
        |LEFT JOIN sig s ON s.id = d.doc_id""".stripMargin
 
-  private def streamMatchesOracle: String =
+  /** Oracle for the streaming match queries: JW + multiset-Dice over
+    * normalized first-line names within (lang, source, prefix) blocks.
+    * `pairCond` is `<>` for stream-static (both directions emitted) and
+    * `<` for stateful incremental (each unordered pair once). */
+  private def streamOracle(pairCond: String): String =
     s"""WITH k AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS url,
        |    regexp_replace(lower(split_part(text, chr(10), 1)), '[^a-z0-9]', '', 'g') AS name,
@@ -502,7 +540,7 @@ object SparkEntry {
        |  FROM documents
        |), pairs AS (
        |  SELECT a.url AS url_a, b.url AS url_b, a.name AS na, b.name AS nb
-       |  FROM k a JOIN k b ON a.bk = b.bk AND a.url <> b.url
+       |  FROM k a JOIN k b ON a.bk = b.bk AND a.url $pairCond b.url
        |), exploded AS (
        |  SELECT url_a, url_b, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
        |  UNION ALL
@@ -530,7 +568,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
-    "q_stream_matches" -> streamMatchesOracle,
+    "q_stream_matches" -> streamOracle("<>"),
+    "q_stream_incremental" -> streamOracle("<"),
     "q_dedup_simhash" -> dedupSimhashOracle,
     "q_doc_signatures" -> docSignaturesOracle,
     "q_levenshtein_sim" ->

@@ -82,6 +82,25 @@ class FusedSigSpec extends SparkFunSuite {
     }
   }
 
+  test("minhash_sig_chars shingles by CODE POINTS (non-BMP safe)") {
+    // 𝕏 (U+1D54F) is a surrogate pair in UTF-16: a UTF-16-char windowing
+    // bug would split it. Reference shingling below uses codePoints.
+    val s = "a𝕏b€c"
+    val cps = s.codePoints().toArray
+    val shingles = (0 to cps.length - 3).map(i =>
+      new String(cps.slice(i, i + 3), 0, 3))
+    val want = (0 until 2).map(i => shingles.map(sh => sha256hex(s"$i:$sh")).min)
+    val got = Seq(Tuple1(s)).toDF("s")
+      .select(minhash_sig_chars(col("s"), 3, 2, "sha256").as("sig"))
+      .head().getSeq[String](0)
+    assert(got == want)
+    // short non-BMP string falls back to the whole string
+    val short = Seq(Tuple1("𝕏€")).toDF("s")
+      .select(minhash_sig_chars(col("s"), 3, 1, "sha256").as("sig"))
+      .head().getSeq[String](0)
+    assert(short == Seq(sha256hex("0:𝕏€")))
+  }
+
   test("fused signatures run inside whole-stage codegen") {
     val planes = Similarity.hyperplanes(4, 1, 3, 1L)
     // repartition blocks ConvertToLocalRelation from folding the tiny
