@@ -212,13 +212,19 @@ object Similarity {
     val bucketed = base.select(col("id") +: col("v") +: bandKeys: _*)
       .select(col("id"), col("v"),
         explode(array((0 until bands).map(bnd => col(s"band$bnd")): _*)).as("key"))
-    val cand = bucketed.select(col("key"), col("id").as("vec_id"), col("v").as("va"))
+    // Score INSIDE the bucket join, then dedup multi-band collisions on
+    // (vec_id, neighbor_id) scalars only. A distinct over the raw pair
+    // rows would put both 64-float vectors in the shuffle key (embedding
+    // bytes shuffled again just to dedup, plus per-row float
+    // normalization for grouping); duplicates here carry identical cos,
+    // so max() is exact and the partial aggregate combines them map-side
+    // before the shuffle.
+    val scored = bucketed.select(col("key"), col("id").as("vec_id"), col("v").as("va"))
       .join(bucketed.select(col("key"), col("id").as("neighbor_id"), col("v").as("vb")), "key")
       .where(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), col("va"), col("vb"))
-      .distinct()
-    val scored = cand.select(col("vec_id"), col("neighbor_id"),
-      cosine(col("va"), col("vb")).as("cos"))
+      .select(col("vec_id"), col("neighbor_id"), cosine(col("va"), col("vb")).as("cos"))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -63,6 +63,16 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     // and the rounds actually landed on durable storage
     val rounds = new java.io.File(dir).list().count(_.startsWith("cc_round_"))
     assert(rounds >= 2, s"expected parquet round dirs, found $rounds")
+
+    // conf-driven spelling (what spark-submit --conf reaches)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cc-ckpt2").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir2)
+    try {
+      val viaConf = ConnectedComponents.run(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaConf == local)
+      assert(new java.io.File(dir2).list().exists(_.startsWith("cc_round_")))
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
   }
 
   test("two stars + separate pair") {
