@@ -331,6 +331,62 @@ object SparkEntry {
       s.table(sink).select(col("url_a"), col("url_b"), col("score"))
     }),
 
+    // streaming: watermarked exact-dup suppression
+    // (dropDuplicatesWithinWatermark). Event time synthesized
+    // deterministically (doc_id seconds since epoch). Only the content
+    // hash is emitted — WHICH duplicate row survives is
+    // arrival-order-dependent, but the distinct hash set is exact.
+    "q_stream_dedup" -> ((s, dir) => {
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      // +1 day offset: an event time of exactly epoch 0 (doc_id 0) equals
+      // the initial watermark and would be dropped as late
+      val pagesLike = s.readStream.schema(static.schema).parquet(streamDir.toString)
+        .select(col("doc_id").cast("string").as("url"),
+          (col("doc_id") + lit(86400L)).cast("timestamp").as("warc_ts"),
+          encode(col("text"), "UTF-8").as("html"),
+          col("lang"))
+      val deduped = graft.streaming.StreamingLinkage.dedupStream(pagesLike)
+        .select(col("content_hash"))
+      val sink = "q_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
+    // streaming: windowed event-time throughput metrics (watermark +
+    // tumbling window aggregate). Synthesized event time as above; the
+    // (window_start, lang, pages) aggregate is fully deterministic.
+    "q_stream_metrics" -> ((s, dir) => {
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_metrics")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val pagesLike = s.readStream.schema(static.schema).parquet(streamDir.toString)
+        .select(col("doc_id").cast("timestamp").as("warc_ts"), col("lang"))
+      val metrics = graft.streaming.StreamingLinkage.throughputMetrics(pagesLike)
+        .select(col("window.start").cast("long").as("window_start"),
+          col("lang"), col("pages"))
+      val sink = "q_stream_metrics_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      // complete mode: append would only emit windows the watermark has
+      // passed, and the replayed event times all sit inside one horizon
+      val q = metrics.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
     // multimodal: batched feature extraction (decode STUB; plumbing real)
     "q_media_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
@@ -570,6 +626,12 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),
     "q_stream_incremental" -> streamOracle("<"),
+    "q_stream_dedup" ->
+      "SELECT DISTINCT sha256(text) AS content_hash FROM documents",
+    "q_stream_metrics" ->
+      """SELECT (doc_id // 600) * 600 AS window_start, lang,
+        |  count(*) AS pages
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_dedup_simhash" -> dedupSimhashOracle,
     "q_doc_signatures" -> docSignaturesOracle,
     "q_levenshtein_sim" ->

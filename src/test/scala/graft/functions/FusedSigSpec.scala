@@ -82,6 +82,26 @@ class FusedSigSpec extends SparkFunSuite {
     }
   }
 
+  test("minhash_sig xxhash64 lanes == XXH64 hash-chain reference") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    // pins the production hash-chain structure: tokenHash = XXH64(bytes,
+    // seed 42); shingleHash = XXH64.hashLong(next, prev); lane i =
+    // min over shingles of XXH64.hashLong(shingleHash, i)
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val th = toks.map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+    val shingleHashes = th.sliding(2).map(p => XXH64.hashLong(p(1), p(0))).toSeq
+    val want = (0 until 4).map(i => shingleHashes.map(sh => XXH64.hashLong(sh, i.toLong)).min)
+    val got = Seq(Tuple1(toks)).toDF("t")
+      .select(minhash_sig(col("t"), 4).as("s")).head().getSeq[Long](0)
+    assert(got == want)
+    // single-token fallback: lane i = XXH64.hashLong(tokenHash, i)
+    val one = Seq(Tuple1(Seq("solo"))).toDF("t")
+      .select(minhash_sig(col("t"), 2).as("s")).head().getSeq[Long](0)
+    val soloH = XXH64.hashUTF8String(UTF8String.fromString("solo"), 42L)
+    assert(one == (0 until 2).map(i => XXH64.hashLong(soloH, i.toLong)))
+  }
+
   test("minhash_sig_chars shingles by CODE POINTS (non-BMP safe)") {
     // 𝕏 (U+1D54F) is a surrogate pair in UTF-16: a UTF-16-char windowing
     // bug would split it. Reference shingling below uses codePoints.

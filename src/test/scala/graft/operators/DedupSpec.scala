@@ -35,6 +35,20 @@ class DedupSpec extends SparkFunSuite {
     assert(math.abs(j13 - 4.0 / 6.0) < 1e-12)
   }
 
+  test("minhash hot-bucket cap drops are observable, never silent") {
+    val many = (1L to 40L).map(i => (i, "identical content every time", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    // cap of 10 < 40 identical docs → every band bucket is dropped…
+    val pairs = Dedup.minhashLshPairs(many, "doc_id", "text", tau = 0.5,
+      bucketCap = 10)
+    assert(pairs.count() == 0)
+    // …and the drop is reported with bucket sizes
+    val dropped = Dedup.droppedMinhashBuckets(many, "doc_id", "text",
+      bucketCap = 10).collect()
+    assert(dropped.length == 4) // one bucket per band, all identical sigs
+    assert(dropped.forall(_.getLong(1) == 40L))
+  }
+
   test("minhashLshPairs recovers near-dups with exact verification") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
