@@ -59,7 +59,9 @@ object ConnectedComponents {
         val path = s"$d/cc_round_$round"
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
-      case None => df.localCheckpoint()
+      // non-eager: the convergence-signature aggregate right after is the
+      // materializing action, so each round submits ONE job, not two
+      case None => df.localCheckpoint(eager = false)
     }
 
     val Seq(c0, c1) = edges0.columns.take(2).toSeq
