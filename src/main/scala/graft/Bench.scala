@@ -50,10 +50,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def jstr(s: String): String =
-      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+    val fails = failures.map { case (k, v) => s"${JsonStr(k)}:${JsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + scoreSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","pairs_scored":$nScored,"pairs_scored_sec":$scoreSec,"pairs_scored_per_sec":$pairsPerSec,"corpus_pages":$nPages,"cpus":$cpus}""")

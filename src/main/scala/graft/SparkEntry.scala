@@ -79,6 +79,30 @@ object SparkEntry {
        |       CASE WHEN p.na = p.nb THEN 1.0 ELSE $simExpr END AS sim
        |FROM pairs p JOIN sums s ON p.ka = s.ka AND p.kb = s.kb""".stripMargin
 
+  /** Stage a single-file table into a fresh temp dir — file stream
+    * sources require a directory — and mark it for JVM-exit cleanup. */
+  private def stageStreamDir(file: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val target = dir.resolve("data.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(file), target)
+    target.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  /** Drive a streaming frame to completion (AvailableNow) through a
+    * uniquely-named memory sink and return the result table. */
+  private def runToMemorySink(s: SparkSession, df: DataFrame, prefix: String,
+      mode: String): DataFrame = {
+    val sink = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * §7.2 minimum end-to-end slice: scan → blocked self-join → kernel
     * scoring in filter+project (blocking + scoring in miniature). */
@@ -276,25 +300,12 @@ object SparkEntry {
           concat(col("lang"), lit(":"), col("source"), lit(":"),
             substring(name, 1, 2)).as("block_key"))
       }
-      // the file stream source wants a directory; stage the (small) table
-      // file into one — the stream then discovers and replays it
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
-      val stream = s.readStream.schema(static.schema).parquet(streamDir.toString)
+      val stream = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
       val matches = graft.streaming.StreamingLinkage.matchKeyedAgainstIndex(
         keyedOf(stream), keyedOf(static), theta = 1.5)
-      // unique sink name: re-running the query in one session must not
-      // collide with the previous run's registered memory table
-      val sink = "q_stream_matches_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = matches.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select(col("url_a"), col("url_b"), col("score"))
+      runToMemorySink(s, matches, "q_stream_matches", "append")
+        .select(col("url_a"), col("url_b"), col("score"))
     }),
 
     // streaming: STATEFUL cross-batch incremental matching
@@ -306,13 +317,10 @@ object SparkEntry {
     "q_stream_incremental" -> ((s, dir) => {
       import s.implicits._
       val static = s.read.parquet(s"$dir/documents.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_inc")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
       val name = regexp_replace(lower(substring_index(col("text"), "\n", 1)),
         "[^a-z0-9]", "")
-      val keyed = s.readStream.schema(static.schema).parquet(streamDir.toString)
+      val keyed = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
         .select(
           concat(col("lang"), lit(":"), col("source"), lit(":"),
             substring(name, 1, 2)).as("block_key"),
@@ -321,14 +329,8 @@ object SparkEntry {
         .as[graft.streaming.StreamingLinkage.Keyed]
       val matches = graft.streaming.StreamingLinkage
         .incrementalMatches(s, keyed, theta = 1.5, maxPerKey = 1000000)
-      val sink = "q_stream_incremental_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = matches.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select(col("url_a"), col("url_b"), col("score"))
+      runToMemorySink(s, matches.toDF(), "q_stream_incremental", "append")
+        .select(col("url_a"), col("url_b"), col("score"))
     }),
 
     // streaming: watermarked exact-dup suppression
@@ -338,27 +340,17 @@ object SparkEntry {
     // arrival-order-dependent, but the distinct hash set is exact.
     "q_stream_dedup" -> ((s, dir) => {
       val static = s.read.parquet(s"$dir/documents.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
       // +1 day offset: an event time of exactly epoch 0 (doc_id 0) equals
       // the initial watermark and would be dropped as late
-      val pagesLike = s.readStream.schema(static.schema).parquet(streamDir.toString)
+      val pagesLike = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
         .select(col("doc_id").cast("string").as("url"),
           (col("doc_id") + lit(86400L)).cast("timestamp").as("warc_ts"),
           encode(col("text"), "UTF-8").as("html"),
           col("lang"))
       val deduped = graft.streaming.StreamingLinkage.dedupStream(pagesLike)
         .select(col("content_hash"))
-      val sink = "q_stream_dedup_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      runToMemorySink(s, deduped, "q_stream_dedup", "append")
     }),
 
     // streaming: windowed event-time throughput metrics (watermark +
@@ -366,25 +358,15 @@ object SparkEntry {
     // (window_start, lang, pages) aggregate is fully deterministic.
     "q_stream_metrics" -> ((s, dir) => {
       val static = s.read.parquet(s"$dir/documents.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_metrics")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
-      val pagesLike = s.readStream.schema(static.schema).parquet(streamDir.toString)
+      val pagesLike = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
         .select(col("doc_id").cast("timestamp").as("warc_ts"), col("lang"))
       val metrics = graft.streaming.StreamingLinkage.throughputMetrics(pagesLike)
         .select(col("window.start").cast("long").as("window_start"),
           col("lang"), col("pages"))
-      val sink = "q_stream_metrics_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       // complete mode: append would only emit windows the watermark has
       // passed, and the replayed event times all sit inside one horizon
-      val q = metrics.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      runToMemorySink(s, metrics, "q_stream_metrics", "complete")
     }),
 
     // multimodal: batched feature extraction (decode STUB; plumbing real)
@@ -538,7 +520,7 @@ object SparkEntry {
   private val shaSimhashCtes: String =
     """toks AS (
       |  SELECT doc_id AS id,
-      |    unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS tok
+      |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0)) AS tok
       |  FROM documents
       |), th AS (
       |  SELECT id, sha256(tok) AS h FROM toks
@@ -738,7 +720,7 @@ object SparkEntry {
     "q_text_analysis" ->
       """WITH toks AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS tk
         |  FROM documents
         |), m AS (
         |  SELECT doc_id, text, len(tk) AS n_tokens,
@@ -746,11 +728,11 @@ object SparkEntry {
         |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS de_hits,
         |    len(list_filter(tk, t -> list_contains(['le','la','les','et','des','est','une'], t))) AS fr_hits,
         |    len(list_filter(tk, t -> list_contains(['el','los','las','y','es','una','por'], t))) AS es_hits,
-        |    len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct_n
+        |    len(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0b\f\r]', '', 'g')) AS punct_n
         |  FROM toks
         |)
         |SELECT doc_id, n_tokens,
-        |  len(regexp_extract_all(text, '''(s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '''(s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+')) AS n_bpe_tokens,
         |  (CASE WHEN n_tokens > 0 THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.2
         |  + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
         |  + (1.0 - CASE WHEN len(text) > 0 THEN CAST(punct_n AS DOUBLE) / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 AS quality,
@@ -771,7 +753,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id AS id,
-        |    list_distinct(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS tk,
+        |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0)) AS tk,
         |    lang || ' ' || source AS bk
         |  FROM documents
         |), scored AS (

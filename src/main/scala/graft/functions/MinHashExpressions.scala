@@ -30,8 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashKernels {
 
-  private val shaDigest: ThreadLocal[MessageDigest] =
+  private[graft] val shaDigest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
+  /** Precomputed "i:" lane prefixes — allocated once, not per shingle
+    * per lane. Bounds the lane count; plenty for any real signature. */
+  private val MaxLanes = 256
+  private val lanePrefix: Array[Array[Byte]] =
+    Array.tabulate(MaxLanes)(i => s"$i:".getBytes("US-ASCII"))
+
+  private[graft] def requireLanes(k: Int): Unit =
+    require(k > 0 && k <= MaxLanes, s"numHashes must be in [1, $MaxLanes], got $k")
 
   private val HexChars = "0123456789abcdef".toCharArray
 
@@ -58,17 +67,17 @@ object MinHashKernels {
     a.length < b.length
   }
 
-  /** sha256 lane digests of "i:" + shingle for i in [0, k), folded into the
-    * running minima. */
-  private def shaLanes(shingle: UTF8String, k: Int, mins: Array[Array[Byte]]): Unit = {
+  /** sha256 lane digests of "i:" + shingle-bytes for i in [0, k), folded
+    * into the running minima. The shingle arrives as (bytes, segments of
+    * [start, end)) so callers never materialize a concatenated string. */
+  private def shaLanesBytes(k: Int, mins: Array[Array[Byte]])(
+      feed: MessageDigest => Unit): Unit = {
     val md = shaDigest.get()
-    val shBytes = shingle.getBytes
     var i = 0
     while (i < k) {
       md.reset()
-      md.update(String.valueOf(i).getBytes("US-ASCII"))
-      md.update(':'.toByte)
-      md.update(shBytes)
+      md.update(lanePrefix(i))
+      feed(md)
       val d = md.digest()
       if (mins(i) == null || lessThan(d, mins(i))) mins(i) = d
       i += 1
@@ -83,8 +92,6 @@ object MinHashKernels {
       i += 1
     }
   }
-
-  private val Sep = UTF8String.fromString(" ")
 
   // ------------------------------------------------------- token 2-shingles
 
@@ -110,17 +117,26 @@ object MinHashKernels {
 
   /** sha256-family signature over token 2-shingles; shingle string is
     * `tok_j ++ " " ++ tok_{j+1}` (tokens themselves when fewer than 2).
-    * Returns array<string> of k lowercase hex digests. */
+    * Returns array<string> of k lowercase hex digests. The digest is fed
+    * segment-wise (prefix, tokA, " ", tokB) — no concatenated shingle
+    * string is ever materialized. */
   def sigTokensSha(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
     val mins = new Array[Array[Byte]](k)
     if (n == 1) {
-      shaLanes(tokens.getUTF8String(0), k, mins)
-    } else {
+      val tb = tokens.getUTF8String(0).getBytes
+      shaLanesBytes(k, mins)(_.update(tb))
+    } else if (n > 1) {
+      // token bytes materialized once per row, reused by both shingles
+      // that touch each token and by all k lanes
+      val tb = new Array[Array[Byte]](n)
       var j = 0
+      while (j < n) { tb(j) = tokens.getUTF8String(j).getBytes; j += 1 }
+      j = 0
       while (j < n - 1) {
-        shaLanes(UTF8String.concat(tokens.getUTF8String(j), Sep,
-          tokens.getUTF8String(j + 1)), k, mins)
+        val a = tb(j)
+        val b = tb(j + 1)
+        shaLanesBytes(k, mins) { md => md.update(a); md.update(' '.toByte); md.update(b) }
         j += 1
       }
     }
@@ -135,28 +151,48 @@ object MinHashKernels {
 
   // --------------------------------------------------------- char k-shingles
 
-  /** Code-point k-gram shingles of `s` fed to the lane fold; whole string
-    * when shorter than k code points (mirrors the blocking-key semantics the
-    * built-in pipeline used). `f` is applied per shingle. */
-  private def foreachCharShingle(s: UTF8String, shingleK: Int)(f: UTF8String => Unit): Unit = {
+  /** Code-point k-gram shingle byte spans of `s` (whole string when
+    * shorter than k code points). One O(L) pass records the code-point
+    * boundary offsets, then each shingle is a (start, end) byte span —
+    * per-shingle `substring` would rescan from byte 0 every time, turning
+    * long-document fingerprinting O(L²). */
+  private def foreachCharShingleSpan(s: UTF8String, shingleK: Int)(
+      f: (Array[Byte], Int, Int) => Unit): Unit = {
+    val bytes = s.getBytes
+    val n = bytes.length
     val nChars = s.numChars()
-    if (nChars < shingleK) { f(s); return }
+    if (nChars < shingleK) { f(bytes, 0, n); return }
+    val offs = new Array[Int](nChars + 1)
     var i = 0
-    while (i <= nChars - shingleK) {
-      f(s.substring(i, i + shingleK))
-      i += 1
+    var c = 0
+    while (i < n) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(c) = n
+    var j = 0
+    while (j <= nChars - shingleK) {
+      f(bytes, offs(j), offs(j + shingleK))
+      j += 1
     }
   }
 
   def sigCharsXx(s: UTF8String, shingleK: Int, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
-    foreachCharShingle(s, shingleK)(sh => xxLanes(XXH64.hashUTF8String(sh, 42L), k, mins))
+    foreachCharShingleSpan(s, shingleK) { (bytes, from, until) =>
+      xxLanes(XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        until - from, 42L), k, mins)
+    }
     new GenericArrayData(mins)
   }
 
   def sigCharsSha(s: UTF8String, shingleK: Int, k: Int): ArrayData = {
     val mins = new Array[Array[Byte]](k)
-    foreachCharShingle(s, shingleK)(sh => shaLanes(sh, k, mins))
+    foreachCharShingleSpan(s, shingleK) { (bytes, from, until) =>
+      shaLanesBytes(k, mins)(_.update(bytes, from, until - from))
+    }
     val out = new Array[AnyRef](k)
     var i = 0
     while (i < k) {
@@ -174,7 +210,7 @@ abstract class MinHashSigExpression extends UnaryExpression with Serializable {
   def numHashes: Int
   require(family == "xxhash64" || family == "sha256",
     s"unknown minhash family: $family")
-  require(numHashes > 0)
+  MinHashKernels.requireLanes(numHashes)
   override def nullIntolerant: Boolean = true
   override def dataType: DataType =
     if (family == "sha256") ArrayType(StringType, containsNull = false)

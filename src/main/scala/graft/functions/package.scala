@@ -93,11 +93,17 @@ package object functions {
     "simhash64" -> (es => SimHash64(es(0))),
     "simhash60_sha" -> (es => SimHashSha60(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-    // numHashes and family must be foldable literals:
-    // minhash_sig(tokens, 16, 'xxhash64')
+    // numHashes / shingleK / family must be foldable literals; family is
+    // optional (defaults to the production xxhash64):
+    //   minhash_sig(tokens, 16) / minhash_sig(tokens, 16, 'sha256')
+    //   minhash_sig_chars(s, 3, 12) / minhash_sig_chars(s, 3, 12, 'sha256')
     "minhash_sig" -> (es => MinHashSig(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue(),
-      es(2).eval(null).toString)),
+      if (es.length > 2) es(2).eval(null).toString else "xxhash64")),
+    "minhash_sig_chars" -> (es => MinHashSigChars(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].intValue(),
+      if (es.length > 3) es(3).eval(null).toString else "xxhash64")),
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),

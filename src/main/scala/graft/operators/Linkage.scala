@@ -110,11 +110,14 @@ object Linkage {
     */
   def candidatePairs(keys: DataFrame, bucketCap: Int = 200,
       hardCap: Int = 100000, saltGroups: Int = 16): DataFrame = {
-    // bucket size via WINDOW count (one shuffle on `key`, reused by the
-    // tier-1 self-join on the same key) instead of groupBy+join-back,
-    // which would re-execute the upstream key computation per join branch
-    val keyed = keys.withColumn("bucket_n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+    // bucket sizing: groupBy (map-side partial combine) + join-back, NOT
+    // a window count — a window buffers each key's rows in one
+    // unsplittable task, which is a straggler on exactly the Zipfian hot
+    // keys this function's tier policy exists for; the join-back is a
+    // plain equi-join AQE can skew-split, and `keys` is typically a
+    // materialized checkpoint so the second scan is cheap
+    val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
+    val keyed = keys.join(sized, "key")
     val good = keyed.where(col("bucket_n") <= bucketCap)
     val a = good.select(col("key"), col("url").as("url_a"))
     val b = good.select(col("key"), col("url").as("url_b"))

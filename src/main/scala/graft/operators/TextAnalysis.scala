@@ -21,12 +21,13 @@ object TextAnalysis {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** GPT-2-style pre-tokenizer pattern, restricted to constructs Java
-    * regex and RE2 interpret identically (no lookahead — RE2 has none):
-    * contractions, letter runs, digit runs, punctuation runs, each
-    * optionally eating one leading space. Whitespace itself is not a
-    * token. */
+    * regex and RE2 interpret identically (no lookahead — RE2 has none;
+    * whitespace spelled as an explicit class because Java's \s includes
+    * vertical tab and RE2's does not): contractions, letter runs, digit
+    * runs, punctuation runs, each optionally eating one leading space.
+    * Whitespace itself is not a token. */
   val BpeTokenPattern: String =
-    "'(s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
   /** BPE-ish subword-boundary token count — the cheap proxy for "how many
     * LLM tokens is this document" used when sizing training mixtures.

@@ -63,10 +63,11 @@ object TextKernels {
     sig
   }
 
-  /** \s-compatible whitespace (Java regex \s == RE2 \s == this ASCII set;
-    * includes vertical tab, unlike the FNV simhash's legacy set — the sha
-    * family must tokenize exactly like `string_split_regex(text, '\s+')`
-    * so the DuckDB oracle reproduces it). */
+  /** Java-regex-\s whitespace (ASCII incl. vertical tab). NOTE: RE2's \s
+    * EXCLUDES \x0B, so SQL oracles must spell this set as the explicit
+    * class `[ \t\n\x0b\f\r]+` — the driver oracles do — rather than '\s'.
+    * This set matches Spark's `split(c, "\\s+")` tokenizer exactly, which
+    * is what keeps the sha-family signatures SQL-reproducible. */
   private def isSpaceRe(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
 
@@ -76,8 +77,13 @@ object TextKernels {
     * hash-check the simhash dedup pipeline against DuckDB. Same vote
     * semantics as [[simhash64]]: token hash votes ±1 per bit, bit set iff
     * votes > 0. Result is non-negative (bit 60+ never set). */
+  private val shaDigest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
   def simhash60Sha(text: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    // thread-local digest: getInstance per row would pay the JCA provider
+    // lookup + allocation inside the codegen hot loop
+    val md = shaDigest.get()
     val bytes = text.getBytes
     val nb = bytes.length
     val votes = new Array[Int](60)
