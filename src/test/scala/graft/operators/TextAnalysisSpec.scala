@@ -15,6 +15,25 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 2, 4))
   }
 
+  test("tokenCountBpe: contractions, digit/punct runs, space eating") {
+    val df = Seq("", "hello world", "don't stop", "abc123", "a,b", "x  y",
+      "it's 42 degrees!").toDF("t")
+    // engine count must equal a plain Java-regex count of the same pattern
+    val p = java.util.regex.Pattern.compile(TextAnalysis.BpeTokenPattern)
+    val rows = df.select(col("t"),
+      TextAnalysis.tokenCountBpe(col("t")).as("got")).collect()
+    rows.foreach { r =>
+      val m = p.matcher(r.getString(0))
+      var n = 0
+      while (m.find()) n += 1
+      assert(r.getInt(1) == n, s"'${r.getString(0)}': got ${r.getInt(1)}, java $n")
+    }
+    // hand-counted anchors: "hello"+" world"; "abc"+"123"; "don"+"'t"+" stop"
+    val got = rows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("hello world") == 2 && got("abc123") == 2 && got("don't stop") == 3)
+    assert(got("") == 0)
+  }
+
   test("langId picks the stopword-dominant language, 'und' when none") {
     val df = Seq(
       "the cat and the dog is in a tree",
