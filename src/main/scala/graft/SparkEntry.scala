@@ -369,13 +369,25 @@ object SparkEntry {
       runToMemorySink(s, metrics, "q_stream_metrics", "complete")
     }),
 
-    // multimodal: batched feature extraction (decode STUB; plumbing real)
+    // multimodal: batched feature extraction (decode STUB; plumbing real).
+    // Driven with the sha256 verification family: feature d is the 24-bit
+    // integer from sha256(blob) bytes [3d, 3d+3) over 2^24 — exact in
+    // float32 and re-derivable from the digest hex in DuckDB, so the whole
+    // pipeline (projection → batched mapPartitions decode → fixed schema)
+    // is hash-checked. The output re-scales each feature by 2^24 (an exact
+    // float→double→long round trip) so the compared values are integers,
+    // immune to float-formatting differences between engines. The
+    // production FNV stub shares every line but the digest (MultimodalSpec
+    // pins both).
     "q_media_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      graft.operators.Multimodal.decodeFeatures(s, media, "doc_id", "blob")
+      graft.operators.Multimodal.decodeFeatures(s, media, "doc_id", "blob",
+          dim = 8, hashFamily = "sha256")
         .toDF().select(col("id"), col("kind"),
-          concat_ws(",", transform(col("features"), f => format_number(f, 6))).as("features_csv"))
+          concat_ws(",", transform(col("features"),
+            f => (f.cast("double") * lit(16777216.0)).cast("long").cast("string")))
+            .as("features_q24"))
     }),
   )
 
@@ -463,9 +475,14 @@ object SparkEntry {
     }.mkString(", ")
     s"""WITH buckets AS (
        |  SELECT vec_id, unnest([$bandKeys]) AS key FROM embeddings
+       |), sized AS (
+       |  SELECT key, count(*) AS n FROM buckets GROUP BY key
+       |), good AS (
+       |  SELECT b.vec_id, b.key FROM buckets b JOIN sized s USING (key)
+       |  WHERE s.n <= 2000
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-       |  FROM buckets a JOIN buckets b ON a.key = b.key AND a.vec_id <> b.vec_id
+       |  FROM good a JOIN good b ON a.key = b.key AND a.vec_id <> b.vec_id
        |), scored AS (
        |  SELECT c.vec_id, c.neighbor_id,
        |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
@@ -540,12 +557,19 @@ object SparkEntry {
     val bandKeys = (0 until 4).map { b =>
       s"'$b:' || CAST((sig >> ${b * 15}) & 32767 AS VARCHAR)"
     }.mkString(", ")
+    // the bucket cap (500) folds into the re-derivation exactly like
+    // minhashLshOracle's: size each band bucket, keep only ≤ cap
     s"""WITH $shaSimhashCtes, banded AS (
        |  SELECT id, sig, unnest([$bandKeys]) AS key FROM sig
+       |), sized AS (
+       |  SELECT key, count(*) AS n FROM banded GROUP BY key
+       |), good AS (
+       |  SELECT b.id, b.sig, b.key FROM banded b JOIN sized s USING (key)
+       |  WHERE s.n <= 500
        |), pairs AS (
        |  SELECT DISTINCT a.id AS ia, b.id AS ib,
        |    bit_count(xor(a.sig, b.sig)) AS hamming
-       |  FROM banded a JOIN banded b ON a.key = b.key AND a.id < b.id
+       |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
        |)
        |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 8""".stripMargin
   }
@@ -599,9 +623,38 @@ object SparkEntry {
        |)
        |SELECT url_a, url_b, score FROM scored WHERE score >= 1.5""".stripMargin
 
+  /** sha-family media features: feature d = the 24-bit big-endian integer
+    * spelled by hex chars [6d+1, 6d+6] of sha256(blob), over 2^24; the
+    * query outputs the integers (×2^24), so the oracle re-derives them
+    * straight from the digest nibbles. Kind = the same magic-byte CASE as
+    * q_media_metadata (proven since round 1). */
+  private def mediaFeaturesOracle: String = {
+    val hexVal = (pos: String) => s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+    val nibbles = (0 until 6).map { j =>
+      val w = 1L << (4 * (5 - j))
+      s"${hexVal(s"6*d + ${j + 1}")} * $w"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id, sha256(text) AS h,
+       |    upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+       |  FROM documents
+       |)
+       |SELECT id,
+       |  CASE WHEN magic LIKE '89504E47%' THEN 'png'
+       |       WHEN magic LIKE 'FFD8FF%' THEN 'jpeg'
+       |       WHEN magic LIKE '474946%' THEN 'gif'
+       |       WHEN magic LIKE '52494646%' THEN 'riff'
+       |       WHEN magic LIKE '3C68746D%' OR magic LIKE '3C21444F%' THEN 'html'
+       |       ELSE 'unknown' END AS kind,
+       |  array_to_string(list_transform(range(0, 8), d ->
+       |    CAST(CAST($nibbles AS BIGINT) AS VARCHAR)), ',') AS features_q24
+       |FROM m""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_media_features" -> mediaFeaturesOracle,
     "q_minhash_band_keys" -> minhashBandKeysOracle,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_ann_lsh" -> annLshOracle,
@@ -754,7 +807,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id AS id,
         |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0)) AS tk,
-        |    lang || ' ' || source AS bk
+        |    lang || chr(1) || source AS bk
         |  FROM documents
         |), scored AS (
         |  SELECT a.id AS ia, b.id AS ib,

@@ -95,18 +95,41 @@ object MinHashKernels {
 
   // ------------------------------------------------------- token 2-shingles
 
-  /** xxhash64-family signature over token 2-shingles (tokens themselves
-    * when fewer than 2 tokens). Returns array<long> of length k. */
-  def sigTokensXx(tokens: ArrayData, k: Int): ArrayData = {
+  /** Null array elements are SKIPPED (shingles pair consecutive non-null
+    * tokens, as if the nulls were filtered out first), and a token-less
+    * row — empty array, or all elements null — returns null rather than a
+    * degenerate constant signature: k lanes of Long.MaxValue would make
+    * every token-less document band-collide with every other as a
+    * "near-dup", and a raw getUTF8String on a null slot would NPE the
+    * executor on data (minhash_sig is SQL-registered, so inputs are not
+    * guaranteed pre-filtered the way Dedup/Linkage pre-filter theirs). */
+  private def nonNullTokens(tokens: ArrayData): Array[UTF8String] = {
     val n = tokens.numElements()
+    val out = new Array[UTF8String](n)
+    var m = 0
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) { out(m) = tokens.getUTF8String(j); m += 1 }
+      j += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** xxhash64-family signature over token 2-shingles (tokens themselves
+    * when fewer than 2 tokens). Returns array<long> of length k, or null
+    * for a token-less row (see [[nonNullTokens]]). */
+  def sigTokensXx(tokens: ArrayData, k: Int): ArrayData = {
+    val toks = nonNullTokens(tokens)
+    val n = toks.length
+    if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     if (n == 1) {
-      xxLanes(XXH64.hashUTF8String(tokens.getUTF8String(0), 42L), k, mins)
+      xxLanes(XXH64.hashUTF8String(toks(0), 42L), k, mins)
     } else {
-      var prev = if (n > 0) XXH64.hashUTF8String(tokens.getUTF8String(0), 42L) else 0L
+      var prev = XXH64.hashUTF8String(toks(0), 42L)
       var j = 1
       while (j < n) {
-        val cur = XXH64.hashUTF8String(tokens.getUTF8String(j), 42L)
+        val cur = XXH64.hashUTF8String(toks(j), 42L)
         xxLanes(XXH64.hashLong(cur, prev), k, mins)
         prev = cur
         j += 1
@@ -117,21 +140,24 @@ object MinHashKernels {
 
   /** sha256-family signature over token 2-shingles; shingle string is
     * `tok_j ++ " " ++ tok_{j+1}` (tokens themselves when fewer than 2).
-    * Returns array<string> of k lowercase hex digests. The digest is fed
+    * Returns array<string> of k lowercase hex digests, or null for a
+    * token-less row (see [[nonNullTokens]]). The digest is fed
     * segment-wise (prefix, tokA, " ", tokB) — no concatenated shingle
     * string is ever materialized. */
   def sigTokensSha(tokens: ArrayData, k: Int): ArrayData = {
-    val n = tokens.numElements()
+    val toks = nonNullTokens(tokens)
+    val n = toks.length
+    if (n == 0) return null
     val mins = new Array[Array[Byte]](k)
     if (n == 1) {
-      val tb = tokens.getUTF8String(0).getBytes
+      val tb = toks(0).getBytes
       shaLanesBytes(k, mins)(_.update(tb))
-    } else if (n > 1) {
+    } else {
       // token bytes materialized once per row, reused by both shingles
       // that touch each token and by all k lanes
       val tb = new Array[Array[Byte]](n)
       var j = 0
-      while (j < n) { tb(j) = tokens.getUTF8String(j).getBytes; j += 1 }
+      while (j < n) { tb(j) = toks(j).getBytes; j += 1 }
       j = 0
       while (j < n - 1) {
         val a = tb(j)
@@ -143,7 +169,7 @@ object MinHashKernels {
     val out = new Array[AnyRef](k)
     var i = 0
     while (i < k) {
-      out(i) = if (mins(i) == null) UTF8String.EMPTY_UTF8 else toHex(mins(i))
+      out(i) = toHex(mins(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -218,10 +244,15 @@ abstract class MinHashSigExpression extends UnaryExpression with Serializable {
 }
 
 /** minhash_sig(tokens array<string>, k, family) → array of k lane minima
-  * over token 2-shingles. */
+  * over token 2-shingles. Null elements are skipped; a token-less input
+  * (empty array or all-null elements) yields NULL — not a shared sentinel
+  * signature that would band-collide every empty document (see
+  * [[MinHashKernels.nonNullTokens]]) — so the expression is nullable even
+  * over a non-null child. */
 case class MinHashSig(child: Expression, numHashes: Int, family: String)
     extends MinHashSigExpression {
   override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -233,8 +264,10 @@ case class MinHashSig(child: Expression, numHashes: Int, family: String)
     if (family == "sha256") MinHashKernels.sigTokensSha(v.asInstanceOf[ArrayData], numHashes)
     else MinHashKernels.sigTokensXx(v.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.MinHashKernels.$kernelMethod($v, $numHashes)")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.MinHashKernels.$kernelMethod($v, $numHashes);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

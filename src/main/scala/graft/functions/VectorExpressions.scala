@@ -66,9 +66,18 @@ object VectorKernels {
   * reason as [[CosineSim]] — the higher-order-function form evaluates its
   * lambdas interpreted, ~20× slower, which made band-key computation
   * dominate LSH ANN. The plane matrix rides along as a codegen reference
-  * object (plan-compile-time constant, never shipped per row). */
-case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+  * object (plan-compile-time constant, never shipped per row).
+  *
+  * The planes are held as `Seq[Seq[Double]]`, NOT arrays: case-class
+  * equals/hashCode on an Array compare by reference, so two semantically
+  * identical HyperplaneSig nodes would never be equal and plan
+  * canonicalization / subexpression elimination / exchange reuse would
+  * silently miss. The kernel still gets a primitive double[][] via a
+  * lazily-built (per JVM) mirror. */
+case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_sig"
@@ -78,9 +87,9 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
       s"$prettyName requires array<float>, got ${t.catalogString}")
   }
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.sigBits(v.asInstanceOf[ArrayData], planes)
+    VectorKernels.sigBits(v.asInstanceOf[ArrayData], planesArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val ref = ctx.addReferenceObj("planes", planesArr, "double[][]")
     defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.sigBits($v, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

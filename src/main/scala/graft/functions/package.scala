@@ -62,9 +62,12 @@ package object functions {
   /** Fused codegen cosine similarity over array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column = wrap(CosineSim(expr(a), expr(b)))
 
-  /** Packed sign bits of one LSH band's hyperplane projections (fused). */
+  /** Packed sign bits of one LSH band's hyperplane projections (fused).
+    * The plane matrix is converted to immutable Seqs so structurally equal
+    * calls build structurally equal expressions (plan canonicalization,
+    * subexpression elimination, and exchange reuse all key on equals). */
   def hyperplane_sig(v: Column, planes: Array[Array[Double]]): Column =
-    wrap(HyperplaneSig(expr(v), planes))
+    wrap(HyperplaneSig(expr(v), planes.toSeq.map(_.toSeq)))
 
   /** One-pass MinHash signature over token 2-shingles of an array<string>
     * column; family ∈ {xxhash64 (production), sha256 (oracle-checkable)}. */

@@ -28,8 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Result of a CC run: the assignment plus convergence telemetry. */
-  final case class Result(assignment: DataFrame, iterations: Int)
+  /** Result of a CC run: the assignment plus convergence telemetry.
+    * `roundEdges(i)` = surviving edge count after round i+1 — the signal to
+    * watch on huge graphs: a healthy run shrinks (or stabilizes) it every
+    * round; a stalled one (roundEdges flat while iterations climb toward
+    * maxIter) is visible LONG before `require(done)` kills the job, and
+    * [[graft.plans.Pipeline]] surfaces the series in its metrics frame. */
+  final case class Result(assignment: DataFrame, iterations: Int,
+      roundEdges: Seq[Long] = Nil)
+
+  /** Sizing rule for `maxIter` (the failure mode of undersizing is job
+    * death at `require(done)`, so size it from the graph, not hope):
+    * alternating large-star/small-star needs O(log n) rounds, and the
+    * spec-pinned worst case on adversarial chain graphs is ≤ 2·log₂(n) + 2
+    * observed rounds (ConnectedComponentsSpec) — so set
+    * maxIter ≥ 2·log₂(expected nodes) + slack: 50 covers n ≈ 2^22 chains
+    * and any real web graph (whose effective diameter is tiny — empirically
+    * < 10 rounds); for a 10^12-node adversarially-chained graph raise it
+    * to ~90 via this helper. */
+  def maxIterFor(expectedNodes: Long): Int =
+    2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, expectedNodes))) + 10
 
   /** Connected components over an undirected edge list.
     *
@@ -72,6 +90,7 @@ object ConnectedComponents {
       .distinct(), 0)
 
     var lastSig: (Long, Long) = (-1L, -1L)
+    val roundEdges = scala.collection.mutable.ArrayBuffer.empty[Long]
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -108,6 +127,7 @@ object ConnectedComponents {
         count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      roundEdges += sig._1
       done = sig == lastSig
       lastSig = sig
       edges = next
@@ -121,6 +141,6 @@ object ConnectedComponents {
     val assignment = edges.select(col("src").as("id"), col("dst").as("component"))
       .union(roots)
       .groupBy(col("id")).agg(min(col("component")).as("component"))
-    Result(assignment, iter)
+    Result(assignment, iter, roundEdges.toSeq)
   }
 }

@@ -33,13 +33,17 @@ object Dedup {
   }
 
   /** Token-set (distinct whitespace tokens) Jaccard over pairs blocked by
-    * `blockCols`; emits pairs with jaccard ≥ tau. */
+    * `blockCols`; emits pairs with jaccard ≥ tau. Composite block keys are
+    * joined with U+0001 (a non-printable byte real key columns never
+    * contain) — a printable separator like ' ' would merge distinct blocks
+    * whenever a key value itself contains it, e.g. (lang='en',
+    * source='a b') vs (lang='en a', source='b'). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], tau: Double): DataFrame = {
     val base = docs.select(
       col(idCol).as("id"),
       array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"),
-      concat_ws(" ", blockCols.map(col): _*).as("bk"))
+      concat_ws("\u0001", blockCols.map(col): _*).as("bk"))
     val a = base.select(col("bk"), col("id").as("ia"), col("toks").as("ta"))
     val b = base.select(col("bk"), col("id").as("ib"), col("toks").as("tb"))
     a.join(b, "bk").where(col("ia") < col("ib"))
@@ -130,18 +134,11 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
-  /** SimHash near-dup pairs: banded signatures (4 bands — two near-dup
-    * docs within Hamming distance 3 share ≥1 identical band), then exact
-    * Hamming verification via bit_count(xor).
-    *
-    * `hashFamily`: `fnv` (production: 64-bit FNV/splitmix token hashes,
-    * 4×16-bit bands) or `sha256` (60-bit signature from sha256 token
-    * hashes, 4×15-bit bands) — the sha256 family is reproducible in ANSI
-    * SQL end-to-end, which is how the driver gate hash-checks this
-    * operator against DuckDB. Token-less docs carry no signal and are
-    * excluded (exact dedup owns them). */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, hashFamily: String = "fnv"): DataFrame = {
+  /** (id, sig, band key) rows for the SimHash banding — shared by
+    * [[simhashPairs]] and [[droppedSimhashBuckets]]. Token-less docs carry
+    * no signal and are excluded (exact dedup owns them). */
+  private def simhashBanded(docs: DataFrame, idCol: String, textCol: String,
+      hashFamily: String): DataFrame = {
     val (sigExpr, bandBits) =
       if (hashFamily == "sha256")
         (graft.functions.simhash60_sha(col(textCol)), 15)
@@ -150,13 +147,51 @@ object Dedup {
     val sigs = docs
       .where(size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), sigExpr.as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(bnd =>
         concat(lit(s"$bnd:"),
           shiftrightunsigned(col("sig"), bnd * bandBits).bitwiseAND(lit(mask)))): _*))
         .as("key"))
-    val a = banded.select(col("key"), col("id").as("ia"), col("sig").as("siga"))
-    val b = banded.select(col("key"), col("id").as("ib"), col("sig").as("sigb"))
+  }
+
+  /** SimHash band buckets excluded by `bucketCap` with their sizes — the
+    * non-silent record of what the banding dropped (same observability
+    * contract as [[droppedMinhashBuckets]] / Linkage.droppedBuckets). */
+  def droppedSimhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+      bucketCap: Int = 500, hashFamily: String = "fnv"): DataFrame =
+    simhashBanded(docs, idCol, textCol, hashFamily)
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .where(col("n") > bucketCap)
+
+  /** SimHash near-dup pairs: banded signatures (4 bands — two near-dup
+    * docs within Hamming distance 3 share ≥1 identical band), then exact
+    * Hamming verification via bit_count(xor).
+    *
+    * Band buckets larger than `bucketCap` are dropped BEFORE the self-join
+    * (observable via [[droppedSimhashBuckets]], never silent). Without the
+    * cap a degenerate band value — e.g. the all-zeros key that short or
+    * boilerplate documents gravitate to — re-quadratizes the join inside
+    * one bucket on a repetitive corpus; a 15/16-bit band on near-identical
+    * votes is exactly such an attractor. Sizing is groupBy + join-back
+    * (map-side-combining aggregate + AQE-skew-splittable equi-join), not a
+    * window count, for the same straggler reasons as [[minhashLshPairs]].
+    *
+    * `hashFamily`: `fnv` (production: 64-bit FNV/splitmix token hashes,
+    * 4×16-bit bands) or `sha256` (60-bit signature from sha256 token
+    * hashes, 4×15-bit bands) — the sha256 family is reproducible in ANSI
+    * SQL end-to-end, which is how the driver gate hash-checks this
+    * operator against DuckDB (the cap folds into the oracle as a
+    * HAVING-style cut on the banded CTE). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, hashFamily: String = "fnv",
+      bucketCap: Int = 500): DataFrame = {
+    val banded = simhashBanded(docs, idCol, textCol, hashFamily)
+    val sized = banded.select(col("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+    val good = banded.join(sized.where(col("n") <= bucketCap), "key")
+      .select(col("key"), col("id"), col("sig"))
+    val a = good.select(col("key"), col("id").as("ia"), col("sig").as("siga"))
+    val b = good.select(col("key"), col("id").as("ib"), col("sig").as("sigb"))
     a.join(b, "key").where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))

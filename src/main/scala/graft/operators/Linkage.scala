@@ -182,13 +182,22 @@ object Linkage {
   /** Stage 6 — transitive clustering: hash urls to 64-bit node ids, run
     * large-star/small-star CC, map back. Output: (url, cluster_id) for every
     * url in `extracted` (singletons get their own id). */
-  def cluster(matched: DataFrame, extracted: DataFrame): DataFrame = {
+  def cluster(matched: DataFrame, extracted: DataFrame): DataFrame =
+    clusterWithStats(matched, extracted)._1
+
+  /** [[cluster]] plus the CC convergence telemetry (round count +
+    * per-round surviving edge counts) so the pipeline metrics can expose
+    * it — on a 10^12-edge graph a stalling round series is the early
+    * warning before maxIter job death. */
+  def clusterWithStats(matched: DataFrame,
+      extracted: DataFrame): (DataFrame, ConnectedComponents.Result) = {
     val nodes = extracted.select(col("url"), xxhash64(col("url")).as("id"))
     val edges = matched
       .select(xxhash64(col("url_a")).as("src"), xxhash64(col("url_b")).as("dst"))
-    val assignment = ConnectedComponents.run(edges)
-    nodes.join(assignment, Seq("id"), "left")
+    val cc = ConnectedComponents.runWithStats(edges)
+    val clusters = nodes.join(cc.assignment, Seq("id"), "left")
       .select(col("url"), coalesce(col("component"), col("id")).as("cluster_id"))
+    (clusters, cc)
   }
 
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true

@@ -60,14 +60,42 @@ object Multimodal {
   }
   /* ====================== END STUB ====================== */
 
+  /** sha256 verification family of the decode stub (same fixed signature,
+    * same seam): feature d is the big-endian 24-bit integer spelled by
+    * digest bytes [3d, 3d+3) of sha256(blob), scaled to [0, 1) by 2^-24.
+    * Every ingredient is ANSI-SQL-recomputable (DuckDB re-derives each
+    * feature from the sha256 hex string), and a 24-bit integer over a
+    * power-of-two denominator is EXACT in float32 — so the driver gate can
+    * hash-check the whole decode pipeline (projection → batched
+    * mapPartitions → fixed schema) while the production stub keeps its
+    * cheaper FNV family. Needs 3·dim ≤ 32 digest bytes. */
+  private def decodeStubSha(bytes: Array[Byte], dim: Int): Array[Float] = {
+    require(dim * 3 <= 32, s"sha256 family supports dim <= 10, got $dim")
+    val md = graft.functions.MinHashKernels.shaDigest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    Array.tabulate(dim) { i =>
+      val v = ((d(3 * i) & 0xFF) << 16) | ((d(3 * i + 1) & 0xFF) << 8) |
+        (d(3 * i + 2) & 0xFF)
+      v.toFloat / 16777216.0f
+    }
+  }
+
   /** Batched feature extraction over (id, kind, binary). Batch contract:
     * the decoder sees `batchSize` items at a time per partition (the shape
     * a vectorized/FFI decoder wants — amortized model/codec setup), and
     * items never cross partitions. Output schema is fixed:
-    * (id string, kind string, features array<float> of length `dim`). */
+    * (id string, kind string, features array<float> of length `dim`).
+    *
+    * `hashFamily`: `fnv` (production stub) or `sha256` (the
+    * oracle-checkable verification family, [[decodeStubSha]]) — one
+    * parameter swaps the stub body, everything around the seam is the
+    * identical plumbing a real decoder drops into. */
   def decodeFeatures(spark: SparkSession, media: DataFrame, idCol: String,
-      binCol: String, dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeatures] = {
+      binCol: String, dim: Int = 8, batchSize: Int = 64,
+      hashFamily: String = "fnv"): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val sha = hashFamily == "sha256"
     // ONE projection: kind is a per-row expression over the same blob, so
     // (id, kind, bin) never leaves the scan pipeline — at 100 TB of media a
     // metadata-then-rejoin would shuffle every blob twice for nothing
@@ -80,7 +108,8 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // a real decoder would process `batch` in one vectorized call
           batch.map { case (id, kind, bin) =>
-            MediaFeatures(id, kind, decodeStub(bin, dim))
+            MediaFeatures(id, kind,
+              if (sha) decodeStubSha(bin, dim) else decodeStub(bin, dim))
           }
         }
       }

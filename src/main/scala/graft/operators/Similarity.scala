@@ -192,13 +192,10 @@ object Similarity {
 
   // ------------------------------------------------------------------ LSH
 
-  /** Banded random-hyperplane LSH top-k. Each vector lands in `bands`
-    * buckets keyed by the sign pattern of `planesPerBand` projections;
-    * candidates = pairs sharing any bucket; exact cosine ranks them.
-    * Single shuffle on the bucket key + window per vec_id. */
-  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, bands: Int = 4, planesPerBand: Int = 6,
-      seed: Long = 42L): DataFrame = {
+  /** (id, v, band key) bucket assignment for the hyperplane LSH — shared
+    * by [[lshTopK]] and [[droppedLshBuckets]]. */
+  private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
     val planes = hyperplanes(dim, bands, planesPerBand, seed)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // band signature = ONE fused codegen call per band (HyperplaneSig);
@@ -209,9 +206,48 @@ object Similarity {
       concat(lit(s"$bnd:"),
         graft.functions.hyperplane_sig(col("v"), planes(bnd))).as(s"band$bnd")
     }
-    val bucketed = base.select(col("id") +: col("v") +: bandKeys: _*)
+    base.select(col("id") +: col("v") +: bandKeys: _*)
       .select(col("id"), col("v"),
         explode(array((0 until bands).map(bnd => col(s"band$bnd")): _*)).as("key"))
+  }
+
+  /** LSH buckets excluded by `bucketCap` with their sizes — the non-silent
+    * record of what the banding dropped. Dropping costs recall, so measure
+    * it (SimilaritySpec does) — but an over-cap bucket means the band
+    * carries too few planes to discriminate at the corpus's density, and
+    * paying its |bucket|² cost buys near-random candidates anyway; the
+    * scale remedies are more planes per band or routing hot buckets
+    * through a salted grid join (Linkage.saltedSelfJoin). */
+  def droppedLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int = 4, planesPerBand: Int = 6, seed: Long = 42L,
+      bucketCap: Int = 2000): DataFrame =
+    lshBucketed(emb, idCol, vecCol, dim, bands, planesPerBand, seed)
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .where(col("n") > bucketCap)
+
+  /** Banded random-hyperplane LSH top-k. Each vector lands in `bands`
+    * buckets keyed by the sign pattern of `planesPerBand` projections;
+    * candidates = pairs sharing any bucket; exact cosine ranks them.
+    * Single shuffle on the bucket key + window per vec_id.
+    *
+    * Buckets larger than `bucketCap` are dropped BEFORE the self-join
+    * (observable via [[droppedLshBuckets]]): with b planes a band has only
+    * 2^b buckets, so at 100× corpus growth every bucket is 100× larger and
+    * the join cost Σ bucket² concentrates in the densest sign patterns —
+    * the cap bounds any single bucket's quadratic contribution while the
+    * top-k window keeps correctness for the pairs that remain. Sizing is a
+    * key-only groupBy + join-back (map-side combine; the join-back is an
+    * AQE-skew-splittable equi-join), never a window count. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, bands: Int = 4, planesPerBand: Int = 6,
+      seed: Long = 42L, bucketCap: Int = 2000): DataFrame = {
+    val all = lshBucketed(emb, idCol, vecCol, dim, bands, planesPerBand, seed)
+    // key-only projection before the sizing aggregate: the embedding never
+    // rides through the count shuffle
+    val sized = all.select(col("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+    val bucketed = all.join(sized.where(col("n") <= bucketCap), "key")
+      .select(col("key"), col("id"), col("v"))
     // Score INSIDE the bucket join, then dedup multi-band collisions on
     // (vec_id, neighbor_id) scalars only. A distinct over the raw pair
     // rows would put both 64-float vectors in the shuffle key (embedding

@@ -88,10 +88,11 @@ object Pipeline {
     val t0 = System.nanoTime()
     compute.write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
-    val partCounts = out.groupBy(spark_partition_id().as("pid"))
+    val partRows = out.groupBy(spark_partition_id().as("pid"))
       .agg(count(lit(1)).as("n")).collect()
+    val rows = partRows.map(_.getLong(1)).sum
+    val partCounts = partRows
       .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-    val rows = partCounts.map(_.split("\"rows\":")(1).stripSuffix("}").toLong).sum
     val wallMs = (System.nanoTime() - t0) / 1000000
     val manifest =
       s"""{"stage":${jsonStr(name)},"fingerprint":${jsonStr(fingerprint)},
@@ -142,15 +143,29 @@ object Pipeline {
       Linkage.matches(scored.df, cfg.theta))
 
     val fpClusters = sha(fpMatch + ":clusters")
-    val clusters = stage(spark, workDir, "06_clusters", fpClusters)(
-      Linkage.cluster(matched.df, ex.df))
+    // CC convergence telemetry is a side output of the stage compute: on a
+    // resume (manifest hit) the loop never runs, so the series is absent —
+    // which is correct, nothing was computed
+    var ccStats: Option[graft.operators.ConnectedComponents.Result] = None
+    val clusters = stage(spark, workDir, "06_clusters", fpClusters) {
+      val (df, cc) = Linkage.clusterWithStats(matched.df, ex.df)
+      ccStats = Some(cc)
+      df
+    }
 
     val stages = Seq(ex, keys, pairs, scored, matched, clusters)
     import spark.implicits._
     val dropped = Linkage.droppedBuckets(keys.df, cfg.hardCap).count()
+    val ccMetrics = ccStats.toSeq.flatMap { cc =>
+      ("06_clusters", "cc_rounds", cc.iterations.toDouble) +:
+        cc.roundEdges.zipWithIndex.map { case (n, i) =>
+          ("06_clusters", f"cc_round_${i + 1}%02d_edges", n.toDouble)
+        }
+    }
     val metrics = (stages.map(s => (s.name, "rows", s.rows.toDouble)) ++
       stages.map(s => (s.name, "wall_ms", s.wallMs.toDouble)) ++
-      stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0)) :+
+      stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0)) ++
+      ccMetrics :+
       (("02_keys", "dropped_buckets", dropped.toDouble)) :+
       (("00_input", "text_invariant_violations", violations.toDouble)))
       .toDF("stage", "metric", "value")

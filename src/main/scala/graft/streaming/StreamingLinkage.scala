@@ -79,7 +79,13 @@ object StreamingLinkage {
       .flatMapGroupsWithState[Seq[(String, String)], Match](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[Seq[(String, String)]]) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
+          // Vector: effectively-O(1) :+ per arrival. The deserialized state
+          // Seq is impl-unspecified (often array-backed, whose :+ copies
+          // O(n) — quadratic over a batch if a caller raises maxPerKey, and
+          // the driver gate runs maxPerKey = 10^6), so normalize once per
+          // key per batch.
+          var seen: Seq[(String, String)] =
+            state.getOption.map(_.toVector).getOrElse(Vector.empty)
           val out = scala.collection.mutable.ArrayBuffer[Match]()
           rows.foreach { r =>
             seen.foreach { case (url, name) =>

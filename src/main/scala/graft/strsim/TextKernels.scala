@@ -31,8 +31,16 @@ object TextKernels {
     mix(h)
   }
 
+  /** THE whitespace class for every tokenizer in this file: Java-regex \s
+    * over ASCII (space, \t, \n, \x0B vertical tab, \f, \r) — identical to
+    * `TextAnalysis.tokens`' `split("\\s+")` and to [[simhash60Sha]], so the
+    * production and sha verification families can never tokenize the same
+    * text differently (a one-byte divergence here would silently split
+    * near-dup buckets on \x0B-bearing text). NOTE: RE2's \s EXCLUDES \x0B,
+    * so SQL oracles must spell this set as the explicit class
+    * `[ \t\n\x0b\f\r]+` — the driver oracles do — rather than '\s'. */
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
 
   /** 64-bit SimHash over whitespace tokens: each token hash votes ±1 per
     * bit; the signature bit is the vote sign. Near-duplicate documents get
@@ -63,14 +71,6 @@ object TextKernels {
     sig
   }
 
-  /** Java-regex-\s whitespace (ASCII incl. vertical tab). NOTE: RE2's \s
-    * EXCLUDES \x0B, so SQL oracles must spell this set as the explicit
-    * class `[ \t\n\x0b\f\r]+` — the driver oracles do — rather than '\s'.
-    * This set matches Spark's `split(c, "\\s+")` tokenizer exactly, which
-    * is what keeps the sha-family signatures SQL-reproducible. */
-  private def isSpaceRe(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
-
   /** 60-bit SimHash over whitespace tokens where the per-token hash is the
     * top 60 bits (first 15 hex chars) of sha256(token) — every ingredient
     * is ANSI-SQL-reproducible, which is what lets the driver gate
@@ -89,9 +89,9 @@ object TextKernels {
     val votes = new Array[Int](60)
     var i = 0
     while (i < nb) {
-      while (i < nb && isSpaceRe(bytes(i))) i += 1
+      while (i < nb && isSpace(bytes(i))) i += 1
       val start = i
-      while (i < nb && !isSpaceRe(bytes(i))) i += 1
+      while (i < nb && !isSpace(bytes(i))) i += 1
       if (i > start) {
         md.reset()
         md.update(bytes, start, i - start)

@@ -121,6 +121,72 @@ class FusedSigSpec extends SparkFunSuite {
     assert(short == Seq(sha256hex("0:𝕏€")))
   }
 
+  test("simhash64 and simhash60_sha share ONE whitespace class (\\x0B pinned)") {
+    // \x0B (vertical tab) is in Java-regex \s; a tokenizer that excluded it
+    // from one family would silently bucket \x0B-bearing text differently
+    // between the production and sha verification paths. Pin: a \x0B
+    // separator tokenizes exactly like a newline in BOTH families.
+    val r = Seq(("alpha\u000bbeta gamma", "alpha\nbeta gamma"))
+      .toDF("vt", "nl")
+      .select(simhash64(col("vt")).as("s1"), simhash64(col("nl")).as("s2"),
+        simhash60_sha(col("vt")).as("h1"), simhash60_sha(col("nl")).as("h2"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1), "simhash64 must treat \\x0B as whitespace")
+    assert(r.getLong(2) == r.getLong(3), "simhash60Sha must treat \\x0B as whitespace")
+    // and \x0B must STILL separate tokens from their glued form
+    val glued = Seq(("alphabeta gamma", "alpha\u000bbeta gamma")).toDF("a", "b")
+      .select(simhash64(col("a")).as("sa"), simhash64(col("b")).as("sb")).head()
+    assert(glued.getLong(0) != glued.getLong(1))
+  }
+
+  test("minhash_sig skips null elements; token-less input returns NULL") {
+    // null elements are skipped (as if pre-filtered) — no executor NPE from
+    // a SQL call like minhash_sig(array('a', NULL, 'b'), 4)
+    val withNulls = Seq(Tuple1(Seq[String]("alpha", null, "beta", "gamma"))).toDF("t")
+      .select(minhash_sig(col("t"), 4).as("s"),
+        minhash_sig(col("t"), 4, "sha256").as("ss")).head()
+    val clean = Seq(Tuple1(Seq("alpha", "beta", "gamma"))).toDF("t")
+      .select(minhash_sig(col("t"), 4).as("s"),
+        minhash_sig(col("t"), 4, "sha256").as("ss")).head()
+    assert(withNulls.getSeq[Long](0) == clean.getSeq[Long](0))
+    assert(withNulls.getSeq[String](1) == clean.getSeq[String](1))
+    // empty / all-null arrays yield NULL, not a shared sentinel signature
+    // that would band-collide every token-less document as a "near-dup"
+    val degenerate = Seq(
+      Tuple1(Seq.empty[String]),
+      Tuple1(Seq[String](null, null)),
+    ).toDF("t")
+      .select(minhash_sig(col("t"), 4).as("s"),
+        minhash_sig(col("t"), 4, "sha256").as("ss"))
+      .collect()
+    assert(degenerate.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // same through the SQL registration (the unguarded path ADVICE flagged)
+    val sql = spark.sql(
+      "SELECT minhash_sig(array('a', CAST(NULL AS STRING)), 4) AS s, " +
+        "minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS e").head()
+    assert(!sql.isNullAt(0) && sql.isNullAt(1))
+  }
+
+  test("hyperplane_sig: equal plane CONTENT means equal expressions") {
+    // case-class equality over an Array is reference identity — that bug
+    // would make canonicalization / subexpression elimination / exchange
+    // reuse miss on semantically identical nodes. Planes are held as Seqs.
+    val p1 = Similarity.hyperplanes(4, 1, 3, 1L)(0)
+    val p2 = Similarity.hyperplanes(4, 1, 3, 1L)(0) // fresh arrays, same values
+    assert(!(p1 eq p2))
+    // shared child isolates the plane comparison (Column-built children
+    // carry call-site Origins that differ by construction)
+    val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false),
+      nullable = false)
+    val e1 = HyperplaneSig(child, p1.toSeq.map(_.toSeq))
+    val e2 = HyperplaneSig(child, p2.toSeq.map(_.toSeq))
+    assert(e1 == e2, "structurally equal planes must compare equal")
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+  }
+
   test("fused signatures run inside whole-stage codegen") {
     val planes = Similarity.hyperplanes(4, 1, 3, 1L)
     // repartition blocks ConvertToLocalRelation from folding the tiny

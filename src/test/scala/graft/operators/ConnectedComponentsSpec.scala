@@ -46,6 +46,11 @@ class ConnectedComponentsSpec extends SparkFunSuite {
       val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
       assert(r.iterations <= bound,
         s"chain n=$n took ${r.iterations} rounds (> $bound = 2·log2 n)")
+      // convergence telemetry: one edge count per round, final two equal
+      // (the convergence signature), and maxIterFor covers the run
+      assert(r.roundEdges.length == r.iterations)
+      assert(r.roundEdges.takeRight(2).distinct.length == 1)
+      assert(ConnectedComponents.maxIterFor(n.toLong) >= r.iterations)
     }
   }
 

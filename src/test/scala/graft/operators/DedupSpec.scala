@@ -61,6 +61,43 @@ class DedupSpec extends SparkFunSuite {
       .foreach(p => assert(p._3 == 1.0))
   }
 
+  test("simhash hot-bucket cap drops are observable, never silent") {
+    // degenerate boilerplate fixture: identical docs → identical signatures
+    // → every band bucket is an attractor holding ALL of them (the shape
+    // that would re-quadratize an uncapped band join on a repetitive corpus)
+    val many = (1L to 20L)
+      .map(i => (i, "boilerplate nav header repeated verbatim on every page"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
+      bucketCap = 5)
+    assert(pairs.count() == 0)
+    // …and the drop is reported with bucket sizes, per band
+    val dropped = Dedup.droppedSimhashBuckets(many, "doc_id", "text",
+      bucketCap = 5).collect()
+    assert(dropped.length == 4)
+    assert(dropped.forall(_.getLong(1) == 20L))
+    // above the cap the full (here: quadratic) pair set returns — the cap
+    // is the only thing standing between a hot bucket and n²/2 pairs
+    assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
+      bucketCap = 20).count() == 20L * 19 / 2)
+    // both hash families run through the same capped join
+    assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
+      hashFamily = "sha256", bucketCap = 5).count() == 0)
+  }
+
+  test("ngramJaccard composite block keys never merge across columns") {
+    // ('en', 'a b') vs ('en a', 'b'): a printable separator like ' ' would
+    // alias these two distinct blocks; the U+0001 separator cannot occur in
+    // real key data
+    val tricky = Seq(
+      (1L, "alpha beta gamma", "en", "a b"),
+      (2L, "alpha beta gamma", "en a", "b"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.ngramJaccardPairs(tricky, "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5)
+    assert(pairs.count() == 0)
+  }
+
   test("simhashPairs: identical and near-identical docs collide") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val near = base.replace("token30", "changed")

@@ -46,6 +46,31 @@ class MultimodalSpec extends SparkFunSuite {
     assert(!plan.toLowerCase.contains("join"), s"blob self-join crept back in:\n$plan")
   }
 
+  test("decodeFeatures sha256 family: digest-derived, float-exact (oracle contract)") {
+    val got = Multimodal.decodeFeatures(spark, media, "id", "blob", dim = 8,
+      hashFamily = "sha256").collect().map(f => f.id -> f.features).toMap
+    val blobs = media.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+    blobs.foreach { case (id, bytes) =>
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      val want = (0 until 8).map { i =>
+        val v = ((d(3 * i) & 0xFF) << 16) | ((d(3 * i + 1) & 0xFF) << 8) |
+          (d(3 * i + 2) & 0xFF)
+        v.toFloat / 16777216.0f
+      }
+      assert(got(id).toSeq == want, s"sha-family features for $id")
+      // the driver query depends on the float→double→long round trip being
+      // exact: f * 2^24 must land on an integer, bit-for-bit
+      got(id).foreach { f =>
+        val scaled = f.toDouble * 16777216.0
+        assert(scaled == math.rint(scaled) && scaled >= 0 && scaled < 16777216.0 + 1)
+      }
+    }
+    // the sha family runs through the identical no-shuffle plan
+    val plan = Multimodal.decodeFeatures(spark, media, "id", "blob", dim = 8,
+      hashFamily = "sha256").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("downstream ANN composes over decoded features") {
     val feats = Multimodal.decodeFeatures(spark, media, "id", "blob", dim = 8)
       .toDF().withColumn("vid", xxhash64(col("id")))

@@ -100,6 +100,38 @@ class SimilaritySpec extends SparkFunSuite {
       s"IVF produced near-quadratic candidates: $cand vs ${n * n}")
   }
 
+  test("lsh hot-bucket cap drops are observable, never silent") {
+    // identical vectors: every band's bucket holds ALL of them — the
+    // densest-sign-pattern shape that concentrates Σ bucket² at scale
+    val emb = (1L to 12L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 8, bucketCap = 5)
+    assert(capped.count() == 0)
+    val dropped = Similarity.droppedLshBuckets(emb, "vec_id", "embedding",
+      dim = 8, bucketCap = 5).collect()
+    assert(dropped.length == 4) // one bucket per band, all 12 members
+    assert(dropped.forall(_.getLong(1) == 12L))
+    // with the cap above the bucket size, candidates come back in full
+    assert(Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 8, bucketCap = 12).count() == 12 * 3)
+  }
+
+  test("lsh recall is unchanged by a cap that does not bite (default cap)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // no bucket at this scale is anywhere near the default cap…
+    assert(Similarity.droppedLshBuckets(emb, "vec_id", "embedding",
+      dim = 64, bands = 8, planesPerBand = 4).count() == 0)
+    // …so the capped result is IDENTICAL to an effectively-uncapped run
+    val capped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 64, bands = 8, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 64, bands = 8, planesPerBand = 4, bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
   test("lsh bucket sizes stay sub-quadratic (the scale contract)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = emb.count()
