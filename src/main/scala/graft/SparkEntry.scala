@@ -236,11 +236,21 @@ object SparkEntry {
       hashFamily = "sha256")),
 
     // SimHash near-dup. sha256 family (60-bit signatures from sha256 token
-    // hashes) → the whole pipeline (signature, 15-bit banding, Hamming
-    // verification) is hash-checked against a DuckDB re-derivation.
+    // hashes) → the whole pipeline (signature, 15-bit banding, 3-tier
+    // bucket policy, Hamming verification) is hash-checked against a
+    // DuckDB re-derivation (oracle cut = hardCap, the only lossy tier).
     "q_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhashPairs(
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       maxHamming = 8, hashFamily = "sha256")),
+
+    // SimHash salted tier losslessness proof: bucketCap=1 forces EVERY
+    // multi-member band bucket through the salted grid self-join; the
+    // result must equal the UNCAPPED oracle — the grid loses and invents
+    // nothing (the simhash analogue of q_salted_pairs).
+    "q_dedup_simhash_salted" -> ((s, dir) => graft.operators.Dedup.simhashPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      maxHamming = 8, hashFamily = "sha256",
+      bucketCap = 1, hardCap = 1000000000, saltGroups = 8)),
 
     // brute-force cosine top-k (exact ANN baseline)
     "q_ann_bruteforce" -> ((s, dir) => graft.operators.Similarity.bruteForceTopK(
@@ -553,20 +563,26 @@ object SparkEntry {
       |  FROM bits GROUP BY id
       |)""".stripMargin
 
-  private def dedupSimhashOracle: String = {
+  /** @param hardCap the only lossy cut in the 3-tier simhash policy
+    *   (tiers 1+2 — plain and salted — are lossless, gate-proven by
+    *   q_dedup_simhash_salted matching this oracle WITHOUT a cut). */
+  private def dedupSimhashOracle(hardCap: Option[Int]): String = {
     val bandKeys = (0 until 4).map { b =>
       s"'$b:' || CAST((sig >> ${b * 15}) & 32767 AS VARCHAR)"
     }.mkString(", ")
-    // the bucket cap (500) folds into the re-derivation exactly like
-    // minhashLshOracle's: size each band bucket, keep only ≤ cap
+    val cut = hardCap match {
+      case Some(cap) =>
+        s""", sized AS (
+           |  SELECT key, count(*) AS n FROM banded GROUP BY key
+           |), good AS (
+           |  SELECT b.id, b.sig, b.key FROM banded b JOIN sized s USING (key)
+           |  WHERE s.n <= $cap
+           |)""".stripMargin
+      case None => ", good AS (SELECT id, sig, key FROM banded)"
+    }
     s"""WITH $shaSimhashCtes, banded AS (
        |  SELECT id, sig, unnest([$bandKeys]) AS key FROM sig
-       |), sized AS (
-       |  SELECT key, count(*) AS n FROM banded GROUP BY key
-       |), good AS (
-       |  SELECT b.id, b.sig, b.key FROM banded b JOIN sized s USING (key)
-       |  WHERE s.n <= 500
-       |), pairs AS (
+       |)$cut, pairs AS (
        |  SELECT DISTINCT a.id AS ia, b.id AS ib,
        |    bit_count(xor(a.sig, b.sig)) AS hamming
        |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
@@ -667,7 +683,8 @@ object SparkEntry {
       """SELECT (doc_id // 600) * 600 AS window_start, lang,
         |  count(*) AS pages
         |FROM documents GROUP BY 1, 2""".stripMargin,
-    "q_dedup_simhash" -> dedupSimhashOracle,
+    "q_dedup_simhash" -> dedupSimhashOracle(Some(100000)),
+    "q_dedup_simhash_salted" -> dedupSimhashOracle(None),
     "q_doc_signatures" -> docSignaturesOracle,
     "q_levenshtein_sim" ->
       s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,

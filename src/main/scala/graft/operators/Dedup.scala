@@ -134,67 +134,105 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
-  /** (id, sig, band key) rows for the SimHash banding — shared by
-    * [[simhashPairs]] and [[droppedSimhashBuckets]]. Token-less docs carry
-    * no signal and are excluded (exact dedup owns them). */
-  private def simhashBanded(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, sig) per tokenful doc — the signature column both SimHash tiers
+    * verify against. Token-less docs carry no signal and are excluded
+    * (exact dedup owns them). */
+  private def simhashSigs(docs: DataFrame, idCol: String, textCol: String,
       hashFamily: String): DataFrame = {
-    val (sigExpr, bandBits) =
-      if (hashFamily == "sha256")
-        (graft.functions.simhash60_sha(col(textCol)), 15)
-      else (graft.functions.simhash64(col(textCol)), 16)
-    val mask = (1L << bandBits) - 1
-    val sigs = docs
+    val sigExpr =
+      if (hashFamily == "sha256") graft.functions.simhash60_sha(col(textCol))
+      else graft.functions.simhash64(col(textCol))
+    docs
       .where(size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), sigExpr.as("sig"))
-    sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(bnd =>
-        concat(lit(s"$bnd:"),
-          shiftrightunsigned(col("sig"), bnd * bandBits).bitwiseAND(lit(mask)))): _*))
-        .as("key"))
   }
 
-  /** SimHash band buckets excluded by `bucketCap` with their sizes — the
+  /** (id, sig, band key) rows for the SimHash banding — shared by
+    * [[simhashPairs]] and [[droppedSimhashBuckets]]. */
+  private def simhashBanded(docs: DataFrame, idCol: String, textCol: String,
+      hashFamily: String): DataFrame = {
+    val bandBits = if (hashFamily == "sha256") 15 else 16
+    val mask = (1L << bandBits) - 1
+    simhashSigs(docs, idCol, textCol, hashFamily)
+      .select(col("id"), col("sig"),
+        explode(array((0 until 4).map(bnd =>
+          concat(lit(s"$bnd:"),
+            shiftrightunsigned(col("sig"), bnd * bandBits).bitwiseAND(lit(mask)))): _*))
+          .as("key"))
+  }
+
+  /** SimHash band buckets excluded by `hardCap` with their sizes — the
     * non-silent record of what the banding dropped (same observability
     * contract as [[droppedMinhashBuckets]] / Linkage.droppedBuckets). */
   def droppedSimhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-      bucketCap: Int = 500, hashFamily: String = "fnv"): DataFrame =
+      hardCap: Int = 100000, hashFamily: String = "fnv"): DataFrame =
     simhashBanded(docs, idCol, textCol, hashFamily)
       .groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .where(col("n") > bucketCap)
+      .where(col("n") > hardCap)
 
   /** SimHash near-dup pairs: banded signatures (4 bands — two near-dup
     * docs within Hamming distance 3 share ≥1 identical band), then exact
     * Hamming verification via bit_count(xor).
     *
-    * Band buckets larger than `bucketCap` are dropped BEFORE the self-join
-    * (observable via [[droppedSimhashBuckets]], never silent). Without the
-    * cap a degenerate band value — e.g. the all-zeros key that short or
-    * boilerplate documents gravitate to — re-quadratizes the join inside
-    * one bucket on a repetitive corpus; a 15/16-bit band on near-identical
-    * votes is exactly such an attractor. Sizing is groupBy + join-back
-    * (map-side-combining aggregate + AQE-skew-splittable equi-join), not a
-    * window count, for the same straggler reasons as [[minhashLshPairs]].
+    * Three-tier skew policy, same shape as Linkage.candidatePairs (a
+    * 15/16-bit band over near-identical votes is a bucket attractor on
+    * boilerplate corpora — the all-zeros key especially — and an uncapped
+    * band join re-quadratizes inside one bucket):
+    *
+    *  1. buckets ≤ `bucketCap`: plain equi-self-join, signatures carried
+    *     through the join (no second lookup);
+    *  2. `bucketCap` < n ≤ `hardCap`: LOSSLESS salted grid self-join
+    *     (Linkage.saltedSelfJoin) over ids only — the bucket's quadratic
+    *     work shards across saltGroups² tasks, and signatures re-attach
+    *     via two id-keyed equi-joins (ids+sigs are scalars; nothing wide
+    *     ever enters the grid shuffle). Unlike dropping, near-dups inside
+    *     hot boilerplate buckets are KEPT — boilerplate is precisely where
+    *     SimHash near-dups live;
+    *  3. n > `hardCap`: dropped, observably — [[droppedSimhashBuckets]]
+    *     records them (a bucket that big carries no discriminative signal).
+    *
+    * Sizing is groupBy + join-back (map-side-combining aggregate +
+    * AQE-skew-splittable equi-join), not a window count, for the same
+    * straggler reasons as [[minhashLshPairs]].
     *
     * `hashFamily`: `fnv` (production: 64-bit FNV/splitmix token hashes,
     * 4×16-bit bands) or `sha256` (60-bit signature from sha256 token
     * hashes, 4×15-bit bands) — the sha256 family is reproducible in ANSI
     * SQL end-to-end, which is how the driver gate hash-checks this
-    * operator against DuckDB (the cap folds into the oracle as a
-    * HAVING-style cut on the banded CTE). */
+    * operator against DuckDB (tiers 1+2 are lossless, so the oracle's
+    * only cut is `n <= hardCap` on the banded CTE; the salted tier's
+    * losslessness is itself gate-proven by `q_dedup_simhash_salted`,
+    * which forces every bucket through the grid and must equal the
+    * uncapped oracle). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, hashFamily: String = "fnv",
-      bucketCap: Int = 500): DataFrame = {
+      bucketCap: Int = 500, hardCap: Int = 100000,
+      saltGroups: Int = 16): DataFrame = {
     val banded = simhashBanded(docs, idCol, textCol, hashFamily)
     val sized = banded.select(col("key")).groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
-    val good = banded.join(sized.where(col("n") <= bucketCap), "key")
+    val keyed = banded.join(sized, "key")
+    // tier 1: plain join, sig rides along
+    val good = keyed.where(col("n") <= bucketCap)
       .select(col("key"), col("id"), col("sig"))
     val a = good.select(col("key"), col("id").as("ia"), col("sig").as("siga"))
     val b = good.select(col("key"), col("id").as("ib"), col("sig").as("sigb"))
-    a.join(b, "key").where(col("ia") < col("ib"))
+    val cold = a.join(b, "key").where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+    // tier 2: salted grid over (key, id) only; sigs re-attached by id
+    val hot = keyed
+      .where(col("n") > bucketCap && col("n") <= hardCap)
+      .select(col("key"), col("id").as("url"))
+    val sigs = simhashSigs(docs, idCol, textCol, hashFamily)
+    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups)
+      .join(sigs.select(col("id").as("url_a"), col("sig").as("siga")), "url_a")
+      .join(sigs.select(col("id").as("url_b"), col("sig").as("sigb")), "url_b")
+      .select(col("url_a").as("ia"), col("url_b").as("ib"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+    // a pair can surface from several bands (and from different tiers for
+    // different bands) — hamming is identical each time, so distinct is exact
+    cold.union(hotPairs)
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

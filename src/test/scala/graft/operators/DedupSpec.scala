@@ -61,28 +61,48 @@ class DedupSpec extends SparkFunSuite {
       .foreach(p => assert(p._3 == 1.0))
   }
 
-  test("simhash hot-bucket cap drops are observable, never silent") {
+  test("simhash 3-tier policy: salted grid is lossless, hardCap drops observably") {
     // degenerate boilerplate fixture: identical docs → identical signatures
     // → every band bucket is an attractor holding ALL of them (the shape
     // that would re-quadratize an uncapped band join on a repetitive corpus)
     val many = (1L to 20L)
       .map(i => (i, "boilerplate nav header repeated verbatim on every page"))
       .toDF("doc_id", "text")
-    val pairs = Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
-      bucketCap = 5)
-    assert(pairs.count() == 0)
-    // …and the drop is reported with bucket sizes, per band
+    val full = 20L * 19 / 2
+    // tier 2: buckets over bucketCap route through the salted grid —
+    // NOTHING is lost (boilerplate is where simhash near-dups live)
+    assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
+      bucketCap = 5, saltGroups = 4).count() == full)
+    // tier 1 alone (cap above the bucket size) agrees
+    assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
+      bucketCap = 20).count() == full)
+    // tier 3: buckets over hardCap are dropped…
+    assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
+      bucketCap = 5, hardCap = 10).count() == 0)
+    // …and the drop is reported with bucket sizes, per band — never silent
     val dropped = Dedup.droppedSimhashBuckets(many, "doc_id", "text",
-      bucketCap = 5).collect()
+      hardCap = 10).collect()
     assert(dropped.length == 4)
     assert(dropped.forall(_.getLong(1) == 20L))
-    // above the cap the full (here: quadratic) pair set returns — the cap
-    // is the only thing standing between a hot bucket and n²/2 pairs
+    // both hash families run through the same tiered join
     assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
-      bucketCap = 20).count() == 20L * 19 / 2)
-    // both hash families run through the same capped join
+      hashFamily = "sha256", bucketCap = 5, hardCap = 10).count() == 0)
     assert(Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 8,
-      hashFamily = "sha256", bucketCap = 5).count() == 0)
+      hashFamily = "sha256", bucketCap = 5, saltGroups = 4).count() == full)
+  }
+
+  test("simhash salted tier equals plain tier on mixed near-dup data") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("token30", "changed")),
+      (4L, (1 to 60).map(i => s"word$i").mkString(" ")),
+      (5L, base.replace("token10", "altered")),
+    ).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.simhashPairs(docs2, "doc_id", "text",
+      maxHamming = 8, bucketCap = cap, saltGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(1) == run(100)) // all-salted == all-plain, hamming included
   }
 
   test("ngramJaccard composite block keys never merge across columns") {
