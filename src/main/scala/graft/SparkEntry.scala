@@ -194,6 +194,39 @@ object SparkEntry {
 
     // ---- training-data operators over documents/embeddings ----
 
+    // deterministic train/val/test split: a pure hash projection (no
+    // shuffle, no RNG — reproducible across reruns/partitionings, the
+    // property randomSplit lacks). sha256-derived, so the oracle
+    // re-derives the exact assignment from the digest hex.
+    "q_split_assign" -> ((s, dir) => graft.operators.Sampling.splitAssign(
+      s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split_name"))),
+
+    // per-stratum quota sample in deterministic sha256 order (balance
+    // the corpus per (lang, source)); WindowGroupLimit bounds the hot
+    // stratum before the shuffle
+    "q_sample_stratified" -> ((s, dir) => graft.operators.Sampling.stratifiedSample(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+      Seq("lang", "source"), quota = 20)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))),
+
+    // PII scrub over text synthesized (identically in the oracle) to
+    // carry a URL, an email, a phone run, and an IPv4 per row — the
+    // shared documents table has no native PII, so the query builds a
+    // deterministic PII-bearing column from table values first
+    "q_scrub_pii" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id").cast("string")
+      val dirty = concat(
+        substring(col("text"), 1, 40),
+        lit(" mail u"), k, lit("@ex-a.org via https://h"), k,
+        lit(".example/p?q=1 tel +1 (555) 01"), k,
+        lit(" host 10.0.0."), pmod(col("doc_id"), lit(200)).cast("string"))
+      d.select(col("doc_id"), dirty.as("dirty"),
+        graft.operators.TextAnalysis.scrubPii(dirty).as("scrubbed"))
+    }),
+
     // token counting (whitespace + BPE-ish regex) + quality scoring +
     // language-ID heuristic
     "q_text_analysis" -> ((s, dir) => {
@@ -667,10 +700,66 @@ object SparkEntry {
        |FROM m""".stripMargin
   }
 
+  /** Deterministic split oracle: frac = 32-bit value of the first 8 hex
+    * chars of sha256(doc_id ':42') over 2^32; the interval cuts are
+    * interpolated from the SAME Scala cumulative sum the operator uses
+    * (0.8 + 0.1 in binary64 is 0.9000000000000001, not 0.9 — a hand-typed
+    * '0.9' literal would misclassify a row landing in the gap). */
+  private def splitAssignOracle: String = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val nibbles = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    val cases = weights.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN frac < CAST('$cut' AS DOUBLE) THEN '$name'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':42') AS hx
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, CAST($nibbles AS DOUBLE) / 4294967296.0 AS frac FROM h
+       |)
+       |SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split_name
+       |FROM v""".stripMargin
+  }
+
+  /** The scrub oracle applies the IDENTICAL Java∩RE2 pattern strings in
+    * the identical order over the identically-constructed dirty text. */
+  private def scrubPiiOracle: String = {
+    // single line: the enclosing template's stripMargin must not see
+    // continuation lines whose leading `|` belongs to a SQL `||`
+    val dirty = "substring(text, 1, 40) || ' mail u' || CAST(doc_id AS VARCHAR)" +
+      " || '@ex-a.org via https://h' || CAST(doc_id AS VARCHAR)" +
+      " || '.example/p?q=1 tel +1 (555) 01' || CAST(doc_id AS VARCHAR)" +
+      " || ' host 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)"
+    val scrub = graft.operators.TextAnalysis.PiiPatterns
+      .foldLeft("dirty") { case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+    s"""WITH d AS (
+       |  SELECT doc_id, $dirty AS dirty FROM documents
+       |)
+       |SELECT doc_id, dirty, $scrub AS scrubbed FROM d""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_media_features" -> mediaFeaturesOracle,
+    "q_split_assign" -> splitAssignOracle,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':42') ASC, doc_id ASC)
+        |      AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, sample_rank FROM r
+        |WHERE sample_rank <= 20""".stripMargin,
+    "q_scrub_pii" -> scrubPiiOracle,
     "q_minhash_band_keys" -> minhashBandKeysOracle,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_ann_lsh" -> annLshOracle,

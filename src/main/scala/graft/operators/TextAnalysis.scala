@@ -82,6 +82,34 @@ object TextAnalysis {
         (lit(1.0) - punctRatio) * lit(0.3))
   }
 
+  /** PII-scrub patterns, restricted (like [[BpeTokenPattern]]) to the
+    * Java∩RE2 regex dialect — no lookahead, no backreferences, whitespace
+    * spelled explicitly — so the DuckDB oracle applies the IDENTICAL
+    * pattern strings and must produce the identical scrub. Order matters
+    * and is pinned, most-specific first: URLs before emails (else the
+    * `user@host` inside a URL is half-eaten), emails before number runs
+    * (an email's digits must not become a phone), dotted quads before
+    * phone runs (the phone class contains '.', so an unscrubbed IP parses
+    * as a phone). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ \\t\\n\\x0B\\f\\r]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    // IPv4 (conservative: any dotted quad)
+    "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+" -> "<IP>",
+    // international-ish phone runs: 7+ digits allowing separators
+    "\\+?[0-9][0-9()./ -]{5,}[0-9]" -> "<PHONE>",
+  )
+
+  /** Masks URLs, emails, phone-number runs, and IPv4 literals with typed
+    * placeholder tokens — the standard pre-training scrub pass. A pure
+    * per-row projection (chained codegen `regexp_replace`, global
+    * replacement): zero shuffle at any scale, and column pruning keeps it
+    * a one-column rewrite inside the scan pipeline. */
+  def scrubPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Per-document analysis frame over (idCol, textCol). */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
