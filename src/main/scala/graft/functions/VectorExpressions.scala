@@ -59,6 +59,36 @@ object VectorKernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Strict left-fold dot product in double — the identical fold
+    * [[cosineF]] accumulates, exposed separately so ANN operators can
+    * precompute per-VECTOR norms once instead of re-folding both norms
+    * inside every pair: `dotF(a,b) / (normF(a) * normF(b))` is
+    * bit-identical to `cosineF(a,b)` (same folds, same sqrt, same
+    * division) at a third of the per-pair flops. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** sqrt of the strict left-fold sum of squares — [[cosineF]]'s norm. */
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    math.sqrt(na)
+  }
 }
 
 /** hyperplane_sig(array<float>) → int: packed sign pattern of one LSH
@@ -92,6 +122,52 @@ case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
     val ref = ctx.addReferenceObj("planes", planesArr, "double[][]")
     defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.sigBits($v, $ref)")
   }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** vec_dot(array<float>, array<float>) → double: the strict left-fold
+  * dot product (the dot inside [[CosineSim]], fused codegen). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec_norm(array<float>) → double: sqrt of the left-fold sum of squares
+  * (the norm inside [[CosineSim]], fused codegen). Precompute it once per
+  * vector and `vec_dot(a,b) / (norm_a * norm_b)` is bit-identical to
+  * `cosine_sim(a,b)` at a third of the per-pair work. */
+case class VecNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.normF(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.normF($v)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

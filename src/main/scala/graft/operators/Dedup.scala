@@ -238,15 +238,22 @@ object Dedup {
   }
 
   /** Exact cosine near-dup pairs over an embedding column, blocked by
-    * `blockCol` (quadratic per block — use [[Similarity]] LSH at scale). */
+    * `blockCol` (quadratic per block — use [[Similarity]] LSH at scale).
+    * Per-vector norms are computed once and carried as scalars: the
+    * per-pair cosine is one dot fold, not dot + both norms — bit-identical
+    * by construction (same folds, same sqrt, same division). */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, tau: Double): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("bk"))
-    val a = base.select(col("bk"), col("id").as("ia"), col("v").as("va"))
-    val b = base.select(col("bk"), col("id").as("ib"), col("v").as("vb"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(blockCol).as("bk"), graft.functions.vec_norm(col(vecCol)).as("nrm"))
+    val a = base.select(col("bk"), col("id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = base.select(col("bk"), col("id").as("ib"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, "bk").where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
-        Similarity.cosine(col("va"), col("vb")).as("cos"))
+        (graft.functions.vec_dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= tau)
   }
 }

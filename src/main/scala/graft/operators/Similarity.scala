@@ -35,15 +35,25 @@ object Similarity {
     * interpreted higher-order-function form. */
   def cosine(a: Column, b: Column): Column = graft.functions.cosine_sim(a, b)
 
+  /** Pairwise cosine from a precomputed-norm pair: bit-identical to
+    * [[cosine]] (same left folds, same sqrt, same division) but the n²
+    * pair loop folds ONE dot instead of dot + both norms — the norms are
+    * computed once per VECTOR and carried as a scalar column. On the
+    * brute-force baseline that is a third of the flops. */
+  private def cosPre(va: Column, na: Column, vb: Column, nb: Column): Column =
+    graft.functions.vec_dot(va, vb) / (na * nb)
+
   /** Exact top-k neighbors per vector by cosine (ties broken by neighbor
     * id ascending — deterministic). Output: (vec_id, neighbor_id, rank, cos). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"))
+    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"),
+      graft.functions.vec_norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"),
+      graft.functions.vec_norm(col(vecCol)).as("nb"))
     val scored = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("va"), col("vb")).as("cos"))
+        cosPre(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -174,15 +184,19 @@ object Similarity {
       hashOrder: String = "xxhash64"): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = fitCentroids(base, nCentroids, iters, sampleN, seed, hashOrder)
+    // per-vector norm computed ONCE and carried as a scalar (cosPre);
+    // centroid assignment keeps the plain fused cosine — one pass per row
     val index = base.select(
       nearestCid(col("v"), cents).as("cid"),
-      col("id").as("neighbor_id"), col("v").as("vb"))
+      col("id").as("neighbor_id"), col("v").as("vb"),
+      graft.functions.vec_norm(col("v")).as("nb"))
     val probes = base.select(col("id").as("vec_id"), col("v").as("va"),
+      graft.functions.vec_norm(col("v")).as("na"),
       explode(probeCids(col("v"), cents, nProbe)).as("cid"))
     val scored = probes.join(index, "cid")
       .where(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("va"), col("vb")).as("cos"))
+        cosPre(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -206,8 +220,9 @@ object Similarity {
       concat(lit(s"$bnd:"),
         graft.functions.hyperplane_sig(col("v"), planes(bnd))).as(s"band$bnd")
     }
-    base.select(col("id") +: col("v") +: bandKeys: _*)
-      .select(col("id"), col("v"),
+    base.select(col("id") +: col("v") +:
+        graft.functions.vec_norm(col("v")).as("nrm") +: bandKeys: _*)
+      .select(col("id"), col("v"), col("nrm"),
         explode(array((0 until bands).map(bnd => col(s"band$bnd")): _*)).as("key"))
   }
 
@@ -247,7 +262,7 @@ object Similarity {
     val sized = all.select(col("key")).groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
     val bucketed = all.join(sized.where(col("n") <= bucketCap), "key")
-      .select(col("key"), col("id"), col("v"))
+      .select(col("key"), col("id"), col("v"), col("nrm"))
     // Score INSIDE the bucket join, then dedup multi-band collisions on
     // (vec_id, neighbor_id) scalars only. A distinct over the raw pair
     // rows would put both 64-float vectors in the shuffle key (embedding
@@ -255,10 +270,13 @@ object Similarity {
     // normalization for grouping); duplicates here carry identical cos,
     // so max() is exact and the partial aggregate combines them map-side
     // before the shuffle.
-    val scored = bucketed.select(col("key"), col("id").as("vec_id"), col("v").as("va"))
-      .join(bucketed.select(col("key"), col("id").as("neighbor_id"), col("v").as("vb")), "key")
+    val scored = bucketed.select(col("key"), col("id").as("vec_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(bucketed.select(col("key"), col("id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb")), "key")
       .where(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosPre(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
       .groupBy(col("vec_id"), col("neighbor_id"))
       .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("vec_id"))

@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkFunSuite {
       }
   }
 
+  test("precomputed-norm cosine is BIT-identical to the fused cosine") {
+    // the ANN operators fold one dot per pair and reuse per-vector norms;
+    // that decomposition must equal cosine_sim exactly (==), not within
+    // epsilon — the DuckDB oracles hash the values
+    val rng = new scala.util.Random(3)
+    val vecs = Seq.fill(64)(Array.fill(64)(rng.nextFloat() * 2 - 1))
+    val df = (for (a <- vecs; b <- vecs) yield (a, b)).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.cosine_sim(col("a"), col("b")).as("fused"),
+      (graft.functions.vec_dot(col("a"), col("b")) /
+        (graft.functions.vec_norm(col("a")) * graft.functions.vec_norm(col("b"))))
+        .as("pre")).collect()
+    rows.foreach { r =>
+      val (f, p) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(p), s"$f != $p")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
