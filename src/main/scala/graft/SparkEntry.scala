@@ -351,6 +351,35 @@ object SparkEntry {
         .select(col("url_a"), col("url_b"), col("score"))
     }),
 
+    // streaming: stream-STREAM windowed join — two live streams (the
+    // documents table replayed twice through independent file sources)
+    // joined on block_key within an event-time band of ±120 s, with
+    // watermark-bounded join state on both sides. Inner-join append over
+    // a bounded replay equals the static self-join with the same band,
+    // which is exactly what the oracle computes (pairs canonicalized
+    // url_a < url_b — each unordered pair meets once in that direction).
+    "q_stream_join" -> ((s, dir) => {
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val name = regexp_replace(lower(substring_index(col("text"), "\n", 1)),
+        "[^a-z0-9]", "")
+      val keyedOf = (df: DataFrame) => df.select(
+        col("doc_id").cast("string").as("url"),
+        name.as("name_norm"),
+        concat(col("lang"), lit(":"), col("source"), lit(":"),
+          substring(name, 1, 2)).as("block_key"),
+        // +1 day: event time at exactly epoch 0 equals the initial watermark
+        (col("doc_id") + lit(86400L)).cast("timestamp").as("ts"))
+      val sA = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
+      val sB = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
+      val m = graft.streaming.StreamingLinkage.streamStreamMatches(
+        keyedOf(sA), keyedOf(sB), theta = 1.5, maxDelaySeconds = 120)
+      runToMemorySink(s, m, "q_stream_join", "append")
+        .where(col("url_a") < col("url_b"))
+        .select(col("url_a"), col("url_b"), col("score"))
+    }),
+
     // streaming: STATEFUL cross-batch incremental matching
     // (flatMapGroupsWithState). Replayed over the documents table with an
     // uncapped per-key state, every unordered pair scoring ≥ theta is
@@ -641,17 +670,23 @@ object SparkEntry {
   /** Oracle for the streaming match queries: JW + multiset-Dice over
     * normalized first-line names within (lang, source, prefix) blocks.
     * `pairCond` is `<>` for stream-static (both directions emitted) and
-    * `<` for stateful incremental (each unordered pair once). */
-  private def streamOracle(pairCond: String): String =
+    * `<` for stateful incremental / canonicalized stream-stream (each
+    * unordered pair once); `bandSeconds` adds the stream-stream join's
+    * event-time band (event time = doc_id seconds, so the band is a
+    * doc_id-difference cut). */
+  private def streamOracle(pairCond: String,
+      bandSeconds: Option[Long] = None): String = {
+    val band = bandSeconds
+      .map(s => s" AND abs(a.doc_id - b.doc_id) <= $s").getOrElse("")
     s"""WITH k AS (
-       |  SELECT CAST(doc_id AS VARCHAR) AS url,
+       |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS url,
        |    regexp_replace(lower(split_part(text, chr(10), 1)), '[^a-z0-9]', '', 'g') AS name,
        |    lang || ':' || source || ':' ||
        |      substr(regexp_replace(lower(split_part(text, chr(10), 1)), '[^a-z0-9]', '', 'g'), 1, 2) AS bk
        |  FROM documents
        |), pairs AS (
        |  SELECT a.url AS url_a, b.url AS url_b, a.name AS na, b.name AS nb
-       |  FROM k a JOIN k b ON a.bk = b.bk AND a.url $pairCond b.url
+       |  FROM k a JOIN k b ON a.bk = b.bk AND a.url $pairCond b.url$band
        |), exploded AS (
        |  SELECT url_a, url_b, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
        |  UNION ALL
@@ -671,6 +706,7 @@ object SparkEntry {
        |  FROM pairs p JOIN sums s ON p.url_a = s.url_a AND p.url_b = s.url_b
        |)
        |SELECT url_a, url_b, score FROM scored WHERE score >= 1.5""".stripMargin
+  }
 
   /** sha-family media features: feature d = the 24-bit big-endian integer
     * spelled by hex chars [6d+1, 6d+6] of sha256(blob), over 2^24; the
@@ -766,6 +802,7 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),
     "q_stream_incremental" -> streamOracle("<"),
+    "q_stream_join" -> streamOracle("<", bandSeconds = Some(120L)),
     "q_stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS content_hash FROM documents",
     "q_stream_metrics" ->

@@ -65,6 +65,39 @@ object StreamingLinkage {
       .where(col("score") >= theta)
   }
 
+  /** Stream-STREAM windowed join: match records across two live streams
+    * (e.g. two crawl feeds) on the blocking key within an event-time band
+    * of ±`maxDelaySeconds`. Spark buffers both sides in watermark-bounded
+    * join state, so pairs match ACROSS micro-batches in either direction —
+    * the capability neither the stream-static join (static side frozen)
+    * nor the keyed-state matcher (one stream) covers.
+    *
+    * Scale/state contract: both sides carry a watermark, and the join
+    * condition carries the time band — together they let the state store
+    * evict rows older than (watermark − band), so state is bounded by
+    * stream-rate × (watermark + band), not by history. Inner-join results
+    * emit immediately (append mode does not wait for the watermark).
+    * Output is directed (url_a from left, url_b from right); callers
+    * canonicalize with url_a < url_b when joining a stream to itself. */
+  def streamStreamMatches(left: DataFrame, right: DataFrame, theta: Double,
+      maxDelaySeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("url").as("url_a"), col("name_norm").as("name_a"),
+      col("block_key").as("bk_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+    val r = right.select(col("url").as("url_b"), col("name_norm").as("name_b"),
+      col("block_key").as("bk_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+    l.join(r,
+      col("bk_a") === col("bk_b") &&
+        col("url_a") =!= col("url_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $maxDelaySeconds SECONDS") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+      .select(col("url_a"), col("url_b"),
+        (jaro_winkler_sim(col("name_a"), col("name_b")) +
+          sorensen_dice_sim(col("name_a"), col("name_b"))).as("score"))
+      .where(col("score") >= theta)
+  }
+
   /** Stateful incremental matching: per block_key, keep the names seen so
     * far (capped) and emit a match for every new arrival that scores ≥
     * theta against remembered ones — matches ACROSS micro-batches, which a

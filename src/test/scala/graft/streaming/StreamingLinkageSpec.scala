@@ -74,6 +74,34 @@ class StreamingLinkageSpec extends SparkFunSuite {
     assert(got == Set(("u1", "u2")))
   }
 
+  test("stream-stream join matches across batches within the time band") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[(String, String, String, Timestamp)]
+    val inB = MemoryStream[(String, String, String, Timestamp)]
+    def df(m: MemoryStream[(String, String, String, Timestamp)]) =
+      m.toDF().toDF("url", "name_norm", "block_key", "ts")
+    val q = StreamingLinkage.streamStreamMatches(df(inA), df(inB),
+      theta = 1.6, maxDelaySeconds = 300)
+      .writeStream.format("memory").queryName("ss1").outputMode("append").start()
+    inA.addData(("a1", "pemberton", "bk1", new Timestamp(1000000L)))
+    q.processAllAvailable()
+    // LATER batch on the OTHER stream still matches (both sides buffered
+    // in join state — the capability stream-static lacks)
+    inB.addData(
+      ("b1", "pemberton", "bk1", new Timestamp(1100000L)),  // in band: match
+      ("b2", "pemberton", "bk1", new Timestamp(9000000L)),  // out of band
+      ("b3", "pemberton", "bk2", new Timestamp(1100000L)),  // other block
+      ("b4", "zanzibar", "bk1", new Timestamp(1100000L)))   // low score
+    q.processAllAvailable()
+    // and the reverse direction: a later A row matches buffered B rows
+    inA.addData(("a2", "pemberton", "bk1", new Timestamp(1200000L)))
+    q.processAllAvailable()
+    val got = spark.sql("select url_a, url_b from ss1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set(("a1", "b1"), ("a2", "b1")), got.toString)
+  }
+
   test("windowed throughput metrics aggregate by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Page]
