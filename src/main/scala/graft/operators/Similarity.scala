@@ -143,15 +143,28 @@ object Similarity {
 
   private def litVec(c: Array[Float]): Column = array(c.map(lit(_)): _*)
 
+  /** Per-centroid cosine scores as (cos, -id) structs. The row vector's
+    * norm appears once (codegen subexpression elimination folds the
+    * repeated vec_norm into one evaluation) and each centroid's norm is a
+    * plan-time Scala constant computed with the IDENTICAL left fold the
+    * kernel uses — so each score is bit-identical to the fused
+    * cosine_sim(v, centroid) while folding one dot per centroid instead
+    * of dot + both norms. */
+  private def centScores(v: Column, cents: Array[Array[Float]]): Seq[Column] = {
+    val nv = graft.functions.vec_norm(v)
+    cents.indices.map { i =>
+      val nc = math.sqrt(cents(i).foldLeft(0.0)(
+        (acc, x) => acc + x.toDouble * x.toDouble))
+      struct((graft.functions.vec_dot(v, litVec(cents(i))) / (nv * lit(nc)))
+        .as("c"), lit(-i).as("ni"))
+    }
+  }
+
   /** argmax over centroids by cosine; ties break to the LOWER centroid id
     * (struct max on (cos, -id)). Pure codegen'd expressions — evaluated
     * per row inside whole-stage codegen, no UDF. */
-  private def nearestCid(v: Column, cents: Array[Array[Float]]): Column = {
-    val scored = cents.indices.map { i =>
-      struct(cosine(v, litVec(cents(i))).as("c"), lit(-i).as("ni"))
-    }
-    array_max(array(scored: _*)).getField("ni") * -1
-  }
+  private def nearestCid(v: Column, cents: Array[Array[Float]]): Column =
+    array_max(array(centScores(v, cents): _*)).getField("ni") * -1
 
   /** The `nProbe` nearest centroid ids, best first. Ties break to the
     * LOWER centroid id — the SAME order as [[nearestCid]], so on an exact
@@ -159,13 +172,9 @@ object Similarity {
     * (a mismatched tie order would probe the own list last or drop it
     * past nProbe, a silent recall leak). */
   private def probeCids(v: Column, cents: Array[Array[Float]],
-      nProbe: Int): Column = {
-    val scored = cents.indices.map { i =>
-      struct(cosine(v, litVec(cents(i))).as("c"), lit(-i).as("ni"))
-    }
-    transform(slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      nProbe: Int): Column =
+    transform(slice(reverse(array_sort(array(centScores(v, cents): _*))), 1, nProbe),
       s => s.getField("ni") * -1)
-  }
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
     * path, complementing [[lshTopK]].
