@@ -141,7 +141,8 @@ object Similarity {
     cents.map(_.map(_.toFloat))
   }
 
-  private def litVec(c: Array[Float]): Column = array(c.map(lit(_)): _*)
+  private def litVec(c: Array[Float]): Column =
+    array(c.toIndexedSeq.map(x => lit(x)): _*)
 
   /** Per-centroid cosine scores as (cos, -id) structs. The row vector's
     * norm appears once (codegen subexpression elimination folds the
