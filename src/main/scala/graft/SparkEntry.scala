@@ -238,6 +238,22 @@ object SparkEntry {
         graft.operators.TextAnalysis.langId(col("text")).as("lang_id"))
     }),
 
+    // Gopher-style repetition quality signals over a deterministically
+    // synthesized multi-line view of each document (the corpus text is
+    // single-line, so line structure is constructed identically on both
+    // sides, like q_scrub_pii's dirty column; line 3 == line 1 guarantees
+    // every doc has genuine duplicate-line signal)
+    "q_quality_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ml = concat(
+        substring(col("text"), 1, 60), lit("\n"),
+        substring(col("text"), 31, 90), lit("\n"),
+        substring(col("text"), 1, 60), lit("\n"),
+        substring(col("text"), 121, 100000))
+      graft.operators.TextAnalysis.repetitionSignals(
+        d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
+    }),
+
     // document fingerprint + simhash signatures, sha256 family: the
     // fingerprint is the min sha digest over 16-char shingles (a true
     // min-k-gram fingerprint) and the simhash is the 60-bit sha variant —
@@ -938,6 +954,58 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // repetition signals: every fraction is one division of two integer
+    // counters (sums/max of code-point lengths), so DOUBLE equality is
+    // exact; bigram keys join words with chr(1), matching the kernel
+    "q_quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || substr(text, 31, 90) || chr(10)
+        |      || substr(text, 1, 60) || chr(10) || substr(text, 121, 100000) AS ml
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, trim(l, ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS line
+        |  FROM (SELECT doc_id, unnest(string_split(ml, chr(10))) AS l FROM d)
+        |), nl AS (
+        |  SELECT doc_id, line, count(*) AS c, len(line) AS ln
+        |  FROM lines WHERE line <> '' GROUP BY doc_id, line
+        |), lagg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(c - 1) AS BIGINT) AS dup_inst,
+        |    CAST(sum((c - 1) * ln) AS BIGINT) AS dup_chars,
+        |    CAST(sum(c * ln) AS BIGINT) AS tot_chars
+        |  FROM nl GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(ml, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS tk
+        |  FROM d
+        |), wagg AS (
+        |  SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS word_chars
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || chr(1) || tk[i + 1])) AS bg
+        |  FROM toks WHERE len(tk) >= 2
+        |), bgc AS (
+        |  SELECT doc_id, bg, count(*) AS c, len(bg) - 1 AS bl FROM bg GROUP BY doc_id, bg
+        |), bagg AS (
+        |  SELECT doc_id, CAST(max(c * bl) AS BIGINT) AS top_cover FROM bgc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(l.n_lines, 0) AS n_lines,
+        |  CASE WHEN COALESCE(l.n_lines, 0) > 0
+        |       THEN CAST(l.dup_inst AS DOUBLE) / CAST(l.n_lines AS DOUBLE)
+        |       ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN COALESCE(l.tot_chars, 0) > 0
+        |       THEN CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE)
+        |       ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN COALESCE(w.word_chars, 0) > 0
+        |       THEN CAST(COALESCE(b.top_cover, 0) AS DOUBLE) / CAST(w.word_chars AS DOUBLE)
+        |       ELSE 0.0 END AS top_bigram_cover_frac
+        |FROM d
+        |LEFT JOIN lagg l USING (doc_id)
+        |LEFT JOIN wagg w USING (doc_id)
+        |LEFT JOIN bagg b USING (doc_id)""".stripMargin,
     "q_dedup_exact" ->
       """WITH hashed AS (
         |  SELECT doc_id AS id, sha256(text) AS content_hash FROM documents

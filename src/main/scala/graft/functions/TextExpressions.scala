@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.strsim.TextKernels
@@ -39,6 +39,20 @@ case class SimHashSha60(child: Expression) extends TextHashExpression {
     TextKernels.simhash60Sha(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.simhash60Sha($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Gopher-style repetition counters (array<long> of 6, see
+  * [[graft.strsim.TextKernels.repetitionCounters]]): raw integer counters
+  * behind duplicate-line / duplicate-line-char / top-bigram-coverage
+  * fractions. One fused pass per document inside whole-stage codegen. */
+case class RepetitionCounters(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "repetition_counters"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.repetitionCounters(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.repetitionCounters($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

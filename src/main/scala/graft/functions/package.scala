@@ -59,6 +59,11 @@ package object functions {
   /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
   def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
 
+  /** Gopher-style repetition counters (array<long> of 6 — line instances,
+    * dup line instances, dup line chars, total line chars, top bigram
+    * coverage, total word chars); fractions derive by integer division. */
+  def repetition_counters(c: Column): Column = wrap(RepetitionCounters(expr(c)))
+
   /** Fused codegen cosine similarity over array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column = wrap(CosineSim(expr(a), expr(b)))
 
@@ -102,6 +107,7 @@ package object functions {
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "repetition_counters" -> (es => RepetitionCounters(es(0))),
     "simhash60_sha" -> (es => SimHashSha60(es(0))),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "vec_dot" -> (es => VecDot(es(0), es(1))),

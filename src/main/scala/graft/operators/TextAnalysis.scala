@@ -110,6 +110,27 @@ object TextAnalysis {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021) per
+    * document: duplicate-line fraction, duplicate-line character fraction,
+    * and the character coverage of the most-repeated word bigram — the
+    * standard cheap filters for boilerplate/spam in web-scale pretraining
+    * corpora. One fused kernel pass per row
+    * ([[graft.functions.repetition_counters]]), zero shuffle at any scale;
+    * each fraction is a single division of two exact integer counters, so
+    * the DuckDB oracle reproduces the doubles bit-for-bit. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withCtr = docs.select(col(idCol),
+      graft.functions.repetition_counters(col(textCol)).as("ctr"))
+    def c(i: Int): Column = element_at(col("ctr"), i + 1)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    withCtr.select(col(idCol),
+      c(0).as("n_lines"),
+      frac(c(1), c(0)).as("dup_line_frac"),
+      frac(c(2), c(3)).as("dup_line_char_frac"),
+      frac(c(4), c(5)).as("top_bigram_cover_frac"))
+  }
+
   /** Per-document analysis frame over (idCol, textCol). */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -118,6 +118,92 @@ object TextKernels {
     sig
   }
 
+  /** Trim set for line-level repetition stats: the [[isSpace]] class minus
+    * '\n' (a line, being a '\n'-split fragment, cannot contain one) —
+    * expressed in SQL as `trim(l, ' ' || chr(9) || chr(11) || chr(12) ||
+    * chr(13))`, which is how the driver oracle reproduces it. */
+  @inline private def isLineTrim(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Repetition counters for Gopher-style quality filtering (Rae et al.
+    * 2021, "Scaling Language Models", Table A1): the raw integer counters
+    * behind duplicate-line fraction, duplicate-line character fraction,
+    * and most-repeated-bigram character coverage. Returned as counters —
+    * not fractions — so the caller derives each fraction with a SINGLE
+    * division of two exact integers, which any ANSI engine reproduces
+    * bit-for-bit (the DuckDB driver oracle does).
+    *
+    * Layout (all counts in code points, matching SQL `length()`):
+    *   0  line instances            — nonempty lines after trimming
+    *                                  [[isLineTrim]] from both ends
+    *   1  duplicate line instances  — Σ over distinct lines of (count-1)
+    *   2  duplicate line chars      — Σ (count-1)·len(line)
+    *   3  total line chars          — Σ count·len(line)
+    *   4  top bigram coverage       — max over adjacent word pairs of
+    *                                  count·(len(w1)+len(w2)); 0 if <2 words
+    *   5  total word chars          — Σ len(word) over all word instances
+    *
+    * Lines split on '\n'; words on the [[isSpace]] class. "Top bigram" is
+    * defined as max COVERAGE (count × length), not the most frequent
+    * bigram's coverage — the max needs no tie-break, so the result is
+    * deterministic without pinning a cross-engine string sort order.
+    * One pass, per-row hash maps; O(doc length), zero shuffle. */
+  def repetitionCounters(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new Array[Long](6)
+    // --- lines ---
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && s.charAt(j) != '\n') j += 1
+      var a = i
+      var b = j
+      while (a < b && isLineTrim(s.charAt(a))) a += 1
+      while (b > a && isLineTrim(s.charAt(b - 1))) b -= 1
+      if (b > a) {
+        val line = s.substring(a, b)
+        val e = lineCounts.computeIfAbsent(line,
+          l => Array(0L, l.codePointCount(0, l.length).toLong))
+        e(0) += 1
+      }
+      i = j + 1
+    }
+    lineCounts.forEach { (_, e) =>
+      val c = e(0); val ln = e(1)
+      out(0) += c
+      out(1) += c - 1
+      out(2) += (c - 1) * ln
+      out(3) += c * ln
+    }
+    // --- words / bigrams ---
+    val bigramCounts = new java.util.HashMap[String, Array[Long]]()
+    var prev: String = null
+    i = 0
+    while (i < n) {
+      while (i < n && (s.charAt(i) == '\n' || isLineTrim(s.charAt(i)))) i += 1
+      val start = i
+      while (i < n && s.charAt(i) != '\n' && !isLineTrim(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = s.substring(start, i)
+        out(5) += w.codePointCount(0, w.length)
+        if (prev != null) {
+          val key = prev + "\u0001" + w
+          val e = bigramCounts.computeIfAbsent(key,
+            k => Array(0L, (k.codePointCount(0, k.length) - 1).toLong))
+          e(0) += 1
+        }
+        prev = w
+      }
+    }
+    bigramCounts.forEach { (_, e) =>
+      val cover = e(0) * e(1)
+      if (cover > out(4)) out(4) = cover
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Document fingerprint: minimum rolling hash over all byte k-grams
     * (w-shingling / Rabin-Karp style). Documents sharing long runs of
     * identical bytes collide on fingerprints with high probability.

@@ -89,6 +89,42 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(expr == fp(doc))
   }
 
+  test("repetition counters: lines, dups, trimming, bigram coverage") {
+    def ctr(s: String): Seq[Long] =
+      TextKernels.repetitionCounters(UTF8String.fromString(s)).toLongArray().toSeq
+    // "ab\nab\ncd" → 3 line instances, 1 dup instance, dup chars 2, total 6;
+    // words: ab ab cd → bigrams (ab,ab)×1 (ab,cd)×1 → top cover 1*4=4;
+    // word chars 6
+    assert(ctr("ab\nab\ncd") == Seq(3, 1, 2, 6, 4, 6))
+    // trimming: "\t ab \u000B\n ab " — both lines trim to "ab" (dup);
+    // the \u000B is trimmed, matching the oracle's trim set
+    assert(ctr("\t ab \u000B\n ab ") == Seq(2, 1, 2, 4, 4, 4))
+    // empty / whitespace-only text → all zeros (operator yields 0.0 fracs)
+    assert(ctr("") == Seq(0, 0, 0, 0, 0, 0))
+    assert(ctr(" \n \t\n") == Seq(0, 0, 0, 0, 0, 0))
+    // bigrams cross line boundaries (tokenization is whole-text), and the
+    // TOP bigram is by coverage count*len, not by count alone: (xx,xx)
+    // appears 3 times covering 12 chars; (longword,longword) once covering
+    // 16 — coverage picks the long one
+    assert(ctr("xx xx xx xx\nlongword longword")(4) == 16L)
+    // non-BMP: char counts are code points ('𝐀' is 1, not 2 UTF-16 units)
+    assert(ctr("𝐀 𝐀") == Seq(1, 0, 0, 3, 2, 2))
+  }
+
+  test("repetitionSignals fractions match hand computation (codegen path)") {
+    val df = Seq((1L, "ab\nab\ncd"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "t").repartition(1)
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "t")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 1.0 / 3.0)
+    assert(out(0).getDouble(3) == 2.0 / 6.0)
+    assert(out(0).getDouble(4) == 4.0 / 6.0)
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(2) == 0.0)
+    // single word: no bigram → coverage 0 but word chars 4 → frac 0.0
+    assert(out(2).getDouble(4) == 0.0)
+  }
+
   test("analyze frame has the full signature set over documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.analyze(docs, "doc_id", "text")
