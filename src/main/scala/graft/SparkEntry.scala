@@ -284,6 +284,18 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5,
       hashFamily = "sha256")),
 
+    // incremental dedup: the NEW half of the corpus (odd doc_id, the
+    // "batch") near-dup-checked against the EXISTING half (even doc_id,
+    // the "index") — candidates only cross sides, never corpus×corpus,
+    // so incremental cost ∝ batch size. Same sha256 family ⇒ hash-grade.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Dedup.minhashLshIncremental(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", tau = 0.5, hashFamily = "sha256")
+    }),
+
     // SimHash near-dup. sha256 family (60-bit signatures from sha256 token
     // hashes) → the whole pipeline (signature, 15-bit banding, 3-tier
     // bucket policy, Hamming verification) is hash-checked against a
@@ -544,6 +556,46 @@ object SparkEntry {
        |)
        |SELECT c.ia, c.ib, $jac AS jaccard
        |FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
+       |WHERE $jac >= 0.5""".stripMargin
+  }
+
+  /** Incremental variant of [[minhashLshOracle]]: the banded CTE splits by
+    * doc_id parity (even = existing corpus, odd = new batch); the bucket
+    * cap sizes CORPUS buckets only, and candidates only cross sides. */
+  private def minhashIncrementalOracle: String = {
+    val bandKeys = (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"'$b:' || sha256($hs)"
+    }.mkString(", ")
+    val jac = """CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                |    / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id AS id,
+       |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
+       |  FROM documents
+       |), sh AS (
+       |  SELECT id, unnest(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
+       |    ELSE tk END) AS sh
+       |  FROM base WHERE len(tk) > 0
+       |), mins AS (
+       |  SELECT id, ${shaLaneAggs(16)} FROM sh GROUP BY id
+       |), banded AS (
+       |  SELECT id, unnest([$bandKeys]) AS key FROM mins
+       |), cbanded AS (
+       |  SELECT id, key FROM banded WHERE id % 2 = 0
+       |), bbanded AS (
+       |  SELECT id, key FROM banded WHERE id % 2 = 1
+       |), sized AS (
+       |  SELECT key, count(*) AS n FROM cbanded GROUP BY key
+       |), goodc AS (
+       |  SELECT c.id, c.key FROM cbanded c JOIN sized s USING (key) WHERE s.n <= 500
+       |), cand AS (
+       |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+       |  FROM bbanded b JOIN goodc c ON b.key = c.key
+       |)
+       |SELECT c.batch_id, c.corpus_id, $jac AS jaccard
+       |FROM cand c JOIN base x ON c.batch_id = x.id JOIN base y ON c.corpus_id = y.id
        |WHERE $jac >= 0.5""".stripMargin
   }
 
@@ -814,6 +866,7 @@ object SparkEntry {
     "q_scrub_pii" -> scrubPiiOracle,
     "q_minhash_band_keys" -> minhashBandKeysOracle,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
+    "q_dedup_incremental" -> minhashIncrementalOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),

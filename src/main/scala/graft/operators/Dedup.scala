@@ -134,6 +134,41 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** Incremental near-dup detection: which documents of a NEW batch are
+    * near-duplicates of an EXISTING corpus — the continuous-crawl shape of
+    * [[minhashLshPairs]]. Emits verified (batch_id, corpus_id, jaccard)
+    * pairs with jaccard ≥ tau; crucially it never generates corpus×corpus
+    * candidates, so per-batch cost is ∝ batch size, not corpus².
+    *
+    * 100 TB shape: the corpus side of the banded join is exactly the
+    * `(id, band key)` index this module already derives — at scale you
+    * persist it once (bucketed/partitioned by key) and every incremental
+    * batch joins against it shuffle-free on the corpus side; a small batch
+    * additionally broadcasts. The bucket cap applies to CORPUS bucket
+    * sizes (the side that can degenerate on boilerplate); drops stay
+    * observable via [[droppedMinhashBuckets]] on the corpus. */
+  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double, numHashes: Int = 16,
+      bands: Int = 4, bucketCap: Int = 500,
+      hashFamily: String = "xxhash64"): DataFrame = {
+    val toksOf = array_sort(array_distinct(TextAnalysis.tokens(col(textCol))))
+    val cBanded = minhashBanded(corpus, idCol, textCol, numHashes, bands, hashFamily)
+    val bBanded = minhashBanded(batch, idCol, textCol, numHashes, bands, hashFamily)
+    val sized = cBanded.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val goodCorpus = cBanded.join(sized.where(col("n") <= bucketCap), "key")
+      .select(col("key"), col("id").as("corpus_id"))
+    val cand = bBanded.select(col("key"), col("id").as("batch_id"))
+      .join(goodCorpus, "key")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    cand
+      .join(batch.select(col(idCol).as("batch_id"), toksOf.as("ta")), "batch_id")
+      .join(corpus.select(col(idCol).as("corpus_id"), toksOf.as("tb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
   /** (id, sig) per tokenful doc — the signature column both SimHash tiers
     * verify against. Token-less docs carry no signal and are excluded
     * (exact dedup owns them). */

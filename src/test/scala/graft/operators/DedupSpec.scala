@@ -130,6 +130,25 @@ class DedupSpec extends SparkFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashLshIncremental matches batch against corpus only") {
+    val corpusBase = (1 to 30).map(i => s"corpus token$i shared").mkString(" ")
+    val batchNear = corpusBase.replace("token7", "edited")
+    val batchOnly = (1 to 30).map(i => s"batchish word$i alone").mkString(" ")
+    val batchOnlyNear = batchOnly.replace("word9", "tweak")
+    val corpus = Seq((2L, corpusBase), (4L, corpusBase + " extra")).toDF("doc_id", "text")
+    val batch = Seq((1L, batchNear), (3L, batchOnly), (5L, batchOnlyNear))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshIncremental(corpus, batch, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch near-copy of a corpus doc is found (against both corpus
+    // variants — they share nearly all tokens)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
+    // batch×batch near-dups (3,5) are NOT the incremental operator's job
+    assert(!got.exists(p => p._1 == 3L || p._1 == 5L))
+    // and corpus ids only ever appear on the corpus side
+    assert(got.forall { case (b, c) => b % 2 == 1 && c % 2 == 0 })
+  }
+
   test("embeddingCosinePairs respects block and threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
