@@ -254,6 +254,34 @@ object SparkEntry {
         d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
     }),
 
+    // URL canonicalization over deterministically synthesized messy URLs
+    // (uppercase scheme/host, www., default ports, tracking params,
+    // fragments — both parities exercise different rewrite rules); the
+    // oracle applies the IDENTICAL Java∩RE2 patterns in DuckDB
+    "q_url_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id")
+      val raw = when(pmod(k, lit(2)) === 0,
+        concat(lit("HTTPS://WWW.Host"), pmod(k, lit(7)).cast("string"),
+          lit(".EXAMPLE:443/P/"), k.cast("string"),
+          lit("?utm_source=feed&gclid=g"), k.cast("string"),
+          lit("&x="), pmod(k, lit(5)).cast("string"), lit("#sec")))
+        .otherwise(
+          concat(lit("http://host"), pmod(k, lit(7)).cast("string"),
+            lit(".example:80/p/"), k.cast("string"),
+            lit("?fbclid=f"), k.cast("string"), lit("#top")))
+      d.select(k, raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.operators.WebText.normalizeUrl(col("raw")).as("url_norm"))
+        .select(col("doc_id"), col("raw"), col("url_norm"),
+          graft.operators.WebText.hostOf(col("url_norm")).as("host"))
+    }),
+
+    // host-level aggregate stats (domain-filtering inputs); all-integer
+    // aggregates + one exact division keep it hash-grade
+    "q_host_stats" -> ((s, dir) => graft.operators.WebText.hostStats(
+      s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
+
     // document fingerprint + simhash signatures, sha256 family: the
     // fingerprint is the min sha digest over 16-char shingles (a true
     // min-k-gram fingerprint) and the simhash is the 60-bit sha variant —
@@ -1007,6 +1035,52 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // url normalization: DuckDB re-applies the identical pattern strings
+    // (regexp_replace needs the explicit 'g' flag — Spark's is global)
+    "q_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN
+        |    'HTTPS://WWW.Host' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE:443/P/'
+        |      || CAST(doc_id AS VARCHAR) || '?utm_source=feed&gclid=g'
+        |      || CAST(doc_id AS VARCHAR) || '&x=' || CAST(doc_id % 5 AS VARCHAR) || '#sec'
+        |  ELSE
+        |    'http://host' || CAST(doc_id % 7 AS VARCHAR) || '.example:80/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?fbclid=f' || CAST(doc_id AS VARCHAR) || '#top'
+        |  END AS raw
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '#.*', '', 'g'),
+        |      '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |      '[?&]$', '', 'g') AS u3
+        |  FROM raw
+        |), s2 AS (
+        |  SELECT doc_id, raw, u3,
+        |    regexp_extract(u3, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS head
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(lower(head), ':(80|443)$', '', 'g'),
+        |      '://www\.', '://', 'g')
+        |      || substr(u3, length(head) + 1, length(u3)) AS url_norm
+        |  FROM s2
+        |)
+        |SELECT doc_id, raw, url_norm,
+        |  regexp_extract(url_norm, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host
+        |FROM s3""".stripMargin,
+    "q_host_stats" ->
+      """WITH h AS (
+        |  SELECT source AS host, sha256(text) AS ch, len(text) AS chars
+        |  FROM documents
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_texts,
+        |  CAST(count(*) - count(DISTINCT ch) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS dup_page_frac,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(max(chars) AS BIGINT) AS max_chars
+        |FROM h GROUP BY host""".stripMargin,
     // repetition signals: every fraction is one division of two integer
     // counters (sums/max of code-point lengths), so DOUBLE equality is
     // exact; bigram keys join words with chr(1), matching the kernel

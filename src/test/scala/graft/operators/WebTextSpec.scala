@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class WebTextSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(WebText.normalizeUrl(col("u"))).collect()
+      .map(_.getString(0)).toSeq
+
+  test("normalizeUrl: fragments, trackers, ports, www, case") {
+    assert(norm(
+      "HTTPS://WWW.Ex.COM:443/Path/X?utm_source=a&id=5#frag",
+      "http://ex.com:80/p",
+      "http://ex.com:8080/p", // non-default port KEPT
+      "https://ex.com/p?utm_a=1&utm_b=2&fbclid=z", // all trackers, tidy '?'
+      "https://ex.com/p?id=1&gclid=x", // tracker last: trailing '&' tidied
+      "https://sub.www.ex.com/", // 'www.' only stripped as the FIRST label
+      "not a url #frag", // no scheme head: steps 1-3 only
+      "HTTPS://EX.COM/CaseSensitivePath" // path case preserved
+    ) == Seq(
+      "https://ex.com/Path/X?id=5",
+      "http://ex.com/p",
+      "http://ex.com:8080/p",
+      "https://ex.com/p",
+      "https://ex.com/p?id=1",
+      "https://sub.www.ex.com/",
+      "not a url ",
+      "https://ex.com/CaseSensitivePath"))
+  }
+
+  test("hostOf extracts the authority, '' without a scheme head") {
+    val got = Seq("https://a.b.c/x?q=1", "ftp://h:21/f", "relative/path")
+      .toDF("u").select(WebText.hostOf(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a.b.c", "h:21", ""))
+  }
+
+  test("hostStats: exact distinct, integer-division dup fraction") {
+    val docs = Seq(
+      ("h1", "same text"), ("h1", "same text"), ("h1", "other"),
+      ("h2", "unique")).toDF("source", "text")
+    val rows = WebText.hostStats(docs, "source", "text")
+      .orderBy("host").collect()
+    assert(rows(0).getString(0) == "h1" && rows(0).getLong(1) == 3
+      && rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 1.0 / 3.0)
+    assert(rows(1).getString(0) == "h2" && rows(1).getDouble(3) == 0.0)
+  }
+}
