@@ -282,6 +282,17 @@ object SparkEntry {
     "q_host_stats" -> ((s, dir) => graft.operators.WebText.hostStats(
       s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
 
+    // benchmark decontamination: every 17th document plays the benchmark
+    // set; the rest are flagged when they share any word 8-gram with it
+    // (the GPT-3/PaLM-style n-gram overlap rule). Bench grams broadcast.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Decontaminate.flaggedDocs(
+        d.where(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(17)) === 0),
+        "doc_id", "text", n = 8)
+    }),
+
     // document fingerprint + simhash signatures, sha256 family: the
     // fingerprint is the min sha digest over 16-char shingles (a true
     // min-k-gram fingerprint) and the simhash is the 60-bit sha variant —
@@ -1081,6 +1092,25 @@ object SparkEntry {
         |  CAST(sum(chars) AS BIGINT) AS total_chars,
         |  CAST(max(chars) AS BIGINT) AS max_chars
         |FROM h GROUP BY host""".stripMargin,
+    // decontamination: word 8-grams re-derived with list slicing; the
+    // id column is named `id` (the operator is table-agnostic)
+    "q_decontaminate" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), dg AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        |    FROM dt WHERE doc_id % 17 <> 0 AND len(tk) >= 8)
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        |    FROM dt WHERE doc_id % 17 = 0 AND len(tk) >= 8)
+        |)
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM dg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin,
     // repetition signals: every fraction is one division of two integer
     // counters (sums/max of code-point lengths), so DOUBLE equality is
     // exact; bigram keys join words with chr(1), matching the kernel
