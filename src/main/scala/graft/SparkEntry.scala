@@ -293,6 +293,13 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
 
+    // sequence-packing layout: where each document lands when the corpus
+    // is concatenated in sha order per shard and chopped into 256-token
+    // training sequences; all-integer outputs → hash-grade
+    "q_pack_assignments" -> ((s, dir) => graft.operators.Packing.packAssignments(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      seqLen = 256, shards = 8)),
+
     // document fingerprint + simhash signatures, sha256 family: the
     // fingerprint is the min sha digest over 16-char shingles (a true
     // min-k-gram fingerprint) and the simhash is the 60-bit sha variant —
@@ -868,6 +875,36 @@ object SparkEntry {
        |FROM v""".stripMargin
   }
 
+  /** Packing layout re-derivation: the shard is the first 8 sha hex chars
+    * mod `shards`, the offset a window prefix sum in (sha, id) order, and
+    * the sequence ids integer divisions — all exact. */
+  private def packAssignmentsOracle: String = {
+    val nibbles = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':pack42') AS hx,
+       |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+       |      t -> len(t) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, hx, n_tokens, CAST($nibbles AS BIGINT) % 8 AS shard
+       |  FROM h
+       |), o AS (
+       |  SELECT doc_id AS id, shard, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY hx ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM v
+       |)
+       |SELECT id, shard, n_tokens, start_off,
+       |  CAST(start_off // 256 AS BIGINT) AS first_seq,
+       |  CAST((start_off + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) AS last_seq
+       |FROM o""".stripMargin
+  }
+
   /** The scrub oracle applies the IDENTICAL Java∩RE2 pattern strings in
     * the identical order over the identically-constructed dirty text. */
   private def scrubPiiOracle: String = {
@@ -892,6 +929,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_media_features" -> mediaFeaturesOracle,
     "q_split_assign" -> splitAssignOracle,
+    "q_pack_assignments" -> packAssignmentsOracle,
     "q_sample_stratified" ->
       """WITH r AS (
         |  SELECT doc_id, lang, source,
