@@ -293,6 +293,14 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
 
+    // domain-reweighting mixture sample: per-source keep rates decided by
+    // each row's own sha fraction — pure projection + filter, hash-grade
+    "q_mixture_sample" -> ((s, dir) => graft.operators.Sampling.mixtureSample(
+      s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("source")),
+      "doc_id", "source",
+      Map("src0" -> 0.25, "src1" -> 0.0, "src2" -> 0.5),
+      defaultRate = 0.75, seed = 7L)),
+
     // sequence-packing layout: where each document lands when the corpus
     // is concatenated in sha order per shard and chopped into 256-token
     // training sequences; all-integer outputs → hash-grade
@@ -875,6 +883,28 @@ object SparkEntry {
        |FROM v""".stripMargin
   }
 
+  /** Mixture-sample re-derivation: the same 32-bit sha fraction as
+    * splitAssignOracle (seed 7) against exact-binary rate literals. */
+  private def mixtureSampleOracle: String = {
+    val nibbles = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR) || ':7') AS hx
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, source, CAST($nibbles AS DOUBLE) / 4294967296.0 AS frac
+       |  FROM h
+       |)
+       |SELECT doc_id, source FROM v
+       |WHERE frac < CASE source
+       |  WHEN 'src0' THEN CAST('0.25' AS DOUBLE)
+       |  WHEN 'src1' THEN CAST('0.0' AS DOUBLE)
+       |  WHEN 'src2' THEN CAST('0.5' AS DOUBLE)
+       |  ELSE CAST('0.75' AS DOUBLE) END""".stripMargin
+  }
+
   /** Packing layout re-derivation: the shard is the first 8 sha hex chars
     * mod `shards`, the offset a window prefix sum in (sha, id) order, and
     * the sequence ids integer divisions — all exact. */
@@ -930,6 +960,7 @@ object SparkEntry {
     "q_media_features" -> mediaFeaturesOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_pack_assignments" -> packAssignmentsOracle,
+    "q_mixture_sample" -> mixtureSampleOracle,
     "q_sample_stratified" ->
       """WITH r AS (
         |  SELECT doc_id, lang, source,

@@ -73,4 +73,23 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= quota)
   }
+
+  /** Domain-reweighting (mixture) sample: keeps each row with its
+    * domain's target rate — the "upsample books, downsample boilerplate
+    * web" step when composing a pretraining mixture. The keep decision is
+    * the row's own [[hashFraction]] against the domain rate, so it is a
+    * pure projection + filter: zero shuffle, partition-independent,
+    * subset-stable (re-running over a grown corpus never flips existing
+    * rows), and exactly re-derivable in SQL. Domains absent from `rates`
+    * keep `defaultRate`. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1))
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (dom, r)) =>
+        when(col(domainCol) === dom, lit(r)).otherwise(acc)
+      }
+    df.where(hashFraction(col(idCol), seed) < rate)
+  }
 }

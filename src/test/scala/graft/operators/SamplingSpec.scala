@@ -89,4 +89,23 @@ class SamplingSpec extends SparkFunSuite {
       .head()
     assert(r2.isNullAt(0) && r2.getString(1) == "clean text stays")
   }
+
+  test("mixtureSample: per-domain rates, subset stability, rate edges") {
+    val df = (1L to 400L).map(i => (i, s"dom${i % 4}")).toDF("id", "dom")
+    val rates = Map("dom0" -> 0.0, "dom1" -> 1.0, "dom2" -> 0.5)
+    val kept = Sampling.mixtureSample(df, "id", "dom", rates, defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byDom.contains("dom0")) // rate 0 drops all
+    assert(byDom("dom1") == 100) // rate 1 keeps all
+    val half = byDom.getOrElse("dom2", 0)
+    assert(half > 25 && half < 75, s"dom2 kept $half of 100 at rate 0.5")
+    val quarter = byDom.getOrElse("dom3", 0) // defaultRate
+    assert(quarter > 8 && quarter < 45, s"dom3 kept $quarter of 100 at 0.25")
+    // subset stability: the decision for a row never depends on the rest
+    val subset = Sampling.mixtureSample(df.where(col("id") <= 100L),
+      "id", "dom", rates, defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(subset == kept.filter(_._1 <= 100L).toSet)
+  }
 }
