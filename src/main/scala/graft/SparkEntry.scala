@@ -293,6 +293,11 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
 
+    // per-document characteristic terms: top-3 by log-free tf·idf
+    // (tf·(N+1)/(df+1) — one exact product, one exact division)
+    "q_tfidf_terms" -> ((s, dir) => graft.operators.TextAnalysis.topTfidfTerms(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
+
     // domain-reweighting mixture sample: per-source keep rates decided by
     // each row's own sha fraction — pure projection + filter, hash-grade
     "q_mixture_sample" -> ((s, dir) => graft.operators.Sampling.mixtureSample(
@@ -961,6 +966,30 @@ object SparkEntry {
     "q_split_assign" -> splitAssignOracle,
     "q_pack_assignments" -> packAssignmentsOracle,
     "q_mixture_sample" -> mixtureSampleOracle,
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT id, t.term, t.tf, d.df,
+        |    CAST(t.tf * (n_docs + 1) AS DOUBLE) / CAST(d.df + 1 AS DOUBLE) AS tfidf
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY id ORDER BY tfidf DESC, term ASC) AS term_rank
+        |  FROM scored
+        |)
+        |SELECT term, id, tf, df, tfidf, term_rank
+        |FROM ranked WHERE term_rank <= 3""".stripMargin,
     "q_sample_stratified" ->
       """WITH r AS (
         |  SELECT doc_id, lang, source,

@@ -131,6 +131,36 @@ object TextAnalysis {
       frac(c(4), c(5)).as("top_bigram_cover_frac"))
   }
 
+  /** Top-k characteristic terms per document by tf·idf, with the
+    * LOG-FREE rational idf `(N+1)/(df+1)` — tf·idf = tf·(N+1)/(df+1) is
+    * one exact integer product divided once, so any ANSI engine
+    * reproduces the score bit-for-bit (ln() would not be) while
+    * preserving the per-document ranking property that rare terms beat
+    * common ones. Ties break on the term's binary order.
+    *
+    * Scale shape: tf and df are both partial-combining aggregates (the
+    * (doc,term) and (term) shuffles carry only scalars); N rides along as
+    * a broadcast 1-row frame (no collect, one lazy job); the per-doc
+    * top-k is a row_number window that Spark bounds with
+    * WindowGroupLimit(Partial) below the exchange. */
+  def topTfidfTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * (col("n_docs") + 1)).cast("double") /
+          (col("df") + 1).cast("double")).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= k)
+  }
+
   /** Per-document analysis frame over (idCol, textCol). */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -125,6 +125,24 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out(2).getDouble(4) == 0.0)
   }
 
+  test("topTfidfTerms: rare terms outrank common, exact rational idf") {
+    // 'common' appears in all 3 docs; each doc also has a unique term
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2 rare2"),
+      (3L, "common rare3")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTfidfTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("term")).toMap
+    // doc1: common tf=2 → 2*4/4 = 2.0; rare1 tf=1 → 1*4/2 = 2.0 —
+    // exact tie, 'common' < 'rare1' binary → common wins the tie-break
+    assert(out(1L) == "common")
+    assert(out(2L) == "rare2") // tf=3, df=1 → 6.0 beats common's 1.0
+    assert(out(3L) == "rare3") // 2.0 beats common's 1.0
+    val k2 = TextAnalysis.topTfidfTerms(docs, "doc_id", "text", k = 2)
+    assert(k2.where(col("id") === 2L).count() == 2)
+    assert(k2.groupBy("id").count().agg(max("count")).head().getLong(0) <= 2)
+  }
+
   test("analyze frame has the full signature set over documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.analyze(docs, "doc_id", "text")
