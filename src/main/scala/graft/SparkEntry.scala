@@ -585,13 +585,22 @@ object SparkEntry {
        |SELECT url, unnest([$bandKeys]) AS key FROM mins""".stripMargin
   }
 
-  private def minhashLshOracle: String = {
+  /** Token-set Jaccard between CTE rows aliased x and y — the one
+    * verification expression every MinHash oracle shares. */
+  private def tokenJaccardSql: String =
+    """CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE)""".stripMargin
+
+  /** Shared CTE prefix of the document MinHash-LSH oracles: token sets
+    * (base), 2-shingles (sh), 16 sha lane minima (mins), and the 4-band
+    * keys (banded, one `(id, key)` row per band). Both the pairwise and
+    * the incremental oracle append only their own sizing/candidate/
+    * verification tail, so the signature derivation can never de-sync. */
+  private def minhashDocBandedCtes: String = {
     val bandKeys = (0 until 4).map { b =>
       val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"'$b:' || sha256($hs)"
     }.mkString(", ")
-    val jac = """CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
-                |    / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE)""".stripMargin
     s"""WITH base AS (
        |  SELECT doc_id AS id,
        |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
@@ -605,7 +614,13 @@ object SparkEntry {
        |  SELECT id, ${shaLaneAggs(16)} FROM sh GROUP BY id
        |), banded AS (
        |  SELECT id, unnest([$bandKeys]) AS key FROM mins
-       |), sized AS (
+       |)""".stripMargin
+  }
+
+  private def minhashLshOracle: String = {
+    val jac = tokenJaccardSql
+    minhashDocBandedCtes + "," + s"""
+       | sized AS (
        |  SELECT key, count(*) AS n FROM banded GROUP BY key
        |), good AS (
        |  SELECT b.id, b.key FROM banded b JOIN sized s USING (key) WHERE s.n <= 500
@@ -622,26 +637,9 @@ object SparkEntry {
     * doc_id parity (even = existing corpus, odd = new batch); the bucket
     * cap sizes CORPUS buckets only, and candidates only cross sides. */
   private def minhashIncrementalOracle: String = {
-    val bandKeys = (0 until 4).map { b =>
-      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-      s"'$b:' || sha256($hs)"
-    }.mkString(", ")
-    val jac = """CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
-                |    / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE)""".stripMargin
-    s"""WITH base AS (
-       |  SELECT doc_id AS id,
-       |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
-       |  FROM documents
-       |), sh AS (
-       |  SELECT id, unnest(CASE WHEN len(tk) >= 2
-       |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
-       |    ELSE tk END) AS sh
-       |  FROM base WHERE len(tk) > 0
-       |), mins AS (
-       |  SELECT id, ${shaLaneAggs(16)} FROM sh GROUP BY id
-       |), banded AS (
-       |  SELECT id, unnest([$bandKeys]) AS key FROM mins
-       |), cbanded AS (
+    val jac = tokenJaccardSql
+    minhashDocBandedCtes + "," + s"""
+       | cbanded AS (
        |  SELECT id, key FROM banded WHERE id % 2 = 0
        |), bbanded AS (
        |  SELECT id, key FROM banded WHERE id % 2 = 1
@@ -868,13 +866,20 @@ object SparkEntry {
     * interpolated from the SAME Scala cumulative sum the operator uses
     * (0.8 + 0.1 in binary64 is 0.9000000000000001, not 0.9 — a hand-typed
     * '0.9' literal would misclassify a row landing in the gap). */
-  private def splitAssignOracle: String = {
-    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
-    val nibbles = (0 until 8).map { j =>
+  /** DuckDB value of the first 8 hex chars of column `hx` as an integer —
+    * the 32-bit sha prefix behind Sampling.hashFraction and
+    * Packing.packAssignments' shard. Shared by every oracle that
+    * re-derives a sha fraction/shard (split/mixture/pack). */
+  private def shaPrefix32: String =
+    (0 until 8).map { j =>
       val w = 1L << (4 * (7 - j))
       s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
     }.mkString(" + ")
+
+  private def splitAssignOracle: String = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val nibbles = shaPrefix32
     val cases = weights.init.zip(cuts.init).map { case ((name, _), cut) =>
       s"WHEN frac < CAST('$cut' AS DOUBLE) THEN '$name'"
     }.mkString(" ")
@@ -891,10 +896,7 @@ object SparkEntry {
   /** Mixture-sample re-derivation: the same 32-bit sha fraction as
     * splitAssignOracle (seed 7) against exact-binary rate literals. */
   private def mixtureSampleOracle: String = {
-    val nibbles = (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
-    }.mkString(" + ")
+    val nibbles = shaPrefix32
     s"""WITH h AS (
        |  SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR) || ':7') AS hx
        |  FROM documents
@@ -914,10 +916,7 @@ object SparkEntry {
     * mod `shards`, the offset a window prefix sum in (sha, id) order, and
     * the sequence ids integer divisions — all exact. */
   private def packAssignmentsOracle: String = {
-    val nibbles = (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
-    }.mkString(" + ")
+    val nibbles = shaPrefix32
     s"""WITH h AS (
        |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':pack42') AS hx,
        |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
@@ -1159,9 +1158,11 @@ object SparkEntry {
         |  FROM documents
         |), s1 AS (
         |  SELECT doc_id, raw,
-        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
         |      '#.*', '', 'g'),
-        |      '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |      '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |      '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |      '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
         |      '[?&]$', '', 'g') AS u3
         |  FROM raw
         |), s2 AS (

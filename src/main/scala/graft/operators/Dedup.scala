@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, each with a
@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   * nothing collects to the driver.
   */
 object Dedup {
+
+  /** Sorted distinct whitespace tokens of `textCol` — the token-set
+    * representation every Jaccard-verified dedup path shares. */
+  private def distinctTokens(textCol: String) =
+    array_sort(array_distinct(TextAnalysis.tokens(col(textCol))))
+
+  /** Exact token-set Jaccard of two token arrays — THE verification
+    * expression; change it here and every dedup path (blocked, LSH,
+    * incremental) moves together, as do their oracles' mirror. */
+  private def jaccardOf(ta: Column, tb: Column): Column =
+    size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb)).cast("double")
+
+  /** Rows of `banded` whose band bucket holds ≤ cap members: groupBy +
+    * join-back sizing (map-side combinable; the join is AQE-skew-
+    * splittable, unlike a window count — see minhashLshPairs notes). */
+  private def underCap(banded: DataFrame, bucketCap: Int): DataFrame =
+    banded.join(
+      banded.groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .where(col("n") <= bucketCap),
+      "key")
 
   /** Exact dedup: (id, canonical_id, content_hash); canonical = min id of
     * the identical-content group. */
@@ -42,14 +63,13 @@ object Dedup {
       blockCols: Seq[String], tau: Double): DataFrame = {
     val base = docs.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"),
+      distinctTokens(textCol).as("toks"),
       concat_ws("\u0001", blockCols.map(col): _*).as("bk"))
     val a = base.select(col("bk"), col("id").as("ia"), col("toks").as("ta"))
     val b = base.select(col("bk"), col("id").as("ib"), col("toks").as("tb"))
     a.join(b, "bk").where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double")).as("jaccard"))
+        jaccardOf(col("ta"), col("tb")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 
@@ -59,7 +79,7 @@ object Dedup {
       numHashes: Int, bands: Int, hashFamily: String): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val toksOf = array_sort(array_distinct(TextAnalysis.tokens(col(textCol))))
+    val toksOf = distinctTokens(textCol)
     val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
     // token-less docs carry no shingle signal: exact dedup owns them
     val sig = base.where(size(col("toks")) > 0).select(col("id"),
@@ -114,12 +134,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, numHashes: Int = 16, bands: Int = 4,
       bucketCap: Int = 500, hashFamily: String = "xxhash64"): DataFrame = {
-    val toksOf = array_sort(array_distinct(TextAnalysis.tokens(col(textCol))))
+    val toksOf = distinctTokens(textCol)
     val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
     val banded = minhashBanded(docs, idCol, textCol, numHashes, bands, hashFamily)
-    val sized = banded.groupBy(col("key")).agg(count(lit(1)).as("n"))
-    val good = banded.join(sized.where(col("n") <= bucketCap), "key")
-      .select(col("key"), col("id"))
+    val good = underCap(banded, bucketCap).select(col("key"), col("id"))
     val cand = good.select(col("key"), col("id").as("ia"))
       .join(good.select(col("key"), col("id").as("ib")), "key")
       .where(col("ia") < col("ib"))
@@ -129,8 +147,7 @@ object Dedup {
       .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
       .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
       .select(col("ia"), col("ib"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double")).as("jaccard"))
+        jaccardOf(col("ta"), col("tb")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 
@@ -151,11 +168,10 @@ object Dedup {
       idCol: String, textCol: String, tau: Double, numHashes: Int = 16,
       bands: Int = 4, bucketCap: Int = 500,
       hashFamily: String = "xxhash64"): DataFrame = {
-    val toksOf = array_sort(array_distinct(TextAnalysis.tokens(col(textCol))))
+    val toksOf = distinctTokens(textCol)
     val cBanded = minhashBanded(corpus, idCol, textCol, numHashes, bands, hashFamily)
     val bBanded = minhashBanded(batch, idCol, textCol, numHashes, bands, hashFamily)
-    val sized = cBanded.groupBy(col("key")).agg(count(lit(1)).as("n"))
-    val goodCorpus = cBanded.join(sized.where(col("n") <= bucketCap), "key")
+    val goodCorpus = underCap(cBanded, bucketCap)
       .select(col("key"), col("id").as("corpus_id"))
     val cand = bBanded.select(col("key"), col("id").as("batch_id"))
       .join(goodCorpus, "key")
@@ -164,8 +180,7 @@ object Dedup {
       .join(batch.select(col(idCol).as("batch_id"), toksOf.as("ta")), "batch_id")
       .join(corpus.select(col(idCol).as("corpus_id"), toksOf.as("tb")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double")).as("jaccard"))
+        jaccardOf(col("ta"), col("tb")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 

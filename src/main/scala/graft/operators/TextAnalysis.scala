@@ -117,7 +117,13 @@ object TextAnalysis {
     * corpora. One fused kernel pass per row
     * ([[graft.functions.repetition_counters]]), zero shuffle at any scale;
     * each fraction is a single division of two exact integer counters, so
-    * the DuckDB oracle reproduces the doubles bit-for-bit. */
+    * the DuckDB oracle reproduces the doubles bit-for-bit.
+    *
+    * `top_bigram_cover_frac` can exceed 1.0 on self-overlapping repeats
+    * (see [[graft.strsim.TextKernels.repetitionCounters]]) — deliberate:
+    * >1 is a strictly-stronger repetition signal and thresholds in (0,1]
+    * still classify it correctly. The line fractions are true ∈[0,1]
+    * ratios. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withCtr = docs.select(col(idCol),
       graft.functions.repetition_counters(col(textCol)).as("ctr"))

@@ -18,8 +18,15 @@ object WebText {
 
   /** Canonicalized URL, pinned rewrite order:
     *  1. drop the fragment (`#...`);
-    *  2. drop tracking params (`utm_*`, `fbclid`, `gclid`) and their value,
-    *     eating one trailing `&` so remaining params stay well-formed;
+    *  2. drop tracking params (`utm_*`, `fbclid`, `gclid`) and their
+    *     value — anchored to the preceding `?`/`&` delimiter so a
+    *     legitimate param whose name merely CONTAINS a tracker name
+    *     (`?xgclid=5`), a query VALUE spelling one (`?q=utm_source=t`),
+    *     or a path segment (`/utm_source=x/page`) is never touched.
+    *     Backreference replacements differ between Java (`$1`) and RE2
+    *     (`\1`), so the anchor is preserved by three backref-free rules:
+    *     `&tracker=v` drops with its own `&`; `?tracker=v&` rewrites to
+    *     the literal `?`; a lone `?tracker=v` at end drops entirely;
     *  3. tidy a dangling `?` or `&`;
     *  4. lowercase the scheme://host[:port] head (paths stay case-
     *     sensitive per RFC 3986 — only the head is case-insensitive);
@@ -29,8 +36,11 @@ object WebText {
     * Strings without a `scheme://` head pass through steps 1-3 unchanged
     * otherwise. A pure per-row projection: zero shuffle at any scale. */
   def normalizeUrl(u: Column): Column = {
+    val trk = "(utm_[a-z]+|fbclid|gclid)"
     val u1 = regexp_replace(u, "#.*", "")
-    val u2 = regexp_replace(u1, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val u2a = regexp_replace(u1, s"&$trk=[^&#]*", "")
+    val u2b = regexp_replace(u2a, s"\\?$trk=[^&#]*&", "?")
+    val u2 = regexp_replace(u2b, s"\\?$trk=[^&#]*$$", "")
     val u3 = regexp_replace(u2, "[?&]$", "")
     val head = regexp_extract(u3, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val rest = u3.substr(length(head) + lit(1), length(u3))

@@ -147,6 +147,13 @@ object TextKernels {
     * defined as max COVERAGE (count × length), not the most frequent
     * bigram's coverage — the max needs no tie-break, so the result is
     * deterministic without pinning a cross-engine string sort order.
+    * NOTE: coverage is the standard count×len product (as in DataTrove/
+    * NeMo-Curator top-n-gram fractions), so OVERLAPPING occurrences of a
+    * self-repeating bigram count their shared word twice — the derived
+    * ratio can exceed 1.0 on degenerate repetition ("xx xx xx xx" →
+    * 12/8 = 1.5). That is deliberate: >1 is a strictly-stronger
+    * repetition signal, and any threshold in (0,1] classifies it
+    * correctly; clamping would lose the distinction.
     * One pass, per-row hash maps; O(doc length), zero shuffle. */
   def repetitionCounters(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val s = text.toString

@@ -107,6 +107,10 @@ class TextAnalysisSpec extends SparkFunSuite {
     // appears 3 times covering 12 chars; (longword,longword) once covering
     // 16 — coverage picks the long one
     assert(ctr("xx xx xx xx\nlongword longword")(4) == 16L)
+    // overlapping self-repeats double-count the shared word BY DESIGN —
+    // coverage 3*4=12 over 8 word chars → ratio 1.5 > 1 (a strictly
+    // stronger repetition signal; documented on the kernel)
+    assert(ctr("xx xx xx xx")(4) == 12L && ctr("xx xx xx xx")(5) == 8L)
     // non-BMP: char counts are code points ('𝐀' is 1, not 2 UTF-16 units)
     assert(ctr("𝐀 𝐀") == Seq(1, 0, 0, 3, 2, 2))
   }

@@ -20,7 +20,11 @@ class WebTextSpec extends SparkFunSuite {
       "https://ex.com/p?id=1&gclid=x", // tracker last: trailing '&' tidied
       "https://sub.www.ex.com/", // 'www.' only stripped as the FIRST label
       "not a url #frag", // no scheme head: steps 1-3 only
-      "HTTPS://EX.COM/CaseSensitivePath" // path case preserved
+      "HTTPS://EX.COM/CaseSensitivePath", // path case preserved
+      "https://ex.com/p?xgclid=5", // param merely CONTAINING a tracker name
+      "https://ex.com/utm_source=x/page", // tracker-shaped PATH segment
+      "https://ex.com/s?q=utm_source=test", // tracker-shaped VALUE
+      "https://ex.com/p?utm_a=1&utm_b=2" // all-tracker query drops whole
     ) == Seq(
       "https://ex.com/Path/X?id=5",
       "http://ex.com/p",
@@ -29,7 +33,11 @@ class WebTextSpec extends SparkFunSuite {
       "https://ex.com/p?id=1",
       "https://sub.www.ex.com/",
       "not a url ",
-      "https://ex.com/CaseSensitivePath"))
+      "https://ex.com/CaseSensitivePath",
+      "https://ex.com/p?xgclid=5",
+      "https://ex.com/utm_source=x/page",
+      "https://ex.com/s?q=utm_source=test",
+      "https://ex.com/p"))
   }
 
   test("hostOf extracts the authority, '' without a scheme head") {
