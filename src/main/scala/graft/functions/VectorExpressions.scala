@@ -43,8 +43,16 @@ object VectorKernels {
     sig
   }
 
+  /** Fused cosine: dot over the common prefix, each norm over its OWN
+    * full array — so `dotF(a,b) / (normF(a) * normF(b))` is bit-identical
+    * to `cosineF(a,b)` for EVERY input, including length-mismatched
+    * vectors (the tail loops extend the same strict left folds, so the
+    * addition order matches [[normF]] exactly). Equal-length inputs (the
+    * only shape the ANN operators produce) never enter the tails. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val an = a.numElements()
+    val bn = b.numElements()
+    val n = math.min(an, bn)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -56,6 +64,18 @@ object VectorKernels {
       na += x * x
       nb += y * y
       i += 1
+    }
+    var j = n
+    while (j < an) {
+      val x = a.getFloat(j).toDouble
+      na += x * x
+      j += 1
+    }
+    var k = n
+    while (k < bn) {
+      val y = b.getFloat(k).toDouble
+      nb += y * y
+      k += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }

@@ -253,7 +253,14 @@ object Dedup {
     * only cut is `n <= hardCap` on the banded CTE; the salted tier's
     * losslessness is itself gate-proven by `q_dedup_simhash_salted`,
     * which forces every bucket through the grid and must equal the
-    * uncapped oracle). */
+    * uncapped oracle).
+    *
+    * OBSERVABILITY CONTRACT: only tier 3 loses pairs, and its record
+    * lives in the companion frame — a production run where `hardCap` can
+    * bite must evaluate [[droppedSimhashBuckets]] alongside this result
+    * (same banded subtree; with both in one application, exchange reuse
+    * makes the second pass cheap). This result frame alone carries no
+    * drop signal. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, hashFamily: String = "fnv",
       bucketCap: Int = 500, hardCap: Int = 100000,
@@ -270,16 +277,16 @@ object Dedup {
     val cold = a.join(b, "key").where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
-    // tier 2: salted grid over (key, id) only; sigs re-attached by id
+    // tier 2: salted grid over (key, id, sig) — the 8-byte sig rides
+    // through the grid as payload (replication cost saltGroups × 8 B per
+    // hot row), which beats re-deriving the full-corpus signature column
+    // twice just to re-attach it by id afterwards
     val hot = keyed
       .where(col("n") > bucketCap && col("n") <= hardCap)
-      .select(col("key"), col("id").as("url"))
-    val sigs = simhashSigs(docs, idCol, textCol, hashFamily)
-    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups)
-      .join(sigs.select(col("id").as("url_a"), col("sig").as("siga")), "url_a")
-      .join(sigs.select(col("id").as("url_b"), col("sig").as("sigb")), "url_b")
+      .select(col("key"), col("id").as("url"), col("sig"))
+    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups, payload = Seq("sig"))
       .select(col("url_a").as("ia"), col("url_b").as("ib"),
-        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
     // a pair can surface from several bands (and from different tiers for
     // different bands) — hamming is identical each time, so distinct is exact
     cold.union(hotPairs)

@@ -136,22 +136,37 @@ object Linkage {
     * fragment j, so each unordered pair meets in exactly one cell and the
     * bucket's n²/2 work spreads over G(G+1)/2 reducers at replication
     * cost G. Equi-join on the salted composite key — no reducer ever sees
-    * a whole hot bucket. */
-  private[operators] def saltedSelfJoin(hot: DataFrame, saltGroups: Int): DataFrame = {
+    * a whole hot bucket.
+    *
+    * `payload`: extra SCALAR columns of `hot` carried through the grid and
+    * emitted as `<p>_a`/`<p>_b` aligned with the (url_a, url_b) ordering —
+    * replication cost G × the scalar, which beats re-deriving or re-joining
+    * the value per side afterwards (e.g. SimHash signatures in
+    * Dedup.simhashPairs tier 2). */
+  private[operators] def saltedSelfJoin(hot: DataFrame, saltGroups: Int,
+      payload: Seq[String] = Nil): DataFrame = {
     val g = pmod(xxhash64(col("url")), lit(saltGroups)).cast("int")
-    val left = hot.select(col("key"), col("url"), g.as("g"))
+    val pa = payload.map(p => col(p).as(s"${p}_a"))
+    val pb = payload.map(p => col(p).as(s"${p}_b"))
+    val left = hot.select(col("key") +: col("url") +: g.as("g") +: pa: _*)
       .withColumn("j", explode(sequence(col("g"), lit(saltGroups - 1))))
-      .select(col("key"), col("g").as("gi"), col("j").as("gj"), col("url").as("url_a"))
-    val right = hot.select(col("key"), col("url"), g.as("g"))
+      .select(col("key") +: col("g").as("gi") +: col("j").as("gj") +:
+        col("url").as("url_a") +: payload.map(p => col(s"${p}_a")): _*)
+    val right = hot.select(col("key") +: col("url") +: g.as("g") +: pb: _*)
       .withColumn("i", explode(sequence(lit(0), col("g"))))
-      .select(col("key"), col("i").as("gi"), col("g").as("gj"), col("url").as("url_b"))
+      .select(col("key") +: col("i").as("gi") +: col("g").as("gj") +:
+        col("url").as("url_b") +: payload.map(p => col(s"${p}_b")): _*)
+    val swap = col("url_a") > col("url_b")
     left.join(right, Seq("key", "gi", "gj"))
       // same-fragment cell (i == j) holds both sides of every intra-fragment
       // pair: order by url; cross-fragment pairs meet exactly once
       .where((col("gi") =!= col("gj") && col("url_a") =!= col("url_b")) ||
         col("url_a") < col("url_b"))
-      .select(least(col("url_a"), col("url_b")).as("url_a"),
-        greatest(col("url_a"), col("url_b")).as("url_b"))
+      .select(least(col("url_a"), col("url_b")).as("url_a") +:
+        greatest(col("url_a"), col("url_b")).as("url_b") +:
+        payload.flatMap(p => Seq(
+          when(swap, col(s"${p}_b")).otherwise(col(s"${p}_a")).as(s"${p}_a"),
+          when(swap, col(s"${p}_a")).otherwise(col(s"${p}_b")).as(s"${p}_b"))): _*)
   }
 
   /** Buckets excluded by `hardCap` with their sizes — the non-silent

@@ -262,7 +262,12 @@ object Similarity {
     * the cap bounds any single bucket's quadratic contribution while the
     * top-k window keeps correctness for the pairs that remain. Sizing is a
     * key-only groupBy + join-back (map-side combine; the join-back is an
-    * AQE-skew-splittable equi-join), never a window count. */
+    * AQE-skew-splittable equi-join), never a window count.
+    *
+    * OBSERVABILITY CONTRACT: the cap is lossy (recall, not correctness —
+    * dropped buckets shrink candidate sets); a production run where it
+    * can bite must evaluate [[droppedLshBuckets]] alongside this result —
+    * this frame alone carries no drop signal. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, bands: Int = 4, planesPerBand: Int = 6,
       seed: Long = 42L, bucketCap: Int = 2000): DataFrame = {

@@ -40,6 +40,23 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("norm decomposition holds even for LENGTH-MISMATCHED vectors") {
+    // dot folds the common prefix; each norm folds its OWN full array —
+    // so the identity survives a truncated/padded vector in the table
+    // (cosineF's tail loops extend the same strict left folds)
+    val a = Array.tabulate(32)(i => (i + 1) * 0.1f)
+    val b = Array.tabulate(64)(i => (65 - i) * 0.05f)
+    val r = Seq((a, b), (b, a)).toDF("a", "b").select(
+      graft.functions.cosine_sim(col("a"), col("b")).as("fused"),
+      (graft.functions.vec_dot(col("a"), col("b")) /
+        (graft.functions.vec_norm(col("a")) * graft.functions.vec_norm(col("b"))))
+        .as("pre")).collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1)))
+    }
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
