@@ -1172,7 +1172,7 @@ object SparkEntry {
         |), s3 AS (
         |  SELECT doc_id, raw,
         |    regexp_replace(regexp_replace(lower(head), ':(80|443)$', '', 'g'),
-        |      '://www\.', '://', 'g')
+        |      '://(www\.)+', '://', 'g')
         |      || substr(u3, length(head) + 1, length(u3)) AS url_norm
         |  FROM s2
         |)

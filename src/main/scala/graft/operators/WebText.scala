@@ -32,7 +32,8 @@ object WebText {
     *     sensitive per RFC 3986 — only the head is case-insensitive);
     *  5. drop an explicit default port (`:80`/`:443` — pinned: both
     *     stripped regardless of scheme) at the end of the head;
-    *  6. drop a leading `www.` host label.
+    *  6. drop leading `www.` host labels (the whole `www.www.` chain in
+    *     one pass, so normalization is idempotent on that rule).
     * Strings without a `scheme://` head pass through steps 1-3 unchanged
     * otherwise. A pure per-row projection: zero shuffle at any scale. */
   def normalizeUrl(u: Column): Column = {
@@ -45,7 +46,7 @@ object WebText {
     val head = regexp_extract(u3, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val rest = u3.substr(length(head) + lit(1), length(u3))
     val headNorm = regexp_replace(
-      regexp_replace(lower(head), ":(80|443)$", ""), "://www\\.", "://")
+      regexp_replace(lower(head), ":(80|443)$", ""), "://(www\\.)+", "://")
     concat(headNorm, rest)
   }
 

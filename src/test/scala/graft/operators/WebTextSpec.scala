@@ -40,6 +40,17 @@ class WebTextSpec extends SparkFunSuite {
       "https://ex.com/p"))
   }
 
+  test("normalizeUrl strips www chains and is idempotent on real shapes") {
+    assert(norm("https://www.www.ex.com/p") == Seq("https://ex.com/p"))
+    // idempotence over the q_url_normalize synthesized corpus shapes:
+    // normalizing an already-normal url changes nothing
+    val messy = Seq(
+      "HTTPS://WWW.Host3.EXAMPLE:443/P/10?utm_source=feed&gclid=g10&x=0#sec",
+      "http://host5.example:80/p/5?fbclid=f5#top")
+    val once = norm(messy: _*)
+    assert(norm(once: _*) == once)
+  }
+
   test("hostOf extracts the authority, '' without a scheme head") {
     val got = Seq("https://a.b.c/x?q=1", "ftp://h:21/f", "relative/path")
       .toDF("u").select(WebText.hostOf(col("u"))).collect().map(_.getString(0))

@@ -99,4 +99,48 @@ class PropertySpec extends AnyFunSuite {
       assert(f("x", "") == 0.0, name)
     }
   }
+
+  // --- repetition-counter invariants (over full-Unicode text with
+  // injected newlines/whitespace so the line and word paths both fire) ---
+
+  private val multilineText: Gen[String] = {
+    val piece = Gen.frequency(
+      8 -> uniString,
+      2 -> Gen.oneOf("\n", " ", "\t", "\u000B", "\f", "\r"))
+    Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, piece)).map(_.mkString)
+  }
+
+  private def rep(s: String): Array[Long] =
+    TextKernels.repetitionCounters(UTF8String.fromString(s)).toLongArray()
+
+  test("repetitionCounters: structural invariants on arbitrary text") {
+    check(Prop.forAll(multilineText) { s =>
+      val c = rep(s)
+      val nonNeg = c.forall(_ >= 0L)
+      val dupBounds = c(1) < math.max(c(0), 1) && c(2) <= c(3)
+      // every line is made of words (same whitespace class, minus '\n'):
+      // total line chars == total word chars + intra-line word gaps — so
+      // both totals are zero together, and line chars ≥ word chars
+      val charsConsistent = (c(3) == 0) == (c(5) == 0) && c(3) >= c(5)
+      // a bigram's coverage cannot exceed (#words-1 pairs)·total word chars
+      val coverBound = c(4) == 0 || c(5) > 0
+      nonNeg && dupBounds && charsConsistent && coverBound
+    })
+  }
+
+  test("repetitionCounters: doubling a doc line-wise doubles line instances") {
+    check(Prop.forAll(uniString.suchThat(s => !s.exists(ch =>
+      ch == '\n' || ch == ' ' || ch == '\t' || ch == '\u000B' ||
+        ch == '\f' || ch == '\r'))) { s =>
+      val single = rep(s)
+      val doubled = rep(s + "\n" + s)
+      if (s.isEmpty) doubled.sameElements(single)
+      else {
+        // two identical nonempty lines: 2 instances, 1 duplicate, all of
+        // the second line's chars are duplicate chars
+        doubled(0) == 2 * single(0) && doubled(1) == single(0) &&
+          doubled(2) == single(3) && doubled(3) == 2 * single(3)
+      }
+    })
+  }
 }
