@@ -343,6 +343,13 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5,
       hashFamily = "sha256")),
 
+    // near-dup groups: verified MinHash pairs transitively closed into
+    // clusters; every doc maps to its cluster's min id (itself when
+    // unique) — the final keep-one-per-group dedup decision
+    "q_dedup_groups" -> ((s, dir) => graft.operators.Dedup.nearDupGroups(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      tau = 0.5, hashFamily = "sha256")),
+
     // incremental dedup: the NEW half of the corpus (odd doc_id, the
     // "batch") near-dup-checked against the EXISTING half (even doc_id,
     // the "index") — candidates only cross sides, never corpus×corpus,
@@ -596,12 +603,16 @@ object SparkEntry {
     * keys (banded, one `(id, key)` row per band). Both the pairwise and
     * the incremental oracle append only their own sizing/candidate/
     * verification tail, so the signature derivation can never de-sync. */
-  private def minhashDocBandedCtes: String = {
+  private def minhashDocBandedCtes: String = minhashDocBandedCtes(false)
+
+  /** `recursive = true` spells `WITH RECURSIVE` for oracles whose tail
+    * adds a recursive CTE (DuckDB requires the keyword up front). */
+  private def minhashDocBandedCtes(recursive: Boolean): String = {
     val bandKeys = (0 until 4).map { b =>
       val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"'$b:' || sha256($hs)"
     }.mkString(", ")
-    s"""WITH base AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}base AS (
        |  SELECT doc_id AS id,
        |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
        |  FROM documents
@@ -636,6 +647,40 @@ object SparkEntry {
   /** Incremental variant of [[minhashLshOracle]]: the banded CTE splits by
     * doc_id parity (even = existing corpus, odd = new batch); the bucket
     * cap sizes CORPUS buckets only, and candidates only cross sides. */
+  /** Near-dup group oracle: the minhash pair derivation (same tail as
+    * [[minhashLshOracle]]) transitively closed by a recursive walk (same
+    * pattern as the q_connected_components oracle), left-joined back over
+    * all documents so singletons canonicalize to themselves. */
+  private def nearDupGroupsOracle: String = {
+    val jac = tokenJaccardSql
+    minhashDocBandedCtes(recursive = true) + "," + s"""
+       | sized AS (
+       |  SELECT key, count(*) AS n FROM banded GROUP BY key
+       |), good AS (
+       |  SELECT b.id, b.key FROM banded b JOIN sized s USING (key) WHERE s.n <= 500
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
+       |), verified AS (
+       |  SELECT c.ia, c.ib
+       |  FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
+       |  WHERE $jac >= 0.5
+       |), uedges AS (
+       |  SELECT ia AS u, ib AS v FROM verified
+       |  UNION ALL SELECT ib, ia FROM verified
+       |), unodes AS (
+       |  SELECT DISTINCT u AS id FROM uedges
+       |), walk(id, r) AS (
+       |  SELECT id, id FROM unodes
+       |  UNION
+       |  SELECT w.id, e.v FROM walk w JOIN uedges e ON w.r = e.u
+       |), comp AS (
+       |  SELECT id, min(r) AS component FROM walk GROUP BY id
+       |)
+       |SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
+  }
+
   private def minhashIncrementalOracle: String = {
     val jac = tokenJaccardSql
     minhashDocBandedCtes + "," + s"""
@@ -1003,6 +1048,7 @@ object SparkEntry {
     "q_minhash_band_keys" -> minhashBandKeysOracle,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
+    "q_dedup_groups" -> nearDupGroupsOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),

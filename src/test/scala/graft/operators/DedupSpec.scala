@@ -149,6 +149,26 @@ class DedupSpec extends SparkFunSuite {
     assert(got.forall { case (b, c) => b % 2 == 1 && c % 2 == 0 })
   }
 
+  test("nearDupGroups closes pairs transitively, singletons self-canonical") {
+    // A≈B (one token differs) and B≈C (another token differs), with
+    // tau = 0.93 sitting BETWEEN jac(a,c) = 38/42 ≈ 0.905 and
+    // jac(a,b) = jac(b,c) = 39/41 ≈ 0.951 — so A–C joins the cluster
+    // only transitively, and the whole fixture is deterministic (xxhash
+    // banding has no randomness)
+    val words = (1 to 40).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = words.updated(16, "changedB").mkString(" ")
+    val c = words.updated(16, "changedB").updated(32, "changedC").mkString(" ")
+    val lone = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((7L, a), (3L, b), (9L, c), (5L, lone)).toDF("doc_id", "text")
+    val got = Dedup.nearDupGroups(docs, "doc_id", "text", tau = 0.93)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 3L && got(3L) == 3L && got(9L) == 3L,
+      s"expected one cluster canonical 3, got $got")
+    assert(got(5L) == 5L) // singleton: its own canonical
+    assert(got.size == 4) // every input doc appears exactly once
+  }
+
   test("embeddingCosinePairs respects block and threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
