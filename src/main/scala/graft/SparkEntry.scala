@@ -644,9 +644,6 @@ object SparkEntry {
        |WHERE $jac >= 0.5""".stripMargin
   }
 
-  /** Incremental variant of [[minhashLshOracle]]: the banded CTE splits by
-    * doc_id parity (even = existing corpus, odd = new batch); the bucket
-    * cap sizes CORPUS buckets only, and candidates only cross sides. */
   /** Near-dup group oracle: the minhash pair derivation (same tail as
     * [[minhashLshOracle]]) transitively closed by a recursive walk (same
     * pattern as the q_connected_components oracle), left-joined back over
@@ -681,6 +678,9 @@ object SparkEntry {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
   }
 
+  /** Incremental variant of [[minhashLshOracle]]: the banded CTE splits by
+    * doc_id parity (even = existing corpus, odd = new batch); the bucket
+    * cap sizes CORPUS buckets only, and candidates only cross sides. */
   private def minhashIncrementalOracle: String = {
     val jac = tokenJaccardSql
     minhashDocBandedCtes + "," + s"""
@@ -1202,15 +1202,24 @@ object SparkEntry {
         |      || CAST(doc_id AS VARCHAR) || '?fbclid=f' || CAST(doc_id AS VARCHAR) || '#top'
         |  END AS raw
         |  FROM documents
+        |), s0 AS (
+        |  SELECT doc_id, raw, regexp_replace(raw, '#.*', '', 'g') AS u1
+        |  FROM raw
+        |), s0b AS (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN strpos(u1, '?') > 0
+        |         THEN substr(u1, 1, strpos(u1, '?') - 1) ELSE u1 END AS pre,
+        |    CASE WHEN strpos(u1, '?') > 0
+        |         THEN substr(u1, strpos(u1, '?'), length(u1)) ELSE '' END AS qs
+        |  FROM s0
         |), s1 AS (
         |  SELECT doc_id, raw,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
-        |      '#.*', '', 'g'),
+        |    pre || regexp_replace(regexp_replace(regexp_replace(regexp_replace(qs,
         |      '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        |      '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
-        |      '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+        |      '^\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |      '^\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
         |      '[?&]$', '', 'g') AS u3
-        |  FROM raw
+        |  FROM s0b
         |), s2 AS (
         |  SELECT doc_id, raw, u3,
         |    regexp_extract(u3, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS head

@@ -253,12 +253,14 @@ object Dedup {
     *  1. buckets ≤ `bucketCap`: plain equi-self-join, signatures carried
     *     through the join (no second lookup);
     *  2. `bucketCap` < n ≤ `hardCap`: LOSSLESS salted grid self-join
-    *     (Linkage.saltedSelfJoin) over ids only — the bucket's quadratic
-    *     work shards across saltGroups² tasks, and signatures re-attach
-    *     via two id-keyed equi-joins (ids+sigs are scalars; nothing wide
-    *     ever enters the grid shuffle). Unlike dropping, near-dups inside
-    *     hot boilerplate buckets are KEPT — boilerplate is precisely where
-    *     SimHash near-dups live;
+    *     (Linkage.saltedSelfJoin) over (key, id, sig) — the bucket's
+    *     quadratic work shards across saltGroups² tasks, with the 8-byte
+    *     signature riding through the grid as payload (replication cost
+    *     saltGroups × one scalar; nothing wide ever enters the grid
+    *     shuffle, and no re-attach joins or signature recomputation
+    *     afterwards). Unlike dropping, near-dups inside hot boilerplate
+    *     buckets are KEPT — boilerplate is precisely where SimHash
+    *     near-dups live;
     *  3. n > `hardCap`: dropped, observably — [[droppedSimhashBuckets]]
     *     records them (a bucket that big carries no discriminative signal).
     *

@@ -19,14 +19,16 @@ object WebText {
   /** Canonicalized URL, pinned rewrite order:
     *  1. drop the fragment (`#...`);
     *  2. drop tracking params (`utm_*`, `fbclid`, `gclid`) and their
-    *     value — anchored to the preceding `?`/`&` delimiter so a
-    *     legitimate param whose name merely CONTAINS a tracker name
-    *     (`?xgclid=5`), a query VALUE spelling one (`?q=utm_source=t`),
-    *     or a path segment (`/utm_source=x/page`) is never touched.
-    *     Backreference replacements differ between Java (`$1`) and RE2
-    *     (`\1`), so the anchor is preserved by three backref-free rules:
-    *     `&tracker=v` drops with its own `&`; `?tracker=v&` rewrites to
-    *     the literal `?`; a lone `?tracker=v` at end drops entirely;
+    *     value — applied ONLY to the query string (everything from the
+    *     first `?`), so an RFC 3986 sub-delim `&` in the PATH
+    *     (`/item&gclid=x/details`) is never touched, and anchored to the
+    *     `?`/`&` delimiter within it, so a param whose name merely
+    *     CONTAINS a tracker name (`?xgclid=5`) or a VALUE spelling one
+    *     (`?q=utm_source=t`, `?x=2?gclid=3`) survives. Backreference
+    *     replacements differ between Java (`$1`) and RE2 (`\1`), so the
+    *     anchors are preserved by three backref-free rules over the query
+    *     string: `&tracker=v` drops with its own `&`; `^?tracker=v&`
+    *     rewrites to the literal `?`; a lone `^?tracker=v$` drops;
     *  3. tidy a dangling `?` or `&`;
     *  4. lowercase the scheme://host[:port] head (paths stay case-
     *     sensitive per RFC 3986 — only the head is case-insensitive);
@@ -39,10 +41,15 @@ object WebText {
   def normalizeUrl(u: Column): Column = {
     val trk = "(utm_[a-z]+|fbclid|gclid)"
     val u1 = regexp_replace(u, "#.*", "")
-    val u2a = regexp_replace(u1, s"&$trk=[^&#]*", "")
-    val u2b = regexp_replace(u2a, s"\\?$trk=[^&#]*&", "?")
-    val u2 = regexp_replace(u2b, s"\\?$trk=[^&#]*$$", "")
-    val u3 = regexp_replace(u2, "[?&]$", "")
+    // split at the FIRST '?': tracker rules see only the query string
+    val qpos = instr(u1, "?")
+    val pre = when(qpos > 0, u1.substr(lit(1), qpos - 1)).otherwise(u1)
+    val qs0 = when(qpos > 0, u1.substr(qpos, length(u1))).otherwise(lit(""))
+    val qs1 = regexp_replace(qs0, s"&$trk=[^&#]*", "")
+    val qs2 = regexp_replace(qs1, s"^\\?$trk=[^&#]*&", "?")
+    val qs3 = regexp_replace(qs2, s"^\\?$trk=[^&#]*$$", "")
+    val qs = regexp_replace(qs3, "[?&]$", "")
+    val u3 = concat(pre, qs)
     val head = regexp_extract(u3, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val rest = u3.substr(length(head) + lit(1), length(u3))
     val headNorm = regexp_replace(

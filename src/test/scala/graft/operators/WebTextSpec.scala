@@ -24,7 +24,9 @@ class WebTextSpec extends SparkFunSuite {
       "https://ex.com/p?xgclid=5", // param merely CONTAINING a tracker name
       "https://ex.com/utm_source=x/page", // tracker-shaped PATH segment
       "https://ex.com/s?q=utm_source=test", // tracker-shaped VALUE
-      "https://ex.com/p?utm_a=1&utm_b=2" // all-tracker query drops whole
+      "https://ex.com/p?utm_a=1&utm_b=2", // all-tracker query drops whole
+      "https://ex.com/item&gclid=promo/details", // '&' is a PATH sub-delim
+      "https://ex.com/p?utm_a=1&x=2?gclid=3&y=4" // '?' inside a VALUE
     ) == Seq(
       "https://ex.com/Path/X?id=5",
       "http://ex.com/p",
@@ -37,7 +39,9 @@ class WebTextSpec extends SparkFunSuite {
       "https://ex.com/p?xgclid=5",
       "https://ex.com/utm_source=x/page",
       "https://ex.com/s?q=utm_source=test",
-      "https://ex.com/p"))
+      "https://ex.com/p",
+      "https://ex.com/item&gclid=promo/details", // untouched: no query string
+      "https://ex.com/p?x=2?gclid=3&y=4")) // gclid lives in x's value: kept
   }
 
   test("normalizeUrl strips www chains and is idempotent on real shapes") {
