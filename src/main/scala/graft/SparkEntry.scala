@@ -343,6 +343,21 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5,
       hashFamily = "sha256")),
 
+    // C4-style corpus-wide span dedup over the same synthesized
+    // multi-line view as q_quality_repetition: within-doc dups (line 3 ==
+    // line 1) AND cross-doc dups (near-identical corpus texts share
+    // 60-char prefixes) both collapse to their first occurrence
+    "q_dedup_spans" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ml = concat(
+        substring(col("text"), 1, 60), lit("\n"),
+        substring(col("text"), 31, 90), lit("\n"),
+        substring(col("text"), 1, 60), lit("\n"),
+        substring(col("text"), 121, 100000))
+      graft.operators.Dedup.dropRepeatedSpans(
+        d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
+    }),
+
     // near-dup groups: verified MinHash pairs transitively closed into
     // clusters; every doc maps to its cluster's min id (itself when
     // unique) — the final keep-one-per-group dedup decision
@@ -1049,6 +1064,33 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
     "q_dedup_groups" -> nearDupGroupsOracle,
+    // span dedup: parallel unnests of equal length zip element-wise in
+    // DuckDB, giving (line, 1-based pos); rank/rebuild mirror the window
+    // and ordered string_agg exactly (pos only ever used for ORDERING,
+    // so the 0- vs 1-based difference between engines cannot matter)
+    "q_dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || substr(text, 31, 90) || chr(10)
+        |      || substr(text, 1, 60) || chr(10) || substr(text, 121, 100000) AS ml
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, line, pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(ml, chr(10))) AS line,
+        |      unnest(range(1, len(string_split(ml, chr(10))) + 1)) AS pos
+        |    FROM d)
+        |  WHERE len(line) > 0
+        |), kept AS (
+        |  SELECT doc_id, line, pos,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rnk
+        |  FROM lines
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept WHERE rnk = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),

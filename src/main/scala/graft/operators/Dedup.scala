@@ -184,6 +184,39 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** C4-style corpus-wide repeated-span removal (Raffel et al. 2020 §2.2
+    * drop duplicated spans corpus-wide, keeping ONE occurrence): spans
+    * are '\n'-separated nonempty lines; every line keeps only its FIRST
+    * occurrence in (doc id, position) order across the WHOLE corpus, and
+    * each document is rebuilt from its surviving lines in original order
+    * (possibly the empty string when every line was seen earlier).
+    *
+    * Scale shape: the first-occurrence pick is `row_number() == 1` over
+    * a window partitioned by line content — Spark's
+    * InferWindowGroupLimit inserts a partial per-mapper limit, so a
+    * boilerplate line repeated 10^9 times sends ONE row per map task
+    * into the shuffle, not 10^9; the rebuild is a per-doc aggregate
+    * (collect + sort by position), bounded by document size. */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(length(col("line")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col("id").asc, col("pos").asc)
+    val kept = lines.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("clean_text"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Near-dup CLUSTER assignment — the "keep one per group" step that
     * turns pairwise near-dups into a dedup decision. Composes the two
     * gate-proven operators: [[minhashLshPairs]] emits verified pairs,

@@ -169,6 +169,19 @@ class DedupSpec extends SparkFunSuite {
     assert(got.size == 4) // every input doc appears exactly once
   }
 
+  test("dropRepeatedSpans: first occurrence corpus-wide, order preserved") {
+    val docs = Seq(
+      (2L, "alpha\nbeta\nalpha\ngamma"), // within-doc dup 'alpha'
+      (5L, "beta\ndelta\n\nbeta"), // 'beta' first seen in doc 2; empty line
+      (9L, "alpha\nbeta")).toDF("doc_id", "text") // every line seen before
+    val got = Dedup.dropRepeatedSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == "alpha\nbeta\ngamma")
+    assert(got(5L) == "delta")
+    assert(got(9L) == "") // fully-duplicated doc survives as empty, not absent
+    assert(got.size == 3)
+  }
+
   test("embeddingCosinePairs respects block and threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
