@@ -358,6 +358,20 @@ object SparkEntry {
         d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
     }),
 
+    // the WHOLE corpus-construction pipeline (CorpusPipeline.run:
+    // signals → filter → scrub → exact dedup → near-dup CC dedup →
+    // split/mixture/pack), checkpoint machinery included, hash-checked
+    // end-to-end via the sha256 family; runs in a fresh temp workDir so
+    // the gate always exercises the compute path, not a resume
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_corpus_gate").toString
+      graft.plans.CorpusPipeline.run(s, docs, work,
+        graft.plans.CorpusPipeline.Config(tau = 0.5, hashFamily = "sha256",
+          seqLen = 256, packShards = 8)).corpus
+    }),
+
     // near-dup groups: verified MinHash pairs transitively closed into
     // clusters; every doc maps to its cluster's min id (itself when
     // unique) — the final keep-one-per-group dedup decision
@@ -622,15 +636,21 @@ object SparkEntry {
 
   /** `recursive = true` spells `WITH RECURSIVE` for oracles whose tail
     * adds a recursive CTE (DuckDB requires the keyword up front). */
-  private def minhashDocBandedCtes(recursive: Boolean): String = {
+  private def minhashDocBandedCtes(recursive: Boolean): String =
+    s"WITH ${if (recursive) "RECURSIVE " else ""}" + minhashBandedCteList("documents")
+
+  /** The CTE list alone (no WITH), parameterized by the source relation —
+    * [[corpusPipelineOracle]] appends it after its own upstream CTEs so
+    * the banding reads the pipeline's deduplicated/scrubbed docs. */
+  private def minhashBandedCteList(from: String): String = {
     val bandKeys = (0 until 4).map { b =>
       val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"'$b:' || sha256($hs)"
     }.mkString(", ")
-    s"""WITH ${if (recursive) "RECURSIVE " else ""}base AS (
+    s"""base AS (
        |  SELECT doc_id AS id,
        |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
-       |  FROM documents
+       |  FROM $from
        |), sh AS (
        |  SELECT id, unnest(CASE WHEN len(tk) >= 2
        |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
@@ -657,6 +677,117 @@ object SparkEntry {
        |SELECT c.ia, c.ib, $jac AS jaccard
        |FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
        |WHERE $jac >= 0.5""".stripMargin
+  }
+
+  /** End-to-end re-derivation of [[graft.plans.CorpusPipeline]] (sha256
+    * family, tau 0.5, seqLen 256, 8 shards, default splits, identity
+    * mixture): quality/repetition filter → PII scrub → exact-hash
+    * canonicalization → MinHash-LSH + recursive-CC near-dup
+    * canonicalization → split assignment → pack layout. Every fragment
+    * is a building block already proven by its own gate cell — composed
+    * here so the WHOLE pipeline's output is hash-checked, checkpoint
+    * machinery included. */
+  private def corpusPipelineOracle: String = {
+    val ws = """[ \t\n\x0b\f\r]+"""
+    val punct = """[a-zA-Z0-9 \t\n\x0b\f\r]"""
+    val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val cases = weights.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN sfrac < CAST('$cut' AS DOUBLE) THEN '$name'"
+    }.mkString(" ")
+    val scrub = graft.operators.TextAnalysis.PiiPatterns
+      .foldLeft("text") { case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+    val jac = tokenJaccardSql
+    def nib(col: String): String = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr($col, ${j + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE toks0 AS (
+       |  SELECT doc_id, text, lang, source,
+       |    list_filter(string_split_regex(text, '$ws'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), sigq AS (
+       |  SELECT doc_id, text, lang, source,
+       |    (CASE WHEN len(tk) > 0
+       |          THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS DOUBLE)
+       |               / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) * 0.2
+       |    + least(CAST(len(tk) AS DOUBLE) / 64.0, 1.0) * 0.5
+       |    + (1.0 - CASE WHEN len(text) > 0
+       |             THEN CAST(len(regexp_replace(text, '$punct', '', 'g')) AS DOUBLE)
+       |                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 AS quality
+       |  FROM toks0
+       |), ln0 AS (
+       |  SELECT doc_id, trim(l, ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS line
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+       |), ln1 AS (
+       |  SELECT doc_id, line, count(*) AS c FROM ln0 WHERE line <> '' GROUP BY doc_id, line
+       |), ln2 AS (
+       |  SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_inst FROM ln1 GROUP BY doc_id
+       |), fil AS (
+       |  SELECT s.doc_id, s.text, s.lang, s.source
+       |  FROM sigq s LEFT JOIN ln2 l ON s.doc_id = l.doc_id
+       |  WHERE s.quality >= CAST('0.3' AS DOUBLE)
+       |    AND (l.n_lines IS NULL OR l.n_lines = 0
+       |         OR CAST(l.dup_inst AS DOUBLE) / CAST(l.n_lines AS DOUBLE) <= CAST('0.9' AS DOUBLE))
+       |), scr AS (
+       |  SELECT doc_id, $scrub AS text, lang, source FROM fil
+       |), exm AS (
+       |  SELECT min(doc_id) AS doc_id FROM scr GROUP BY sha256(text)
+       |), ex AS (
+       |  SELECT s.* FROM scr s JOIN exm USING (doc_id)
+       |), ${minhashBandedCteList("ex")},
+       | sized AS (
+       |  SELECT key, count(*) AS n FROM banded GROUP BY key
+       |), good AS (
+       |  SELECT b.id, b.key FROM banded b JOIN sized s USING (key) WHERE s.n <= 500
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
+       |), verified AS (
+       |  SELECT c.ia, c.ib
+       |  FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
+       |  WHERE $jac >= CAST('0.5' AS DOUBLE)
+       |), uedges AS (
+       |  SELECT ia AS u, ib AS v FROM verified
+       |  UNION ALL SELECT ib, ia FROM verified
+       |), unodes AS (
+       |  SELECT DISTINCT u AS id FROM uedges
+       |), walk(id, r) AS (
+       |  SELECT id, id FROM unodes
+       |  UNION
+       |  SELECT w.id, e.v FROM walk w JOIN uedges e ON w.r = e.u
+       |), comp AS (
+       |  SELECT id, min(r) AS component FROM walk GROUP BY id
+       |), nd AS (
+       |  SELECT e.* FROM ex e LEFT JOIN comp c ON e.doc_id = c.id
+       |  WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+       |), sp AS (
+       |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':42') AS hx FROM nd
+       |), spv AS (
+       |  SELECT doc_id, CAST(${nib("hx")} AS DOUBLE) / 4294967296.0 AS sfrac FROM sp
+       |), spl AS (
+       |  SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split_name FROM spv
+       |), pk0 AS (
+       |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':pack42') AS hx,
+       |    CAST(len(list_filter(string_split_regex(text, '$ws'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+       |  FROM nd
+       |), pk1 AS (
+       |  SELECT doc_id, hx, n_tokens, CAST(${nib("hx")} AS BIGINT) % 8 AS shard FROM pk0
+       |), pk AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY hx ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM pk1
+       |)
+       |SELECT n.doc_id, n.text, n.lang, n.source, s.split_name, p.shard, p.start_off,
+       |  CAST(p.start_off // 256 AS BIGINT) AS first_seq,
+       |  CAST((p.start_off + greatest(p.n_tokens, 1) - 1) // 256 AS BIGINT) AS last_seq
+       |FROM nd n
+       |JOIN spl s ON n.doc_id = s.doc_id
+       |JOIN pk p ON n.doc_id = p.doc_id""".stripMargin
   }
 
   /** Near-dup group oracle: the minhash pair derivation (same tail as
@@ -1064,6 +1195,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
     "q_dedup_groups" -> nearDupGroupsOracle,
+    "q_corpus_pipeline" -> corpusPipelineOracle,
     // span dedup: parallel unnests of equal length zip element-wise in
     // DuckDB, giving (line, 1-based pos); rank/rebuild mirror the window
     // and ordered string_agg exactly (pos only ever used for ORDERING,
