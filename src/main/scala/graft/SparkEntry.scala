@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -245,11 +245,7 @@ object SparkEntry {
     // every doc has genuine duplicate-line signal)
     "q_quality_repetition" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val ml = concat(
-        substring(col("text"), 1, 60), lit("\n"),
-        substring(col("text"), 31, 90), lit("\n"),
-        substring(col("text"), 1, 60), lit("\n"),
-        substring(col("text"), 121, 100000))
+      val ml = mlView
       graft.operators.TextAnalysis.repetitionSignals(
         d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
     }),
@@ -349,11 +345,7 @@ object SparkEntry {
     // 60-char prefixes) both collapse to their first occurrence
     "q_dedup_spans" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val ml = concat(
-        substring(col("text"), 1, 60), lit("\n"),
-        substring(col("text"), 31, 90), lit("\n"),
-        substring(col("text"), 1, 60), lit("\n"),
-        substring(col("text"), 121, 100000))
+      val ml = mlView
       graft.operators.Dedup.dropRepeatedSpans(
         d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
     }),
@@ -700,10 +692,7 @@ object SparkEntry {
         s"regexp_replace($acc, '$pat', '$repl', 'g')"
       }
     val jac = tokenJaccardSql
-    def nib(col: String): String = (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      s"(strpos('0123456789abcdef', substr($col, ${j + 1}, 1)) - 1) * $w"
-    }.mkString(" + ")
+
     s"""WITH RECURSIVE toks0 AS (
        |  SELECT doc_id, text, lang, source,
        |    list_filter(string_split_regex(text, '$ws'), t -> len(t) > 0) AS tk
@@ -766,7 +755,7 @@ object SparkEntry {
        |), sp AS (
        |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':42') AS hx FROM nd
        |), spv AS (
-       |  SELECT doc_id, CAST(${nib("hx")} AS DOUBLE) / 4294967296.0 AS sfrac FROM sp
+       |  SELECT doc_id, CAST(${shaPrefix32()} AS DOUBLE) / 4294967296.0 AS sfrac FROM sp
        |), spl AS (
        |  SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split_name FROM spv
        |), pk0 AS (
@@ -774,7 +763,7 @@ object SparkEntry {
        |    CAST(len(list_filter(string_split_regex(text, '$ws'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
        |  FROM nd
        |), pk1 AS (
-       |  SELECT doc_id, hx, n_tokens, CAST(${nib("hx")} AS BIGINT) % 8 AS shard FROM pk0
+       |  SELECT doc_id, hx, n_tokens, CAST(${shaPrefix32()} AS BIGINT) % 8 AS shard FROM pk0
        |), pk AS (
        |  SELECT doc_id, shard, n_tokens,
        |    CAST(COALESCE(sum(n_tokens) OVER (
@@ -1061,16 +1050,16 @@ object SparkEntry {
     * the 32-bit sha prefix behind Sampling.hashFraction and
     * Packing.packAssignments' shard. Shared by every oracle that
     * re-derives a sha fraction/shard (split/mixture/pack). */
-  private def shaPrefix32: String =
+  private def shaPrefix32(hexCol: String = "hx"): String =
     (0 until 8).map { j =>
       val w = 1L << (4 * (7 - j))
-      s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) * $w"
+      s"(strpos('0123456789abcdef', substr($hexCol, ${j + 1}, 1)) - 1) * $w"
     }.mkString(" + ")
 
   private def splitAssignOracle: String = {
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail
-    val nibbles = shaPrefix32
+    val nibbles = shaPrefix32()
     val cases = weights.init.zip(cuts.init).map { case ((name, _), cut) =>
       s"WHEN frac < CAST('$cut' AS DOUBLE) THEN '$name'"
     }.mkString(" ")
@@ -1087,7 +1076,7 @@ object SparkEntry {
   /** Mixture-sample re-derivation: the same 32-bit sha fraction as
     * splitAssignOracle (seed 7) against exact-binary rate literals. */
   private def mixtureSampleOracle: String = {
-    val nibbles = shaPrefix32
+    val nibbles = shaPrefix32()
     s"""WITH h AS (
        |  SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR) || ':7') AS hx
        |  FROM documents
@@ -1107,7 +1096,7 @@ object SparkEntry {
     * mod `shards`, the offset a window prefix sum in (sha, id) order, and
     * the sequence ids integer divisions — all exact. */
   private def packAssignmentsOracle: String = {
-    val nibbles = shaPrefix32
+    val nibbles = shaPrefix32()
     s"""WITH h AS (
        |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':pack42') AS hx,
        |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
@@ -1151,7 +1140,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  /** The synthesized multi-line document view shared by
+    * q_quality_repetition and q_dedup_spans. The Spark Column and the SQL
+    * mirror live side by side HERE so they cannot drift: every oracle
+    * containing the `__ML_SQL__` placeholder gets [[mlSql]] substituted
+    * at map build time. */
+  private def mlView: Column = concat(
+    substring(col("text"), 1, 60), lit("\n"),
+    substring(col("text"), 31, 90), lit("\n"),
+    substring(col("text"), 1, 60), lit("\n"),
+    substring(col("text"), 121, 100000))
+
+  private val mlSql: String =
+    "substr(text, 1, 60) || chr(10) || substr(text, 31, 90) || chr(10) " +
+      "|| substr(text, 1, 60) || chr(10) || substr(text, 121, 100000)"
+
+  def oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
+    k -> v.replace("__ML_SQL__", mlSql)
+  }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q_media_features" -> mediaFeaturesOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_pack_assignments" -> packAssignmentsOracle,
@@ -1203,8 +1211,7 @@ object SparkEntry {
     "q_dedup_spans" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    substr(text, 1, 60) || chr(10) || substr(text, 31, 90) || chr(10)
-        |      || substr(text, 1, 60) || chr(10) || substr(text, 121, 100000) AS ml
+        |    __ML_SQL__ AS ml
         |  FROM documents
         |), lines AS (
         |  SELECT doc_id, line, pos FROM (
@@ -1445,8 +1452,7 @@ object SparkEntry {
     "q_quality_repetition" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    substr(text, 1, 60) || chr(10) || substr(text, 31, 90) || chr(10)
-        |      || substr(text, 1, 60) || chr(10) || substr(text, 121, 100000) AS ml
+        |    __ML_SQL__ AS ml
         |  FROM documents
         |), lines AS (
         |  SELECT doc_id, trim(l, ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS line

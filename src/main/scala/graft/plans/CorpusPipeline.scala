@@ -27,8 +27,10 @@ import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
   *   04 exact      — exact-hash canonicalization, keep one per group
   *   05 neardup    — MinHash-LSH + connected-components groups, keep the
   *                   canonical doc per near-dup cluster; the banding's
-  *                   dropped-bucket count lands in metrics (the cap is
-  *                   never silent INSIDE the pipeline)
+  *                   dropped buckets checkpoint as their own side stage
+  *                   (05_dropped) whose row count lands in metrics (the
+  *                   cap is never silent INSIDE the pipeline, and a
+  *                   resumed run reads the count from the manifest)
   *   06 corpus     — train/val/test split + domain mixture sampling +
   *                   sequence-pack layout, all sha-derived (re-running
   *                   over a grown corpus never reassigns existing docs)
@@ -63,10 +65,7 @@ object CorpusPipeline {
   case class Result(corpus: DataFrame, stages: Seq[Pipeline.StageResult],
       metrics: DataFrame)
 
-  private def sha(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private def sha(s: String): String = Pipeline.sha(s)
 
   /** docs: (doc_id, text, lang, source). Returns the final corpus frame
     * (doc_id, text, lang, source, split_name, shard, start_off,
@@ -74,11 +73,10 @@ object CorpusPipeline {
   def run(spark: SparkSession, docs: DataFrame, workDir: String,
       cfg: Config = Config()): Result = {
     Files.createDirectories(Paths.get(workDir))
-    val inFp = {
-      val r = docs.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head()
-      sha(s"n=${r.getLong(0)};h=${r.getLong(1)}")
-    }
+    // fingerprint the TEXT, not just the ids: text is what this pipeline
+    // transforms, so a re-crawl that rewrites documents in place under
+    // unchanged doc_ids must invalidate every checkpoint
+    val inFp = Pipeline.inputFingerprint(docs, Seq("doc_id", "text"))
     val base = sha(cfg.fingerprint + ";" + inFp)
 
     val fpSig = sha(base + ":signals")
@@ -92,9 +90,13 @@ object CorpusPipeline {
     }
 
     val fpFil = sha(fpSig + ":filtered")
+    // the signal columns are consumed HERE; downstream checkpoints carry
+    // only what later stages read (at corpus scale the dead columns would
+    // be real I/O in every subsequent stage's parquet round-trip)
     val filtered = Pipeline.stage(spark, workDir, "02_filtered", fpFil)(
       signals.df.where(col("quality") >= cfg.minQuality &&
-        col("dup_line_frac") <= cfg.maxDupLineFrac))
+        col("dup_line_frac") <= cfg.maxDupLineFrac)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")))
 
     val fpScr = sha(fpFil + ":scrubbed")
     val scrubbed = Pipeline.stage(spark, workDir, "03_scrubbed", fpScr)(
@@ -116,6 +118,14 @@ object CorpusPipeline {
       exact.df.join(groups.withColumnRenamed("id", "doc_id"), "doc_id")
     }
 
+    // the banding's dropped buckets are a CHECKPOINTED side stage: a
+    // resumed run reads the count from the manifest instead of re-running
+    // the O(corpus) banding just to recount what was already known
+    val fpDrop = sha(fpEx + ":dropped")
+    val droppedStage = Pipeline.stage(spark, workDir, "05_dropped", fpDrop)(
+      Dedup.droppedMinhashBuckets(exact.df, "doc_id", "text",
+        cfg.numHashes, cfg.bands, cfg.bucketCap, cfg.hashFamily))
+
     val fpCor = sha(fpNd + ":corpus")
     val corpus = Pipeline.stage(spark, workDir, "06_corpus", fpCor) {
       val sampled = Sampling.mixtureSample(
@@ -131,22 +141,20 @@ object CorpusPipeline {
           col("first_seq"), col("last_seq"))
     }
 
-    val stages = Seq(signals, filtered, scrubbed, exact, neardup, corpus)
+    val stages =
+      Seq(signals, filtered, scrubbed, exact, neardup, droppedStage, corpus)
     import spark.implicits._
     // the LSH cap is observable INSIDE the pipeline: its drop count is a
-    // first-class metric, not a separate query the caller must remember
-    val droppedBuckets = Dedup.droppedMinhashBuckets(exact.df, "doc_id",
-      "text", cfg.numHashes, cfg.bands, cfg.bucketCap, cfg.hashFamily).count()
-    val metrics = (stages.map(s => (s.name, "rows", s.rows.toDouble)) ++
-      stages.map(s => (s.name, "wall_ms", s.wallMs.toDouble)) ++
-      stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0)) :+
+    // first-class metric (rows of the checkpointed 05_dropped stage), not
+    // a separate query the caller must remember
+    val metrics = (Pipeline.stageMetrics(stages) :+
       (("02_filtered", "docs_dropped",
         (signals.rows - filtered.rows).toDouble)) :+
       (("04_exact", "exact_dups_removed",
         (scrubbed.rows - exact.rows).toDouble)) :+
       (("05_neardup", "near_dups_removed",
         (exact.rows - neardup.rows).toDouble)) :+
-      (("05_neardup", "dropped_minhash_buckets", droppedBuckets.toDouble)))
+      (("05_neardup", "dropped_minhash_buckets", droppedStage.rows.toDouble)))
       .toDF("stage", "metric", "value")
     metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/99_metrics")
     Result(corpus.df, stages, metrics)

@@ -55,7 +55,7 @@ object Pipeline {
   case class Result(clusters: DataFrame, stages: Seq[StageResult],
       metrics: DataFrame)
 
-  private def sha(s: String): String =
+  private[plans] def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
 
@@ -102,13 +102,28 @@ object Pipeline {
     StageResult(name, out, fingerprint, resumed = false, rows, wallMs)
   }
 
-  /** Cheap content fingerprint of the input corpus: row count + url hash
-    * aggregate (single pruned scan of one column). On Iceberg this is the
-    * snapshot id instead. */
-  def inputFingerprint(pages: DataFrame): String = {
-    val r = pages.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(url))"), lit(0L))).head()
-    sha(s"n=${r.getLong(0)};h=${r.getLong(1)}")
+  /** Cheap content fingerprint of the input corpus: row count + an
+    * order-insensitive xxhash64 fold over `cols` (single pruned scan).
+    * Include every column whose change must invalidate checkpoints —
+    * the linkage pipeline fingerprints `url` (its text invariant gate
+    * separately reads the content); CorpusPipeline fingerprints
+    * (doc_id, text) because text is exactly what it transforms. On
+    * Iceberg this is the snapshot id instead. */
+  def inputFingerprint(df: DataFrame, cols: Seq[String]): String = {
+    val hashExpr = s"bit_xor(xxhash64(${cols.mkString(", ")}))"
+    val r = df.agg(count(lit(1)), coalesce(expr(hashExpr), lit(0L))).head()
+    sha(s"cols=${cols.mkString(",")};n=${r.getLong(0)};h=${r.getLong(1)}")
   }
+
+  def inputFingerprint(pages: DataFrame): String =
+    inputFingerprint(pages, Seq("url"))
+
+  /** The per-stage metric triples both pipelines share. */
+  private[plans] def stageMetrics(
+      stages: Seq[StageResult]): Seq[(String, String, Double)] =
+    stages.map(s => (s.name, "rows", s.rows.toDouble)) ++
+      stages.map(s => (s.name, "wall_ms", s.wallMs.toDouble)) ++
+      stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0))
 
   /** Full pipeline: extract → candidate keys → candidate pairs → score →
     * match → cluster, all checkpointed under workDir. */
@@ -162,9 +177,7 @@ object Pipeline {
           ("06_clusters", f"cc_round_${i + 1}%02d_edges", n.toDouble)
         }
     }
-    val metrics = (stages.map(s => (s.name, "rows", s.rows.toDouble)) ++
-      stages.map(s => (s.name, "wall_ms", s.wallMs.toDouble)) ++
-      stages.map(s => (s.name, "resumed", if (s.resumed) 1.0 else 0.0)) ++
+    val metrics = (stageMetrics(stages) ++
       ccMetrics :+
       (("02_keys", "dropped_buckets", dropped.toDouble)) :+
       (("00_input", "text_invariant_violations", violations.toDouble)))

@@ -13,7 +13,7 @@ class CorpusPipelineSpec extends SparkFunSuite {
 
     val r1 = CorpusPipeline.run(spark, docs, workDir, cfg)
     assert(r1.stages.map(_.name) == Seq("01_signals", "02_filtered",
-      "03_scrubbed", "04_exact", "05_neardup", "06_corpus"))
+      "03_scrubbed", "04_exact", "05_neardup", "05_dropped", "06_corpus"))
     assert(r1.stages.forall(!_.resumed))
     // monotone shrinkage through the filter/dedup stages
     val rows = r1.stages.map(s => s.name -> s.rows).toMap
