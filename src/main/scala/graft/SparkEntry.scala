@@ -540,6 +540,18 @@ object SparkEntry {
       runToMemorySink(s, deduped, "q_stream_dedup", "append")
     }),
 
+    // streaming: stateless ingest quality-filter + scrub — append output
+    // must equal the identical static filter row-for-row
+    "q_stream_quality" -> ((s, dir) => {
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(static.schema)
+        .parquet(stageStreamDir(s"$dir/documents.parquet"))
+      val filtered = graft.streaming.StreamingLinkage
+        .qualityFilterStream(stream, minQuality = 0.3)
+        .select(col("doc_id"), col("quality"), col("text"))
+      runToMemorySink(s, filtered, "q_stream_quality", "append")
+    }),
+
     // streaming: windowed event-time throughput metrics (watermark +
     // tumbling window aggregate). Synthesized event time as above; the
     // (window_start, lang, pages) aggregate is fully deterministic.
@@ -671,6 +683,29 @@ object SparkEntry {
        |WHERE $jac >= 0.5""".stripMargin
   }
 
+  /** toks0+sigq CTEs: per-doc quality score over `documents` — the exact
+    * q_text_analysis formula, shared by corpusPipelineOracle and the
+    * streaming quality-filter oracle. */
+  private def qualitySigCtes: String = {
+    val ws = """[ \t\n\x0b\f\r]+"""
+    val punct = """[a-zA-Z0-9 \t\n\x0b\f\r]"""
+    s"""toks0 AS (
+       |  SELECT doc_id, text, lang, source,
+       |    list_filter(string_split_regex(text, '$ws'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), sigq AS (
+       |  SELECT doc_id, text, lang, source,
+       |    (CASE WHEN len(tk) > 0
+       |          THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS DOUBLE)
+       |               / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) * 0.2
+       |    + least(CAST(len(tk) AS DOUBLE) / 64.0, 1.0) * 0.5
+       |    + (1.0 - CASE WHEN len(text) > 0
+       |             THEN CAST(len(regexp_replace(text, '$punct', '', 'g')) AS DOUBLE)
+       |                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 AS quality
+       |  FROM toks0
+       |)""".stripMargin
+  }
+
   /** End-to-end re-derivation of [[graft.plans.CorpusPipeline]] (sha256
     * family, tau 0.5, seqLen 256, 8 shards, default splits, identity
     * mixture): quality/repetition filter → PII scrub → exact-hash
@@ -693,21 +728,7 @@ object SparkEntry {
       }
     val jac = tokenJaccardSql
 
-    s"""WITH RECURSIVE toks0 AS (
-       |  SELECT doc_id, text, lang, source,
-       |    list_filter(string_split_regex(text, '$ws'), t -> len(t) > 0) AS tk
-       |  FROM documents
-       |), sigq AS (
-       |  SELECT doc_id, text, lang, source,
-       |    (CASE WHEN len(tk) > 0
-       |          THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS DOUBLE)
-       |               / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) * 0.2
-       |    + least(CAST(len(tk) AS DOUBLE) / 64.0, 1.0) * 0.5
-       |    + (1.0 - CASE WHEN len(text) > 0
-       |             THEN CAST(len(regexp_replace(text, '$punct', '', 'g')) AS DOUBLE)
-       |                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3 AS quality
-       |  FROM toks0
-       |), ln0 AS (
+    s"""WITH RECURSIVE ${qualitySigCtes}, ln0 AS (
        |  SELECT doc_id, trim(l, ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS line
        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
        |), ln1 AS (
@@ -1204,6 +1225,15 @@ object SparkEntry {
     "q_dedup_incremental" -> minhashIncrementalOracle,
     "q_dedup_groups" -> nearDupGroupsOracle,
     "q_corpus_pipeline" -> corpusPipelineOracle,
+    "q_stream_quality" -> {
+      val scrub = graft.operators.TextAnalysis.PiiPatterns
+        .foldLeft("text") { case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '$pat', '$repl', 'g')"
+        }
+      s"""WITH $qualitySigCtes
+         |SELECT doc_id, quality, $scrub AS text
+         |FROM sigq WHERE quality >= CAST('0.3' AS DOUBLE)""".stripMargin
+    },
     // span dedup: parallel unnests of equal length zip element-wise in
     // DuckDB, giving (line, 1-based pos); rank/rebuild mirror the window
     // and ordered string_agg exactly (pos only ever used for ORDERING,

@@ -139,6 +139,21 @@ object StreamingLinkage {
       }
   }
 
+  /** Streaming corpus-ingest filter: per-arriving-document quality gate +
+    * PII scrub on a `(doc_id, text, ...)` stream. Fully STATELESS — a
+    * projection + filter with no watermark and no state store, so it
+    * composes in front of any stateful stage, runs at source rate on any
+    * cluster size, and its append-mode output equals the identical static
+    * filter row-for-row (which is how the driver gate hash-checks it). */
+  def qualityFilterStream(docs: DataFrame,
+      minQuality: Double): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .where(col("quality") >= minQuality)
+      .withColumn("text", TextAnalysis.scrubPii(col("text")))
+  }
+
   /** Windowed ingestion metrics: pages and distinct languages per
     * event-time window (late data bounded by the watermark). */
   def throughputMetrics(pages: DataFrame, window_ : String = "10 minutes",

@@ -39,6 +39,28 @@ class StreamingLinkageSpec extends SparkFunSuite {
     assert(got == Set(("https://phillips.org/new", "https://phillips.com/p0")))
   }
 
+  test("quality filter stream: stateless gate + scrub equals static filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val clean = "the quick brown fox and the lazy dog run to the hills " * 3
+    val junk = "@@@@ ####"
+    val pii = clean + " mail me at user@example.com now"
+    val filtered = StreamingLinkage.qualityFilterStream(
+      input.toDF().toDF("doc_id", "text"), minQuality = 0.3)
+      .select(col("doc_id"), col("text"))
+    val q = filtered.writeStream.format("memory").queryName("qf1")
+      .outputMode("append").start()
+    input.addData((1L, clean), (2L, junk))
+    q.processAllAvailable()
+    input.addData((3L, pii)) // second batch: still stateless, still flows
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, text from qf1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    q.stop()
+    assert(got.contains(1L) && !got.contains(2L)) // junk gated out
+    assert(got(3L).contains("<EMAIL>") && !got(3L).contains("user@example.com"))
+  }
+
   test("watermarked dedup suppresses exact re-crawls") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Page]
