@@ -30,14 +30,27 @@ object Decontaminate {
     * with any benchmark document; n_hits = number of DISTINCT grams of the
     * doc that appear anywhere in the benchmark set. Documents with zero
     * hits are absent (the common case — keep the output contamination-
-    * sized, not corpus-sized). */
+    * sized, not corpus-sized).
+    *
+    * `broadcastBench` (default true) hints the benchmark gram set for a
+    * broadcast hash join — right for the normal case (an eval suite's
+    * distinct 8-gram set is MBs). SIZE CONTRACT: the hint forces the gram
+    * set through the driver and every executor, so it must fit Spark's
+    * broadcast limits (spark.sql.autoBroadcastJoinThreshold semantics do
+    * not apply to explicit hints — an 8 GB gram set would OOM the driver
+    * rather than degrade). For a very large combined suite pass
+    * `broadcastBench = false`: the unhinted plan shuffles both sides on
+    * `gram` — slower, but it degrades gracefully at any benchmark size
+    * (and AQE still promotes it back to broadcast when the bench side
+    * turns out small). */
   def flaggedDocs(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 8): DataFrame = {
+      textCol: String, n: Int = 8, broadcastBench: Boolean = true): DataFrame = {
     val docGrams = docs.select(col(idCol).as("id"),
       explode(wordNGrams(col(textCol), n)).as("gram"))
     val benchGrams = bench
       .select(explode(wordNGrams(col(textCol), n)).as("gram")).distinct()
-    docGrams.join(broadcast(benchGrams), "gram")
+    val hinted = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    docGrams.join(hinted, "gram")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -133,10 +133,19 @@ object Dedup {
     * driver gate hash-checks this operator against DuckDB. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, numHashes: Int = 16, bands: Int = 4,
-      bucketCap: Int = 500, hashFamily: String = "xxhash64"): DataFrame = {
+      bucketCap: Int = 500, hashFamily: String = "xxhash64",
+      persistBanded: Boolean = false): DataFrame = {
     val toksOf = distinctTokens(textCol)
     val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
-    val banded = minhashBanded(docs, idCol, textCol, numHashes, bands, hashFamily)
+    val banded0 = minhashBanded(docs, idCol, textCol, numHashes, bands, hashFamily)
+    // the banded subtree feeds both the sizing aggregate and the join-back;
+    // persistBanded materializes it ONCE (memory-and-disk) so the signatures
+    // are computed a single time — the shape PLANS.md §2 recommends at scale
+    // (the cache lives until the caller/session clears it)
+    val banded =
+      if (persistBanded)
+        banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded0
     val good = underCap(banded, bucketCap).select(col("key"), col("id"))
     val cand = good.select(col("key"), col("id").as("ia"))
       .join(good.select(col("key"), col("id").as("ib")), "key")
@@ -151,30 +160,46 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
-  /** Incremental near-dup detection: which documents of a NEW batch are
-    * near-duplicates of an EXISTING corpus — the continuous-crawl shape of
-    * [[minhashLshPairs]]. Emits verified (batch_id, corpus_id, jaccard)
-    * pairs with jaccard ≥ tau; crucially it never generates corpus×corpus
-    * candidates, so per-batch cost is ∝ batch size, not corpus².
+  /** The persistable `(key, id)` MinHash band index of a corpus, with the
+    * `bucketCap` cut already applied (over-cap buckets excluded; their
+    * record is [[droppedMinhashBuckets]] with the same arguments). This is
+    * the ONE O(corpus) pass of the incremental-dedup shape: build it once,
+    * write it bucketed/partitioned by `key`, and every incremental batch
+    * joins against it via [[minhashLshIncrementalIndexed]] without ever
+    * re-banding the corpus. Append-only growth composes: band a new batch
+    * with this same function and union it in. */
+  def bandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 500,
+      hashFamily: String = "xxhash64"): DataFrame =
+    underCap(
+      minhashBanded(corpus, idCol, textCol, numHashes, bands, hashFamily),
+      bucketCap)
+      .select(col("key"), col("id"))
+
+  /** Incremental near-dup detection against a PREBUILT corpus band index
+    * (from [[bandIndex]], typically read back from its persisted form):
+    * which documents of a NEW batch are near-duplicates of the existing
+    * corpus. Emits verified (batch_id, corpus_id, jaccard) pairs with
+    * jaccard ≥ tau.
     *
-    * 100 TB shape: the corpus side of the banded join is exactly the
-    * `(id, band key)` index this module already derives — at scale you
-    * persist it once (bucketed/partitioned by key) and every incremental
-    * batch joins against it shuffle-free on the corpus side; a small batch
-    * additionally broadcasts. The bucket cap applies to CORPUS bucket
-    * sizes (the side that can degenerate on boilerplate); drops stay
-    * observable via [[droppedMinhashBuckets]] on the corpus. */
-  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
-      idCol: String, textCol: String, tau: Double, numHashes: Int = 16,
-      bands: Int = 4, bucketCap: Int = 500,
+    * Per-batch cost is ∝ batch, not corpus: only the BATCH is banded
+    * (O(batch)), candidates only cross sides (never corpus×corpus), and
+    * the corpus pays no recompute — the banded join probes the stored
+    * index (partitioned by key it is shuffle-free on the corpus side; a
+    * small batch additionally broadcasts). The one corpus-touching step
+    * left is the verification join back to corpus text for the MATCHED
+    * candidate ids — an equi-join on the corpus primary key that AQE
+    * broadcasts and runtime-filters when the candidate set is small.
+    * `numHashes`/`bands`/`hashFamily` must match the index's build
+    * parameters (a mismatched banding silently finds nothing). */
+  def minhashLshIncrementalIndexed(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, tau: Double,
+      numHashes: Int = 16, bands: Int = 4,
       hashFamily: String = "xxhash64"): DataFrame = {
     val toksOf = distinctTokens(textCol)
-    val cBanded = minhashBanded(corpus, idCol, textCol, numHashes, bands, hashFamily)
     val bBanded = minhashBanded(batch, idCol, textCol, numHashes, bands, hashFamily)
-    val goodCorpus = underCap(cBanded, bucketCap)
-      .select(col("key"), col("id").as("corpus_id"))
     val cand = bBanded.select(col("key"), col("id").as("batch_id"))
-      .join(goodCorpus, "key")
+      .join(index.select(col("key"), col("id").as("corpus_id")), "key")
       .select(col("batch_id"), col("corpus_id")).distinct()
     cand
       .join(batch.select(col(idCol).as("batch_id"), toksOf.as("ta")), "batch_id")
@@ -183,6 +208,21 @@ object Dedup {
         jaccardOf(col("ta"), col("tb")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
+
+  /** Convenience form of [[minhashLshIncrementalIndexed]] that derives the
+    * corpus band index in-query — for one-shot use. A RECURRING
+    * incremental pipeline (daily batches against a growing corpus) must
+    * NOT call this per batch: it pays the O(corpus) [[bandIndex]] pass
+    * every time. Build the index once, persist it, and call the indexed
+    * form — the results are identical by construction (DedupSpec pins the
+    * equality). */
+  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double, numHashes: Int = 16,
+      bands: Int = 4, bucketCap: Int = 500,
+      hashFamily: String = "xxhash64"): DataFrame =
+    minhashLshIncrementalIndexed(
+      bandIndex(corpus, idCol, textCol, numHashes, bands, bucketCap, hashFamily),
+      corpus, batch, idCol, textCol, tau, numHashes, bands, hashFamily)
 
   /** C4-style corpus-wide repeated-span removal (Raffel et al. 2020 §2.2
     * drop duplicated spans corpus-wide, keeping ONE occurrence): spans
@@ -269,7 +309,7 @@ object Dedup {
     * non-silent record of what the banding dropped (same observability
     * contract as [[droppedMinhashBuckets]] / Linkage.droppedBuckets). */
   def droppedSimhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-      hardCap: Int = 100000, hashFamily: String = "fnv"): DataFrame =
+      hardCap: Int = Int.MaxValue, hashFamily: String = "fnv"): DataFrame =
     simhashBanded(docs, idCol, textCol, hashFamily)
       .groupBy(col("key")).agg(count(lit(1)).as("n"))
       .where(col("n") > hardCap)
@@ -311,15 +351,20 @@ object Dedup {
     * which forces every bucket through the grid and must equal the
     * uncapped oracle).
     *
-    * OBSERVABILITY CONTRACT: only tier 3 loses pairs, and its record
-    * lives in the companion frame — a production run where `hardCap` can
-    * bite must evaluate [[droppedSimhashBuckets]] alongside this result
-    * (same banded subtree; with both in one application, exchange reuse
-    * makes the second pass cheap). This result frame alone carries no
-    * drop signal. */
+    * OBSERVABILITY CONTRACT: only tier 3 loses pairs, and dropping is
+    * OPT-IN — `hardCap` defaults to `Int.MaxValue` (lossless: every
+    * over-`bucketCap` bucket routes through the salted grid), so no
+    * caller loses pairs without having asked for a cap. A run that does
+    * set `hardCap` must evaluate [[droppedSimhashBuckets]] with the same
+    * cap alongside this result (same banded subtree; with both in one
+    * application, exchange reuse makes the second pass cheap) — this
+    * result frame alone carries no drop signal. At 100 TB on a
+    * boilerplate-heavy crawl a finite cap (e.g. 100k) is the sane
+    * setting: a band bucket that big carries no discriminative signal
+    * and its salted grid still costs |bucket|². */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, hashFamily: String = "fnv",
-      bucketCap: Int = 500, hardCap: Int = 100000,
+      bucketCap: Int = 500, hardCap: Int = Int.MaxValue,
       saltGroups: Int = 16): DataFrame = {
     val banded = simhashBanded(docs, idCol, textCol, hashFamily)
     val sized = banded.select(col("key")).groupBy(col("key"))

@@ -19,12 +19,20 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** @param events frame with (userCol, tsCol) columns (+ anything else)
+    * @param orderCols extra tie-break columns appended after tsCol in the
+    *        per-user sort, making the lag() pass deterministic when two
+    *        events share a timestamp. Default `Seq("event_id")` matches
+    *        the events-log schema; pass your own unique column(s), or
+    *        `Seq.empty` when no tie-break column exists (same-timestamp
+    *        order is then nondeterministic, but session ASSIGNMENT is
+    *        unaffected — a zero gap never splits a session).
     * @return one row per session:
     *         (user_id, session_id, n_events, session_start, session_end) */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L,
+      orderCols: Seq[String] = Seq("event_id")): DataFrame = {
     val byUser = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col("event_id"))
+      .orderBy(col(tsCol) +: orderCols.map(col): _*)
     val withGap = events
       .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
       // double epoch seconds keep sub-second precision (unix_timestamp

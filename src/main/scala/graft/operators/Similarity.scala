@@ -270,8 +270,18 @@ object Similarity {
     * this frame alone carries no drop signal. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, bands: Int = 4, planesPerBand: Int = 6,
-      seed: Long = 42L, bucketCap: Int = 2000): DataFrame = {
-    val all = lshBucketed(emb, idCol, vecCol, dim, bands, planesPerBand, seed)
+      seed: Long = 42L, bucketCap: Int = 2000,
+      persistBanded: Boolean = false): DataFrame = {
+    val all0 = lshBucketed(emb, idCol, vecCol, dim, bands, planesPerBand, seed)
+    // the bucketed subtree feeds both the sizing aggregate and the
+    // candidate join; persistBanded materializes it ONCE (memory-and-disk)
+    // so the hyperplane signatures are computed a single time — the shape
+    // PLANS.md §2 recommends at scale (cache lives until the caller or
+    // session clears it)
+    val all =
+      if (persistBanded)
+        all0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else all0
     // key-only projection before the sizing aggregate: the embedding never
     // rides through the count shuffle
     val sized = all.select(col("key")).groupBy(col("key"))

@@ -90,14 +90,21 @@ object TextAnalysis {
     * `user@host` inside a URL is half-eaten), emails before number runs
     * (an email's digits must not become a phone), dotted quads before
     * phone runs (the phone class contains '.', so an unscrubbed IP parses
-    * as a phone). */
+    * as a phone).
+    *
+    * The <PHONE> rule requires 7+ ACTUAL digits with at most 2 separator
+    * characters between consecutive digits — so a 7+-char run that is
+    * mostly separators ("2020 - 2021", "v1.2, see p. 3-4") is NOT
+    * scrubbed. Known residual false positives (accepted: indistinguishable
+    * from phones without layout context): 7+-digit runs with single-char
+    * grouping separators, e.g. "1 000 000" or ISBN-like "0-306-40615-2". */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "https?://[^ \\t\\n\\x0B\\f\\r]+" -> "<URL>",
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
     // IPv4 (conservative: any dotted quad)
     "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+" -> "<IP>",
-    // international-ish phone runs: 7+ digits allowing separators
-    "\\+?[0-9][0-9()./ -]{5,}[0-9]" -> "<PHONE>",
+    // phone runs: 7+ digits, each pair of digits at most 2 separators apart
+    "\\+?[0-9]([()./ -]{0,2}[0-9]){6,}" -> "<PHONE>",
   )
 
   /** Masks URLs, emails, phone-number runs, and IPv4 literals with typed

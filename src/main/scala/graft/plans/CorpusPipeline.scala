@@ -21,17 +21,23 @@ import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
   *
   *   01 signals    — quality score, language id, token counts, Gopher
   *                   repetition signals (one pass, zero shuffle)
-  *   02 filtered   — drop low-quality / repetition-heavy docs (config
-  *                   thresholds; drop counts surface in metrics)
-  *   03 scrubbed   — PII masking (pure projection)
-  *   04 exact      — exact-hash canonicalization, keep one per group
-  *   05 neardup    — MinHash-LSH + connected-components groups, keep the
+  *   02 clean      — quality/repetition filter + PII scrub FUSED into one
+  *                   stage (drop counts surface in metrics). The filter
+  *                   and the scrub are a predicate and a projection: each
+  *                   costs nothing to recompute from 01_signals, so
+  *                   checkpointing them separately would buy no resume
+  *                   value while paying two extra corpus-sized parquet
+  *                   round-trips per run at 100 TB — fused, the corpus is
+  *                   written once between the signals pass and the dedup
+  *                   stages
+  *   03 exact      — exact-hash canonicalization, keep one per group
+  *   04 neardup    — MinHash-LSH + connected-components groups, keep the
   *                   canonical doc per near-dup cluster; the banding's
   *                   dropped buckets checkpoint as their own side stage
-  *                   (05_dropped) whose row count lands in metrics (the
+  *                   (04_dropped) whose row count lands in metrics (the
   *                   cap is never silent INSIDE the pipeline, and a
   *                   resumed run reads the count from the manifest)
-  *   06 corpus     — train/val/test split + domain mixture sampling +
+  *   05 corpus     — train/val/test split + domain mixture sampling +
   *                   sequence-pack layout, all sha-derived (re-running
   *                   over a grown corpus never reassigns existing docs)
   */
@@ -59,7 +65,9 @@ object CorpusPipeline {
         s"cap=$bucketCap;sp=${splits.map(w => w._1 + ":" + w._2).mkString(",")};" +
         s"mx=${mixtureRates.toSeq.sorted.map(w => w._1 + ":" + w._2).mkString(",")};" +
         s"dr=$defaultRate;len=$seqLen;sh=$packShards;seed=$seed;" +
-        s"fam=$hashFamily;v=1"
+        // v=2: filter+scrub fused into the single 02_clean stage (round-3
+        // checkpoints under the old 5-stage layout must not resume)
+        s"fam=$hashFamily;v=2"
   }
 
   case class Result(corpus: DataFrame, stages: Seq[Pipeline.StageResult],
@@ -89,29 +97,28 @@ object CorpusPipeline {
         .join(rep.select(col("doc_id"), col("dup_line_frac")), "doc_id")
     }
 
-    val fpFil = sha(fpSig + ":filtered")
-    // the signal columns are consumed HERE; downstream checkpoints carry
+    val fpCln = sha(fpSig + ":clean")
+    // filter + scrub FUSED: one Exchange-free stage (a predicate and a
+    // regexp projection) between the signals pass and the dedup stages.
+    // The signal columns are consumed HERE; downstream checkpoints carry
     // only what later stages read (at corpus scale the dead columns would
     // be real I/O in every subsequent stage's parquet round-trip)
-    val filtered = Pipeline.stage(spark, workDir, "02_filtered", fpFil)(
+    val clean = Pipeline.stage(spark, workDir, "02_clean", fpCln)(
       signals.df.where(col("quality") >= cfg.minQuality &&
         col("dup_line_frac") <= cfg.maxDupLineFrac)
-        .select(col("doc_id"), col("text"), col("lang"), col("source")))
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("text"),
+          col("lang"), col("source")))
 
-    val fpScr = sha(fpFil + ":scrubbed")
-    val scrubbed = Pipeline.stage(spark, workDir, "03_scrubbed", fpScr)(
-      filtered.df.withColumn("text",
-        TextAnalysis.scrubPii(col("text"))))
-
-    val fpEx = sha(fpScr + ":exact")
-    val exact = Pipeline.stage(spark, workDir, "04_exact", fpEx) {
-      val groups = Dedup.exactGroups(scrubbed.df, "doc_id", "text")
+    val fpEx = sha(fpCln + ":exact")
+    val exact = Pipeline.stage(spark, workDir, "03_exact", fpEx) {
+      val groups = Dedup.exactGroups(clean.df, "doc_id", "text")
         .where(col("id") === col("canonical_id")).select(col("id"))
-      scrubbed.df.join(groups.withColumnRenamed("id", "doc_id"), "doc_id")
+      clean.df.join(groups.withColumnRenamed("id", "doc_id"), "doc_id")
     }
 
     val fpNd = sha(fpEx + ":neardup")
-    val neardup = Pipeline.stage(spark, workDir, "05_neardup", fpNd) {
+    val neardup = Pipeline.stage(spark, workDir, "04_neardup", fpNd) {
       val groups = Dedup.nearDupGroups(exact.df, "doc_id", "text",
         cfg.tau, cfg.numHashes, cfg.bands, cfg.bucketCap, cfg.hashFamily)
         .where(col("id") === col("canonical_id")).select(col("id"))
@@ -122,12 +129,12 @@ object CorpusPipeline {
     // resumed run reads the count from the manifest instead of re-running
     // the O(corpus) banding just to recount what was already known
     val fpDrop = sha(fpEx + ":dropped")
-    val droppedStage = Pipeline.stage(spark, workDir, "05_dropped", fpDrop)(
+    val droppedStage = Pipeline.stage(spark, workDir, "04_dropped", fpDrop)(
       Dedup.droppedMinhashBuckets(exact.df, "doc_id", "text",
         cfg.numHashes, cfg.bands, cfg.bucketCap, cfg.hashFamily))
 
     val fpCor = sha(fpNd + ":corpus")
-    val corpus = Pipeline.stage(spark, workDir, "06_corpus", fpCor) {
+    val corpus = Pipeline.stage(spark, workDir, "05_corpus", fpCor) {
       val sampled = Sampling.mixtureSample(
         Sampling.splitAssign(neardup.df, "doc_id", cfg.splits, cfg.seed),
         "doc_id", "source", cfg.mixtureRates, cfg.defaultRate, cfg.seed + 1)
@@ -142,19 +149,19 @@ object CorpusPipeline {
     }
 
     val stages =
-      Seq(signals, filtered, scrubbed, exact, neardup, droppedStage, corpus)
+      Seq(signals, clean, exact, neardup, droppedStage, corpus)
     import spark.implicits._
     // the LSH cap is observable INSIDE the pipeline: its drop count is a
-    // first-class metric (rows of the checkpointed 05_dropped stage), not
+    // first-class metric (rows of the checkpointed 04_dropped stage), not
     // a separate query the caller must remember
     val metrics = (Pipeline.stageMetrics(stages) :+
-      (("02_filtered", "docs_dropped",
-        (signals.rows - filtered.rows).toDouble)) :+
-      (("04_exact", "exact_dups_removed",
-        (scrubbed.rows - exact.rows).toDouble)) :+
-      (("05_neardup", "near_dups_removed",
+      (("02_clean", "docs_dropped",
+        (signals.rows - clean.rows).toDouble)) :+
+      (("03_exact", "exact_dups_removed",
+        (clean.rows - exact.rows).toDouble)) :+
+      (("04_neardup", "near_dups_removed",
         (exact.rows - neardup.rows).toDouble)) :+
-      (("05_neardup", "dropped_minhash_buckets", droppedStage.rows.toDouble)))
+      (("04_neardup", "dropped_minhash_buckets", droppedStage.rows.toDouble)))
       .toDF("stage", "metric", "value")
     metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/99_metrics")
     Result(corpus.df, stages, metrics)

@@ -149,6 +149,14 @@ object Pipeline {
     val pairs = stage(spark, workDir, "03_pairs", fpPairs)(
       Linkage.candidatePairs(keys.df, cfg.bucketCap, cfg.hardCap, cfg.saltGroups))
 
+    // the hardCap's dropped buckets are a CHECKPOINTED side stage (same
+    // contract as CorpusPipeline's 04_dropped): a resumed run reads the
+    // count from the manifest instead of re-running the O(corpus) sizing
+    // aggregate just to recount what was already known
+    val fpDrop = sha(fpKeys + ":dropped")
+    val droppedStage = stage(spark, workDir, "03_dropped", fpDrop)(
+      Linkage.droppedBuckets(keys.df, cfg.hardCap))
+
     val fpScored = sha(fpPairs + ":scored")
     val scored = stage(spark, workDir, "04_scored", fpScored)(
       Linkage.score(pairs.df, ex.df))
@@ -168,9 +176,8 @@ object Pipeline {
       df
     }
 
-    val stages = Seq(ex, keys, pairs, scored, matched, clusters)
+    val stages = Seq(ex, keys, pairs, droppedStage, scored, matched, clusters)
     import spark.implicits._
-    val dropped = Linkage.droppedBuckets(keys.df, cfg.hardCap).count()
     val ccMetrics = ccStats.toSeq.flatMap { cc =>
       ("06_clusters", "cc_rounds", cc.iterations.toDouble) +:
         cc.roundEdges.zipWithIndex.map { case (n, i) =>
@@ -179,7 +186,7 @@ object Pipeline {
     }
     val metrics = (stageMetrics(stages) ++
       ccMetrics :+
-      (("02_keys", "dropped_buckets", dropped.toDouble)) :+
+      (("02_keys", "dropped_buckets", droppedStage.rows.toDouble)) :+
       (("00_input", "text_invariant_violations", violations.toDouble)))
       .toDF("stage", "metric", "value")
     metrics.coalesce(1).write.mode("overwrite").parquet(s"$workDir/99_metrics")

@@ -40,4 +40,18 @@ class DecontaminateSpec extends SparkFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join, got:\n$plan")
   }
+
+  test("broadcastBench=false degrades to an unhinted join, same flags") {
+    val benchText = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val contaminated = "intro " + (1 to 9).map(i => s"bench$i").mkString(" ") + " outro"
+    val docs = Seq((1L, contaminated), (3L, "wholly unrelated text"))
+      .toDF("doc_id", "text")
+    val hinted = Decontaminate.flaggedDocs(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unhinted = Decontaminate.flaggedDocs(docs, bench, "doc_id", "text",
+      n = 8, broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unhinted == hinted && hinted == Map(1L -> 2L))
+  }
 }

@@ -149,6 +149,52 @@ class DedupSpec extends SparkFunSuite {
     assert(got.forall { case (b, c) => b % 2 == 1 && c % 2 == 0 })
   }
 
+  test("bandIndex round-trip: indexed incremental equals the direct call") {
+    val corpusBase = (1 to 30).map(i => s"corpus token$i shared").mkString(" ")
+    val corpus = Seq((2L, corpusBase), (4L, corpusBase + " extra"),
+      (6L, (1 to 30).map(i => s"unrelated item$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, corpusBase.replace("token7", "edited")),
+      (3L, (1 to 30).map(i => s"batchish word$i alone").mkString(" ")))
+      .toDF("doc_id", "text")
+    val direct = Dedup.minhashLshIncremental(corpus, batch,
+      "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the production shape: build the index ONCE, persist it to parquet,
+    // read it back, and join the batch against the stored index — the
+    // result must be bit-identical to the one-shot operator
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("band_index_spec").toString
+    Dedup.bandIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val indexed = Dedup.minhashLshIncrementalIndexed(
+      spark.read.parquet(idxDir), corpus, batch, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == direct)
+    assert(direct.map(p => (p._1, p._2)).contains((1L, 2L)))
+    // the index carries the bucket-cap cut: cap 1 excludes every band
+    // bucket the two near-identical corpus docs share
+    val full = Dedup.bandIndex(corpus, "doc_id", "text").count()
+    val capped = Dedup.bandIndex(corpus, "doc_id", "text", bucketCap = 1).count()
+    assert(capped < full)
+  }
+
+  test("minhashLshPairs persistBanded: identical pairs, single banding pass") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val persisted = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5,
+      persistBanded = true)
+    val got = persisted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == pairs)
+    // the banded subtree is served from the cache, not recomputed
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected cached banded frame in plan:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("nearDupGroups closes pairs transitively, singletons self-canonical") {
     // A≈B (one token differs) and B≈C (another token differs), with
     // tau = 0.93 sitting BETWEEN jac(a,c) = 38/42 ≈ 0.905 and

@@ -90,6 +90,20 @@ class SamplingSpec extends SparkFunSuite {
     assert(r2.isNullAt(0) && r2.getString(1) == "clean text stays")
   }
 
+  test("scrubPii phone rule needs 7+ real digits, not 7+ chars") {
+    // non-PII numerics that the old {5,}-char separator run used to eat:
+    // year ranges (3-char separator), short versions, 6-digit numbers
+    val keep = Seq("from 2020 - 2021 onward", "v1.2 or 24. 12. 31",
+      "order 123456 shipped")
+    val scrub = (s: String) => Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.scrubPii(col("t"))).head().getString(0)
+    keep.foreach(s => assert(scrub(s) == s, s"over-scrubbed: $s"))
+    // genuine phone shapes (7+ digits, separators ≤ 2 between digits) mask
+    assert(scrub("call 555-0123 now") == "call <PHONE> now")
+    assert(scrub("tel +1 (555) 012-3456") == "tel <PHONE>")
+    assert(scrub("dial 5550199 today") == "dial <PHONE> today")
+  }
+
   test("mixtureSample: per-domain rates, subset stability, rate edges") {
     val df = (1L to 400L).map(i => (i, s"dom${i % 4}")).toDF("id", "dom")
     val rates = Map("dom0" -> 0.0, "dom1" -> 1.0, "dom2" -> 0.5)

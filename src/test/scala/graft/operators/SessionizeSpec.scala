@@ -30,4 +30,20 @@ class SessionizeSpec extends SparkFunSuite {
     val n = Sessionize.sessions(events, "user_id", "ts", gapSeconds = 1800).count()
     assert(n == 1)
   }
+
+  test("orderCols: frames without an event_id column sessionize too") {
+    // no event_id anywhere — the default tie-break column must not be
+    // hard-wired into the plan when the caller supplies their own (or none)
+    val events = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(50)), (2L, ts(5)))
+      .toDF("uid", "when")
+    val got = Sessionize.sessions(events, "uid", "when",
+      gapSeconds = 1800, orderCols = Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+    // a custom tie-break column works the same as the default
+    val withSeq = Seq((7L, 1L, ts(0)), (8L, 1L, ts(10)))
+      .toDF("seq", "uid", "when")
+    assert(Sessionize.sessions(withSeq, "uid", "when",
+      gapSeconds = 1800, orderCols = Seq("seq")).count() == 1)
+  }
 }
