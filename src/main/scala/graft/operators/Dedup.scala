@@ -166,8 +166,18 @@ object Dedup {
     * the ONE O(corpus) pass of the incremental-dedup shape: build it once,
     * write it bucketed/partitioned by `key`, and every incremental batch
     * joins against it via [[minhashLshIncrementalIndexed]] without ever
-    * re-banding the corpus. Append-only growth composes: band a new batch
-    * with this same function and union it in. */
+    * re-banding the corpus.
+    *
+    * Append-only growth: the banding itself is per-document, so the
+    * uncapped index of corpus ∪ batch is exactly (stored rows) ∪ (the
+    * batch's own banding) — O(batch) per append. The `bucketCap` cut,
+    * though, is a property of MERGED bucket sizes: a bucket under the cap
+    * in two increments can be over it in their union. A growing
+    * deployment therefore maintains the `(key, n)` size aggregate
+    * alongside the raw index (incremented per append — key-sized, not
+    * corpus-sized) and applies the cap at read time by filtering against
+    * it, or periodically re-runs this function as compaction; unioning
+    * two independently-CAPPED indexes silently under-drops. */
   def bandIndex(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 500,
       hashFamily: String = "xxhash64"): DataFrame =
