@@ -151,6 +151,26 @@ object SparkEntry {
     "q_sorensen_dice_sim" -> ((s, dir) => partPairs(s, dir)
       .select(col("ka"), col("kb"), sorensen_dice_sim(col("na"), col("nb")).as("sim"))),
 
+    // banded capped-Levenshtein pre-filter tier (O(k·n) Ukkonen DP, never
+    // the full quadratic): exact distance when ≤ k, else k+1, plus the
+    // boolean face. The 100 TB shape: levenshtein_within(…, k) prunes
+    // candidates before full scoring. Cast to BIGINT only to match the
+    // oracle's integer type.
+    "q_lev_capped" -> ((s, dir) => customerPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        levenshtein_capped(col("na"), col("nb"), 3).cast("long").as("dist_c"),
+        levenshtein_within(col("na"), col("nb"), 3).as("within"))),
+
+    // Monge-Elkan with Jaro-Winkler inner kernel over multi-token part
+    // names: mean over a's tokens of the best-matching b token — the
+    // hybrid token/char scorer that survives token reordering. The oracle
+    // re-derives it with DuckDB's jaro_winkler_similarity (bit-equality
+    // with our kernel is itself gate-proven by q_jaro_winkler_sim), a
+    // zipped-unnest tokenization on the shared whitespace class, and an
+    // ORDERED list_reduce left fold matching the kernel's IEEE sum order.
+    "q_monge_elkan" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"), monge_elkan_jw(col("na"), col("nb")).as("me"))),
+
     // Unicode similarity gate: the shared testdata is all-ASCII, so the
     // byte-vs-code-point divergence the kernels are built around never
     // met the DuckDB oracle (only the sbt conformance vectors). This
@@ -218,6 +238,32 @@ object SparkEntry {
       graft.operators.Linkage.candidatePairs(keys, bucketCap = 1,
           hardCap = 1000000, saltGroups = 8)
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
+    }),
+
+    // sorted-neighborhood blocking (Hernández-Stolfo): every pair within
+    // w consecutive positions of the (c_name, c_custkey) order — the
+    // complement of hash blocking. Spark side: range-partitioned global
+    // rank (per-partition row_number + broadcast offsets — no
+    // single-partition window) + banded equi-join on rank div (w-1);
+    // oracle: one row_number window + a rank-distance self-join.
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("sk"))
+      graft.operators.Linkage.sortedNeighborhoodPairs(c, "id", "sk", window = 5)
+    }),
+
+    // two-corpus linkage (A vs B — crawl-vs-registry shape): customer and
+    // supplier names blocked on nationkey, composite JW+Dice score ≥ θ;
+    // per-key pair product capped (mirrored in the oracle's sized CTE)
+    "q_link_tables" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("bk"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey").as("bk"))
+      graft.operators.Linkage.linkTables(cust, supp, "id", "name", "bk",
+        theta = 1.0, bucketPairCap = 1000000L)
     }),
 
     // composite scoring + threshold (stage: pairwise scoring, JW + Dice)
@@ -1445,6 +1491,95 @@ object SparkEntry {
       bagSimSql("CAST(s.inter AS DOUBLE) / s.uni"),
     "q_sorensen_dice_sim" ->
       bagSimSql("2.0 * CAST(s.inter AS DOUBLE) / s.total"),
+    "q_lev_capped" ->
+      s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |  least(levenshtein(a.c_name, b.c_name), 4) AS dist_c,
+         |  levenshtein(a.c_name, b.c_name) <= 3 AS within
+         |$customerPairsSql""".stripMargin,
+    // Monge-Elkan/JW: tokenize on the shared whitespace class (explicit
+    // [ \t\n\x0b\f\r] — RE2's \s excludes \x0B), per-(pair, a-token) max
+    // over b tokens, then an ORDERED list_reduce left fold over a's token
+    // positions (IEEE addition is order-sensitive; the kernel sums in
+    // a-token order), divided by a's token count last. Part names always
+    // tokenize non-empty, so the tokenless edge rules (both → 1.0, one →
+    // 0.0) are pinned in ConformanceSpec rather than here.
+    "q_monge_elkan" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), strs AS (
+         |  SELECT ka, kb,
+         |    list_filter(string_split_regex(na, '[ \\t\\n\\x0b\\f\\r]+'),
+         |      t -> len(t) > 0) AS toks_a,
+         |    list_filter(string_split_regex(nb, '[ \\t\\n\\x0b\\f\\r]+'),
+         |      t -> len(t) > 0) AS toks_b
+         |  FROM pairs
+         |), ta AS (
+         |  SELECT ka, kb, unnest(range(1, len(toks_a) + 1)) AS i,
+         |         unnest(toks_a) AS ta
+         |  FROM strs
+         |), tb AS (
+         |  SELECT ka, kb, unnest(toks_b) AS tb FROM strs
+         |), mx AS (
+         |  SELECT ta.ka, ta.kb, ta.i,
+         |    max(CASE WHEN ta.ta = tb.tb THEN 1.0
+         |             ELSE jaro_winkler_similarity(ta.ta, tb.tb) END) AS m
+         |  FROM ta JOIN tb ON ta.ka = tb.ka AND ta.kb = tb.kb
+         |  GROUP BY ta.ka, ta.kb, ta.i
+         |)
+         |SELECT ka, kb,
+         |  list_reduce(list(m ORDER BY i), (x, y) -> x + y) / count(*) AS me
+         |FROM mx GROUP BY ka, kb""".stripMargin,
+    "q_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey AS id,
+        |         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+        |  FROM customer
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b, a.rnk AS rank_a, b.rnk AS rank_b
+        |FROM ranked a JOIN ranked b
+        |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4""".stripMargin,
+    "q_link_tables" ->
+      """WITH lk AS (
+        |  SELECT c_custkey AS id, c_nationkey AS key, c_name AS name FROM customer
+        |), rk AS (
+        |  SELECT s_suppkey AS id, s_nationkey AS key, s_name AS name FROM supplier
+        |), nl AS (
+        |  SELECT key, count(*) AS n FROM lk GROUP BY key
+        |), nr AS (
+        |  SELECT key, count(*) AS n FROM rk GROUP BY key
+        |), good AS (
+        |  SELECT nl.key FROM nl JOIN nr ON nl.key = nr.key
+        |  WHERE nl.n * nr.n <= 1000000
+        |), pairs AS (
+        |  SELECT DISTINCT l.id AS id_l, r.id AS id_r,
+        |         l.name AS name_l, r.name AS name_r
+        |  FROM lk l JOIN good g ON l.key = g.key
+        |       JOIN rk r ON r.key = l.key
+        |), exploded AS (
+        |  SELECT id_l, id_r, unnest(string_split(name_l, '')) AS ch,
+        |         1 AS ac, 0 AS bc FROM pairs
+        |  UNION ALL
+        |  SELECT id_l, id_r, unnest(string_split(name_r, '')) AS ch,
+        |         0 AS ac, 1 AS bc FROM pairs
+        |), counts AS (
+        |  SELECT id_l, id_r, ch, sum(ac) AS ca, sum(bc) AS cb
+        |  FROM exploded GROUP BY id_l, id_r, ch
+        |), sums AS (
+        |  SELECT id_l, id_r, sum(least(ca, cb)) AS inter,
+        |         sum(ca) + sum(cb) AS total
+        |  FROM counts GROUP BY id_l, id_r
+        |), scored AS (
+        |  SELECT p.id_l, p.id_r,
+        |    CASE WHEN p.name_l = p.name_r THEN 1.0
+        |         ELSE jaro_winkler_similarity(p.name_l, p.name_r) END AS jw,
+        |    CASE WHEN p.name_l = p.name_r THEN 1.0
+        |         ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END AS dice
+        |  FROM pairs p JOIN sums s ON p.id_l = s.id_l AND p.id_r = s.id_r
+        |)
+        |SELECT id_l, id_r, jw, dice, jw + dice AS score
+        |FROM scored WHERE jw + dice >= 1.0""".stripMargin,
     "q_block_keys" ->
       """SELECT p_partkey AS id,
         |  regexp_replace(lower(p_name), '[^a-z]', '', 'g') AS block_key

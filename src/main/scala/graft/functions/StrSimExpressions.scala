@@ -130,3 +130,72 @@ case class HammingSim(left: Expression, right: Expression) extends StrSimExpress
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Monge-Elkan similarity with Jaro-Winkler as the inner kernel
+  * ([[StrSimKernels.mongeElkanJaroWinkler]]): the hybrid token/char scorer
+  * for multi-token entity names, robust to token reordering. Asymmetric by
+  * definition — symmetrize with (me(a,b)+me(b,a))/2 where needed. */
+case class MongeElkanJw(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "monge_elkan_jw"
+  override protected def kernelMethod: String = "mongeElkanJaroWinkler"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.mongeElkanJaroWinkler(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Levenshtein distance capped at a compile-time `k`
+  * ([[StrSimKernels.levenshteinCapped]]): the exact code-point distance
+  * when ≤ k, else k+1. Banded O(k·n) DP — the scale-tier edit-distance
+  * pre-filter for candidate pruning at 10^12 pairs (full quadratic scoring
+  * only runs on survivors). `k` must be a foldable non-negative literal so
+  * codegen bakes it into the call site. */
+case class LevenshteinCapped(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with Serializable {
+  require(k >= 0, s"levenshtein_capped requires k >= 0, got $k")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "levenshtein_capped"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrSimKernels.levenshteinCapped(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.strsim.StrSimKernels.levenshteinCapped($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `true` iff the code-point Levenshtein distance is ≤ k (banded kernel,
+  * never the full DP). The boolean face of [[LevenshteinCapped]]. */
+case class LevenshteinWithin(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with Serializable {
+  require(k >= 0, s"levenshtein_within requires k >= 0, got $k")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "levenshtein_within"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrSimKernels.levenshteinCapped(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k) <= k
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"(graft.strsim.StrSimKernels.levenshteinCapped($a, $b, $k) <= $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

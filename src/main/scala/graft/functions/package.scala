@@ -50,6 +50,20 @@ package object functions {
   def hamming_sim(a: Column, b: Column): Column = wrap(HammingSim(expr(a), expr(b)))
   def hamming_sim(a: String, b: String): Column = hamming_sim(col(a), col(b))
 
+  /** Monge-Elkan token similarity with Jaro-Winkler inner kernel
+    * (asymmetric; mean over a's tokens of the best JW match in b). */
+  def monge_elkan_jw(a: Column, b: Column): Column = wrap(MongeElkanJw(expr(a), expr(b)))
+  def monge_elkan_jw(a: String, b: String): Column = monge_elkan_jw(col(a), col(b))
+
+  /** Exact code-point Levenshtein distance when ≤ k, else k+1 (banded
+    * O(k·n) DP — the edit-distance pre-filter tier). */
+  def levenshtein_capped(a: Column, b: Column, k: Int): Column =
+    wrap(LevenshteinCapped(expr(a), expr(b), k))
+
+  /** `true` iff code-point Levenshtein distance ≤ k (banded kernel). */
+  def levenshtein_within(a: Column, b: Column, k: Int): Column =
+    wrap(LevenshteinWithin(expr(a), expr(b), k))
+
   /** 64-bit SimHash over whitespace tokens (near-dup signature). */
   def simhash64(c: Column): Column = wrap(SimHash64(expr(c)))
 
@@ -106,6 +120,13 @@ package object functions {
     "sorensen_dice_sim" -> (es => SorensenDiceSim(es(0), es(1))),
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
+    "monge_elkan_jw" -> (es => MongeElkanJw(es(0), es(1))),
+    // k must be a foldable non-negative int literal:
+    //   levenshtein_capped(a, b, 2) / levenshtein_within(a, b, 2)
+    "levenshtein_capped" -> (es => LevenshteinCapped(es(0), es(1),
+      es(2).eval(null).asInstanceOf[Number].intValue())),
+    "levenshtein_within" -> (es => LevenshteinWithin(es(0), es(1),
+      es(2).eval(null).asInstanceOf[Number].intValue())),
     "simhash64" -> (es => SimHash64(es(0))),
     "repetition_counters" -> (es => RepetitionCounters(es(0))),
     "simhash60_sha" -> (es => SimHashSha60(es(0))),

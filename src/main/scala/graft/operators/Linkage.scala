@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{jaro_winkler_sim, sorensen_dice_sim}
@@ -213,6 +214,113 @@ object Linkage {
     val clusters = nodes.join(cc.assignment, Seq("id"), "left")
       .select(col("url"), coalesce(col("component"), col("id")).as("cluster_id"))
     (clusters, cc)
+  }
+
+  /** Sorted-neighborhood blocking (Hernández-Stolfo): order records by a
+    * sort key and emit every pair within `window` consecutive positions —
+    * the classic complement to hash blocking (equi-key buckets miss pairs
+    * whose keys differ in a low-order character; a sorted neighborhood
+    * catches them, at O(n·w) candidate cost).
+    *
+    * Scale design — NO single-partition window anywhere:
+    *  1. global order is established by `repartitionByRange` on
+    *     (sortKey, id) (range exchange, the same shape as a distributed
+    *     sort) + per-partition sort;
+    *  2. the global rank is `per-partition row_number + partition offset`,
+    *     where the offsets come from a P-row count aggregate prefix-summed
+    *     by a window over partition IDs — P rows is planner-metadata-sized,
+    *     and the offset frame is broadcast back (never collected);
+    *  3. neighborhood pairs are a BANDED EQUI-JOIN on `rank div (w-1)`:
+    *     each right row also offers its predecessor bucket, so a pair at
+    *     rank distance ≤ w-1 meets in exactly one bucket cell — candidate
+    *     generation is a plain shuffle join, never a cross product and
+    *     never a giant window state.
+    *
+    * `idCol` must be unique per record (it is the rank tie-break, making
+    * the rank — and therefore the pair set — deterministic and
+    * partitioning-independent). Output: (<id>_a, <id>_b, rank_a, rank_b)
+    * with rank_a < rank_b; ranks are 1-based in (sortKey, id) order. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKeyCol: String,
+      window: Int, partitions: Int = 0): DataFrame = {
+    require(window >= 2, s"sorted-neighborhood window must be >= 2, got $window")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(col(idCol), col(sortKeyCol))
+      .repartitionByRange(p, col(sortKeyCol), col(idCol))
+      .sortWithinPartitions(col(sortKeyCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // P-row offset frame: counts per range partition, exclusive prefix sum.
+    // The single-partition window below runs over ≤ P rows (metadata-sized);
+    // the per-row rank window partitions by __pid, so its state is one
+    // range partition, not the corpus.
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offsets = counts.withColumn("__offset",
+      coalesce(sum(col("__n")).over(
+        W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val ranked = sorted.join(broadcast(offsets), "__pid")
+      .withColumn("__rnk", col("__offset") +
+        row_number().over(W.partitionBy("__pid").orderBy(col(sortKeyCol), col(idCol))))
+      .select(col(idCol), col("__rnk"))
+    val b = window - 1
+    val l = ranked.select(col(idCol).as(s"${idCol}_a"), col("__rnk").as("rank_a"),
+      expr(s"__rnk div $b").as("__bucket"))
+    val r = ranked.select(col(idCol).as(s"${idCol}_b"), col("__rnk").as("rank_b"),
+      explode(array(expr(s"__rnk div $b"), expr(s"__rnk div $b - 1"))).as("__bucket"))
+    l.join(r, "__bucket")
+      .where(col("rank_b") > col("rank_a") && col("rank_b") - col("rank_a") <= b)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("rank_a"), col("rank_b"))
+  }
+
+  /** Two-corpus candidate pairs: records of LEFT and RIGHT sharing a
+    * blocking key (the A-vs-B linkage shape — most production ER links two
+    * tables, e.g. crawl vs registry; [[candidatePairs]] is the self-join
+    * special case). Keys frames are (id, key) like [[candidateKeys]]'s
+    * output. Skew policy: the per-key pair product `n_l · n_r` is capped at
+    * `bucketPairCap` — an over-cap key is dropped, never silently
+    * ([[droppedCrossBuckets]]); under the cap, AQE skew-join splitting
+    * handles residual imbalance (a two-sided join has no quadratic
+    * self-blowup — each key's cost is the product, which the cap bounds).
+    * Output: (id_l, id_r, key), distinct on (id_l, id_r). */
+  def crossCandidatePairs(leftKeys: DataFrame, rightKeys: DataFrame,
+      bucketPairCap: Long = 1000000L): DataFrame = {
+    val nl = leftKeys.groupBy(col("key")).agg(count(lit(1)).as("__nl"))
+    val nr = rightKeys.groupBy(col("key")).agg(count(lit(1)).as("__nr"))
+    val good = nl.join(nr, "key")
+      .where(col("__nl") * col("__nr") <= bucketPairCap)
+      .select(col("key"))
+    leftKeys.toDF("id_l", "key").join(good, "key")
+      .join(rightKeys.toDF("id_r", "key"), "key")
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+  }
+
+  /** Keys whose cross pair product exceeds the cap, with both sizes —
+    * the non-silent record of what two-corpus blocking dropped. */
+  def droppedCrossBuckets(leftKeys: DataFrame, rightKeys: DataFrame,
+      bucketPairCap: Long = 1000000L): DataFrame =
+    leftKeys.groupBy(col("key")).agg(count(lit(1)).as("n_l"))
+      .join(rightKeys.groupBy(col("key")).agg(count(lit(1)).as("n_r")), "key")
+      .where(col("n_l") * col("n_r") > bucketPairCap)
+
+  /** Two-corpus record linkage end-to-end: blocking join on `keyCol` +
+    * composite JW+Dice scoring of `nameCol`, thresholded at `theta`.
+    * Both inputs carry (idCol, nameCol, keyCol); ids need only be unique
+    * within their own table. Output: (id_l, id_r, jw, dice, score ≥ θ). */
+  def linkTables(left: DataFrame, right: DataFrame, idCol: String,
+      nameCol: String, keyCol: String, theta: Double,
+      bucketPairCap: Long = 1000000L): DataFrame = {
+    val lk = left.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val rk = right.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val pairs = crossCandidatePairs(lk, rk, bucketPairCap)
+    val ln = left.select(col(idCol).as("id_l"), col(nameCol).as("__name_l"))
+    val rn = right.select(col(idCol).as("id_r"), col(nameCol).as("__name_r"))
+    pairs.join(ln, "id_l").join(rn, "id_r")
+      .select(col("id_l"), col("id_r"),
+        jaro_winkler_sim(col("__name_l"), col("__name_r")).as("jw"),
+        sorensen_dice_sim(col("__name_l"), col("__name_r")).as("dice"))
+      .withColumn("score", col("jw") + col("dice"))
+      .where(col("score") >= theta)
   }
 
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true

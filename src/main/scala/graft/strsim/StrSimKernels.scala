@@ -46,6 +46,12 @@ object StrSimKernels {
     var sortB: Array[Int] = new Array[Int](64)
     var dlH: Array[Int] = new Array[Int](0)         // DL (n+2)x(m+2) matrix
     val dlLast = new java.util.HashMap[Integer, Integer](64) // DL last-occurrence
+    // Monge-Elkan token spans (byte offsets/lengths; start non-empty — the
+    // geometric `ensure` growth needs a seed size)
+    var tokOffA: Array[Int] = new Array[Int](16)
+    var tokLenA: Array[Int] = new Array[Int](16)
+    var tokOffB: Array[Int] = new Array[Int](16)
+    var tokLenB: Array[Int] = new Array[Int](16)
   }
 
   private val scratch = new ThreadLocal[Scratch] {
@@ -393,6 +399,143 @@ object StrSimKernels {
     1.0 - mm.toDouble / math.max(n, m).toDouble
   }
 
+  // ---------------------------------------------------------------- Capped Levenshtein
+
+  /** Levenshtein distance capped at `k`: returns the EXACT code-point edit
+    * distance when it is ≤ k, else `k + 1` ("more than k"). This is the
+    * scale-tier edit-distance kernel: the banded (Ukkonen) DP visits only
+    * the `2k+1` diagonal band, so cost is O(k·min(|a|,|b|)) instead of the
+    * full O(|a|·|b|) — at k=2 over 1,000-char inputs that is ~5,000 cells
+    * instead of 10^6. Combined with the shared-affix trim (near-duplicate
+    * pairs are mostly shared affix) the common case degenerates to a few
+    * hundred cells regardless of input length.
+    *
+    * Distance semantics are identical to [[levenshtein]]'s underlying
+    * distance (unit-cost insert/delete/substitute over Unicode scalar
+    * values, no transpositions), so `levenshteinCapped(a,b,k) <= k` ⇔
+    * `levenshtein distance ≤ k` exactly. Requires k ≥ 0. */
+  def levenshteinCapped(a: UTF8String, b: UTF8String, k: Int): Int = {
+    if (a.equals(b)) return 0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n0 = decode(a, s.aCp)
+    val m0 = decode(b, s.bCp)
+    if (math.abs(n0 - m0) > k) return k + 1
+    val lo = commonPrefix(s, n0, m0)
+    val hi = commonSuffix(s, n0, m0, lo)
+    val n = n0 - lo - hi
+    val m = m0 - lo - hi
+    if (n == 0) return m // |n−m| ≤ k, so m ≤ k: exact
+    if (m == 0) return n
+    val inf = k + 1 // saturating cap: any value > k is equivalent
+    s.dp = ensure(s.dp, 2 * (m + 1))
+    val dp = s.dp
+    var j = 0
+    while (j <= m) { dp(2 * j) = if (j <= k) j else inf; j += 1 }
+    var i = 0
+    while (i < n) {
+      val v0 = i & 1
+      val v1 = 1 - v0
+      val r = i + 1
+      val jLo = math.max(1, r - k)
+      val jHi = math.min(m, r + k)
+      // cells outside the band must read as "over cap" from the next row:
+      var rowMin = inf
+      if (jLo == 1) { dp(v1) = if (r <= k) r else inf; rowMin = dp(v1) }
+      else dp(2 * (jLo - 1) + v1) = inf
+      val ai = s.aCp(lo + i)
+      j = jLo
+      while (j <= jHi) {
+        val diag = dp(2 * (j - 1) + v0)
+        var best = if (ai == s.bCp(lo + j - 1)) diag else diag + 1
+        val del = dp(2 * j + v0) + 1
+        if (del < best) best = del
+        val ins = dp(2 * (j - 1) + v1) + 1
+        if (ins < best) best = ins
+        if (best > inf) best = inf
+        dp(2 * j + v1) = best
+        if (best < rowMin) rowMin = best
+        j += 1
+      }
+      if (jHi < m) dp(2 * (jHi + 1) + v1) = inf
+      if (rowMin >= inf) return inf // whole band over cap: distance > k
+      i += 1
+    }
+    val d = dp(2 * m + (n & 1))
+    if (d > k) inf else d
+  }
+
+  // ---------------------------------------------------------------- Monge-Elkan
+
+  /** THE whitespace class shared with graft.strsim.TextKernels: Java-regex
+    * \s over ASCII (space, \t, \n, \x0B, \f, \r). SQL oracles must spell it
+    * as the explicit class `[ \t\n\x0b\f\r]+` (RE2's \s excludes \x0B). */
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
+
+  /** Monge-Elkan similarity with Jaro-Winkler as the inner kernel — the
+    * classic hybrid token/char scorer for multi-token entity names
+    * ("acme widgets inc" vs "widgets acme incorporated"), robust to token
+    * reordering where plain JW is not:
+    *
+    *   ME(a,b) = (1/|tok(a)|) · Σ_i max_j jaroWinkler(tok(a)_i, tok(b)_j)
+    *
+    * (Monge & Elkan 1996, the standard generalized mean with p=1.)
+    * Pinned semantics (the oracle reproduces each): tokens split on the
+    * shared ASCII whitespace class, empties dropped; both sides tokenless →
+    * 1.0; exactly one tokenless → 0.0; the outer sum left-folds in token
+    * order of `a` (IEEE addition is not associative — the oracle's ordered
+    * list_reduce matches this order); division by the token count last.
+    * NOTE deliberately asymmetric (standard ME); symmetrize in SQL via
+    * (me(a,b)+me(b,a))/2 when needed. */
+  def mongeElkanJaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val s = scratch.get()
+    val na = tokenize(ab, s, left = true)
+    val nb = tokenize(bb, s, left = false)
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < na) {
+      val ta = UTF8String.fromBytes(ab, s.tokOffA(i), s.tokLenA(i))
+      var best = 0.0 // jw ∈ [0,1] so 0.0 is the identity for max
+      var j = 0
+      while (j < nb) {
+        val v = jaroWinkler(ta, UTF8String.fromBytes(bb, s.tokOffB(j), s.tokLenB(j)))
+        if (v > best) best = v
+        j += 1
+      }
+      sum += best
+      i += 1
+    }
+    sum / na.toDouble
+  }
+
+  /** Fill the scratch token-span arrays for one side; returns token count. */
+  private def tokenize(bytes: Array[Byte], s: Scratch, left: Boolean): Int = {
+    var n = 0
+    var i = 0
+    val nb = bytes.length
+    while (i < nb) {
+      while (i < nb && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < nb && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        if (left) {
+          s.tokOffA = ensure(s.tokOffA, n + 1); s.tokLenA = ensure(s.tokLenA, n + 1)
+          s.tokOffA(n) = start; s.tokLenA(n) = i - start
+        } else {
+          s.tokOffB = ensure(s.tokOffB, n + 1); s.tokLenB = ensure(s.tokLenB, n + 1)
+          s.tokOffB(n) = start; s.tokLenB(n) = i - start
+        }
+        n += 1
+      }
+    }
+    n
+  }
+
   // ------------------------------------------------------- String conveniences
 
   def levenshtein(a: String, b: String): Double =
@@ -409,4 +552,8 @@ object StrSimKernels {
     damerauLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b))
   def hamming(a: String, b: String): Double =
     hamming(UTF8String.fromString(a), UTF8String.fromString(b))
+  def levenshteinCapped(a: String, b: String, k: Int): Int =
+    levenshteinCapped(UTF8String.fromString(a), UTF8String.fromString(b), k)
+  def mongeElkanJaroWinkler(a: String, b: String): Double =
+    mongeElkanJaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
 }

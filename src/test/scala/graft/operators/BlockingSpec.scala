@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Round-4 blocking additions: sorted-neighborhood pairs and two-corpus
+  * (A-vs-B) candidate generation / linkage. */
+class BlockingSpec extends SparkFunSuite {
+
+  // ------------------------------------------------------- sorted neighborhood
+
+  /** Brute-force expected pair set for a window over a sorted id list. */
+  private def expectedPairs(idsInOrder: Seq[Long], window: Int): Set[(Long, Long)] =
+    (for {
+      i <- idsInOrder.indices
+      j <- (i + 1) until math.min(i + window, idsInOrder.length)
+    } yield (idsInOrder(i), idsInOrder(j))).toSet
+
+  test("sortedNeighborhoodPairs equals the brute-force neighborhood") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // duplicate keys force the id tie-break; shuffle input order
+    val rows = rng.shuffle((1L to 200L).map(i => (i, s"key${rng.nextInt(60)}")))
+    val df = rows.toDF("id", "sk")
+    val order = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    for (w <- Seq(2, 5)) {
+      val got = Linkage.sortedNeighborhoodPairs(df, "id", "sk", w, partitions = 5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expectedPairs(order, w), s"window=$w")
+    }
+  }
+
+  test("sortedNeighborhood ranks are the deterministic global order") {
+    import spark.implicits._
+    val df = Seq((3L, "b"), (1L, "a"), (2L, "a")).toDF("id", "sk")
+    val got = Linkage.sortedNeighborhoodPairs(df, "id", "sk", 2, partitions = 2)
+      .orderBy("rank_a").as[(Long, Long, Long, Long)].collect().toSeq
+    // order: (a,1) rank 1, (a,2) rank 2, (b,3) rank 3
+    assert(got == Seq((1L, 2L, 1L, 2L), (2L, 3L, 2L, 3L)))
+  }
+
+  test("sortedNeighborhood is partitioning-independent") {
+    import spark.implicits._
+    val rows = (1L to 150L).map(i => (i, s"k${i % 13}"))
+    val df = rows.toDF("id", "sk")
+    val p2 = Linkage.sortedNeighborhoodPairs(df.repartition(7), "id", "sk", 4, partitions = 2)
+      .select("id_a", "id_b", "rank_a", "rank_b").collect().toSet
+    val p6 = Linkage.sortedNeighborhoodPairs(df.repartition(3), "id", "sk", 4, partitions = 6)
+      .select("id_a", "id_b", "rank_a", "rank_b").collect().toSet
+    assert(p2 == p6)
+    assert(p2.nonEmpty)
+  }
+
+  // ------------------------------------------------------- two-corpus linkage
+
+  test("crossCandidatePairs equals the naive A-B key join under the cap") {
+    import spark.implicits._
+    val lk = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("id", "key")
+    val rk = Seq((10L, "x"), (11L, "y"), (12L, "y"), (13L, "w")).toDF("id", "key")
+    val got = Linkage.crossCandidatePairs(lk, rk, bucketPairCap = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 11L), (3L, 12L)))
+  }
+
+  test("crossCandidatePairs cap drops hot keys observably, never silently") {
+    import spark.implicits._
+    val lk = (1L to 20L).map(i => (i, "hot")).toDF("id", "key")
+    val rk = (101L to 120L).map(i => (i, "hot")).toDF("id", "key")
+    // product 400 > cap 100 → dropped
+    assert(Linkage.crossCandidatePairs(lk, rk, bucketPairCap = 100L).count() == 0)
+    val dropped = Linkage.droppedCrossBuckets(lk, rk, bucketPairCap = 100L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(dropped == Seq(("hot", 20L, 20L)))
+  }
+
+  test("linkTables scores candidates with the composite and thresholds") {
+    import spark.implicits._
+    val left = Seq((1L, "acme widgets", "b1"), (2L, "zzz qqq", "b1")).toDF("id", "name", "bk")
+    val right = Seq((7L, "acme widgets", "b1"), (8L, "unrelated name", "b2")).toDF("id", "name", "bk")
+    val got = Linkage.linkTables(left, right, "id", "name", "bk", theta = 1.9)
+      .select("id_l", "id_r", "score").collect()
+    // only the exact-name pair survives θ=1.9 (its score is exactly 2.0)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 7L)))
+    assert(got.head.getDouble(2) == 2.0)
+  }
+}
