@@ -47,6 +47,85 @@ object SparkEntry {
       .select(col("ka"), col("kb"), col("na"), col("nb"))
   }
 
+  /** Comparison-vector frame for the Fellegi-Sunter gate: nationkey-blocked
+    * customer pairs with three 0/1 agreement fields. */
+  private val fsGammas = Seq("g0", "g1", "g2")
+  private def fsGammaPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+      col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
+      col("c_nationkey").as("nk"))
+    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("c_mktsegment").as("sb"), col("c_acctbal").as("ab"),
+      col("c_nationkey").as("nk"))
+    a.join(b, "nk").where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        when(jaro_winkler_sim(col("na"), col("nb")) >= 0.95, 1L)
+          .otherwise(0L).as("g0"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g1"),
+        when(floor(col("aa") / 1000.0) === floor(col("ab") / 1000.0), 1L)
+          .otherwise(0L).as("g2"))
+  }
+
+  /** Unrolled-EM Fellegi-Sunter oracle: re-derives the comparison vectors
+    * and pattern counts, runs `iters` EM iterations as chained CTEs whose
+    * sums are ORDERED list_reduce left folds (IEEE addition order =
+    * [[graft.operators.FellegiSunter.fit]]'s pattern-lexicographic
+    * traversal), and projects the posterior/lr per pair. Every numeric
+    * literal the EM touches is CAST to DOUBLE — bare SQL decimals would
+    * run the arithmetic in DECIMAL and diverge from the driver fit in the
+    * last ulp. */
+  private def fellegiSunterOracleSql(iters: Int): String = {
+    val k = fsGammas.size
+    val gcols = fsGammas.mkString(", ")
+    def fold(expr: String) =
+      s"list_reduce(list($expr ORDER BY $gcols), (x, y) -> x + y)"
+    def wv(p: String): (String, String) = {
+      val w = new StringBuilder(s"$p.lam")
+      val v = new StringBuilder(s"(1.0 - $p.lam)")
+      for (j <- 0 until k) {
+        w.append(s" * (CASE WHEN g$j = 1 THEN $p.m$j ELSE 1.0 - $p.m$j END)")
+        v.append(s" * (CASE WHEN g$j = 1 THEN $p.u$j ELSE 1.0 - $p.u$j END)")
+      }
+      (w.toString, v.toString)
+    }
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""pairs AS (
+      |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+      |         ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.95
+      |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
+      |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS BIGINT) AS g1,
+      |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+      |         THEN 1 ELSE 0 END AS BIGINT) AS g2
+      |  $customerPairsSql)""".stripMargin
+    ctes += s"pats AS (SELECT $gcols, CAST(count(*) AS DOUBLE) AS n FROM pairs GROUP BY $gcols)"
+    ctes += s"tot AS (SELECT ${fold("n")} AS t FROM pats)"
+    ctes += "p0 AS (SELECT CAST(0.5 AS DOUBLE) AS lam, " +
+      (0 until k).map(j => s"CAST(0.9 AS DOUBLE) AS m$j").mkString(", ") + ", " +
+      (0 until k).map(j => s"CAST(0.1 AS DOUBLE) AS u$j").mkString(", ") + ")"
+    for (i <- 1 to iters) {
+      val (w, v) = wv("p")
+      ctes += s"e$i AS (SELECT $gcols, n, $w AS w, $v AS v FROM pats CROSS JOIN p${i - 1} p)"
+      val sums = new scala.collection.mutable.ArrayBuffer[String]()
+      sums += fold("n * (w / (w + v))") + " AS s"
+      for (j <- 0 until k) {
+        sums += fold(s"CASE WHEN g$j = 1 THEN n * (w / (w + v)) ELSE 0.0 END") + s" AS a$j"
+        sums += fold(s"CASE WHEN g$j = 1 THEN n * (1.0 - w / (w + v)) ELSE 0.0 END") + s" AS b$j"
+      }
+      ctes += s"s$i AS (SELECT ${sums.mkString(", ")} FROM e$i)"
+      val upd = Seq("s / t AS lam") ++
+        (0 until k).map(j => s"a$j / s AS m$j") ++
+        (0 until k).map(j => s"b$j / (t - s) AS u$j")
+      ctes += s"p$i AS (SELECT ${upd.mkString(", ")} FROM s$i CROSS JOIN tot)"
+    }
+    val (w, v) = wv("p")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr
+       |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
+       |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
+  }
+
   private val customerPairsSql =
     """FROM customer a JOIN customer b
       | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey""".stripMargin
@@ -264,6 +343,48 @@ object SparkEntry {
           col("s_nationkey").as("bk"))
       graft.operators.Linkage.linkTables(cust, supp, "id", "name", "bk",
         theta = 1.0, bucketPairCap = 1000000L)
+    }),
+
+    // Fellegi-Sunter probabilistic linkage: EM fits per-field m/u and the
+    // match prior λ from UNLABELED comparison-vector pattern counts
+    // (γ = name-JW ≥ 0.95, segment equal, acctbal-bracket equal over the
+    // nationkey-blocked customer pairs), then scores every pair with the
+    // posterior + likelihood ratio. The oracle re-runs the ENTIRE EM — 15
+    // unrolled iterations of ordered list_reduce folds over the same 2^3
+    // pattern counts — so the fit is hash-grade, not just the scoring
+    // projection.
+    "q_fellegi_sunter" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      graft.operators.FellegiSunter.score(pairs, fsGammas, model)
+    }),
+
+    // Phonetic (Soundex) blocking key over part names — the third blocking
+    // family next to equi-key and sorted-neighborhood; pinned
+    // H/W-transparent American Soundex from a translate/regexp_replace
+    // chain the oracle replays verbatim (shared Java∩RE2 dialect, no
+    // backreferences).
+    "q_phonetic_block" -> ((s, dir) => s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        graft.operators.Phonetic.soundexKey(col("p_name")).as("sdx"))),
+
+    // Blocking quality metrics: reduction ratio + pairs completeness of
+    // the capped mktsegment:nationkey blocking, with name-suffix equality
+    // as the labeled true-pair set — the go/no-go numbers for a blocking
+    // scheme before anything downstream runs at scale.
+    "q_blocking_quality" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val keys = c.select(col("c_custkey").as("url"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("key"))
+      val cand = graft.operators.Linkage.candidatePairs(keys, bucketCap = 15,
+        hardCap = 15)
+      val a = c.select(col("c_custkey").as("url_a"),
+        substring(col("c_name"), 16, 3).as("sfx"))
+      val b = c.select(col("c_custkey").as("url_b"),
+        substring(col("c_name"), 16, 3).as("sfx"))
+      val truePairs = a.join(b, "sfx").where(col("url_a") < col("url_b"))
+        .select(col("url_a"), col("url_b"))
+      graft.operators.Linkage.blockingQuality(c, cand, truePairs)
     }),
 
     // composite scoring + threshold (stage: pairwise scoring, JW + Dice)
@@ -1580,6 +1701,81 @@ object SparkEntry {
         |)
         |SELECT id_l, id_r, jw, dice, jw + dice AS score
         |FROM scored WHERE jw + dice >= 1.0""".stripMargin,
+    "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
+    // the validated Soundex chain (see Phonetic.soundexKey's pinned
+    // semantics): letters -> digit codes (H/W -> marker 7) -> drop 7s ->
+    // collapse 1-6 runs -> drop 0s -> drop the leading digit when the
+    // first letter is a coded consonant -> letter + 3 digits rpad'd
+    "q_phonetic_block" ->
+      """WITH s1 AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |         regexp_replace(upper(p_name), '[^A-Z]', '', 'g') AS letters
+        |  FROM part
+        |), s2 AS (
+        |  SELECT id, name, letters,
+        |    translate(letters, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |              '01230127022455012623017202') AS coded
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT id, name, letters,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(
+        |        regexp_replace(coded, '7', '', 'g'),
+        |      '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+        |      '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+        |      AS collapsed
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT id, name, letters,
+        |    regexp_replace(collapsed, '0', '', 'g') AS digits
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT id, name, letters,
+        |    CASE WHEN substring(letters, 1, 1) IN ('A','E','I','O','U','Y','H','W')
+        |         THEN digits ELSE substring(digits, 2, 2147483647) END AS tail
+        |  FROM s4
+        |)
+        |SELECT id, name,
+        |  CASE WHEN letters = '' THEN ''
+        |       ELSE substring(letters, 1, 1) || rpad(substring(tail, 1, 3), 3, '0')
+        |  END AS sdx
+        |FROM s5""".stripMargin,
+    "q_blocking_quality" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS key
+        |  FROM customer
+        |), sized AS (
+        |  SELECT key, count(*) AS n FROM keys GROUP BY key
+        |), good AS (
+        |  SELECT k.id, k.key FROM keys k JOIN sized s ON k.key = s.key
+        |  WHERE s.n <= 15
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS url_a, b.id AS url_b
+        |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
+        |), tp AS (
+        |  SELECT a.c_custkey AS url_a, b.c_custkey AS url_b
+        |  FROM customer a JOIN customer b
+        |    ON substring(a.c_name, 16, 3) = substring(b.c_name, 16, 3)
+        |   AND a.c_custkey < b.c_custkey
+        |), agg AS (
+        |  SELECT (SELECT count(*) FROM customer) AS n_records,
+        |         (SELECT count(*) FROM cand) AS n_candidates,
+        |         (SELECT count(*) FROM tp) AS n_true,
+        |         (SELECT count(*) FROM tp
+        |          WHERE EXISTS (SELECT 1 FROM cand c
+        |                        WHERE c.url_a = tp.url_a AND c.url_b = tp.url_b))
+        |           AS n_true_covered
+        |)
+        |SELECT n_records, n_candidates, n_true, n_true_covered,
+        |  CAST(n_records * (n_records - 1) / 2 AS BIGINT) AS total_pairs,
+        |  1.0 - CAST(n_candidates AS DOUBLE) /
+        |        CAST(CAST(n_records * (n_records - 1) / 2 AS BIGINT) AS DOUBLE)
+        |    AS reduction_ratio,
+        |  CASE WHEN n_true > 0
+        |       THEN CAST(n_true_covered AS DOUBLE) / CAST(n_true AS DOUBLE)
+        |  END AS pairs_completeness
+        |FROM agg""".stripMargin,
     "q_block_keys" ->
       """SELECT p_partkey AS id,
         |  regexp_replace(lower(p_name), '[^a-z]', '', 'g') AS block_key

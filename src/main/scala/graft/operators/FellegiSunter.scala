@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi-Sunter probabilistic record linkage: fit per-field match /
+  * non-match agreement probabilities by EM over comparison-vector pattern
+  * counts, then score candidate pairs with the fitted model.
+  *
+  * The model (Fellegi & Sunter 1969; the estimation shape popularized by
+  * Splink/FEBRL): each candidate pair carries a comparison vector
+  * γ = (γ_0 … γ_{k-1}) of 0/1 field-agreement indicators (e.g. "name JW
+  * ≥ 0.95", "segment equal"). Under conditional independence,
+  *
+  *   P(γ | match)     = Π_j m_j^γ_j (1 − m_j)^{1−γ_j}
+  *   P(γ | non-match) = Π_j u_j^γ_j (1 − u_j)^{1−γ_j}
+  *
+  * and EM estimates (λ, m, u) from the UNLABELED pattern counts alone —
+  * the reason this is the canonical ER scoring model: no training labels
+  * needed.
+  *
+  * Scale design (100 TB): the only distributed work is ONE partial-combined
+  * `groupBy` collapsing the pair corpus to ≤ 2^k pattern-count rows; the
+  * EM iterations run on the driver over that model-sized table (same
+  * bounded-collect pattern as [[Similarity]]'s IVF centroid fit — the
+  * collect is k-bounded by the `require`, never data-sized). Scoring is a
+  * pure codegen projection with the fitted parameters folded in as
+  * literals — zero shuffle, no UDF. Callers scoring the same gamma frame
+  * they fit on should persist it (fit's aggregate and score's projection
+  * otherwise each re-derive the comparison vectors).
+  *
+  * Determinism contract (the driver gate hash-checks this): every
+  * floating-point operation is pinned — pattern traversal is lexicographic
+  * in (γ_0 … γ_{k-1}), accumulations are left folds in that order, and the
+  * update formulas are applied verbatim as written — so an oracle that
+  * replays the same folds (SparkEntry's unrolled-EM DuckDB SQL) reproduces
+  * the parameters, posteriors, and likelihood ratios bit-for-bit.
+  */
+object FellegiSunter {
+
+  /** Fitted model: λ = P(match), m_j = P(γ_j = 1 | match),
+    * u_j = P(γ_j = 1 | non-match). */
+  final case class Model(lambda: Double, m: IndexedSeq[Double], u: IndexedSeq[Double])
+
+  /** EM fit over the pattern counts of `gammaCols` (integer 0/1 columns of
+    * `pairs`). `iters` full EM sweeps from (initLambda, initM, initU). */
+  def fit(pairs: DataFrame, gammaCols: Seq[String], iters: Int = 15,
+      initLambda: Double = 0.5, initM: Double = 0.9,
+      initU: Double = 0.1): Model = {
+    val k = gammaCols.size
+    require(k >= 1 && k <= 16,
+      s"gammaCols must have 1..16 fields (driver EM holds 2^k pattern counts), got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // the one distributed pass: pair corpus -> <= 2^k (pattern, count) rows
+    val rows = pairs.groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    import scala.math.Ordering.Implicits._
+    val pats: Array[(IndexedSeq[Long], Double)] = rows.map { r =>
+      val g = gammaCols.indices.map(i => r.getAs[Number](i).longValue)
+      (g, r.getAs[Long]("__n").toDouble)
+    }.sortBy(_._1)
+    var t = 0.0
+    pats.foreach { case (_, n) => t = t + n }
+
+    var lam = initLambda
+    val m = Array.fill(k)(initM)
+    val u = Array.fill(k)(initU)
+    for (_ <- 0 until iters) {
+      var s = 0.0
+      val a = Array.fill(k)(0.0)
+      val b = Array.fill(k)(0.0)
+      pats.foreach { case (g, n) =>
+        var w = lam
+        var v = 1.0 - lam
+        var j = 0
+        while (j < k) {
+          w = w * (if (g(j) == 1L) m(j) else 1.0 - m(j))
+          v = v * (if (g(j) == 1L) u(j) else 1.0 - u(j))
+          j += 1
+        }
+        s = s + n * (w / (w + v))
+        j = 0
+        while (j < k) {
+          a(j) = a(j) + (if (g(j) == 1L) n * (w / (w + v)) else 0.0)
+          b(j) = b(j) + (if (g(j) == 1L) n * (1.0 - w / (w + v)) else 0.0)
+          j += 1
+        }
+      }
+      lam = s / t
+      var j = 0
+      while (j < k) {
+        m(j) = a(j) / s
+        u(j) = b(j) / (t - s)
+        j += 1
+      }
+    }
+    Model(lam, m.toIndexedSeq, u.toIndexedSeq)
+  }
+
+  /** Score pairs under a fitted model: appends `posterior` = P(match | γ)
+    * and `lr` = P(γ|match)·λ over P(γ|non-match)·(1−λ) — the (prior-folded)
+    * likelihood ratio whose log is the classic FS match weight (left as a
+    * ratio: logs would cost bit-exactness across engines for nothing).
+    * Pure projection; the model rides as literals. */
+  def score(pairs: DataFrame, gammaCols: Seq[String], model: Model): DataFrame = {
+    require(gammaCols.size == model.m.size,
+      s"model has ${model.m.size} fields, gammaCols has ${gammaCols.size}")
+    var w: Column = lit(model.lambda)
+    var v: Column = lit(1.0 - model.lambda)
+    for (j <- gammaCols.indices) {
+      w = w * when(col(gammaCols(j)) === 1, lit(model.m(j)))
+        .otherwise(lit(1.0 - model.m(j)))
+      v = v * when(col(gammaCols(j)) === 1, lit(model.u(j)))
+        .otherwise(lit(1.0 - model.u(j)))
+    }
+    pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
+  }
+}

@@ -323,6 +323,35 @@ object Linkage {
       .where(col("score") >= theta)
   }
 
+  /** Blocking quality metrics, the standard pair before committing a
+    * blocking scheme at scale: REDUCTION RATIO (how much of the n(n−1)/2
+    * all-pairs space blocking pruned) and PAIRS COMPLETENESS (what fraction
+    * of known true pairs survive blocking — the recall ceiling every
+    * downstream scorer inherits). One output row; every input reduces to a
+    * count aggregate or a semi-join + count, then three 1-row broadcast
+    * cross joins — nothing here scales with the corpus beyond the
+    * already-materialized inputs. `truePairs` empty → pairs_completeness
+    * null (no evidence, not 100%). */
+  def blockingQuality(records: DataFrame, candidates: DataFrame,
+      truePairs: DataFrame, aCol: String = "url_a",
+      bCol: String = "url_b"): DataFrame = {
+    val n = records.agg(count(lit(1)).as("n_records"))
+    val cand = candidates.agg(count(lit(1)).as("n_candidates"))
+    val tp = truePairs.agg(count(lit(1)).as("n_true"))
+    val covered = truePairs.join(candidates, Seq(aCol, bCol), "left_semi")
+      .agg(count(lit(1)).as("n_true_covered"))
+    n.crossJoin(cand).crossJoin(tp).crossJoin(covered)
+      // n(n-1) is even, so the double-typed division is exact up to 2^53
+      // (n ~ 9.4e7) — cast back to the count type both engines agree on
+      .withColumn("total_pairs",
+        (col("n_records") * (col("n_records") - 1) / 2).cast("long"))
+      .withColumn("reduction_ratio",
+        lit(1.0) - col("n_candidates").cast("double") / col("total_pairs").cast("double"))
+      .withColumn("pairs_completeness",
+        when(col("n_true") > 0,
+          col("n_true_covered").cast("double") / col("n_true").cast("double")))
+  }
+
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
     * pairs, both restricted to candidate pairs (= pairs sharing a blocking
     * key, per BASELINE.json:2,14). */

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Phonetic blocking keys for record linkage.
+  *
+  * Hash blocking on exact normalized keys misses spelling variants that
+  * SOUND alike ("Robert"/"Rupert", "Ashcraft"/"Ashcroft"); a phonetic key
+  * buckets them together, at the cost of coarser buckets. Classic third
+  * leg of the blocking stool next to equi-key ([[Linkage.candidateKeys]])
+  * and sorted-neighborhood ([[Linkage.sortedNeighborhoodPairs]]) blocking.
+  *
+  * The key is built as a chain of codegen BUILT-INS (upper / regexp_replace
+  * / translate / rpad — the Java∩RE2 regex dialect shared with the DuckDB
+  * oracle, no backreferences), so it stays inside whole-stage codegen with
+  * zero shuffle and the oracle can replay the identical chain.
+  */
+object Phonetic {
+
+  /** Letter → Soundex digit map: A0 B1 C2 D3 E0 F1 G2 H7 I0 J2 K2 L4 M5
+    * N5 O0 P1 Q2 R6 S2 T3 U0 V1 W7 X2 Y0 Z2 — vowels/Y code 0 (separators),
+    * H/W code 7 (a transparency marker removed before run-collapsing). */
+  private val codeMap = "01230127022455012623017202"
+
+  /** Classic American Soundex key (the H/W-transparent variant: NARA rules,
+    * same test vectors as Wikipedia's worked examples — Pfister→P236,
+    * Tymczak→T522, Honeyman→H555, Ashcraft→A261). Pinned semantics:
+    *
+    *  1. uppercase, strip everything outside A-Z; empty → `""`;
+    *  2. map every letter to its digit (H/W → the marker 7);
+    *  3. remove the 7s FIRST — so same-coded consonants separated only by
+    *     H/W collapse in step 4 (the transparency rule);
+    *  4. collapse runs of each digit 1-6 (vowel 0s separate runs, so
+    *     repeats across a vowel survive);
+    *  5. remove the 0s;
+    *  6. if the first letter is a coded consonant (not A/E/I/O/U/Y/H/W),
+    *     drop the leading digit — it encoded the first letter itself plus
+    *     any same-code run absorbed into it;
+    *  7. key = first letter + first 3 remaining digits, right-padded with
+    *     '0' to 3.
+    */
+  def soundexKey(c: Column): Column = {
+    val letters = regexp_replace(upper(c), "[^A-Z]", "")
+    val coded = translate(letters, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", codeMap)
+    val noHw = regexp_replace(coded, "7", "")
+    val collapsed = (1 to 6).foldLeft(noHw) { (acc, d) =>
+      regexp_replace(acc, s"$d{2,}", s"$d")
+    }
+    val digits = regexp_replace(collapsed, "0", "")
+    val first = substring(letters, 1, 1)
+    val tail = when(first.isin("A", "E", "I", "O", "U", "Y", "H", "W"), digits)
+      .otherwise(substring(digits, 2, Int.MaxValue))
+    when(letters === "", lit("")).otherwise(
+      concat(first, rpad(substring(tail, 1, 3), 3, "0")))
+  }
+}

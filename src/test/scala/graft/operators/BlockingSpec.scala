@@ -84,4 +84,31 @@ class BlockingSpec extends SparkFunSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 7L)))
     assert(got.head.getDouble(2) == 2.0)
   }
+
+  // ------------------------------------------------------- blocking quality
+
+  test("blockingQuality computes reduction ratio and pairs completeness") {
+    import spark.implicits._
+    val records = (1L to 5L).map(i => (i, s"r$i")).toDF("id", "v")
+    val candidates = Seq((1L, 2L), (3L, 4L)).toDF("url_a", "url_b")
+    val truePairs = Seq((1L, 2L), (1L, 3L)).toDF("url_a", "url_b")
+    val r = Linkage.blockingQuality(records, candidates, truePairs).head()
+    assert(r.getAs[Long]("n_records") == 5L)
+    assert(r.getAs[Long]("n_candidates") == 2L)
+    assert(r.getAs[Long]("total_pairs") == 10L)       // 5*4/2
+    assert(r.getAs[Long]("n_true") == 2L)
+    assert(r.getAs[Long]("n_true_covered") == 1L)     // (1,2) kept, (1,3) lost
+    assert(r.getAs[Double]("reduction_ratio") == 1.0 - 2.0 / 10.0)
+    assert(r.getAs[Double]("pairs_completeness") == 0.5)
+  }
+
+  test("blockingQuality with no labeled pairs reports null completeness, not 100%") {
+    import spark.implicits._
+    val records = (1L to 3L).map(i => (i, s"r$i")).toDF("id", "v")
+    val candidates = Seq((1L, 2L)).toDF("url_a", "url_b")
+    val truePairs = Seq.empty[(Long, Long)].toDF("url_a", "url_b")
+    val r = Linkage.blockingQuality(records, candidates, truePairs).head()
+    assert(r.getAs[Long]("n_true") == 0L)
+    assert(r.isNullAt(r.fieldIndex("pairs_completeness")))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Fellegi-Sunter EM fit + scoring: parameter recovery on planted match
+  * structure, determinism, and the posterior/lr contract. */
+class FellegiSunterSpec extends SparkFunSuite {
+
+  private val gs = Seq("g0", "g1", "g2")
+
+  /** 3-field synthetic pattern population with planted structure: 10% are
+    * matches agreeing on each field with p=0.95, the rest agree with p=0.1
+    * per field (independent). Deterministic hash-derived draws. Three
+    * fields because the 2-field model is under-identified (4 patterns =
+    * 3 data dof vs 5 parameters) — the k >= 3 case is what EM is for. */
+  private lazy val planted = {
+    import spark.implicits._
+    (1 to 4000).map { i =>
+      val isMatch = i % 10 == 0
+      def draw(salt: Int): Long = {
+        val h = scala.util.hashing.MurmurHash3.productHash((i, salt)) & 0x7fffffff
+        val p = h.toDouble / 0x7fffffff.toDouble
+        if (isMatch) { if (p < 0.95) 1L else 0L } else { if (p < 0.1) 1L else 0L }
+      }
+      (i.toLong, draw(1), draw(2), draw(3))
+    }.toDF("id", "g0", "g1", "g2")
+  }
+
+  test("fit recovers planted m >> u structure and a sane prior") {
+    val model = FellegiSunter.fit(planted, gs, iters = 40)
+    for (j <- gs.indices) {
+      assert(model.m(j) > 0.8, s"m($j) = ${model.m(j)}")
+      assert(model.u(j) < 0.2, s"u($j) = ${model.u(j)}")
+      assert(model.m(j) > model.u(j))
+    }
+    assert(model.lambda > 0.03 && model.lambda < 0.3, s"lambda = ${model.lambda}")
+  }
+
+  test("fit is deterministic (bit-identical across runs and partitionings)") {
+    val m1 = FellegiSunter.fit(planted, gs, iters = 15)
+    val m2 = FellegiSunter.fit(planted.repartition(7), gs, iters = 15)
+    assert(m1 == m2)
+  }
+
+  test("score: posterior orders patterns by agreement when m > u, and lr/(1+lr) = posterior") {
+    val model = FellegiSunter.fit(planted, gs, iters = 40)
+    val scored = FellegiSunter.score(planted, gs, model)
+      .select(col("g0"), col("g1"), col("g2"), col("posterior"), col("lr"))
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(scored((1L, 1L, 1L))._1 > scored((1L, 1L, 0L))._1)
+    assert(scored((1L, 1L, 0L))._1 > scored((1L, 0L, 0L))._1)
+    assert(scored((1L, 0L, 0L))._1 > scored((0L, 0L, 0L))._1)
+    scored.values.foreach { case (post, lr) =>
+      assert(post >= 0.0 && post <= 1.0)
+      assert(math.abs(lr / (1.0 + lr) - post) < 1e-12)
+    }
+  }
+
+  test("fit validates gamma arity and iteration count") {
+    intercept[IllegalArgumentException](FellegiSunter.fit(planted, Nil))
+    intercept[IllegalArgumentException](
+      FellegiSunter.fit(planted, (0 to 16).map(i => s"g$i")))
+    intercept[IllegalArgumentException](FellegiSunter.fit(planted, gs, iters = 0))
+    intercept[IllegalArgumentException](
+      FellegiSunter.score(planted, gs, FellegiSunter.Model(0.5, IndexedSeq(0.9), IndexedSeq(0.1))))
+  }
+}
