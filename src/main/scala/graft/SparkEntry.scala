@@ -121,7 +121,10 @@ object SparkEntry {
     }
     val (w, v) = wv("p")
     s"""WITH ${ctes.mkString(",\n")}
-       |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr
+       |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
+       |  CASE WHEN w / v >= 0.5 THEN 'link'
+       |       WHEN w / v <= 0.1 THEN 'non_link'
+       |       ELSE 'possible' END AS decision
        |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
        |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
   }
@@ -356,7 +359,9 @@ object SparkEntry {
     "q_fellegi_sunter" -> ((s, dir) => {
       val pairs = fsGammaPairs(s, dir)
       val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
-      graft.operators.FellegiSunter.score(pairs, fsGammas, model)
+      graft.operators.FellegiSunter.classify(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model),
+        upperLr = 0.5, lowerLr = 0.1)
     }),
 
     // Phonetic (Soundex) blocking key over part names — the third blocking

@@ -115,4 +115,19 @@ object FellegiSunter {
     }
     pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
   }
+
+  /** The Fellegi-Sunter decision rule (the other half of the 1969 paper):
+    * band the likelihood ratio into `link` (lr ≥ upperLr) / `possible`
+    * (the clerical-review band) / `non_link` (lr ≤ lowerLr). In production
+    * the thresholds are chosen from target false-match/false-non-match
+    * rates; here they are caller-supplied. Pure projection. */
+  def classify(scored: DataFrame, upperLr: Double, lowerLr: Double,
+      lrCol: String = "lr"): DataFrame = {
+    require(lowerLr <= upperLr,
+      s"lowerLr ($lowerLr) must be <= upperLr ($upperLr)")
+    scored.withColumn("decision",
+      when(col(lrCol) >= upperLr, lit("link"))
+        .when(col(lrCol) <= lowerLr, lit("non_link"))
+        .otherwise(lit("possible")))
+  }
 }

@@ -60,6 +60,18 @@ class FellegiSunterSpec extends SparkFunSuite {
     }
   }
 
+  test("classify bands lr into link / possible / non_link") {
+    import spark.implicits._
+    val scored = Seq((1L, 5.0), (2L, 1.0), (3L, 0.5), (4L, 0.1), (5L, 0.01))
+      .toDF("id", "lr")
+    val got = FellegiSunter.classify(scored, upperLr = 1.0, lowerLr = 0.1)
+      .select("id", "decision").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "link", 2L -> "link", 3L -> "possible",
+      4L -> "non_link", 5L -> "non_link"))
+    intercept[IllegalArgumentException](
+      FellegiSunter.classify(scored, upperLr = 0.1, lowerLr = 1.0))
+  }
+
   test("fit validates gamma arity and iteration count") {
     intercept[IllegalArgumentException](FellegiSunter.fit(planted, Nil))
     intercept[IllegalArgumentException](
