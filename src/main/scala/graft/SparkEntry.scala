@@ -50,7 +50,8 @@ object SparkEntry {
   /** Comparison-vector frame for the Fellegi-Sunter gate: nationkey-blocked
     * customer pairs with three 0/1 agreement fields. */
   private val fsGammas = Seq("g0", "g1", "g2")
-  private def fsGammaPairs(s: SparkSession, dir: String): DataFrame = {
+  private def fsGammaPairs(s: SparkSession, dir: String,
+      withSeg: Boolean = false): DataFrame = {
     val c = s.read.parquet(s"$dir/customer.parquet")
     val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
       col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
@@ -58,13 +59,14 @@ object SparkEntry {
     val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
       col("c_mktsegment").as("sb"), col("c_acctbal").as("ab"),
       col("c_nationkey").as("nk"))
-    a.join(b, "nk").where(col("ka") < col("kb"))
-      .select(col("ka"), col("kb"),
-        when(jaro_winkler_sim(col("na"), col("nb")) >= 0.95, 1L)
-          .otherwise(0L).as("g0"),
-        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g1"),
-        when(floor(col("aa") / 1000.0) === floor(col("ab") / 1000.0), 1L)
-          .otherwise(0L).as("g2"))
+    val base = Seq(col("ka"), col("kb"),
+      when(jaro_winkler_sim(col("na"), col("nb")) >= 0.95, 1L)
+        .otherwise(0L).as("g0"),
+      when(col("sa") === col("sb"), 1L).otherwise(0L).as("g1"),
+      when(floor(col("aa") / 1000.0) === floor(col("ab") / 1000.0), 1L)
+        .otherwise(0L).as("g2"))
+    val cols = if (withSeg) base :+ col("sa").as("seg_a") else base
+    a.join(b, "nk").where(col("ka") < col("kb")).select(cols: _*)
   }
 
   /** Unrolled-EM Fellegi-Sunter oracle: re-derives the comparison vectors
@@ -75,7 +77,8 @@ object SparkEntry {
     * literal the EM touches is CAST to DOUBLE — bare SQL decimals would
     * run the arithmetic in DECIMAL and diverge from the driver fit in the
     * last ulp. */
-  private def fellegiSunterOracleSql(iters: Int): String = {
+  private def fellegiSunterOracleSql(iters: Int,
+      withTf: Boolean = false): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
@@ -90,6 +93,7 @@ object SparkEntry {
       (w.toString, v.toString)
     }
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    val segSel = if (withTf) ",\n    a.c_mktsegment AS seg_a" else ""
     ctes += s"""pairs AS (
       |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
       |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
@@ -97,7 +101,7 @@ object SparkEntry {
       |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
       |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS BIGINT) AS g1,
       |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
-      |         THEN 1 ELSE 0 END AS BIGINT) AS g2
+      |         THEN 1 ELSE 0 END AS BIGINT) AS g2$segSel
       |  $customerPairsSql)""".stripMargin
     ctes += s"pats AS (SELECT $gcols, CAST(count(*) AS DOUBLE) AS n FROM pairs GROUP BY $gcols)"
     ctes += s"tot AS (SELECT ${fold("n")} AS t FROM pats)"
@@ -120,13 +124,29 @@ object SparkEntry {
       ctes += s"p$i AS (SELECT ${upd.mkString(", ")} FROM s$i CROSS JOIN tot)"
     }
     val (w, v) = wv("p")
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
-       |  CASE WHEN w / v >= 0.5 THEN 'link'
-       |       WHEN w / v <= 0.1 THEN 'non_link'
-       |       ELSE 'possible' END AS decision
-       |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
-       |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
+    if (withTf) {
+      // value frequencies + the Winkler adjustment: lr * (u1 / tf) on
+      // g1-agreeing pairs; everything stays DOUBLE end-to-end
+      ctes += """tf AS (
+        |  SELECT c_mktsegment AS value,
+        |         CAST(count(*) AS DOUBLE) /
+        |         CAST((SELECT count(*) FROM customer) AS DOUBLE) AS tf
+        |  FROM customer GROUP BY c_mktsegment)""".stripMargin
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
+         |  CASE WHEN g1 = 1 AND tf.tf IS NOT NULL
+         |       THEN (w / v) * (u1 / tf.tf) ELSE w / v END AS lr_tf
+         |FROM (SELECT ka, kb, $gcols, seg_a, $w AS w, $v AS v, p.u1 AS u1
+         |      FROM pairs CROSS JOIN p$iters p) s
+         |LEFT JOIN tf ON s.seg_a = tf.value""".stripMargin
+    } else
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
+         |  CASE WHEN w / v >= 0.5 THEN 'link'
+         |       WHEN w / v <= 0.1 THEN 'non_link'
+         |       ELSE 'possible' END AS decision
+         |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
+         |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
   }
 
   private val customerPairsSql =
@@ -362,6 +382,21 @@ object SparkEntry {
       graft.operators.FellegiSunter.classify(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model),
         upperLr = 0.5, lowerLr = 0.1)
+    }),
+
+    // Term-frequency-adjusted Fellegi-Sunter (Winkler 1988 / Splink's
+    // headline feature): agreeing on a RARE segment is stronger evidence
+    // than on a common one — pairs agreeing on g1 get lr scaled by
+    // u1 / tf(segment). The oracle replays the EM AND the tf join.
+    "q_fellegi_sunter_tf" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir, withSeg = true)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      val tf = graft.operators.FellegiSunter.termFrequencies(
+        s.read.parquet(s"$dir/customer.parquet"), "c_mktsegment")
+      graft.operators.FellegiSunter.tfAdjustLr(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model),
+        model, fieldIndex = 1, gammaCol = "g1", valueCol = "seg_a", tf = tf)
+        .drop("seg_a")
     }),
 
     // Phonetic (Soundex) blocking key over part names — the third blocking
@@ -1707,6 +1742,7 @@ object SparkEntry {
         |SELECT id_l, id_r, jw, dice, jw + dice AS score
         |FROM scored WHERE jw + dice >= 1.0""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
+    "q_fellegi_sunter_tf" -> fellegiSunterOracleSql(iters = 15, withTf = true),
     // the validated Soundex chain (see Phonetic.soundexKey's pinned
     // semantics): letters -> digit codes (H/W -> marker 7) -> drop 7s ->
     // collapse 1-6 runs -> drop 0s -> drop the leading digit when the

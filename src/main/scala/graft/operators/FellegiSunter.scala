@@ -116,6 +116,46 @@ object FellegiSunter {
     pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
   }
 
+  /** Relative value frequencies of `valueCol` among `records`:
+    * (value, tf) with tf = count(value) / count(*). The input to
+    * [[tfAdjustLr]]; persist it once per field, reuse across runs. */
+  def termFrequencies(records: DataFrame, valueCol: String): DataFrame =
+    records.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(records.agg(count(lit(1)).as("__tot"))))
+      .select(col("value"),
+        (col("__cnt").cast("double") / col("__tot").cast("double")).as("tf"))
+
+  /** Term-frequency adjustment (Winkler 1988; the shape popularized by
+    * Splink's `term_frequency_adjustments`) for an EXACT-agreement field:
+    * agreeing on a rare value is stronger evidence than agreeing on a
+    * common one, so for pairs where `gammaCol` = 1 the pair's likelihood
+    * ratio is multiplied by `u_j / tf(value)` — replacing the field's
+    * AVERAGE agreement-by-chance rate with the agreed value's own
+    * frequency. Disagreements, and values missing from `tf`, keep the
+    * unadjusted ratio. Appends `lr_tf`.
+    *
+    * Only meaningful for equality-style gammas (the two sides share one
+    * value, carried in `valueCol`); threshold/fuzzy gammas have no single
+    * agreed value to look up. `tf` is vocabulary-sized and broadcast by
+    * default; pass `broadcastTf = false` for pathological vocabularies
+    * (the unhinted plan degrades to a shuffle join). */
+  def tfAdjustLr(scored: DataFrame, model: Model, fieldIndex: Int,
+      gammaCol: String, valueCol: String, tf: DataFrame,
+      lrCol: String = "lr", broadcastTf: Boolean = true): DataFrame = {
+    require(fieldIndex >= 0 && fieldIndex < model.u.size,
+      s"fieldIndex $fieldIndex out of range for a ${model.u.size}-field model")
+    val u = model.u(fieldIndex)
+    val tfSide = tf.select(col("value").as("__tf_value"), col("tf").as("__tf"))
+    val hinted = if (broadcastTf) broadcast(tfSide) else tfSide
+    scored.join(hinted, scored(valueCol) === col("__tf_value"), "left")
+      .withColumn("lr_tf",
+        when(col(gammaCol) === 1 && col("__tf").isNotNull,
+          col(lrCol) * (lit(u) / col("__tf")))
+          .otherwise(col(lrCol)))
+      .drop("__tf_value", "__tf")
+  }
+
   /** The Fellegi-Sunter decision rule (the other half of the 1969 paper):
     * band the likelihood ratio into `link` (lr ≥ upperLr) / `possible`
     * (the clerical-review band) / `non_link` (lr ≤ lowerLr). In production

@@ -72,6 +72,36 @@ class FellegiSunterSpec extends SparkFunSuite {
       FellegiSunter.classify(scored, upperLr = 0.1, lowerLr = 1.0))
   }
 
+  test("term-frequency adjustment scales agreeing pairs by u/tf, leaves the rest") {
+    import spark.implicits._
+    // 4 records: value "x" appears 3/4 (common), "y" 1/4 (rare)
+    val records = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("id", "v")
+    val tf = FellegiSunter.termFrequencies(records, "v")
+      .as[(String, Double)].collect().toMap
+    assert(tf == Map("x" -> 0.75, "y" -> 0.25))
+    val model = FellegiSunter.Model(0.5, IndexedSeq(0.9), IndexedSeq(0.5))
+    val scored = Seq(
+      (1L, 2L, 1L, "x", 2.0),   // agree on common value
+      (1L, 4L, 1L, "y", 2.0),   // agree on rare value -> bigger boost
+      (2L, 3L, 0L, "x", 0.5),   // disagree -> untouched
+      (5L, 6L, 1L, "z", 2.0))   // agree on value missing from tf -> untouched
+      .toDF("ka", "kb", "g0", "val_a", "lr")
+    val got = FellegiSunter.tfAdjustLr(scored, model, 0, "g0", "val_a",
+        FellegiSunter.termFrequencies(records, "v"))
+      .select("ka", "kb", "lr_tf").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 2.0 * (0.5 / 0.75))
+    assert(got((1L, 4L)) == 2.0 * (0.5 / 0.25))
+    assert(got((2L, 3L)) == 0.5)
+    assert(got((5L, 6L)) == 2.0)
+    assert(got((1L, 4L)) > got((1L, 2L)))  // rare agreement outweighs common
+    intercept[IllegalArgumentException](
+      FellegiSunter.tfAdjustLr(scored, model, 5, "g0", "val_a", tfFrameOf(records)))
+  }
+
+  private def tfFrameOf(records: org.apache.spark.sql.DataFrame) =
+    FellegiSunter.termFrequencies(records, "v")
+
   test("fit validates gamma arity and iteration count") {
     intercept[IllegalArgumentException](FellegiSunter.fit(planted, Nil))
     intercept[IllegalArgumentException](
