@@ -69,6 +69,88 @@ object SparkEntry {
     a.join(b, "nk").where(col("ka") < col("kb")).select(cols: _*)
   }
 
+  /** Multi-level comparison-vector frame for the FS-levels gate: two
+    * 3-level gammas (name JW banded at 0.97/0.93; acctbal-bracket
+    * distance 0/1/more) plus one binary gamma (segment equality —
+    * exercising mixed arity) over nationkey-blocked customer pairs. */
+  private def fsLevelPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+      col("c_acctbal").as("aa"), col("c_mktsegment").as("sa"),
+      col("c_nationkey").as("nk"))
+    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("c_acctbal").as("ab"), col("c_mktsegment").as("sb"),
+      col("c_nationkey").as("nk"))
+    val jw = jaro_winkler_sim(col("na"), col("nb"))
+    val d = abs(floor(col("aa") / 1000.0) - floor(col("ab") / 1000.0))
+    a.join(b, "nk").where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        when(jw >= 0.97, 2L).when(jw >= 0.93, 1L).otherwise(0L).as("g0"),
+        when(d === 0, 2L).when(d === 1, 1L).otherwise(0L).as("g1"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g2"))
+  }
+
+  /** Unrolled-EM oracle for the MULTI-LEVEL fit (3 fields, arities 3/3/2):
+    * same pinned-fold discipline as [[fellegiSunterOracleSql]], with
+    * per-level CASE products and per-(field, level) a/b folds; init =
+    * m(j)(l) ∝ l+1, u(j)(l) ∝ L−l over CAST-to-DOUBLE rationals exactly
+    * as [[graft.operators.FellegiSunter.fitLevels]] computes them. */
+  private def fellegiSunterLevelsOracleSql(iters: Int): String = {
+    val levels = Seq(3, 3, 2)
+    val k = levels.size
+    val gcols = (0 until k).map(j => s"g$j").mkString(", ")
+    def fold(expr: String) =
+      s"list_reduce(list($expr ORDER BY $gcols), (x, y) -> x + y)"
+    def levelCase(j: Int, p: String, mu: String): String =
+      s"(CASE g$j " + (0 until levels(j) - 1).map(l => s"WHEN $l THEN $p.${mu}${j}_$l ").mkString +
+        s"ELSE $p.${mu}${j}_${levels(j) - 1} END)"
+    def wv(p: String): (String, String) = {
+      val w = s"$p.lam" + (0 until k).map(j => s" * ${levelCase(j, p, "m")}").mkString
+      val v = s"(1.0 - $p.lam)" + (0 until k).map(j => s" * ${levelCase(j, p, "u")}").mkString
+      (w, v)
+    }
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""pairs AS (
+      |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+      |           ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.97 THEN 2
+      |         WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+      |           ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.93 THEN 1
+      |         ELSE 0 END AS BIGINT) AS g0,
+      |    CAST(CASE WHEN abs(floor(a.c_acctbal / 1000.0) - floor(b.c_acctbal / 1000.0)) = 0 THEN 2
+      |         WHEN abs(floor(a.c_acctbal / 1000.0) - floor(b.c_acctbal / 1000.0)) = 1 THEN 1
+      |         ELSE 0 END AS BIGINT) AS g1,
+      |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS BIGINT) AS g2
+      |  $customerPairsSql)""".stripMargin
+    ctes += s"pats AS (SELECT $gcols, CAST(count(*) AS DOUBLE) AS n FROM pairs GROUP BY $gcols)"
+    ctes += s"tot AS (SELECT ${fold("n")} AS t FROM pats)"
+    val init = (for (j <- 0 until k; l <- 0 until levels(j)) yield {
+      val tot = levels(j) * (levels(j) + 1) / 2
+      Seq(s"CAST(${l + 1} AS DOUBLE) / CAST($tot AS DOUBLE) AS m${j}_$l",
+        s"CAST(${levels(j) - l} AS DOUBLE) / CAST($tot AS DOUBLE) AS u${j}_$l")
+    }).flatten
+    ctes += s"p0 AS (SELECT CAST(0.5 AS DOUBLE) AS lam, ${init.mkString(", ")})"
+    for (i <- 1 to iters) {
+      val (w, v) = wv("p")
+      ctes += s"e$i AS (SELECT $gcols, n, $w AS w, $v AS v FROM pats CROSS JOIN p${i - 1} p)"
+      val sums = scala.collection.mutable.ArrayBuffer(fold("n * (w / (w + v))") + " AS s")
+      for (j <- 0 until k; l <- 0 until levels(j)) {
+        sums += fold(s"CASE WHEN g$j = $l THEN n * (w / (w + v)) ELSE 0.0 END") + s" AS a${j}_$l"
+        sums += fold(s"CASE WHEN g$j = $l THEN n * (1.0 - w / (w + v)) ELSE 0.0 END") + s" AS b${j}_$l"
+      }
+      ctes += s"s$i AS (SELECT ${sums.mkString(", ")} FROM e$i)"
+      val upd = Seq("s / t AS lam") ++
+        (for (j <- 0 until k; l <- 0 until levels(j)) yield Seq(
+          s"a${j}_$l / s AS m${j}_$l", s"b${j}_$l / (t - s) AS u${j}_$l")).flatten
+      ctes += s"p$i AS (SELECT ${upd.mkString(", ")} FROM s$i CROSS JOIN tot)"
+    }
+    val (w, v) = wv("p")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr
+       |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
+       |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
+  }
+
   /** Unrolled-EM Fellegi-Sunter oracle: re-derives the comparison vectors
     * and pattern counts, runs `iters` EM iterations as chained CTEs whose
     * sums are ORDERED list_reduce left folds (IEEE addition order =
@@ -382,6 +464,20 @@ object SparkEntry {
       graft.operators.FellegiSunter.classify(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model),
         upperLr = 0.5, lowerLr = 0.1)
+    }),
+
+    // Multi-level Fellegi-Sunter (Splink-style comparison levels): fields
+    // grade agreement 0/1/2 (name JW banded at 0.97/0.93; acctbal-bracket
+    // distance 0/1/more) instead of binary, with full per-level m/u
+    // distributions — the richer evidence model production ER uses. The
+    // oracle unrolls the multi-level EM (per-level CASE products +
+    // per-(field, level) ordered folds).
+    "q_fellegi_sunter_levels" -> ((s, dir) => {
+      val pairs = fsLevelPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fitLevels(pairs,
+        Seq("g0", "g1", "g2"), Seq(3, 3, 2), iters = 15)
+      graft.operators.FellegiSunter.scoreLevels(pairs,
+        Seq("g0", "g1", "g2"), model)
     }),
 
     // Term-frequency-adjusted Fellegi-Sunter (Winkler 1988 / Splink's
@@ -1743,6 +1839,7 @@ object SparkEntry {
         |FROM scored WHERE jw + dice >= 1.0""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fellegi_sunter_tf" -> fellegiSunterOracleSql(iters = 15, withTf = true),
+    "q_fellegi_sunter_levels" -> fellegiSunterLevelsOracleSql(iters = 15),
     // the validated Soundex chain (see Phonetic.soundexKey's pinned
     // semantics): letters -> digit codes (H/W -> marker 7) -> drop 7s ->
     // collapse 1-6 runs -> drop 0s -> drop the leading digit when the

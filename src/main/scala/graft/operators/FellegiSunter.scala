@@ -116,6 +116,110 @@ object FellegiSunter {
     pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
   }
 
+  /** Multi-level model (Splink-style comparison levels): field j takes
+    * γ_j ∈ {0 … L_j−1} (0 = disagreement, higher = stronger agreement by
+    * convention) with full per-level distributions m(j)(l) = P(γ_j = l |
+    * match), u(j)(l) = P(γ_j = l | non-match). The binary [[Model]] is the
+    * L = 2 special case. */
+  final case class LevelModel(lambda: Double,
+      m: IndexedSeq[IndexedSeq[Double]], u: IndexedSeq[IndexedSeq[Double]])
+
+  /** EM fit with multi-level gammas. `levels(j)` = number of levels of
+    * `gammaCols(j)`. Init breaks symmetry deterministically: m(j)(l) ∝
+    * l+1 (matches favor high agreement levels), u(j)(l) ∝ L−l. Same
+    * pinned-fold determinism contract as [[fit]] — the unrolled-EM DuckDB
+    * oracle reproduces it bit-for-bit. */
+  def fitLevels(pairs: DataFrame, gammaCols: Seq[String], levels: Seq[Int],
+      iters: Int = 15, initLambda: Double = 0.5): LevelModel = {
+    val k = gammaCols.size
+    require(k >= 1 && k == levels.size,
+      s"gammaCols (${k}) and levels (${levels.size}) must align, nonempty")
+    require(levels.forall(l => l >= 2 && l <= 16), s"levels must be 2..16: $levels")
+    require(levels.map(_.toLong).product <= 65536L,
+      s"pattern space ${levels.mkString("x")} exceeds the 2^16 driver bound")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val rows = pairs.groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    import scala.math.Ordering.Implicits._
+    val pats: Array[(IndexedSeq[Long], Double)] = rows.map { r =>
+      val g = gammaCols.indices.map(i => r.getAs[Number](i).longValue)
+      (g, r.getAs[Long]("__n").toDouble)
+    }.sortBy(_._1)
+    var t = 0.0
+    pats.foreach { case (_, n) => t = t + n }
+
+    var lam = initLambda
+    val m = Array.tabulate(k) { j =>
+      val lv = levels(j); val tot = (lv * (lv + 1) / 2).toDouble
+      Array.tabulate(lv)(l => (l + 1).toDouble / tot)
+    }
+    val u = Array.tabulate(k) { j =>
+      val lv = levels(j); val tot = (lv * (lv + 1) / 2).toDouble
+      Array.tabulate(lv)(l => (lv - l).toDouble / tot)
+    }
+    for (_ <- 0 until iters) {
+      var s = 0.0
+      val a = Array.tabulate(k)(j => Array.fill(levels(j))(0.0))
+      val b = Array.tabulate(k)(j => Array.fill(levels(j))(0.0))
+      pats.foreach { case (g, n) =>
+        var w = lam
+        var v = 1.0 - lam
+        var j = 0
+        while (j < k) {
+          // out-of-range gammas take the top level (the scoreLevels
+          // CASE's otherwise-branch) — callers should not rely on it
+          val l = math.min(math.max(g(j), 0L), (levels(j) - 1).toLong).toInt
+          w = w * m(j)(l)
+          v = v * u(j)(l)
+          j += 1
+        }
+        s = s + n * (w / (w + v))
+        j = 0
+        while (j < k) {
+          val l = math.min(math.max(g(j), 0L), (levels(j) - 1).toLong).toInt
+          a(j)(l) = a(j)(l) + n * (w / (w + v))
+          b(j)(l) = b(j)(l) + n * (1.0 - w / (w + v))
+          j += 1
+        }
+      }
+      lam = s / t
+      var j = 0
+      while (j < k) {
+        var l = 0
+        while (l < levels(j)) {
+          m(j)(l) = a(j)(l) / s
+          u(j)(l) = b(j)(l) / (t - s)
+          l += 1
+        }
+        j += 1
+      }
+    }
+    LevelModel(lam, m.map(_.toIndexedSeq).toIndexedSeq,
+      u.map(_.toIndexedSeq).toIndexedSeq)
+  }
+
+  /** Score pairs under a multi-level model: appends `posterior` and `lr`
+    * like [[score]]; per field the probability is a level-indexed CASE
+    * (γ beyond the last level falls into the top level's branch). */
+  def scoreLevels(pairs: DataFrame, gammaCols: Seq[String],
+      model: LevelModel): DataFrame = {
+    require(gammaCols.size == model.m.size,
+      s"model has ${model.m.size} fields, gammaCols has ${gammaCols.size}")
+    def levelCase(g: String, probs: IndexedSeq[Double]): Column = {
+      val init: Column = when(col(g) === 0, lit(probs(0)))
+      (1 until probs.size - 1).foldLeft(init) { (acc, l) =>
+        acc.when(col(g) === l, lit(probs(l)))
+      }.otherwise(lit(probs.last))
+    }
+    var w: Column = lit(model.lambda)
+    var v: Column = lit(1.0 - model.lambda)
+    for (j <- gammaCols.indices) {
+      w = w * levelCase(gammaCols(j), model.m(j))
+      v = v * levelCase(gammaCols(j), model.u(j))
+    }
+    pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
+  }
+
   /** Relative value frequencies of `valueCol` among `records`:
     * (value, tf) with tf = count(value) / count(*). The input to
     * [[tfAdjustLr]]; persist it once per field, reuse across runs. */

@@ -72,6 +72,45 @@ class FellegiSunterSpec extends SparkFunSuite {
       FellegiSunter.classify(scored, upperLr = 0.1, lowerLr = 1.0))
   }
 
+  test("fitLevels recovers planted 3-level structure (3 fields: identifiable)") {
+    import spark.implicits._
+    // planted: matches concentrate at level 2, non-matches at level 0;
+    // three fields because fewer leaves the model under-identified
+    // (free params must not exceed pattern dof), like the binary case
+    val df = (1 to 4000).map { i =>
+      val isMatch = i % 10 == 0
+      def draw(salt: Int): Long = {
+        val h = scala.util.hashing.MurmurHash3.productHash((i, salt)) & 0x7fffffff
+        val p = h.toDouble / 0x7fffffff.toDouble
+        if (isMatch) { if (p < 0.8) 2L else if (p < 0.95) 1L else 0L }
+        else { if (p < 0.8) 0L else if (p < 0.95) 1L else 2L }
+      }
+      (i.toLong, draw(1), draw(2), draw(3))
+    }.toDF("id", "g0", "g1", "g2")
+    val cols = Seq("g0", "g1", "g2")
+    val model = FellegiSunter.fitLevels(df, cols, Seq(3, 3, 3), iters = 40)
+    for (j <- 0 to 2) {
+      assert(model.m(j)(2) > 0.6, s"m($j)(2) = ${model.m(j)(2)}")
+      assert(model.u(j)(0) > 0.6, s"u($j)(0) = ${model.u(j)(0)}")
+      assert(math.abs(model.m(j).sum - 1.0) < 1e-9)
+      assert(math.abs(model.u(j).sum - 1.0) < 1e-9)
+    }
+    assert(model.lambda > 0.03 && model.lambda < 0.3)
+    val scored = FellegiSunter.scoreLevels(df, cols, model)
+      .select(col("g0"), col("g1"), col("g2"), col("posterior"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(scored((2L, 2L, 2L)) > scored((1L, 1L, 1L)))
+    assert(scored((1L, 1L, 1L)) > scored((0L, 0L, 0L)))
+    // determinism across partitionings
+    assert(model == FellegiSunter.fitLevels(df.repartition(7), cols,
+      Seq(3, 3, 3), iters = 40))
+    intercept[IllegalArgumentException](
+      FellegiSunter.fitLevels(df, cols, Seq(3, 3)))
+    intercept[IllegalArgumentException](
+      FellegiSunter.fitLevels(df, cols, Seq(3, 3, 1)))
+  }
+
   test("term-frequency adjustment scales agreeing pairs by u/tf, leaves the rest") {
     import spark.implicits._
     // 4 records: value "x" appears 3/4 (common), "y" 1/4 (rare)
