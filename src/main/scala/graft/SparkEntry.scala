@@ -231,6 +231,48 @@ object SparkEntry {
          |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
   }
 
+  /** Shared CTE chain of the two-corpus linkage oracle (customer vs
+    * supplier blocked on nationkey, composite JW+Dice in `scored`) —
+    * reused by q_link_tables and q_best_match. */
+  private val linkTablesCtes =
+    """lk AS (
+      |  SELECT c_custkey AS id, c_nationkey AS key, c_name AS name FROM customer
+      |), rk AS (
+      |  SELECT s_suppkey AS id, s_nationkey AS key, s_name AS name FROM supplier
+      |), nl AS (
+      |  SELECT key, count(*) AS n FROM lk GROUP BY key
+      |), nr AS (
+      |  SELECT key, count(*) AS n FROM rk GROUP BY key
+      |), good AS (
+      |  SELECT nl.key FROM nl JOIN nr ON nl.key = nr.key
+      |  WHERE nl.n * nr.n <= 1000000
+      |), pairs AS (
+      |  SELECT DISTINCT l.id AS id_l, r.id AS id_r,
+      |         l.name AS name_l, r.name AS name_r
+      |  FROM lk l JOIN good g ON l.key = g.key
+      |       JOIN rk r ON r.key = l.key
+      |), exploded AS (
+      |  SELECT id_l, id_r, unnest(string_split(name_l, '')) AS ch,
+      |         1 AS ac, 0 AS bc FROM pairs
+      |  UNION ALL
+      |  SELECT id_l, id_r, unnest(string_split(name_r, '')) AS ch,
+      |         0 AS ac, 1 AS bc FROM pairs
+      |), counts AS (
+      |  SELECT id_l, id_r, ch, sum(ac) AS ca, sum(bc) AS cb
+      |  FROM exploded GROUP BY id_l, id_r, ch
+      |), sums AS (
+      |  SELECT id_l, id_r, sum(least(ca, cb)) AS inter,
+      |         sum(ca) + sum(cb) AS total
+      |  FROM counts GROUP BY id_l, id_r
+      |), scored AS (
+      |  SELECT p.id_l, p.id_r,
+      |    CASE WHEN p.name_l = p.name_r THEN 1.0
+      |         ELSE jaro_winkler_similarity(p.name_l, p.name_r) END AS jw,
+      |    CASE WHEN p.name_l = p.name_r THEN 1.0
+      |         ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END AS dice
+      |  FROM pairs p JOIN sums s ON p.id_l = s.id_l AND p.id_r = s.id_r
+      |)""".stripMargin
+
   private val customerPairsSql =
     """FROM customer a JOIN customer b
       | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey""".stripMargin
@@ -448,6 +490,23 @@ object SparkEntry {
           col("s_nationkey").as("bk"))
       graft.operators.Linkage.linkTables(cust, supp, "id", "name", "bk",
         theta = 1.0, bucketPairCap = 1000000L)
+    }),
+
+    // Symmetric best match over the two-corpus linkage: keep (l, r) only
+    // when each is the other's top-scoring candidate (ties broken by the
+    // opposite id) — the one-to-one post-filter for A-vs-B linkage.
+    // InferWindowGroupLimit turns both argmax windows into per-group
+    // top-1 limits before their shuffles.
+    "q_best_match" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("bk"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey").as("bk"))
+      val scored = graft.operators.Linkage.linkTables(cust, supp, "id",
+        "name", "bk", theta = 1.0, bucketPairCap = 1000000L)
+      graft.operators.Linkage.symmetricBestMatches(scored)
     }),
 
     // Fellegi-Sunter probabilistic linkage: EM fits per-field m/u and the
@@ -1798,45 +1857,27 @@ object SparkEntry {
         |FROM ranked a JOIN ranked b
         |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4""".stripMargin,
     "q_link_tables" ->
-      """WITH lk AS (
-        |  SELECT c_custkey AS id, c_nationkey AS key, c_name AS name FROM customer
-        |), rk AS (
-        |  SELECT s_suppkey AS id, s_nationkey AS key, s_name AS name FROM supplier
-        |), nl AS (
-        |  SELECT key, count(*) AS n FROM lk GROUP BY key
-        |), nr AS (
-        |  SELECT key, count(*) AS n FROM rk GROUP BY key
-        |), good AS (
-        |  SELECT nl.key FROM nl JOIN nr ON nl.key = nr.key
-        |  WHERE nl.n * nr.n <= 1000000
-        |), pairs AS (
-        |  SELECT DISTINCT l.id AS id_l, r.id AS id_r,
-        |         l.name AS name_l, r.name AS name_r
-        |  FROM lk l JOIN good g ON l.key = g.key
-        |       JOIN rk r ON r.key = l.key
-        |), exploded AS (
-        |  SELECT id_l, id_r, unnest(string_split(name_l, '')) AS ch,
-        |         1 AS ac, 0 AS bc FROM pairs
-        |  UNION ALL
-        |  SELECT id_l, id_r, unnest(string_split(name_r, '')) AS ch,
-        |         0 AS ac, 1 AS bc FROM pairs
-        |), counts AS (
-        |  SELECT id_l, id_r, ch, sum(ac) AS ca, sum(bc) AS cb
-        |  FROM exploded GROUP BY id_l, id_r, ch
-        |), sums AS (
-        |  SELECT id_l, id_r, sum(least(ca, cb)) AS inter,
-        |         sum(ca) + sum(cb) AS total
-        |  FROM counts GROUP BY id_l, id_r
-        |), scored AS (
-        |  SELECT p.id_l, p.id_r,
-        |    CASE WHEN p.name_l = p.name_r THEN 1.0
-        |         ELSE jaro_winkler_similarity(p.name_l, p.name_r) END AS jw,
-        |    CASE WHEN p.name_l = p.name_r THEN 1.0
-        |         ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END AS dice
-        |  FROM pairs p JOIN sums s ON p.id_l = s.id_l AND p.id_r = s.id_r
-        |)
+      s"""WITH $linkTablesCtes
         |SELECT id_l, id_r, jw, dice, jw + dice AS score
         |FROM scored WHERE jw + dice >= 1.0""".stripMargin,
+    "q_best_match" ->
+      s"""WITH $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw, dice, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), bl AS (
+        |  SELECT id_l, id_r, jw, dice, score FROM (
+        |    SELECT b.*, row_number() OVER (
+        |      PARTITION BY id_l ORDER BY score DESC, id_r) AS rn
+        |    FROM base b) WHERE rn = 1
+        |), br AS (
+        |  SELECT id_l, id_r FROM (
+        |    SELECT id_l, id_r, row_number() OVER (
+        |      PARTITION BY id_r ORDER BY score DESC, id_l) AS rn
+        |    FROM base) WHERE rn = 1
+        |)
+        |SELECT bl.id_l, bl.id_r, bl.jw, bl.dice, bl.score
+        |FROM bl JOIN br ON bl.id_l = br.id_l AND bl.id_r = br.id_r""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fellegi_sunter_tf" -> fellegiSunterOracleSql(iters = 15, withTf = true),
     "q_fellegi_sunter_levels" -> fellegiSunterLevelsOracleSql(iters = 15),

@@ -323,6 +323,32 @@ object Linkage {
       .where(col("score") >= theta)
   }
 
+  /** Symmetric best match over scored two-corpus pairs: keep (l, r) iff r
+    * is l's highest-scoring candidate AND l is r's — the standard
+    * one-to-one-leaning post-filter for A-vs-B linkage (a registry record
+    * should not link to ten crawl pages just because ten cleared θ). Both
+    * argmaxes are taken over the ORIGINAL scored set (not sequentially),
+    * so the result is order-independent; ties break deterministically by
+    * the opposite id, making the output partitioning-stable.
+    *
+    * Scale shape: each side is a `row_number` window with its `= 1`
+    * filter directly above it, so InferWindowGroupLimit inserts a
+    * per-group top-1 limit BEFORE each shuffle (one surviving row per key
+    * leaves each map task); the final left-semi join is key-only. */
+  def symmetricBestMatches(scored: DataFrame, leftId: String = "id_l",
+      rightId: String = "id_r", scoreCol: String = "score"): DataFrame = {
+    val wl = W.partitionBy(col(leftId))
+      .orderBy(col(scoreCol).desc, col(rightId))
+    val wr = W.partitionBy(col(rightId))
+      .orderBy(col(scoreCol).desc, col(leftId))
+    val bestPerLeft = scored.withColumn("__rn", row_number().over(wl))
+      .where(col("__rn") === 1).drop("__rn")
+    val bestPerRight = scored.withColumn("__rn", row_number().over(wr))
+      .where(col("__rn") === 1)
+      .select(col(leftId), col(rightId))
+    bestPerLeft.join(bestPerRight, Seq(leftId, rightId), "left_semi")
+  }
+
   /** Blocking quality metrics, the standard pair before committing a
     * blocking scheme at scale: REDUCTION RATIO (how much of the n(n−1)/2
     * all-pairs space blocking pruned) and PAIRS COMPLETENESS (what fraction

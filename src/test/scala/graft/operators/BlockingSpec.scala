@@ -85,6 +85,27 @@ class BlockingSpec extends SparkFunSuite {
     assert(got.head.getDouble(2) == 2.0)
   }
 
+  // ------------------------------------------------------- symmetric best match
+
+  test("symmetricBestMatches keeps exactly the mutual-argmax pairs") {
+    import spark.implicits._
+    val scored = Seq(
+      // l=1: best r=10 (0.9); r=10: best l=1 -> kept
+      (1L, 10L, 0.9), (1L, 11L, 0.5), (2L, 10L, 0.4),
+      // l=3: best r=12; r=12: best l=4 -> neither (3,12) nor (4,12)... (4,12) is r12's best AND l4's best -> kept
+      (3L, 12L, 0.6), (4L, 12L, 0.8),
+      // tie on score: l=5 ties r=13/14 at 0.7 -> tie-break picks lower r=13; r=13's only candidate is l=5 -> kept
+      (5L, 13L, 0.7), (5L, 14L, 0.7))
+      .toDF("id_l", "id_r", "score")
+    val got = Linkage.symmetricBestMatches(scored)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (4L, 12L), (5L, 13L)))
+    // partitioning-independence (the tie-break pins the result)
+    val got2 = Linkage.symmetricBestMatches(scored.repartition(7))
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(got2 == got)
+  }
+
   // ------------------------------------------------------- blocking quality
 
   test("blockingQuality computes reduction ratio and pairs completeness") {
