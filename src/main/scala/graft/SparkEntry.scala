@@ -509,6 +509,19 @@ object SparkEntry {
       graft.operators.Linkage.symmetricBestMatches(scored)
     }),
 
+    // B-cubed sufficient statistics (Bagga-Baldwin cluster-level metric):
+    // per-cluster and per-truth-class (n_g, Σ ni²) over the contingency
+    // counts of a predicted partition (the capped blocking key) vs a
+    // reference partition (name suffix) — all-integer, hash-exact; the
+    // scalar B³ P/R/F1 folds from these rows.
+    "q_bcubed" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val assigned = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("cluster_id"),
+        substring(col("c_name"), 16, 3).as("truth_id"))
+      graft.operators.Linkage.bCubedStats(assigned)
+    }),
+
     // Fellegi-Sunter probabilistic linkage: EM fits per-field m/u and the
     // match prior λ from UNLABELED comparison-vector pattern counts
     // (γ = name-JW ≥ 0.95, segment equal, acctbal-bracket equal over the
@@ -1878,6 +1891,26 @@ object SparkEntry {
         |)
         |SELECT bl.id_l, bl.id_r, bl.jw, bl.dice, bl.score
         |FROM bl JOIN br ON bl.id_l = br.id_l AND bl.id_r = br.id_r""".stripMargin,
+    "q_bcubed" ->
+      """WITH j AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g,
+        |         substring(c_name, 16, 3) AS t
+        |  FROM customer
+        |), ni AS (
+        |  SELECT g, t, count(*) AS ni FROM j GROUP BY g, t
+        |), sp AS (
+        |  SELECT g, CAST(sum(ni) AS BIGINT) AS n_g,
+        |         CAST(sum(ni * ni) AS BIGINT) AS sum_ni2
+        |  FROM ni GROUP BY g
+        |), st AS (
+        |  SELECT t, CAST(sum(ni) AS BIGINT) AS n_g,
+        |         CAST(sum(ni * ni) AS BIGINT) AS sum_ni2
+        |  FROM ni GROUP BY t
+        |)
+        |SELECT 'cluster' AS side, g AS gid, n_g, sum_ni2 FROM sp
+        |UNION ALL
+        |SELECT 'truth' AS side, t AS gid, n_g, sum_ni2 FROM st""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fellegi_sunter_tf" -> fellegiSunterOracleSql(iters = 15, withTf = true),
     "q_fellegi_sunter_levels" -> fellegiSunterLevelsOracleSql(iters = 15),

