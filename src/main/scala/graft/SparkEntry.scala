@@ -759,10 +759,22 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => graft.operators.Dedup.exactGroups(
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
-    // token-set Jaccard near-dup over (lang, source) blocks
+    // token-set Jaccard near-dup over (lang, source) blocks. bucketCap=8
+    // routes every real block at sf0.01 (max 16) through the SALTED grid
+    // tier — the result must equal the plain blocked-join oracle (tiers
+    // 1+2 are lossless; hardCap stays at its lossless default here).
     "q_dedup_ngram_jaccard" -> ((s, dir) => graft.operators.Dedup.ngramJaccardPairs(
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      Seq("lang", "source"), tau = 0.5)),
+      Seq("lang", "source"), tau = 0.5, bucketCap = 8, saltGroups = 8)),
+
+    // the lossy tier-3 cut, oracle-mirrored: blocks > hardCap=13 members
+    // are dropped (their record is Dedup.droppedNgramBuckets — DedupSpec
+    // pins the pairs-dropped <-> buckets-reported correspondence); the
+    // oracle folds the same cut via a block-size CTE.
+    "q_dedup_ngram_capped" -> ((s, dir) => graft.operators.Dedup.ngramJaccardPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5, bucketCap = 8, hardCap = 13,
+      saltGroups = 8)),
 
     // MinHash-LSH near-dup (sub-quadratic path). sha256 family → the full
     // pipeline (signature, banding, bucket cap, candidate join, exact
@@ -1406,6 +1418,35 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
       |  FROM bits GROUP BY id
       |)""".stripMargin
+
+  /** @param hardCap the only lossy cut in the 3-tier ngram-Jaccard
+    *   policy (tiers 1+2 — plain and salted — are lossless:
+    *   q_dedup_ngram_jaccard forces blocks through the salted grid and
+    *   must match this oracle WITHOUT a cut). */
+  private def dedupNgramOracle(hardCap: Option[Int]): String = {
+    val cut = hardCap match {
+      case Some(cap) =>
+        s""", sized AS (
+           |  SELECT bk, count(*) AS n FROM base GROUP BY bk
+           |), good AS (
+           |  SELECT b.id, b.tk, b.bk FROM base b JOIN sized s USING (bk)
+           |  WHERE s.n <= $cap
+           |)""".stripMargin
+      case None => ", good AS (SELECT id, tk, bk FROM base)"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> len(t) > 0)) AS tk,
+       |    lang || chr(1) || source AS bk
+       |  FROM documents
+       |)$cut, scored AS (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE) AS jaccard
+       |  FROM good a JOIN good b ON a.bk = b.bk AND a.id < b.id
+       |)
+       |SELECT ia, ib, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin
+  }
 
   /** @param hardCap the only lossy cut in the 3-tier simhash policy
     *   (tiers 1+2 — plain and salted — are lossless, gate-proven by
@@ -2214,19 +2255,8 @@ object SparkEntry {
         |)
         |SELECT h.id, c.canonical_id, h.content_hash
         |FROM hashed h JOIN canon c USING (content_hash)""".stripMargin,
-    "q_dedup_ngram_jaccard" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id,
-        |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0)) AS tk,
-        |    lang || chr(1) || source AS bk
-        |  FROM documents
-        |), scored AS (
-        |  SELECT a.id AS ia, b.id AS ib,
-        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE) AS jaccard
-        |  FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id
-        |)
-        |SELECT ia, ib, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+    "q_dedup_ngram_jaccard" -> dedupNgramOracle(None),
+    "q_dedup_ngram_capped" -> dedupNgramOracle(Some(13)),
     "q_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

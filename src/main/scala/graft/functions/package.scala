@@ -112,6 +112,29 @@ package object functions {
     * shadow Spark's built-in DISTANCE of the same name, and a mixed
     * bare/suffixed surface invites silent semantic mixups — the suffix
     * states these return a [0,1] similarity, not a distance). */
+  /** Extract a foldable non-negative integer literal argument, or raise a
+    * CLEAR analysis-time error (a non-foldable column/expression would
+    * otherwise surface as an obscure eval/cast exception at plan time). */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable) throw nonFoldable(fn, arg, "a non-negative INT literal")
+    e.eval(null) match {
+      case n: Number if n.longValue() >= 0 && n.longValue() == n.intValue() => n.intValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-negative integer literal, got $v")
+    }
+  }
+
+  private def litStr(e: Expression, fn: String, arg: String): String = {
+    if (!e.foldable) throw nonFoldable(fn, arg, "a STRING literal")
+    String.valueOf(e.eval(null))
+  }
+
+  private def nonFoldable(fn: String, arg: String, tpe: String) =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$fn`", "paramName" -> s"`$arg`", "paramType" -> tpe))
+
   val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
     "levenshtein_sim" -> (es => LevenshteinSim(es(0), es(1))),
     "jaro_sim" -> (es => JaroSim(es(0), es(1))),
@@ -124,9 +147,9 @@ package object functions {
     // k must be a foldable non-negative int literal:
     //   levenshtein_capped(a, b, 2) / levenshtein_within(a, b, 2)
     "levenshtein_capped" -> (es => LevenshteinCapped(es(0), es(1),
-      es(2).eval(null).asInstanceOf[Number].intValue())),
+      litInt(es(2), "levenshtein_capped", "k"))),
     "levenshtein_within" -> (es => LevenshteinWithin(es(0), es(1),
-      es(2).eval(null).asInstanceOf[Number].intValue())),
+      litInt(es(2), "levenshtein_within", "k"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "repetition_counters" -> (es => RepetitionCounters(es(0))),
     "simhash60_sha" -> (es => SimHashSha60(es(0))),
@@ -138,15 +161,15 @@ package object functions {
     //   minhash_sig(tokens, 16) / minhash_sig(tokens, 16, 'sha256')
     //   minhash_sig_chars(s, 3, 12) / minhash_sig_chars(s, 3, 12, 'sha256')
     "minhash_sig" -> (es => MinHashSig(es(0),
-      es(1).eval(null).asInstanceOf[Number].intValue(),
-      if (es.length > 2) es(2).eval(null).toString else "xxhash64")),
+      litInt(es(1), "minhash_sig", "numHashes"),
+      if (es.length > 2) litStr(es(2), "minhash_sig", "family") else "xxhash64")),
     "minhash_sig_chars" -> (es => MinHashSigChars(es(0),
-      es(1).eval(null).asInstanceOf[Number].intValue(),
-      es(2).eval(null).asInstanceOf[Number].intValue(),
-      if (es.length > 3) es(3).eval(null).toString else "xxhash64")),
+      litInt(es(1), "minhash_sig_chars", "shingleK"),
+      litInt(es(2), "minhash_sig_chars", "numHashes"),
+      if (es.length > 3) litStr(es(3), "minhash_sig_chars", "family") else "xxhash64")),
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
-      es(1).eval(null).asInstanceOf[Number].intValue())),
+      litInt(es(1), "min_kgram_hash", "k"))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   *  - [[exactGroups]]        — content-hash groupBy (exact dups only; one
   *                             shuffle on the hash, map-side combinable)
   *  - [[ngramJaccardPairs]]  — token-set Jaccard over blocked pairs
-  *                             (verification-grade; quadratic per block)
+  *                             (verification-grade; quadratic per block,
+  *                             3-tier capped/salted/dropped like every
+  *                             other pair generator)
   *  - [[minhashLshPairs]]    — MinHash banding over token shingles
   *                             (sub-quadratic candidate generation; the
   *                             100 TB-scale path)
@@ -53,25 +55,74 @@ object Dedup {
       .select(col("id"), col("canonical_id"), col("content_hash"))
   }
 
-  /** Token-set (distinct whitespace tokens) Jaccard over pairs blocked by
-    * `blockCols`; emits pairs with jaccard ≥ tau. Composite block keys are
-    * joined with U+0001 (a non-printable byte real key columns never
-    * contain) — a printable separator like ' ' would merge distinct blocks
-    * whenever a key value itself contains it, e.g. (lang='en',
+  /** (id, distinct whitespace tokens, composite block key) base frame
+    * shared by [[ngramJaccardPairs]] and [[droppedNgramBuckets]]. Block
+    * keys are joined with U+0001 (a non-printable byte real key columns
+    * never contain) — a printable separator like ' ' would merge distinct
+    * blocks whenever a key value itself contains it, e.g. (lang='en',
     * source='a b') vs (lang='en a', source='b'). */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], tau: Double): DataFrame = {
-    val base = docs.select(
+  private def ngramBase(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String]): DataFrame =
+    docs.select(
       col(idCol).as("id"),
       distinctTokens(textCol).as("toks"),
       concat_ws("\u0001", blockCols.map(col): _*).as("bk"))
-    val a = base.select(col("bk"), col("id").as("ia"), col("toks").as("ta"))
-    val b = base.select(col("bk"), col("id").as("ib"), col("toks").as("tb"))
-    a.join(b, "bk").where(col("ia") < col("ib"))
+
+  /** Token-set Jaccard >= tau over pairs blocked by `blockCols` — quadratic
+    * PER BLOCK by construction, so it carries the same 3-tier skew policy
+    * as every other pair generator here (a hot block — e.g. blocking on
+    * `lang` alone over a monolingual crawl — must never land on one
+    * reducer):
+    *
+    *  1. blocks <= `bucketCap`: plain equi-self-join on the block key;
+    *  2. `bucketCap` < n <= `hardCap`: salted grid self-join
+    *     ([[Linkage.saltedSelfJoin]]) — the block's n²/2 pair work is
+    *     sharded across saltGroups(saltGroups+1)/2 reducers, losslessly;
+    *  3. n > `hardCap`: dropped — OPT-IN (`hardCap` defaults to
+    *     `Int.MaxValue`, so no caller loses pairs without asking) and
+    *     never silent: a run that sets a finite cap must evaluate
+    *     [[droppedNgramBuckets]] with the same arguments alongside.
+    *
+    * Sizing is groupBy (map-side partial combine) + join-back, not a
+    * window count (a window buffers the whole hot block in ONE task).
+    * Both tiers emit bare (ia, ib) candidates and share ONE verification
+    * join back to the token sets (same shape as [[minhashLshPairs]] —
+    * replicating variable-length token arrays through the salted grid
+    * would cost saltGroups × the hot blocks' token footprint; two
+    * equi-joins on the primary key don't). A document belongs to exactly
+    * one block and a block to exactly one tier, so the tier union is
+    * disjoint — no dedup pass needed. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], tau: Double, bucketCap: Int = 500,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    val base = ngramBase(docs, idCol, textCol, blockCols)
+    val sized = base.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+    val keyed = base.select(col("bk"), col("id")).join(sized, "bk")
+    val good = keyed.where(col("n") <= bucketCap)
+    val cold = good.select(col("bk"), col("id").as("ia"))
+      .join(good.select(col("bk"), col("id").as("ib")), "bk")
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    val hot = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
+      .select(col("bk").as("key"), col("id").as("url"))
+    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups)
+      .select(col("url_a").as("ia"), col("url_b").as("ib"))
+    cold.union(hotPairs)
+      .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
+      .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
       .select(col("ia"), col("ib"),
         jaccardOf(col("ta"), col("tb")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
+
+  /** Blocks excluded by `hardCap` with their sizes — the non-silent record
+    * of what [[ngramJaccardPairs]] dropped (same contract as
+    * [[Linkage.droppedBuckets]] / [[droppedMinhashBuckets]]). */
+  def droppedNgramBuckets(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], hardCap: Int): DataFrame =
+    ngramBase(docs, idCol, textCol, blockCols)
+      .groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .where(col("n") > hardCap)
 
   /** (id, band key) rows for the MinHash-LSH banding — shared by
     * [[minhashLshPairs]] and [[droppedMinhashBuckets]]. */

@@ -56,7 +56,12 @@ object FellegiSunter {
       .agg(count(lit(1)).as("__n")).collect()
     import scala.math.Ordering.Implicits._
     val pats: Array[(IndexedSeq[Long], Double)] = rows.map { r =>
-      val g = gammaCols.indices.map(i => r.getAs[Number](i).longValue)
+      val g = gammaCols.indices.map { i =>
+        require(!r.isNullAt(i),
+          s"gamma column '${gammaCols(i)}' is NULL for some pairs — gamma " +
+            "comparisons must be null-absorbing (wrap in when(...).otherwise(0))")
+        r.getAs[Number](i).longValue
+      }
       (g, r.getAs[Long]("__n").toDouble)
     }.sortBy(_._1)
     var t = 0.0
@@ -142,7 +147,12 @@ object FellegiSunter {
       .agg(count(lit(1)).as("__n")).collect()
     import scala.math.Ordering.Implicits._
     val pats: Array[(IndexedSeq[Long], Double)] = rows.map { r =>
-      val g = gammaCols.indices.map(i => r.getAs[Number](i).longValue)
+      val g = gammaCols.indices.map { i =>
+        require(!r.isNullAt(i),
+          s"gamma column '${gammaCols(i)}' is NULL for some pairs — gamma " +
+            "comparisons must be null-absorbing (wrap in when(...).otherwise(0))")
+        r.getAs[Number](i).longValue
+      }
       (g, r.getAs[Long]("__n").toDouble)
     }.sortBy(_._1)
     var t = 0.0

@@ -367,10 +367,15 @@ object Linkage {
     val covered = truePairs.join(candidates, Seq(aCol, bCol), "left_semi")
       .agg(count(lit(1)).as("n_true_covered"))
     n.crossJoin(cand).crossJoin(tp).crossJoin(covered)
-      // n(n-1) is even, so the double-typed division is exact up to 2^53
-      // (n ~ 9.4e7) — cast back to the count type both engines agree on
+      // n/2.0 first (exact in double — n/2 has <= 52 significant bits for
+      // any realistic corpus), THEN times (n-1): a long n*(n-1) overflows
+      // negative past n ~ 3.04e9, well inside the 10^12-record design
+      // range. The double product rounds above 2^53 total pairs — a
+      // documented, sign-correct rounding, vs. garbage from overflow.
+      // Exact (bit-identical to the old integer path) up to n ~ 9.4e7.
       .withColumn("total_pairs",
-        (col("n_records") * (col("n_records") - 1) / 2).cast("long"))
+        (col("n_records").cast("double") / lit(2.0) *
+          (col("n_records") - 1).cast("double")).cast("long"))
       .withColumn("reduction_ratio",
         lit(1.0) - col("n_candidates").cast("double") / col("total_pairs").cast("double"))
       .withColumn("pairs_completeness",

@@ -60,6 +60,12 @@ object StrSimKernels {
 
   private def ensure(arr: Array[Int], n: Int): Array[Int] =
     if (arr.length >= n) arr else new Array[Int](java.lang.Integer.highestOneBit(n - 1) << 1)
+  /** Growth that PRESERVES existing contents — required by callers that fill
+    * the array incrementally across ensure calls (tokenize); `ensure` would
+    * silently zero the already-stored spans. */
+  private def ensureCopy(arr: Array[Int], n: Int): Array[Int] =
+    if (arr.length >= n) arr
+    else java.util.Arrays.copyOf(arr, java.lang.Integer.highestOneBit(n - 1) << 1)
   private def ensureB(arr: Array[Boolean], n: Int): Array[Boolean] =
     if (arr.length >= n) arr else new Array[Boolean](java.lang.Integer.highestOneBit(n - 1) << 1)
 
@@ -524,10 +530,10 @@ object StrSimKernels {
       while (i < nb && !isSpace(bytes(i))) i += 1
       if (i > start) {
         if (left) {
-          s.tokOffA = ensure(s.tokOffA, n + 1); s.tokLenA = ensure(s.tokLenA, n + 1)
+          s.tokOffA = ensureCopy(s.tokOffA, n + 1); s.tokLenA = ensureCopy(s.tokLenA, n + 1)
           s.tokOffA(n) = start; s.tokLenA(n) = i - start
         } else {
-          s.tokOffB = ensure(s.tokOffB, n + 1); s.tokLenB = ensure(s.tokLenB, n + 1)
+          s.tokOffB = ensureCopy(s.tokOffB, n + 1); s.tokLenB = ensureCopy(s.tokLenB, n + 1)
           s.tokOffB(n) = start; s.tokLenB(n) = i - start
         }
         n += 1

@@ -35,6 +35,40 @@ class DedupSpec extends SparkFunSuite {
     assert(math.abs(j13 - 4.0 / 6.0) < 1e-12)
   }
 
+  test("ngramJaccard 3-tier: salted grid lossless, hardCap drops observably") {
+    // one hot block (30 docs, en/s1) + one cold block (3 docs, en/s2)
+    val hotDocs = (1L to 30L).map(i =>
+      (i, s"alpha beta gamma delta token$i", "en", "s1"))
+    val coldDocs = Seq(
+      (101L, "red green blue", "en", "s2"),
+      (102L, "red green blue", "en", "s2"),
+      (103L, "unrelated words entirely different", "en", "s2"))
+    val d = (hotDocs ++ coldDocs).toDF("doc_id", "text", "lang", "source")
+    val plain = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // tier 2: bucketCap=5 routes the hot block through the salted grid —
+    // LOSSLESS: identical pair set, identical jaccard values
+    val salted = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5, bucketCap = 5, saltGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+    assert(plain.contains((101L, 102L, 1.0)))
+    assert(plain.exists(p => p._1 == 1L && p._2 == 2L)) // hot-block pair survives
+    // tier 3: hardCap=10 drops the hot block's pairs…
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      Seq("lang", "source"), tau = 0.5, bucketCap = 5, hardCap = 10,
+      saltGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L))) // only the cold block remains
+    // …and the drop is reported with the block key and its size
+    val dropped = Dedup.droppedNgramBuckets(d, "doc_id", "text",
+      Seq("lang", "source"), hardCap = 10).collect()
+    assert(dropped.length == 1)
+    assert(dropped.head.getString(0) == "en\u0001s1")
+    assert(dropped.head.getLong(1) == 30L)
+  }
+
   test("minhash hot-bucket cap drops are observable, never silent") {
     val many = (1L to 40L).map(i => (i, "identical content every time", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")

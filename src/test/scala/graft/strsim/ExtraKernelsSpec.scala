@@ -87,6 +87,27 @@ class ExtraKernelsSpec extends SparkFunSuite {
     assert(me("acmeinc", "acme inc") == 1.0)
   }
 
+  test("monge-elkan: >16 tokens per side survives scratch-array growth") {
+    // Regression: the token-span scratch arrays seed at 16 and grow
+    // geometrically; growth must COPY the already-stored spans (a zeroing
+    // grow turned tokens 0..15 into empty strings → jw=0 → wrong mean,
+    // intermittently per thread since capacity persists).
+    val toks = (1 to 40).map(i => s"token$i")
+    val a = toks.mkString(" ")
+    assert(me(a, a) == 1.0)                       // every token finds itself
+    val b = toks.reverse.mkString(" ")
+    assert(me(a, b) == 1.0)                       // order-free best-match
+    // Reference fold computed WITHOUT scratch reuse: one token perturbed.
+    val b2 = (toks.dropRight(1) :+ "tokenXX").mkString(" ")
+    val expected = toks.map { t =>
+      toks.dropRight(1).:+("tokenXX").map(u => StrSimKernels.jaroWinkler(t, u)).max
+    }.foldLeft(0.0)(_ + _) / toks.size
+    assert(math.abs(me(a, b2) - expected) < 1e-15)
+    // Growth happened on the LEFT scratch above; force right-side growth on
+    // the same thread and a fresh-vs-reused capacity comparison.
+    assert(me("token7", a) == 1.0)
+  }
+
   test("monge-elkan is asymmetric by design") {
     val ab = me("acme", "acme incorporated")   // 1 token, best match 1.0
     val ba = me("acme incorporated", "acme")   // mean(1.0, jw(incorporated, acme))
