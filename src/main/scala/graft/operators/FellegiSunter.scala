@@ -118,8 +118,21 @@ object FellegiSunter {
       v = v * when(col(gammaCols(j)) === 1, lit(model.u(j)))
         .otherwise(lit(1.0 - model.u(j)))
     }
-    pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
+    pairs.withColumn("posterior", posteriorOf(w, v)).withColumn("lr", lrOf(w, v))
   }
+
+  /** IEEE-honest guarded ratios (Spark's ANSI mode makes x/0 an ERROR, not
+    * ±inf): on perfectly separating evidence EM legitimately drives some
+    * u_j to exactly 0.0, making v = 0 for agreeing patterns — that pair is
+    * a certain match, so lr = +∞ and posterior = 1; a pattern impossible
+    * under BOTH classes (w = v = 0) scores NaN, loudly. The guards change
+    * nothing when v > 0 (the branch is the plain division). */
+  private def posteriorOf(w: Column, v: Column): Column =
+    when(w + v === lit(0.0), lit(Double.NaN)).otherwise(w / (w + v))
+  private def lrOf(w: Column, v: Column): Column =
+    when(v === lit(0.0),
+      when(w === lit(0.0), lit(Double.NaN)).otherwise(lit(Double.PositiveInfinity)))
+      .otherwise(w / v)
 
   /** Multi-level model (Splink-style comparison levels): field j takes
     * γ_j ∈ {0 … L_j−1} (0 = disagreement, higher = stronger agreement by
@@ -227,7 +240,7 @@ object FellegiSunter {
       w = w * levelCase(gammaCols(j), model.m(j))
       v = v * levelCase(gammaCols(j), model.u(j))
     }
-    pairs.withColumn("posterior", w / (w + v)).withColumn("lr", w / v)
+    pairs.withColumn("posterior", posteriorOf(w, v)).withColumn("lr", lrOf(w, v))
   }
 
   /** Relative value frequencies of `valueCol` among `records`:
@@ -268,6 +281,144 @@ object FellegiSunter {
           col(lrCol) * (lit(u) / col("__tf")))
           .otherwise(col(lrCol)))
       .drop("__tf_value", "__tf")
+  }
+
+  /** Error-rate-driven threshold selection — the half of the 1969 decision
+    * rule [[classify]] leaves to the caller. Given target error rates
+    *
+    *  - `mu`        = P(link | non-match)  (false-match rate), and
+    *  - `lambdaErr` = P(non_link | match)  (false-non-match rate),
+    *
+    * enumerate all 2^k comparison patterns under the fitted model, order
+    * by likelihood ratio, and take the widest link region whose
+    * accumulated P(γ|U) stays ≤ mu (resp. non-link region with
+    * accumulated P(γ|M) ≤ lambdaErr). Returns (upperLr, lowerLr) in the
+    * same prior-folded lr units [[score]] emits, ready for [[classify]].
+    *
+    * Driver-side over the 2^k pattern table (model-sized, k ≤ 16 — the
+    * same bound as [[fit]]); nothing distributed. Determinism contract:
+    * patterns enumerate lexicographically (γ_0 the most significant),
+    * both sorts are STABLE on the pinned lr key (ties keep lex order —
+    * SQL mirror: ORDER BY lr DESC/ASC, γ_0, …, γ_{k-1}), and the error
+    * mass accumulates as an ordered left fold, so the DuckDB oracle
+    * reproduces the thresholds bit-for-bit. No pattern admissible → the
+    * band is empty (upper = +∞ / lower = 0.0; lr is always > 0 for an
+    * interior-fitted model). If mu + lambdaErr is generous enough that
+    * the regions overlap (upperLr ≤ lowerLr), the possible band is empty
+    * and [[classify]]'s CASE order resolves the overlap toward `link` —
+    * identically in Spark and the SQL mirror. */
+  def calibrate(model: Model, mu: Double, lambdaErr: Double): (Double, Double) = {
+    require(mu > 0.0 && mu < 1.0, s"mu must be in (0,1), got $mu")
+    require(lambdaErr > 0.0 && lambdaErr < 1.0,
+      s"lambdaErr must be in (0,1), got $lambdaErr")
+    val k = model.m.size
+    require(k >= 1 && k <= 16, s"model must have 1..16 fields, got $k")
+    // lex enumeration: γ_0 is the most significant bit
+    val pats = (0 until (1 << k)).map { bits =>
+      var pM = 1.0
+      var pU = 1.0
+      var j = 0
+      while (j < k) {
+        val g = (bits >> (k - 1 - j)) & 1
+        pM = pM * (if (g == 1) model.m(j) else 1.0 - model.m(j))
+        pU = pU * (if (g == 1) model.u(j) else 1.0 - model.u(j))
+        j += 1
+      }
+      val lr = (model.lambda * pM) / ((1.0 - model.lambda) * pU)
+      (pM, pU, lr)
+    }
+    var upper = Double.PositiveInfinity
+    var acc = 0.0
+    for ((_, pU, lr) <- pats.sortBy(_._3)(Ordering[Double].reverse)) {
+      acc = acc + pU
+      if (acc <= mu) upper = lr
+    }
+    var lower = 0.0
+    acc = 0.0
+    for ((pM, _, lr) <- pats.sortBy(_._3)) {
+      acc = acc + pM
+      if (acc <= lambdaErr) lower = lr
+    }
+    (upper, lower)
+  }
+
+  // -------------------------------------------------- model persistence
+
+  /** Flatten a fitted model to its persistable (param, field, level,
+    * value) frame — the fit-once/score-many seam (the [[Dedup.bandIndex]]
+    * precedent applied to models): fit on a sample job, `save`, and every
+    * scoring job `load`s instead of re-running EM. Parquet doubles are
+    * IEEE-754 binary, so the round-trip is bit-exact by construction —
+    * a reloaded model scores hash-identically to the in-memory one (the
+    * q_fellegi_sunter_persisted gate and FellegiSunterSpec pin this).
+    * `field`/`level` are -1 where not applicable (λ; binary models have
+    * no level axis). */
+  def modelFrame(spark: org.apache.spark.sql.SparkSession,
+      model: Model): DataFrame = {
+    import spark.implicits._
+    (("lambda", -1, -1, model.lambda) +:
+      model.m.indices.map(j => ("m", j, -1, model.m(j))) ++:
+      model.u.indices.map(j => ("u", j, -1, model.u(j))))
+      .toDF("param", "field", "level", "value")
+  }
+
+  def levelModelFrame(spark: org.apache.spark.sql.SparkSession,
+      model: LevelModel): DataFrame = {
+    import spark.implicits._
+    (("lambda", -1, -1, model.lambda) +:
+      (for (j <- model.m.indices; l <- model.m(j).indices)
+        yield ("m", j, l, model.m(j)(l))) ++:
+      (for (j <- model.u.indices; l <- model.u(j).indices)
+        yield ("u", j, l, model.u(j)(l))))
+      .toDF("param", "field", "level", "value")
+  }
+
+  /** Persist a fitted binary model (one tiny parquet — any Spark-reachable
+    * path: local, HDFS, object store). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit =
+    modelFrame(spark, model).coalesce(1).write.mode("overwrite").parquet(path)
+
+  def saveLevelModel(spark: org.apache.spark.sql.SparkSession,
+      model: LevelModel, path: String): Unit =
+    levelModelFrame(spark, model).coalesce(1).write.mode("overwrite").parquet(path)
+
+  private def collectParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Double, Map[(String, Int, Int), Double]) = {
+    val rows = spark.read.parquet(path).collect()
+    val byKey = rows.map(r => (r.getAs[String]("param"), r.getAs[Int]("field"),
+      r.getAs[Int]("level")) -> r.getAs[Double]("value")).toMap
+    require(byKey.size == rows.length, s"duplicate model rows at $path")
+    val lambda = byKey.getOrElse(("lambda", -1, -1),
+      throw new IllegalArgumentException(s"no lambda row in model at $path"))
+    (lambda, byKey)
+  }
+
+  /** Load a binary [[Model]] persisted by [[saveModel]] — bit-exact. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
+    val (lambda, byKey) = collectParams(spark, path)
+    val fields = byKey.keys.collect { case ("m", j, -1) => j }.toSeq.sorted
+    require(fields.nonEmpty && fields == (0 until fields.size),
+      s"model at $path has gappy/missing m fields: $fields (is it a LevelModel?)")
+    Model(lambda,
+      fields.map(j => byKey(("m", j, -1))).toIndexedSeq,
+      fields.map(j => byKey(("u", j, -1))).toIndexedSeq)
+  }
+
+  /** Load a [[LevelModel]] persisted by [[saveLevelModel]] — bit-exact. */
+  def loadLevelModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LevelModel = {
+    val (lambda, byKey) = collectParams(spark, path)
+    val levelsOf = byKey.keys.collect { case ("m", j, l) if l >= 0 => (j, l) }
+      .groupBy(_._1).map { case (j, ls) => j -> (ls.map(_._2).max + 1) }
+    val fields = levelsOf.keys.toSeq.sorted
+    require(fields.nonEmpty && fields == (0 until fields.size),
+      s"model at $path has gappy/missing m fields: $fields (is it a binary Model?)")
+    def grid(p: String) = fields.map { j =>
+      (0 until levelsOf(j)).map(l => byKey((p, j, l))).toIndexedSeq
+    }.toIndexedSeq
+    LevelModel(lambda, grid("m"), grid("u"))
   }
 
   /** The Fellegi-Sunter decision rule (the other half of the 1969 paper):

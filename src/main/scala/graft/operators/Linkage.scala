@@ -191,6 +191,39 @@ object Linkage {
       .withColumn("score", col("jw") + col("dice"))
   }
 
+  /** Stage 4 (alternative) — Fellegi-Sunter comparison vectors for the
+    * candidate pairs: banded similarity indicators over the normalized
+    * entity name — g0 = JW ≥ 0.95 (strict), g1 = JW ≥ 0.88 (loose),
+    * g2 = Sørensen-Dice ≥ 0.85. Name-similarity bands rather than
+    * block/lang equality because candidate pairs COME from blocking —
+    * fields the blocker already conditioned on carry almost no
+    * discriminative signal among candidates (their u ≈ 1), while banded
+    * name agreement is exactly the "agreement levels" evidence FS is
+    * built on. Monotone bands are conditionally dependent (strict
+    * agreement implies loose), which the naive-FS independence
+    * assumption tolerates: EM still drives every u toward 0 and the
+    * posterior split survives (LinkageSpec pins F1 ≥ 0.9 on the planted
+    * corpus). Same two equi-joins as [[score]]; gammas are
+    * null-absorbing by construction (every `when` carries an
+    * `otherwise(0)`), which [[FellegiSunter.fit]] requires.
+    * Output: (url_a, url_b, g0, g1, g2). */
+  val fsGammaCols: Seq[String] = Seq("g0", "g1", "g2")
+  def fsComparisonVectors(pairs: DataFrame, extracted: DataFrame): DataFrame = {
+    val names = extracted.select(col("url"), col("name_norm"))
+    pairs
+      .join(names.withColumnRenamed("url", "url_a")
+        .withColumnRenamed("name_norm", "name_a"), "url_a")
+      .join(names.withColumnRenamed("url", "url_b")
+        .withColumnRenamed("name_norm", "name_b"), "url_b")
+      .select(col("url_a"), col("url_b"),
+        jaro_winkler_sim(col("name_a"), col("name_b")).as("__jw"),
+        sorensen_dice_sim(col("name_a"), col("name_b")).as("__dice"))
+      .select(col("url_a"), col("url_b"),
+        when(col("__jw") >= 0.95, lit(1L)).otherwise(lit(0L)).as("g0"),
+        when(col("__jw") >= 0.88, lit(1L)).otherwise(lit(0L)).as("g1"),
+        when(col("__dice") >= 0.85, lit(1L)).otherwise(lit(0L)).as("g2"))
+  }
+
   /** Stage 5 — matched pairs at threshold θ. */
   def matches(scored: DataFrame, theta: Double): DataFrame =
     scored.where(col("score") >= theta).select(col("url_a"), col("url_b"))

@@ -40,13 +40,30 @@ object Pipeline {
       shingleK: Int = 3,
       bucketCap: Int = 200,
       hardCap: Int = 100000,
-      saltGroups: Int = 16) {
+      saltGroups: Int = 16,
+      // scoring stage: "composite" (JW+Dice, θ on their sum) or
+      // "fellegi_sunter" (EM-fitted probabilistic model; the fitted model
+      // is itself a checkpointed stage artifact, so resume covers it and
+      // downstream jobs can load it without re-fitting). FS fit is ONE
+      // map-side-combined aggregate to ≤ 2^k pattern counts — it reads
+      // every pair but moves almost nothing, so there is no sampled-fit
+      // variant: sampling would only save that aggregate's constants and
+      // cost bit-reproducibility of the fingerprinted model artifact.
+      scorer: String = "composite",
+      fsPosteriorTheta: Double = 0.5,
+      fsIters: Int = 15) {
+    require(scorer == "composite" || scorer == "fellegi_sunter",
+      s"unknown scorer '$scorer'")
     // v bumps when stage SEMANTICS change (not just config): v=3 = the
     // fused xxhash64 MinHash band family replaced the exploded built-in
     // hashing, so round-1 key checkpoints must not resume.
+    // The scorer suffix appears ONLY for non-default scorers, so every
+    // pre-existing composite checkpoint fingerprint is byte-identical.
     def fingerprint: String =
       s"theta=$theta;h=$numHashes;b=$bands;k=$shingleK;cap=$bucketCap;" +
-        s"hard=$hardCap;salt=$saltGroups;v=3"
+        s"hard=$hardCap;salt=$saltGroups;v=3" +
+        (if (scorer == "composite") ""
+         else s";scorer=$scorer;fsTheta=$fsPosteriorTheta;fsIters=$fsIters")
   }
 
   case class StageResult(name: String, df: DataFrame, fingerprint: String,
@@ -157,13 +174,41 @@ object Pipeline {
     val droppedStage = stage(spark, workDir, "03_dropped", fpDrop)(
       Linkage.droppedBuckets(keys.df, cfg.hardCap))
 
-    val fpScored = sha(fpPairs + ":scored")
-    val scored = stage(spark, workDir, "04_scored", fpScored)(
-      Linkage.score(pairs.df, ex.df))
+    // scoring: composite JW+Dice projection, or the Fellegi-Sunter path —
+    // comparison vectors (04_gammas) → EM fit persisted as a model stage
+    // (04_model: the fit-once/score-many artifact — a resumed run, or any
+    // later scoring job, loads it instead of re-running EM) → posterior
+    // scoring projection. Both paths end in a frame with a `score` column
+    // so the match/cluster stages downstream are scorer-agnostic.
+    val (scorerStages, scored, matchTheta) =
+      if (cfg.scorer == "composite") {
+        val fpScored = sha(fpPairs + ":scored")
+        val s0 = stage(spark, workDir, "04_scored", fpScored)(
+          Linkage.score(pairs.df, ex.df))
+        (Seq(s0), s0, cfg.theta)
+      } else {
+        val fs = graft.operators.FellegiSunter
+        val fpGam = sha(fpPairs + ":fsgammas")
+        val gam = stage(spark, workDir, "04_gammas", fpGam)(
+          Linkage.fsComparisonVectors(pairs.df, ex.df))
+        val fpModel = sha(fpGam + s":fsmodel;iters=${cfg.fsIters}")
+        val modelStage = stage(spark, workDir, "04_model", fpModel)(
+          fs.modelFrame(spark,
+            fs.fit(gam.df, Linkage.fsGammaCols, iters = cfg.fsIters)))
+        // the scoring stage consumes the PERSISTED artifact (bit-exact
+        // round-trip), never the in-memory fit — the exact shape a
+        // separate score-only job uses
+        val model = fs.loadModel(spark, s"$workDir/04_model")
+        val fpScored = sha(fpModel + ":fsscored")
+        val s0 = stage(spark, workDir, "04_scored", fpScored)(
+          fs.score(gam.df, Linkage.fsGammaCols, model)
+            .withColumn("score", col("posterior")))
+        (Seq(gam, modelStage, s0), s0, cfg.fsPosteriorTheta)
+      }
 
-    val fpMatch = sha(fpScored + ":matches")
+    val fpMatch = sha(scored.fingerprint + ":matches")
     val matched = stage(spark, workDir, "05_matches", fpMatch)(
-      Linkage.matches(scored.df, cfg.theta))
+      Linkage.matches(scored.df, matchTheta))
 
     val fpClusters = sha(fpMatch + ":clusters")
     // CC convergence telemetry is a side output of the stage compute: on a
@@ -176,7 +221,8 @@ object Pipeline {
       df
     }
 
-    val stages = Seq(ex, keys, pairs, droppedStage, scored, matched, clusters)
+    val stages = Seq(ex, keys, pairs, droppedStage) ++ scorerStages ++
+      Seq(matched, clusters)
     import spark.implicits._
     val ccMetrics = ccStats.toSeq.flatMap { cc =>
       ("06_clusters", "cc_rounds", cc.iterations.toDouble) +:

@@ -141,6 +141,53 @@ class FellegiSunterSpec extends SparkFunSuite {
   private def tfFrameOf(records: org.apache.spark.sql.DataFrame) =
     FellegiSunter.termFrequencies(records, "v")
 
+  test("model save/load round-trips bit-exactly (binary and level models)") {
+    val model = FellegiSunter.fit(planted, gs, iters = 15)
+    val dir = java.nio.file.Files.createTempDirectory("fs_model_spec").toString
+    FellegiSunter.saveModel(spark, model, dir)
+    val back = FellegiSunter.loadModel(spark, dir)
+    assert(back == model) // case-class equality over the exact doubles
+    // scoring with the reloaded model is bit-identical to in-memory
+    val a = FellegiSunter.score(planted, gs, model)
+      .select("id", "posterior", "lr").collect().toSeq
+    val b = FellegiSunter.score(planted, gs, back)
+      .select("id", "posterior", "lr").collect().toSeq
+    assert(a == b)
+    // level model: reuse the planted 0/1 gammas as 2-level fields
+    val lm = FellegiSunter.fitLevels(planted, gs, Seq(2, 2, 2), iters = 15)
+    val dir2 = java.nio.file.Files.createTempDirectory("fs_lmodel_spec").toString
+    FellegiSunter.saveLevelModel(spark, lm, dir2)
+    assert(FellegiSunter.loadLevelModel(spark, dir2) == lm)
+    // loading the wrong shape fails loudly, not silently
+    intercept[IllegalArgumentException](FellegiSunter.loadLevelModel(spark, dir))
+    intercept[IllegalArgumentException](FellegiSunter.loadModel(spark, dir2))
+  }
+
+  test("calibrate derives FS error-rate thresholds from the model") {
+    // hand model: k=1, m=0.9, u=0.1, lambda=0.5 -> two patterns:
+    //   g=1: pM=0.9 pU=0.1 lr=9 ; g=0: pM=0.1 pU=0.9 lr=1/9
+    val m = FellegiSunter.Model(0.5, IndexedSeq(0.9), IndexedSeq(0.1))
+    // mu=0.2 admits the lr=9 pattern (cumU 0.1 <= 0.2); lambdaErr=0.2
+    // admits the lr=1/9 pattern (cumM 0.1 <= 0.2)
+    val (up, lo) = FellegiSunter.calibrate(m, mu = 0.2, lambdaErr = 0.2)
+    // expectations mirror the kernel's exact arithmetic: disagreement
+    // probabilities are computed as 1.0 - p (0.1 written literally is a
+    // DIFFERENT double than 1.0 - 0.9)
+    assert(up == (0.5 * 0.9) / ((1.0 - 0.5) * 0.1))
+    assert(lo == (0.5 * (1.0 - 0.9)) / ((1.0 - 0.5) * 0.9))
+    // tighter targets admit nothing: empty bands, not wrong bands
+    val (up2, lo2) = FellegiSunter.calibrate(m, mu = 0.05, lambdaErr = 0.05)
+    assert(up2.isPosInfinity && lo2 == 0.0)
+    // fitted-model path: thresholds are monotone in the targets
+    val fitted = FellegiSunter.fit(planted, gs, iters = 15)
+    val (uA, lA) = FellegiSunter.calibrate(fitted, mu = 0.01, lambdaErr = 0.05)
+    val (uB, lB) = FellegiSunter.calibrate(fitted, mu = 0.10, lambdaErr = 0.20)
+    assert(uB <= uA) // looser mu -> link region widens (threshold drops)
+    assert(lB >= lA) // looser lambda -> non-link region widens
+    intercept[IllegalArgumentException](FellegiSunter.calibrate(m, 0.0, 0.1))
+    intercept[IllegalArgumentException](FellegiSunter.calibrate(m, 0.1, 1.0))
+  }
+
   test("fit validates gamma arity and iteration count") {
     intercept[IllegalArgumentException](FellegiSunter.fit(planted, Nil))
     intercept[IllegalArgumentException](

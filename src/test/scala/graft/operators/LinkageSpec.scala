@@ -80,6 +80,38 @@ class LinkageSpec extends SparkFunSuite {
     assert(fourth.stages.count(!_.resumed) >= 1)
   }
 
+  test("fellegi-sunter scorer: model is a checkpointed stage, resume covers it") {
+    val work = Files.createTempDirectory("graft-fs-pipeline").toString
+    val cfg = Pipeline.Config(scorer = "fellegi_sunter", fsPosteriorTheta = 0.5)
+    val first = Pipeline.run(spark, pagesDF, work, cfg)
+    val names = first.stages.map(_.name)
+    assert(names.containsSlice(Seq("04_gammas", "04_model", "04_scored")))
+    // the persisted model artifact is a loadable 3-field binary Model
+    val model = FellegiSunter.loadModel(spark, s"$work/04_model")
+    assert(model.m.size == 3 && model.u.size == 3)
+    assert(model.lambda > 0.0 && model.lambda < 1.0)
+    // scored stage carries the posterior as the scorer-agnostic `score`
+    val scored = first.stages.find(_.name == "04_scored").get.df
+    assert(scored.columns.contains("score") && scored.columns.contains("posterior"))
+    // the FS match set still recovers the planted duplicates well
+    val ex = Linkage.extract(pagesDF)
+    val keys = Linkage.candidateKeys(ex, cfg.numHashes, cfg.bands, cfg.shingleK)
+    val candidates = Linkage.candidatePairs(keys, cfg.bucketCap)
+    val labeled = PagesCorpus.labeledMatches(truthDF)
+    val predicted = first.stages.find(_.name == "05_matches").get.df
+    val (p, r, f1) = Linkage.pairwiseF1(predicted, labeled, candidates)
+    info(f"FS scorer: precision=$p%.4f recall=$r%.4f F1=$f1%.4f lambda=${model.lambda}%.4f")
+    assert(f1 >= 0.9, f"FS-path F1 $f1%.4f (p=$p%.4f r=$r%.4f)")
+    // resume: everything (including the model stage) comes from checkpoints
+    val second = Pipeline.run(spark, pagesDF, work, cfg)
+    assert(second.stages.forall(_.resumed))
+    assert(second.clusters.collect().toSet == first.clusters.collect().toSet)
+    // the FS config never collides with composite fingerprints: a
+    // composite run in the same workDir recomputes its own scoring chain
+    val comp = Pipeline.run(spark, pagesDF, work, Pipeline.Config())
+    assert(!comp.stages.find(_.name == "04_scored").get.resumed)
+  }
+
   test("salted grid self-join equals the naive self-join on a skewed fixture") {
     import spark.implicits._
     // one hot key (60 members), several cold ones
