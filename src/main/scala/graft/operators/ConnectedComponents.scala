@@ -143,4 +143,77 @@ object ConnectedComponents {
       .groupBy(col("id")).agg(min(col("component")).as("component"))
     Result(assignment, iter, roundEdges.toSeq)
   }
+
+  /** Incremental CC: fold a BATCH of new edges into an existing
+    * assignment without re-running [[run]] over the merged edge set —
+    * the continuous-crawl companion to [[Dedup.bandIndex]] (new near-dup
+    * edges arrive per batch; the corpus assignment is already computed
+    * and 10^6× larger).
+    *
+    * Semantics: exactly [[run]] on (edges behind `assignment`) ∪
+    * `newEdges` — because component ids are MIN node ids, contracting
+    * every existing component to its id loses nothing: the merged
+    * component's root is the min over touched component ids and new node
+    * ids, which IS the global min node id
+    * (ConnectedComponentsSpec pins incremental ≡ full on chains, stars,
+    * merges, and batches that bridge many old components; the
+    * q_dedup_groups_incremental gate hash-checks it against the full
+    * recursive-CTE oracle).
+    *
+    * Scale shape — every corpus-sized frame crosses the plan at most
+    * once, and never through a shuffle keyed on it:
+    *  1. endpoint→component lookup: two equi-joins of the BATCH against
+    *     `assignment`; the batch side broadcasts (it is the small side
+    *     by construction — Spark's size estimate or an explicit
+    *     `broadcast(newEdges)` upstream picks that), so the assignment
+    *     is scanned in place, not shuffled.
+    *  2. [[run]] over the CONTRACTED edges — ∝ batch, not corpus.
+    *  3. relabel: `assignment` LEFT JOIN the batch-sized (old component →
+    *     new root) map — again a broadcast of the small side.
+    * Nodes never seen before (endpoints outside the assignment) enter as
+    * their own contracted node and land in the output; isolated-node
+    * conventions match [[run]] (callers union isolated nodes).
+    *
+    * @param assignment (id, component) frame from [[run]] (or a previous
+    *                   [[addEdges]]) — first two columns, any names.
+    * @param newEdges   two Long columns = new undirected edge ends.
+    * @return updated (id, component) covering every node of `assignment`
+    *         plus every endpoint of `newEdges`. */
+  def addEdges(assignment: DataFrame, newEdges: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val Seq(a0, a1) = assignment.columns.take(2).toSeq
+    val asg = assignment.select(col(a0).as("id"), col(a1).as("component"))
+    val Seq(e0, e1) = newEdges.columns.take(2).toSeq
+    val ends = newEdges.select(col(e0).as("ea"), col(e1).as("eb"))
+
+    // 1. endpoints → current components (unknown endpoints are their own)
+    val contracted = ends
+      .join(asg.select(col("id").as("ea"), col("component").as("ca")),
+        Seq("ea"), "left")
+      .join(asg.select(col("id").as("eb"), col("component").as("cb")),
+        Seq("eb"), "left")
+      .select(coalesce(col("ca"), col("ea")).as("x"),
+        coalesce(col("cb"), col("eb")).as("y"))
+      .where(col("x") =!= col("y"))
+
+    // 2. CC over the contracted (batch-sized) graph: (old component OR new
+    // node) -> new root. Roots are global min node ids (see above).
+    val relabel = run(contracted, maxIter, checkpointDir)
+      .select(col("id").as("old"), col("component").as("newComp"))
+
+    // 3. relabel touched components; append new nodes (self-rooted when
+    // the contraction dropped their only edges as self-loops/same-component)
+    val updated = asg
+      .join(relabel.select(col("old").as("component"), col("newComp")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("newComp"), col("component")).as("component"))
+    val newNodes = ends.select(col("ea").as("id"))
+      .union(ends.select(col("eb").as("id")))
+      .distinct()
+      .join(asg.select(col("id")), Seq("id"), "left_anti")
+    val newAssigned = newNodes
+      .join(relabel.select(col("old").as("id"), col("newComp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("newComp"), col("id")).as("component"))
+    updated.union(newAssigned)
+  }
 }

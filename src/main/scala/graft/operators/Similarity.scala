@@ -87,6 +87,16 @@ object Similarity {
     * is O(nCentroids × dim) like MLlib's KMeans; the DATA never is. Lloyd
     * iterations run in a fixed order in double precision, so the returned
     * centroids are bit-deterministic for a given (input, seed). */
+  /** Public fit entry for the fit-once/probe-many shape: fit the coarse
+    * quantizer once, persist it via [[saveIvf]], and every later probe job
+    * [[loadCentroids]] instead of re-collecting the sample and re-running
+    * Lloyd (which [[ivfTopK]] otherwise does per call). */
+  def fitIvf(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 8, sampleN: Int = 4096,
+      seed: Long = 42L, hashOrder: String = "xxhash64"): Array[Array[Float]] =
+    fitCentroids(emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+      nCentroids, iters, sampleN, seed, hashOrder)
+
   private[operators] def fitCentroids(base: DataFrame, nCentroids: Int,
       iters: Int, sampleN: Int, seed: Long,
       hashOrder: String = "xxhash64"): Array[Array[Float]] = {
@@ -194,15 +204,43 @@ object Similarity {
       hashOrder: String = "xxhash64"): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = fitCentroids(base, nCentroids, iters, sampleN, seed, hashOrder)
-    // per-vector norm computed ONCE and carried as a scalar (cosPre);
-    // centroid assignment keeps the plain fused cosine — one pass per row
-    val index = base.select(
+    ivfProbe(ivfIndex(emb, idCol, vecCol, cents), emb, idCol, vecCol,
+      cents, k, nProbe)
+  }
+
+  // ------------------------------------------- persistable IVF index
+
+  /** The persistable inverted-file index of a corpus: every vector in
+    * exactly ONE list — (cid, neighbor_id, vb, nb) with the vector's norm
+    * precomputed so probes never re-fold it. [[Dedup.bandIndex]]'s
+    * build-once shape applied to ANN: write this (partitioned by `cid` at
+    * scale so a probe's fan-out prunes to its nProbe lists) plus the
+    * centroids ([[saveIvf]] does both), and every probe-many job reads
+    * them back instead of re-assigning the corpus. Append-only growth is
+    * trivial — assignment is per-vector, so indexing a new batch with the
+    * SAME centroids and appending is exactly the merged index (unlike the
+    * band index there is no cross-batch cap interaction); re-fit centroids
+    * only when drift degrades recall, which is a full rebuild. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]]): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v")).select(
       nearestCid(col("v"), cents).as("cid"),
       col("id").as("neighbor_id"), col("v").as("vb"),
       graft.functions.vec_norm(col("v")).as("nb"))
-    val probes = base.select(col("id").as("vec_id"), col("v").as("va"),
-      graft.functions.vec_norm(col("v")).as("na"),
-      explode(probeCids(col("v"), cents, nProbe)).as("cid"))
+
+  /** Top-k probe of a (possibly parquet-round-tripped) [[ivfIndex]].
+    * Bit-identical to [[ivfTopK]] given the same centroids: identical
+    * score expressions, identical (cos desc, neighbor_id asc) tie order.
+    * Queries need not be the indexed corpus — this is the
+    * search-the-corpus-for-new-batch shape; self-matches (same id both
+    * sides) are excluded. */
+  def ivfProbe(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Float]], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val probes = queries.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"), col("v").as("va"),
+        graft.functions.vec_norm(col("v")).as("na"),
+        explode(probeCids(col("v"), cents, nProbe)).as("cid"))
     val scored = probes.join(index, "cid")
       .where(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
@@ -213,6 +251,45 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** Fitted centroids as a persistable (cid, centroid) frame. Floats are
+    * IEEE binary in parquet, so save→load round-trips the model bit-exactly
+    * ([[loadCentroids]]; SimilaritySpec pins indexed ≡ direct). */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cid", "centroid")
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(s"$path/centroids").collect()
+    val byCid = rows.map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    require(byCid.size == rows.length, s"duplicate cids in IVF model at $path")
+    require(byCid.keySet == (0 until byCid.size).toSet,
+      s"gappy cid set in IVF model at $path: ${byCid.keySet.toSeq.sorted}")
+    (0 until byCid.size).map(byCid).toArray
+  }
+
+  /** Persist centroids + inverted lists under one root: `$path/centroids`
+    * and `$path/index`. The index is written partitioned by `cid`, so a
+    * probe job reading it back scans only the lists it fans out to
+    * (partition pruning on the probe cids at scale). */
+  def saveIvf(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]], path: String): Unit = {
+    centroidFrame(emb.sparkSession, cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ivfIndex(emb, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/index")
+      .select(col("cid").cast("int").as("cid"), col("neighbor_id"),
+        col("vb"), col("nb"))
 
   // ------------------------------------------------------------------ LSH
 

@@ -110,4 +110,51 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     val edges = Seq((-5L, 3L), (3L, -9L), (100L, 200L))
     assert(cc(edges) == unionFind(edges))
   }
+
+  private def incr(base: Seq[(Long, Long)],
+      batch: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val asg = ConnectedComponents.run(base.toDF("a", "b"))
+    ConnectedComponents.addEdges(asg, batch.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("addEdges: incremental equals full re-run on chains/stars/merges") {
+    // chain extended at the tail, and bridged to a star
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L))
+    val batch = Seq((3L, 4L), (4L, 10L))
+    assert(incr(base, batch) == unionFind(base ++ batch))
+    // batch that merges many existing components through one new node
+    val base2 = Seq((1L, 2L), (5L, 6L), (8L, 9L))
+    val batch2 = Seq((100L, 2L), (100L, 6L), (100L, 9L))
+    assert(incr(base2, batch2) == unionFind(base2 ++ batch2))
+    // batch entirely inside one existing component: nothing moves
+    val batch3 = Seq((1L, 3L))
+    val base3 = Seq((1L, 2L), (2L, 3L))
+    assert(incr(base3, batch3) == unionFind(base3 ++ batch3))
+    // batch of brand-new nodes only (disjoint new component + a self-loop)
+    val batch4 = Seq((50L, 51L), (60L, 60L))
+    assert(incr(base3, batch4) ==
+      unionFind(base3 ++ batch4) ++ Map(60L -> 60L))
+    // root relabeling: new edge connects two components via their ROOTS
+    val base5 = Seq((2L, 7L), (1L, 9L))
+    val batch5 = Seq((2L, 1L))
+    assert(incr(base5, batch5) == unionFind(base5 ++ batch5))
+  }
+
+  test("addEdges: random incremental batches match full union-find") {
+    val rng = new scala.util.Random(7)
+    val all = Seq.fill(300)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))
+      .filter(e => e._1 != e._2)
+    val (base, batch) = all.splitAt(200)
+    assert(incr(base, batch) == unionFind(all))
+    // chained increments: apply the batch in two waves
+    import spark.implicits._
+    val (w1, w2) = batch.splitAt(50)
+    val asg0 = ConnectedComponents.run(base.toDF("a", "b"))
+    val asg1 = ConnectedComponents.addEdges(asg0, w1.toDF("a", "b"))
+    val got = ConnectedComponents.addEdges(asg1, w2.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(all))
+  }
 }

@@ -142,6 +142,33 @@ class SimilaritySpec extends SparkFunSuite {
     assert(again == ivfSet)
   }
 
+  test("ivf persisted index: save/load/probe is BIT-identical to direct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+      nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val cents = Similarity.fitIvf(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_spec").toString
+    Similarity.saveIvf(emb, "vec_id", "embedding", cents, dir)
+    // centroid model round-trips bit-exactly (floats are IEEE in parquet)
+    val back = Similarity.loadCentroids(spark, dir)
+    assert(back.length == cents.length)
+    assert(back.toIndexedSeq.map(_.toIndexedSeq)
+      == cents.toIndexedSeq.map(_.toIndexedSeq))
+    // probe through the reloaded index ≡ the direct path, bit-for-bit
+    val indexed = Similarity.ivfProbe(Similarity.loadIvfIndex(spark, dir),
+      emb, "vec_id", "embedding", back, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(indexed == direct)
+    // the index holds every vector exactly once (one inverted list each)
+    val idx = Similarity.loadIvfIndex(spark, dir)
+    assert(idx.count() == emb.count())
+    assert(idx.select("neighbor_id").distinct().count() == emb.count())
+  }
+
   test("ivf candidate set stays sub-quadratic (the scale contract)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = emb.count()
