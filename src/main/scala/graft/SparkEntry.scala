@@ -160,7 +160,8 @@ object SparkEntry {
     * run the arithmetic in DECIMAL and diverge from the driver fit in the
     * last ulp. */
   private def fellegiSunterOracleSql(iters: Int,
-      withTf: Boolean = false): String = {
+      withTf: Boolean = false,
+      calibrate: Option[(Double, Double)] = None): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
@@ -221,6 +222,48 @@ object SparkEntry {
          |FROM (SELECT ka, kb, $gcols, seg_a, $w AS w, $v AS v, p.u1 AS u1
          |      FROM pairs CROSS JOIN p$iters p) s
          |LEFT JOIN tf ON s.seg_a = tf.value""".stripMargin
+    } else if (calibrate.isDefined) {
+      // FS 1969 error-rate thresholds, re-derived from the fitted model:
+      // all 2^k patterns, P(pattern|M) / P(pattern|U) products, ordered
+      // error-mass accumulation via an EXACT sequential fold (rank
+      // self-join + ordered list_reduce — a window cumsum may re-tree the
+      // float adds), then min/max lr over the admissible prefix. Mirrors
+      // FellegiSunter.calibrate fold-for-fold.
+      val (mu, le) = calibrate.get
+      val vals = "(VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))"
+      val allpats = (0 until k)
+        .map(j => s"$vals t$j(g$j)").mkString(" CROSS JOIN ")
+      val pm = (0 until k)
+        .map(j => s"(CASE WHEN g$j = 1 THEN p.m$j ELSE 1.0 - p.m$j END)")
+        .mkString(" * ")
+      val pu = (0 until k)
+        .map(j => s"(CASE WHEN g$j = 1 THEN p.u$j ELSE 1.0 - p.u$j END)")
+        .mkString(" * ")
+      ctes += s"allpats AS (SELECT * FROM $allpats)"
+      ctes += s"""patprobs AS (
+        |  SELECT $gcols, $pm AS pm, $pu AS pu,
+        |    (p.lam * ($pm)) / ((1.0 - p.lam) * ($pu)) AS lr
+        |  FROM allpats CROSS JOIN p$iters p)""".stripMargin
+      ctes += s"rankedU AS (SELECT lr, pu, row_number() OVER (ORDER BY lr DESC, $gcols) AS rk FROM patprobs)"
+      ctes += """cumU AS (
+        |  SELECT a.rk, a.lr,
+        |    list_reduce(list(b.pu ORDER BY b.rk), (x, y) -> x + y) AS cum
+        |  FROM rankedU a JOIN rankedU b ON b.rk <= a.rk GROUP BY a.rk, a.lr)""".stripMargin
+      ctes += s"upperT AS (SELECT COALESCE(min(lr), CAST('infinity' AS DOUBLE)) AS up FROM cumU WHERE cum <= CAST($mu AS DOUBLE))"
+      ctes += s"rankedL AS (SELECT lr, pm, row_number() OVER (ORDER BY lr ASC, $gcols) AS rk FROM patprobs)"
+      ctes += """cumL AS (
+        |  SELECT a.rk, a.lr,
+        |    list_reduce(list(b.pm ORDER BY b.rk), (x, y) -> x + y) AS cum
+        |  FROM rankedL a JOIN rankedL b ON b.rk <= a.rk GROUP BY a.rk, a.lr)""".stripMargin
+      ctes += s"lowerT AS (SELECT COALESCE(max(lr), CAST(0.0 AS DOUBLE)) AS lo FROM cumL WHERE cum <= CAST($le AS DOUBLE))"
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
+         |  CASE WHEN w / v >= up THEN 'link'
+         |       WHEN w / v <= lo THEN 'non_link'
+         |       ELSE 'possible' END AS decision
+         |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
+         |      FROM pairs CROSS JOIN p$iters p)
+         |CROSS JOIN upperT CROSS JOIN lowerT""".stripMargin
     } else
       s"""WITH ${ctes.mkString(",\n")}
          |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
@@ -538,6 +581,37 @@ object SparkEntry {
         upperLr = 0.5, lowerLr = 0.1)
     }),
 
+    // Fit-once/score-many seam: fit, PERSIST the model (parquet), reload,
+    // score+classify with the reloaded model — must hash-match the
+    // in-memory q_fellegi_sunter path exactly (parquet doubles are IEEE
+    // binary, so the round-trip is bit-exact by construction).
+    "q_fellegi_sunter_persisted" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      val mDir = java.nio.file.Files
+        .createTempDirectory("graft_fs_model").toString
+      deleteTreeOnExit(mDir)
+      graft.operators.FellegiSunter.saveModel(s, model, mDir)
+      val reloaded = graft.operators.FellegiSunter.loadModel(s, mDir)
+      graft.operators.FellegiSunter.classify(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, reloaded),
+        upperLr = 0.5, lowerLr = 0.1)
+    }),
+
+    // FS 1969 error-rate-driven thresholds: upper/lower lr cut points
+    // DERIVED from the fitted model for target false-match rate mu and
+    // false-non-match rate lambda (not caller-guessed) — the oracle
+    // re-derives the same thresholds from its own EM re-fit via ordered
+    // error-mass folds over all 2^k patterns.
+    "q_fellegi_sunter_calibrated" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      val (up, lo) = graft.operators.FellegiSunter.calibrate(model,
+        mu = 0.08, lambdaErr = 0.25)
+      graft.operators.FellegiSunter.classify(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model), up, lo)
+    }),
+
     // Multi-level Fellegi-Sunter (Splink-style comparison levels): fields
     // grade agreement 0/1/2 (name JW banded at 0.97/0.93; acctbal-bracket
     // distance 0/1/more) instead of binary, with full per-level m/u
@@ -816,6 +890,27 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       tau = 0.5, hashFamily = "sha256")),
 
+    // incremental clustering: CC over the even-doc edges first (the
+    // existing corpus), then ConnectedComponents.addEdges folds the
+    // odd-touching edges in as a batch — contracted-graph CC ∝ batch,
+    // relabel is a broadcast join. Must hash-match the FULL q_dedup_groups
+    // oracle: incremental is a cost refactoring, not new semantics.
+    "q_dedup_groups_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+        tau = 0.5, hashFamily = "sha256").select(col("ia"), col("ib"))
+      val baseEdges = pairs
+        .where(pmod(col("ia"), lit(2)) === 0)
+        .where(pmod(col("ib"), lit(2)) === 0)
+      val batchEdges = pairs
+        .where(pmod(col("ia"), lit(2)) === 1 || pmod(col("ib"), lit(2)) === 1)
+      val asg = graft.operators.ConnectedComponents.run(baseEdges)
+      val updated = graft.operators.ConnectedComponents.addEdges(asg, batchEdges)
+      d.select(col("doc_id").as("id"))
+        .join(updated, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("canonical_id"))
+    }),
+
     // incremental dedup: the NEW half of the corpus (odd doc_id, the
     // "batch") near-dup-checked against the EXISTING half (even doc_id,
     // the "index") — candidates only cross sides, never corpus×corpus,
@@ -888,6 +983,24 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => graft.operators.Similarity.ivfTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       k = 3, nCentroids = 16, nProbe = 4, iters = 0, hashOrder = "sha256")),
+
+    // fit-once/probe-many IVF: the fitted centroids AND the inverted
+    // lists are persisted (index partitioned by cid — probe jobs prune to
+    // the lists they fan out to), reloaded, and probed — must hash-match
+    // q_ann_ivf exactly: the index round-trip is a cost refactoring, not
+    // new semantics (floats are IEEE binary in parquet).
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = sim.fitIvf(emb, "vec_id", "embedding",
+        nCentroids = 16, iters = 0, hashOrder = "sha256")
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      deleteTreeOnExit(ivfDir)
+      sim.saveIvf(emb, "vec_id", "embedding", cents, ivfDir)
+      sim.ivfProbe(sim.loadIvfIndex(s, ivfDir), emb, "vec_id", "embedding",
+        sim.loadCentroids(s, ivfDir), k = 3, nProbe = 4)
+    }),
 
     // embedding-cosine near-dup pairs blocked by label
     "q_dedup_embedding_cosine" -> ((s, dir) => graft.operators.Dedup.embeddingCosinePairs(
@@ -1776,6 +1889,7 @@ object SparkEntry {
     "q_dedup_incremental_indexed" -> minhashIncrementalOracle,
     "q_unicode_sims" -> unicodeSimsOracle,
     "q_dedup_groups" -> nearDupGroupsOracle,
+    "q_dedup_groups_incremental" -> nearDupGroupsOracle,
     "q_corpus_pipeline" -> corpusPipelineOracle,
     "q_stream_quality" -> {
       val scrub = graft.operators.TextAnalysis.PiiPatterns
@@ -1814,6 +1928,7 @@ object SparkEntry {
         |FROM d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_indexed" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),
     "q_stream_incremental" -> streamOracle("<"),
     "q_stream_join" -> streamOracle("<", bandSeconds = Some(120L)),
@@ -1953,6 +2068,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'truth' AS side, t AS gid, n_g, sum_ni2 FROM st""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
+    "q_fellegi_sunter_persisted" -> fellegiSunterOracleSql(iters = 15),
+    "q_fellegi_sunter_calibrated" ->
+      fellegiSunterOracleSql(iters = 15, calibrate = Some((0.08, 0.25))),
     "q_fellegi_sunter_tf" -> fellegiSunterOracleSql(iters = 15, withTf = true),
     "q_fellegi_sunter_levels" -> fellegiSunterLevelsOracleSql(iters = 15),
     // the validated Soundex chain (see Phonetic.soundexKey's pinned
