@@ -677,6 +677,24 @@ object SparkEntry {
       .where(col("score") >= 1.75)
       .select(col("ka"), col("kb"))),
 
+    // levenshtein_within used for its stated purpose: a banded
+    // O(k·len) admission filter BELOW the composite projection —
+    // candidates beyond edit distance 8 never evaluate JW/Dice (the
+    // plan order is spec-asserted). Runs through the real
+    // Linkage.scoreWithPrefilter path; the oracle applies the identical
+    // distance cut (part names are ASCII, so DuckDB's byte levenshtein
+    // IS the kernel's code-point distance).
+    "q_match_pairs_prefiltered" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val extracted = p.select(col("p_partkey").as("url"),
+        col("p_name").as("name_norm"))
+      val prs = partPairs(s, dir)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Linkage.scoreWithPrefilter(prs, extracted, maxDist = 8)
+        .where(col("score") >= 1.75)
+        .select(col("url_a").as("ka"), col("url_b").as("kb"))
+    }),
+
     // transitive clustering (stage: large-star/small-star connected
     // components; exercises graft.operators.ConnectedComponents)
     "q_connected_components" -> ((s, dir) => {
@@ -2177,6 +2195,29 @@ object SparkEntry {
          |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
          |         a.p_name AS na, b.p_name AS nb
          |  $partPairsSql
+         |), exploded AS (
+         |  SELECT ka, kb, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
+         |  UNION ALL
+         |  SELECT ka, kb, unnest(string_split(nb, '')) AS ch, 0 AS ac, 1 AS bc FROM pairs
+         |), counts AS (
+         |  SELECT ka, kb, ch, sum(ac) AS ca, sum(cb) AS cb
+         |  FROM (SELECT ka, kb, ch, ac, bc AS cb FROM exploded) GROUP BY ka, kb, ch
+         |), sums AS (
+         |  SELECT ka, kb, sum(least(ca, cb)) AS inter, sum(ca) + sum(cb) AS total
+         |  FROM counts GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb
+         |FROM pairs p JOIN sums s ON p.ka = s.ka AND p.kb = s.kb
+         |WHERE (CASE WHEN p.na = p.nb THEN 1.0
+         |            ELSE jaro_winkler_similarity(p.na, p.nb) END
+         |     + CASE WHEN p.na = p.nb THEN 1.0
+         |            ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END) >= 1.75""".stripMargin,
+    "q_match_pairs_prefiltered" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |  WHERE levenshtein(a.p_name, b.p_name) <= 8
          |), exploded AS (
          |  SELECT ka, kb, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
          |  UNION ALL

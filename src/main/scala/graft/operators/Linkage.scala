@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{jaro_winkler_sim, sorensen_dice_sim}
+import graft.functions.{jaro_winkler_sim, levenshtein_within, sorensen_dice_sim}
 
 /** Record-linkage pipeline stages (north rule: blocking → pairwise scoring
   * → transitive clustering over Common-Crawl-style pages).
@@ -222,6 +222,33 @@ object Linkage {
         when(col("__jw") >= 0.95, lit(1L)).otherwise(lit(0L)).as("g0"),
         when(col("__jw") >= 0.88, lit(1L)).otherwise(lit(0L)).as("g1"),
         when(col("__dice") >= 0.85, lit(1L)).otherwise(lit(0L)).as("g2"))
+  }
+
+  /** Stage 4 (pre-filtered) — [[score]] with the banded Ukkonen kernel as
+    * a cheap admission filter: `levenshtein_within(k)` costs
+    * O((2k+1)·min(n,m)) per pair with early exit and rejects a candidate
+    * long before the O(n·m) Jaro scan + the Dice sort would run, so only
+    * survivors pay the composite projection. Semantics: the output IS
+    * [[score]] restricted to pairs within edit distance `maxDist` — a
+    * lossy-by-contract pre-filter (pick maxDist from the name-length
+    * distribution so true matches survive; the q_match_pairs_prefiltered
+    * oracle applies the identical cut). Physically the filter sits BELOW
+    * the scoring projection in the same whole-stage-codegen stage
+    * (PipelinePlanSpec asserts the plan order), so pruned pairs never
+    * evaluate a kernel beyond the band. */
+  def scoreWithPrefilter(pairs: DataFrame, extracted: DataFrame,
+      maxDist: Int): DataFrame = {
+    val names = extracted.select(col("url"), col("name_norm"))
+    pairs
+      .join(names.withColumnRenamed("url", "url_a")
+        .withColumnRenamed("name_norm", "name_a"), "url_a")
+      .join(names.withColumnRenamed("url", "url_b")
+        .withColumnRenamed("name_norm", "name_b"), "url_b")
+      .where(levenshtein_within(col("name_a"), col("name_b"), maxDist))
+      .select(col("url_a"), col("url_b"),
+        jaro_winkler_sim(col("name_a"), col("name_b")).as("jw"),
+        sorensen_dice_sim(col("name_a"), col("name_b")).as("dice"))
+      .withColumn("score", col("jw") + col("dice"))
   }
 
   /** Stage 5 — matched pairs at threshold θ. */

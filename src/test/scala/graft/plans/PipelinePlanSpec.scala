@@ -68,6 +68,57 @@ class PipelinePlanSpec extends SparkFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$plan")
   }
 
+  test("levenshtein_within pre-filter evaluates BELOW the composite projection") {
+    val pages = spark.read.parquet(pagesPath)
+    val ex = Linkage.extract(pages)
+    val scored = Linkage.scoreWithPrefilter(
+      Linkage.candidatePairs(Linkage.candidateKeys(ex)), ex, maxDist = 6)
+    scored.collect() // materialize so AQE finalizes the plan
+    val root = scored.queryExecution.executedPlan
+    val plan = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    // the kernel projection exists, and the banded filter sits in its
+    // SUBTREE (plans print root-first: projection line above filter line)
+    assert(s.contains("jaro_winkler_sim") && s.contains("levenshtein_within"), s)
+    assert(s.indexOf("jaro_winkler_sim") < s.indexOf("levenshtein_within"),
+      s"prefilter is not below the composite projection:\n$s")
+    // wherever the prefilter is evaluated (plain Filter or pushed into a
+    // join condition), nothing BELOW it evaluates a composite kernel.
+    // collect() stops at AQE query-stage boundaries, so flatten manually.
+    def flat(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flat)
+    }
+    val evalChildren = flat(plan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("levenshtein_within") => f.children
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.condition.exists(_.toString.contains("levenshtein_within")) =>
+        j.children
+    }.flatten
+    assert(evalChildren.nonEmpty, s"prefilter not found in plan:\n$s")
+    evalChildren.foreach(c => assert(!c.toString.contains("jaro_winkler_sim"),
+      s"kernel below the prefilter:\n$s"))
+    // functional containment: prefiltered scores ⊆ unfiltered scores
+    val full = Linkage.score(
+      Linkage.candidatePairs(Linkage.candidateKeys(ex)), ex)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val pre = scored.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+    assert(pre.nonEmpty)
+    pre.foreach { case (k, v) => assert(full(k) == v) }
+    assert(pre.length < full.size, "prefilter pruned nothing on this corpus")
+  }
+
   test("partition-count stability: candidate pair join respects shuffle partitions") {
     val pages = spark.read.parquet(pagesPath)
     val ex = Linkage.extract(pages)
