@@ -993,6 +993,14 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       k = 3, dim = 64)),
 
+    // LSH salted-tier losslessness proof: bucketCap=1 forces EVERY
+    // multi-member band bucket through the salted grid self-join; the
+    // result must equal the plain-tier oracle bit-for-bit — the grid
+    // loses and invents nothing (ANN analogue of q_dedup_simhash_salted).
+    "q_ann_lsh_salted" -> ((s, dir) => graft.operators.Similarity.lshTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 3, dim = 64, bucketCap = 1, saltGroups = 8)),
+
     // IVF coarse-quantizer ANN (second scale path). Driven with iters=0 +
     // sha256 sample order so the centroid set (first 16 sample vectors,
     // normalized) is SQL-derivable: index assignment, probe fan-out, and
@@ -1945,6 +1953,10 @@ object SparkEntry {
         |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
         |FROM d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
+    // the salted-tier run must reproduce the PLAIN-tier oracle exactly
+    // (the 2000-bucket cut in annLshOracle never bites at gate SFs, so
+    // the oracle is the uncapped candidate set either way)
+    "q_ann_lsh_salted" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_indexed" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),

@@ -187,22 +187,43 @@ class SimilaritySpec extends SparkFunSuite {
     val emb = (1L to 12L).map(i => (i, Array.fill(8)(1.0f)))
       .toDF("vec_id", "embedding")
     val capped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
-      dim = 8, bucketCap = 5)
+      dim = 8, bucketCap = 5, hardCap = 5)
     assert(capped.count() == 0)
     val dropped = Similarity.droppedLshBuckets(emb, "vec_id", "embedding",
-      dim = 8, bucketCap = 5).collect()
+      dim = 8, hardCap = 5).collect()
     assert(dropped.length == 4) // one bucket per band, all 12 members
     assert(dropped.forall(_.getLong(1) == 12L))
     // with the cap above the bucket size, candidates come back in full
     assert(Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
       dim = 8, bucketCap = 12).count() == 12 * 3)
+    // default hardCap: the same hot buckets ride the salted tier instead
+    // of dropping — full recall with no straggler bucket task
+    assert(Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 8, bucketCap = 5).count() == 12 * 3)
+  }
+
+  test("lsh salted tier is lossless (bucketCap=1 equals uncapped, bit-exact)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plain = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 64, bands = 8, planesPerBand = 4, bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // bucketCap=1 forces EVERY multi-member bucket through the salted
+    // grid — the grid loses and invents nothing (the ANN analogue of
+    // q_dedup_simhash_salted), including identical ranks and cosines
+    val salted = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 64, bands = 8, planesPerBand = 4, bucketCap = 1, saltGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(salted == plain)
   }
 
   test("lsh recall is unchanged by a cap that does not bite (default cap)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    // no bucket at this scale is anywhere near the default cap…
+    // no bucket at this scale is anywhere near the default plain-tier cap
+    // (so neither the salted tier nor any finite hardCap would engage)…
     assert(Similarity.droppedLshBuckets(emb, "vec_id", "embedding",
-      dim = 64, bands = 8, planesPerBand = 4).count() == 0)
+      dim = 64, bands = 8, planesPerBand = 4, hardCap = 2000).count() == 0)
     // …so the capped result is IDENTICAL to an effectively-uncapped run
     val capped = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
       dim = 64, bands = 8, planesPerBand = 4)
