@@ -454,6 +454,35 @@ object SparkEntry {
     "q_monge_elkan" -> ((s, dir) => partPairs(s, dir)
       .select(col("ka"), col("kb"), monge_elkan_jw(col("na"), col("nb")).as("me"))),
 
+    // Token-set family extras over the same brand-blocked part pairs:
+    // overlap coefficient (containment), an ASYMMETRIC Tversky index
+    // (α=0.25 a-only mass, β=0.75 b-only — distinct from both Jaccard and
+    // Dice so the gate can't pass by accident), and bag-cosine over
+    // per-code-point counts. The oracle extends the q_jaccard_sim
+    // relational bag pattern with per-side totals, the count dot product,
+    // and the two squared norms — all integer-exact, with only the final
+    // div/sqrt/mul rounded, mirroring the kernels' pinned IEEE order.
+    "q_token_set_sims" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        overlap_sim(col("na"), col("nb")).as("ov"),
+        tversky_sim(col("na"), col("nb"), 0.25, 0.75).as("tv"),
+        cosine_bag_sim(col("na"), col("nb")).as("cb"))),
+
+    // OSA (restricted Damerau-Levenshtein): the linear-memory
+    // transposition-aware edit similarity. DuckDB has no OSA builtin
+    // (its damerau_levenshtein is the unrestricted Lowrance-Wagner
+    // variant — the q_damerau_levenshtein_sim oracle), so the oracle
+    // re-runs the full OSA DP as a recursive CTE: one cell per recursion
+    // step in row-major order, a sliding window of the last 2m+4 cells
+    // carried as a list (covering the i-1 row, the i,j-1 neighbor, and
+    // the i-2,j-2 transposition lookback). Deterministically subsampled on
+    // BOTH keys (ka % 17, kb % 5) to keep the per-cell recursion tractable
+    // in the oracle at sf0.1 too — measured 206 s for the ka-only subsample
+    // (265k pairs × ~361 cells) vs ~40 s and ~53k pairs with both.
+    "q_osa_sim" -> ((s, dir) => customerPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"), osa_sim(col("na"), col("nb")).as("sim"))),
+
     // Unicode similarity gate: the shared testdata is all-ASCII, so the
     // byte-vs-code-point divergence the kernels are built around never
     // met the DuckDB oracle (only the sbt conformance vectors). This
@@ -2139,6 +2168,95 @@ object SparkEntry {
          |SELECT ka, kb,
          |  list_reduce(list(m ORDER BY i), (x, y) -> x + y) / count(*) AS me
          |FROM mx GROUP BY ka, kb""".stripMargin,
+    // Token-set extras: the q_jaccard_sim bag pattern widened with per-side
+    // totals (n, m), the count dot product, and squared norms — every sum
+    // integer-exact; the final div/sqrt/mul chain mirrors the kernels'
+    // pinned IEEE order (literals CAST to DOUBLE — bare decimals would run
+    // the chain in DECIMAL arithmetic and drift an ulp).
+    "q_token_set_sims" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), exploded AS (
+         |  SELECT ka, kb, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
+         |  UNION ALL
+         |  SELECT ka, kb, unnest(string_split(nb, '')) AS ch, 0 AS ac, 1 AS bc FROM pairs
+         |), counts AS (
+         |  SELECT ka, kb, ch, sum(ac) AS ca, sum(bc) AS cb
+         |  FROM exploded GROUP BY ka, kb, ch
+         |), sums AS (
+         |  SELECT ka, kb, sum(least(ca, cb)) AS inter, sum(ca) AS n, sum(cb) AS m,
+         |         sum(ca * cb) AS dot, sum(ca * ca) AS na2, sum(cb * cb) AS nb2
+         |  FROM counts GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(s.inter AS DOUBLE) / CAST(least(s.n, s.m) AS DOUBLE)
+         |  END AS ov,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(s.inter AS DOUBLE) /
+         |            (CAST(s.inter AS DOUBLE)
+         |             + CAST(0.25 AS DOUBLE) * CAST(s.n - s.inter AS DOUBLE)
+         |             + CAST(0.75 AS DOUBLE) * CAST(s.m - s.inter AS DOUBLE))
+         |  END AS tv,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE least(CAST(1.0 AS DOUBLE),
+         |            CAST(s.dot AS DOUBLE) /
+         |            (sqrt(CAST(s.na2 AS DOUBLE)) * sqrt(CAST(s.nb2 AS DOUBLE))))
+         |  END AS cb
+         |FROM pairs p JOIN sums s ON p.ka = s.ka AND p.kb = s.kb""".stripMargin,
+    // OSA: no DuckDB builtin (damerau_levenshtein there is unrestricted),
+    // so the oracle replays the FULL restricted DP as a recursive CTE —
+    // one cell per recursion step in row-major order t = i*(m+1)+j, with a
+    // sliding window `win` of the last 2m+4 cells carried as a list:
+    // win[2m+4] = d[t-1] (insertion), win[m+4] = d[t-(m+1)] (deletion),
+    // win[m+3] = d[t-(m+2)] (substitution diagonal), win[1] = d[t-(2m+4)]
+    // (the i-2,j-2 transposition lookback). string_split(s,'') indexes by
+    // CODE POINT in DuckDB, matching the kernel's decode loop.
+    "q_osa_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |         a.c_name AS na, b.c_name AS nb
+         |  $customerPairsSql
+         |  AND a.c_custkey % 17 = 0 AND b.c_custkey % 5 = 0
+         |), prep AS (
+         |  SELECT ka, kb, string_split(na, '') AS xa, string_split(nb, '') AS xb,
+         |         length(na) AS n, length(nb) AS m
+         |  FROM pairs WHERE na <> nb
+         |), dp AS (
+         |  SELECT ka, kb, xa, xb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         list_transform(range(1, 2*m + 5), k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT ka, kb, xa, xb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 THEN CAST((t+1) // (m+1) AS BIGINT)
+         |      WHEN (t+1) // (m+1) = 0 THEN CAST((t+1) % (m+1) AS BIGINT)
+         |      ELSE least(
+         |        nw[m+4] + 1,
+         |        nw[2*m+4] + 1,
+         |        nw[m+3] + (CASE WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)]
+         |                        THEN 0 ELSE 1 END),
+         |        CASE WHEN (t+1)//(m+1) > 1 AND (t+1)%(m+1) > 1
+         |              AND xa[(t+1)//(m+1)] = xb[(t+1)%(m+1) - 1]
+         |              AND xa[(t+1)//(m+1) - 1] = xb[(t+1)%(m+1)]
+         |             THEN nw[1] + 1 ELSE NULL END)
+         |    END AS cell,
+         |    nw AS win
+         |  FROM (SELECT *, win[2:] || [cell] AS nw
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) - CAST(d.cell AS DOUBLE) /
+         |            CAST(greatest(length(p.na), length(p.nb)) AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
     "q_sorted_neighborhood" ->
       """WITH ranked AS (
         |  SELECT c_custkey AS id,

@@ -131,6 +131,64 @@ case class HammingSim(left: Expression, right: Expression) extends StrSimExpress
     copy(left = l, right = r)
 }
 
+/** Overlap (Szymkiewicz-Simpson) coefficient over code-point bags
+  * ([[StrSimKernels.overlap]]): Σmin / min(|a|,|b|) — the containment
+  * scorer of the Jaccard family. */
+case class OverlapSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "overlap_sim"
+  override protected def kernelMethod: String = "overlap"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.overlap(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Bag-cosine similarity over per-code-point counts
+  * ([[StrSimKernels.cosineBag]]). Named `_bag_` to keep it distinct from
+  * [[CosineSim]], the array<float> embedding cosine. */
+case class CosineBagSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "cosine_bag_sim"
+  override protected def kernelMethod: String = "cosineBag"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.cosineBag(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Normalized optimal-string-alignment (restricted Damerau-Levenshtein)
+  * similarity ([[StrSimKernels.osa]]): the linear-memory transposition-aware
+  * edit similarity — no quadratic-matrix cap, so unlike
+  * [[DamerauLevenshteinSim]] it never returns NULL. */
+case class OsaSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "osa_sim"
+  override protected def kernelMethod: String = "osa"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.osa(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Tversky index over code-point bags with compile-time weights α (a-only
+  * mass) and β (b-only mass) — [[StrSimKernels.tversky]]. α and β must be
+  * foldable non-negative finite literals so codegen bakes them into the
+  * call site (and so the generated Java source round-trips the exact IEEE
+  * values via `Double.toString`). */
+case class TverskySim(left: Expression, right: Expression, alpha: Double, beta: Double)
+  extends StrSimExpression {
+  require(alpha >= 0 && beta >= 0 &&
+    !alpha.isNaN && !beta.isNaN && !alpha.isInfinite && !beta.isInfinite,
+    s"tversky_sim requires finite alpha, beta >= 0, got ($alpha, $beta)")
+  override def prettyName: String = "tversky_sim"
+  override protected def kernelMethod: String = "tversky"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.tversky(a, b, alpha, beta)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.strsim.StrSimKernels.tversky($a, $b, ${alpha}D, ${beta}D)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Monge-Elkan similarity with Jaro-Winkler as the inner kernel
   * ([[StrSimKernels.mongeElkanJaroWinkler]]): the hybrid token/char scorer
   * for multi-token entity names, robust to token reordering. Asymmetric by

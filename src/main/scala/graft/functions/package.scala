@@ -50,6 +50,27 @@ package object functions {
   def hamming_sim(a: Column, b: Column): Column = wrap(HammingSim(expr(a), expr(b)))
   def hamming_sim(a: String, b: String): Column = hamming_sim(col(a), col(b))
 
+  /** Overlap (Szymkiewicz-Simpson) coefficient over code-point bags:
+    * Σmin / min(|a|,|b|) — the containment scorer of the Jaccard family. */
+  def overlap_sim(a: Column, b: Column): Column = wrap(OverlapSim(expr(a), expr(b)))
+  def overlap_sim(a: String, b: String): Column = overlap_sim(col(a), col(b))
+
+  /** Bag-cosine similarity over per-code-point counts (string kernel; the
+    * embedding-vector cosine is [[cosine_sim]]). */
+  def cosine_bag_sim(a: Column, b: Column): Column = wrap(CosineBagSim(expr(a), expr(b)))
+  def cosine_bag_sim(a: String, b: String): Column = cosine_bag_sim(col(a), col(b))
+
+  /** Normalized optimal-string-alignment (restricted Damerau-Levenshtein)
+    * similarity: transposition-aware at linear memory — never NULL, unlike
+    * [[damerau_levenshtein_sim]]'s quadratic-cap policy. */
+  def osa_sim(a: Column, b: Column): Column = wrap(OsaSim(expr(a), expr(b)))
+  def osa_sim(a: String, b: String): Column = osa_sim(col(a), col(b))
+
+  /** Tversky index over code-point bags with literal weights α (a-only
+    * mass) and β (b-only mass): α=β=1 is Jaccard, α=β=0.5 is Dice. */
+  def tversky_sim(a: Column, b: Column, alpha: Double, beta: Double): Column =
+    wrap(TverskySim(expr(a), expr(b), alpha, beta))
+
   /** Monge-Elkan token similarity with Jaro-Winkler inner kernel
     * (asymmetric; mean over a's tokens of the best JW match in b). */
   def monge_elkan_jw(a: Column, b: Column): Column = wrap(MongeElkanJw(expr(a), expr(b)))
@@ -129,6 +150,17 @@ package object functions {
     String.valueOf(e.eval(null))
   }
 
+  private def litDouble(e: Expression, fn: String, arg: String): Double = {
+    if (!e.foldable) throw nonFoldable(fn, arg, "a non-negative DOUBLE literal")
+    e.eval(null) match {
+      // SQL `0.25` parses as DECIMAL(2,2), not DOUBLE — accept both
+      case d: org.apache.spark.sql.types.Decimal if d.toDouble >= 0 => d.toDouble
+      case n: Number if n.doubleValue() >= 0 => n.doubleValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-negative numeric literal, got $v")
+    }
+  }
+
   private def nonFoldable(fn: String, arg: String, tpe: String) =
     new org.apache.spark.sql.AnalysisException(
       errorClass = "NON_FOLDABLE_ARGUMENT",
@@ -144,6 +176,14 @@ package object functions {
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "monge_elkan_jw" -> (es => MongeElkanJw(es(0), es(1))),
+    "overlap_sim" -> (es => OverlapSim(es(0), es(1))),
+    "cosine_bag_sim" -> (es => CosineBagSim(es(0), es(1))),
+    "osa_sim" -> (es => OsaSim(es(0), es(1))),
+    // alpha/beta must be foldable non-negative numeric literals:
+    //   tversky_sim(a, b, 0.25, 0.75)
+    "tversky_sim" -> (es => TverskySim(es(0), es(1),
+      litDouble(es(2), "tversky_sim", "alpha"),
+      litDouble(es(3), "tversky_sim", "beta"))),
     // k must be a foldable non-negative int literal:
     //   levenshtein_capped(a, b, 2) / levenshtein_within(a, b, 2)
     "levenshtein_capped" -> (es => LevenshteinCapped(es(0), es(1),

@@ -45,6 +45,7 @@ object StrSimKernels {
     var sortA: Array[Int] = new Array[Int](64)      // jaccard/dice sorted bags
     var sortB: Array[Int] = new Array[Int](64)
     var dlH: Array[Int] = new Array[Int](0)         // DL (n+2)x(m+2) matrix
+    var osa: Array[Int] = new Array[Int](0)         // OSA 3-row rolling DP
     val dlLast = new java.util.HashMap[Integer, Integer](64) // DL last-occurrence
     // Monge-Elkan token spans (byte offsets/lengths; start non-empty — the
     // geometric `ensure` growth needs a seed size)
@@ -308,6 +309,87 @@ object StrSimKernels {
     2.0 * inter.toDouble / (n + m).toDouble
   }
 
+  // ------------------------------------------------- Token-set family extras
+
+  /** Overlap (Szymkiewicz-Simpson) coefficient over code-point bags:
+    * Σmin / min(|a|,|b|). Containment-style similarity — 1.0 whenever one
+    * bag is a sub-bag of the other, which makes it the right scorer for
+    * abbreviation/containment matching ("IBM" ⊂ "IBM Corp") where Jaccard
+    * and Dice are diluted by the longer side. Same edge policy as the
+    * reference kernels: byte-equal → 1.0, one side empty → 0.0. */
+  def overlap(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val (n, m, inter) = bagIntersect(a, b)
+    inter.toDouble / math.min(n, m).toDouble
+  }
+
+  /** Tversky index over code-point bags: Σmin / (Σmin + α·|a−b| + β·|b−a|)
+    * where |a−b| = n − Σmin and |b−a| = m − Σmin. The asymmetric
+    * generalization of the family: α=β=1 is Jaccard, α=β=0.5 is Dice,
+    * α=1,β=0 is containment-in-b. IEEE evaluation order pinned to exactly
+    * `inter / ((inter + α·(n−inter)) + β·(m−inter))` (left-assoc sums, all
+    * int→double conversions exact) so a relational oracle can reproduce it
+    * bit-for-bit with the same expression text. */
+  def tversky(a: UTF8String, b: UTF8String, alpha: Double, beta: Double): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val (n, m, inter) = bagIntersect(a, b)
+    inter.toDouble /
+      (inter.toDouble + alpha * (n - inter).toDouble + beta * (m - inter).toDouble)
+  }
+
+  /** Bag-cosine similarity: Σ_c n_a(c)·n_b(c) / (√Σ_c n_a(c)² · √Σ_c n_b(c)²)
+    * over per-code-point counts. Unlike Σmin-family scores it weights
+    * repeated characters quadratically, so it is robust to length ratio
+    * (cos(a, a·k) = 1). All three sums are exact 64-bit integers (counts ≤
+    * 2^21 code points ⇒ squares ≤ 2^42, sums well inside 2^63); the only
+    * rounding is the final sqrt/mul/div, each correctly-rounded IEEE — so
+    * `CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS
+    * DOUBLE)))` in an oracle reproduces it bit-for-bit. */
+  def cosineBag(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.sortA = ensure(s.sortA, a.numChars); s.sortB = ensure(s.sortB, b.numChars)
+    val n = decode(a, s.sortA)
+    val m = decode(b, s.sortB)
+    java.util.Arrays.sort(s.sortA, 0, n)
+    java.util.Arrays.sort(s.sortB, 0, m)
+    // run-length merge over the two sorted bags: counts per distinct code
+    // point on each side, accumulating dot = Σ ca·cb and the two norms.
+    var i = 0
+    var j = 0
+    var dot = 0L
+    var na2 = 0L
+    var nb2 = 0L
+    while (i < n || j < m) {
+      val ca = if (i < n) s.sortA(i) else Int.MaxValue
+      val cb = if (j < m) s.sortB(j) else Int.MaxValue
+      if (ca < cb) {
+        var ra = 0L
+        while (i < n && s.sortA(i) == ca) { ra += 1; i += 1 }
+        na2 += ra * ra
+      } else if (cb < ca) {
+        var rb = 0L
+        while (j < m && s.sortB(j) == cb) { rb += 1; j += 1 }
+        nb2 += rb * rb
+      } else {
+        var ra = 0L
+        while (i < n && s.sortA(i) == ca) { ra += 1; i += 1 }
+        var rb = 0L
+        while (j < m && s.sortB(j) == cb) { rb += 1; j += 1 }
+        na2 += ra * ra
+        nb2 += rb * rb
+        dot += ra * rb
+      }
+    }
+    // proportional bags (e.g. a vs a+a) can land at 1+2ulp after the three
+    // rounded ops even though cosine is mathematically <= 1; clamp so the
+    // score respects the [0,1] contract (oracle mirrors with least(1.0, .))
+    math.min(1.0, dot.toDouble / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble)))
+  }
+
   // ---------------------------------------------------------------- Damerau-Levenshtein
 
   /** Normalized unrestricted Damerau-Levenshtein similarity
@@ -381,6 +463,74 @@ object StrSimKernels {
       i += 1
     }
     1.0 - h((n + 1) * w + m + 1).toDouble / math.max(nFull, mFull).toDouble
+  }
+
+  // ---------------------------------------------------------------- OSA
+
+  /** Normalized optimal-string-alignment (restricted Damerau-Levenshtein)
+    * similarity: unit-cost insert/delete/substitute plus adjacent
+    * transposition, with the restriction that no substring is edited more
+    * than once (the classic OSA recurrence — e.g. OSA("CA","ABC") = 3 where
+    * unrestricted DL = 2). The standard record-linkage middle ground:
+    * catches the dominant human typo class (swapped neighbors) at
+    * Levenshtein's linear memory cost, unlike [[damerauLevenshtein]] whose
+    * unrestricted lookback needs the full quadratic matrix (and a cap).
+    *
+    * Three-row rolling DP over code points, shared-affix trimmed (OSA
+    * distance is affix-invariant — verified exhaustively vs the untrimmed
+    * recurrence over all |Σ|=3 strings up to length 5 in OsaSpec).
+    * Normalized 1 − dist/max(|a|,|b|) like the reference kernels;
+    * byte-equal → 1.0, one side empty → 0.0. */
+  def osa(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val nFull = decode(a, s.aCp)
+    val mFull = decode(b, s.bCp)
+    val lo = commonPrefix(s, nFull, mFull)
+    val hi = commonSuffix(s, nFull, mFull, lo)
+    val n = nFull - lo - hi
+    val m = mFull - lo - hi
+    val dist =
+      if (n == 0) m
+      else if (m == 0) n
+      else {
+        val w = m + 1
+        s.osa = ensure(s.osa, 3 * w)
+        val d = s.osa
+        // rows rotate through offsets 0/w/2w: prev2, prev, cur
+        var j = 0
+        while (j <= m) { d(w + j) = j; j += 1 } // row i=0 lives at offset w
+        var i = 1
+        while (i <= n) {
+          val cur = ((i % 3) + 1) % 3 * w       // i=1→2w, i=2→0, i=3→w, ...
+          val prev = ((i + 2) % 3 + 1) % 3 * w
+          val prev2 = ((i + 1) % 3 + 1) % 3 * w
+          val ai = s.aCp(lo + i - 1)
+          d(cur) = i
+          j = 1
+          while (j <= m) {
+            val bj = s.bCp(lo + j - 1)
+            val cost = if (ai == bj) 0 else 1
+            var best = d(prev + j - 1) + cost
+            val del = d(prev + j) + 1
+            if (del < best) best = del
+            val ins = d(cur + j - 1) + 1
+            if (ins < best) best = ins
+            if (i > 1 && j > 1 && ai == s.bCp(lo + j - 2) &&
+                s.aCp(lo + i - 2) == bj) {
+              val tr = d(prev2 + j - 2) + 1
+              if (tr < best) best = tr
+            }
+            d(cur + j) = best
+            j += 1
+          }
+          i += 1
+        }
+        d(((n % 3) + 1) % 3 * w + m)
+      }
+    1.0 - dist.toDouble / math.max(nFull, mFull).toDouble
   }
 
   // ---------------------------------------------------------------- Hamming
@@ -562,4 +712,12 @@ object StrSimKernels {
     levenshteinCapped(UTF8String.fromString(a), UTF8String.fromString(b), k)
   def mongeElkanJaroWinkler(a: String, b: String): Double =
     mongeElkanJaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+  def overlap(a: String, b: String): Double =
+    overlap(UTF8String.fromString(a), UTF8String.fromString(b))
+  def tversky(a: String, b: String, alpha: Double, beta: Double): Double =
+    tversky(UTF8String.fromString(a), UTF8String.fromString(b), alpha, beta)
+  def cosineBag(a: String, b: String): Double =
+    cosineBag(UTF8String.fromString(a), UTF8String.fromString(b))
+  def osa(a: String, b: String): Double =
+    osa(UTF8String.fromString(a), UTF8String.fromString(b))
 }

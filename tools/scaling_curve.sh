@@ -23,9 +23,28 @@ ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/jav
 MEM="${SPARK_DRIVER_MEM:-16g}"
 
 run_bench() { # $1 = args to ScalingBench
+  # Record hypervisor steal around the sample: this VM shares its host, and
+  # a contended window can steal >25% of cycles — which reads as fake
+  # scaling loss at the widest parallelism (it saturates all 32 vCPUs,
+  # while a local[8] run hides in the idle 24). steal_pct = stolen ticks /
+  # (nproc * 100 ticks/sec * wall) over the whole JVM (startup+warmup+
+  # measured), a per-sample noise gauge for choosing the reporting window.
+  local s0 t0 s1 t1
+  s0=$(awk '/^cpu /{print $9}' /proc/stat); t0=$(date +%s%N)
   # shellcheck disable=SC2086
   java $ADD_OPENS -Xmx"$MEM" -Dspark.ui.enabled=false \
-    -cp "$JAR:/opt/spark/jars/*" graft.ScalingBench $1 2>/dev/null | grep '^{'
+    -cp "$JAR:/opt/spark/jars/*" graft.ScalingBench $1 2>/dev/null | grep '^{' > /tmp/.sb_out
+  s1=$(awk '/^cpu /{print $9}' /proc/stat); t1=$(date +%s%N)
+  python3 - "$s0" "$s1" "$t0" "$t1" <<'PYEOF'
+import json, sys, os
+line = open("/tmp/.sb_out").read().strip()
+if line:
+    d = json.loads(line)
+    s0, s1, t0, t1 = (int(x) for x in sys.argv[1:5])
+    wall = (t1 - t0) / 1e9
+    d["host_steal_pct"] = round(100.0 * (s1 - s0) / (os.cpu_count() * 100.0 * wall), 1)
+    print(json.dumps(d))
+PYEOF
 }
 
 sbt -batch package >/dev/null
