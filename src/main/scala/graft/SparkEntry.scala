@@ -35,6 +35,25 @@ object SparkEntry {
       .select(col("ka"), col("kb"), col("na"), col("nb"))
   }
 
+  /** Redundant 3-family block collection for the meta-blocking gates:
+    * segment:nation ∪ name-last-2-digits (a mid-hot family — ~25 buckets
+    * under the %4 subsample, salted-tier-sized at sf0.1) ∪ a CONDITIONAL
+    * nation key (only ids divisible by 3), so per-record block counts
+    * vary (2 or 3) and the Jaccard weight actually exercises
+    * blocks_a/blocks_b. Deterministic %4 subsample keeps the edge set
+    * oracle-tractable at sf0.1. */
+  private def metaKeys(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nk"), col("c_name").as("nm"))
+    val k1 = c.select(col("id"), concat(col("seg"), lit(":"), col("nk")).as("key"))
+    val k2 = c.select(col("id"), concat(lit("d2:"), substring(col("nm"), -2, 2)).as("key"))
+    val k3 = c.where(col("id") % 3 === 0)
+      .select(col("id"), concat(lit("nk3:"), col("nk")).as("key"))
+    k1.union(k2).union(k3)
+  }
+
   /** Part self-pairs blocked on brand (spaces + repeated chars exercise the
     * multiset kernels). */
   private def partPairs(s: SparkSession, dir: String): DataFrame = {
@@ -277,6 +296,51 @@ object SparkEntry {
   /** Shared CTE chain of the two-corpus linkage oracle (customer vs
     * supplier blocked on nationkey, composite JW+Dice in `scored`) —
     * reused by q_link_tables and q_best_match. */
+  /** Normalized-Levenshtein-similarity SQL fragment over two string
+    * expressions, mirroring the kernel: byte-equal → 1.0 (also covers
+    * ""/""), else 1 − lev/max(len) with one exact int→double division. */
+  private def levSimSql(x: String, y: String): String =
+    s"""CASE WHEN $x = $y THEN CAST(1.0 AS DOUBLE)
+       |       ELSE CAST(1.0 AS DOUBLE) - CAST(levenshtein($x, $y) AS DOUBLE) /
+       |            CAST(greatest(length($x), length($y)) AS DOUBLE) END""".stripMargin
+
+  /** Shared blocking-graph CTEs for the meta-blocking oracles: the plain
+    * (untiered) per-key pair join with multiplicity, grouped to CBS, plus
+    * retained-block counts per record and the one-exact-division Jaccard
+    * weight — mirroring MetaBlocking.blockingGraph relationally. */
+  private val metaGraphCtes =
+    """recs AS (
+      |  SELECT c_custkey AS id, c_mktsegment AS seg, c_nationkey AS nk,
+      |         c_name AS nm
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |), mkeys AS (
+      |  SELECT id, seg || ':' || CAST(nk AS VARCHAR) AS key FROM recs
+      |  UNION ALL
+      |  SELECT id, 'd2:' || right(nm, 2) FROM recs
+      |  UNION ALL
+      |  SELECT id, 'nk3:' || CAST(nk AS VARCHAR) FROM recs WHERE id % 3 = 0
+      |), sized AS (
+      |  SELECT key, count(*) AS n FROM mkeys GROUP BY key
+      |), retained AS (
+      |  SELECT k.id, k.key FROM mkeys k JOIN sized s ON k.key = s.key
+      |  WHERE s.n <= 100000
+      |), perkey AS (
+      |  SELECT a.id AS url_a, b.id AS url_b
+      |  FROM retained a JOIN retained b ON a.key = b.key AND a.id < b.id
+      |), edges AS (
+      |  SELECT url_a, url_b, count(*) AS cbs FROM perkey GROUP BY url_a, url_b
+      |), ent AS (
+      |  SELECT id, count(*) AS nb FROM retained GROUP BY id
+      |), graph AS (
+      |  SELECT e.url_a, e.url_b, CAST(e.cbs AS BIGINT) AS cbs,
+      |         CAST(ea.nb AS BIGINT) AS blocks_a,
+      |         CAST(eb.nb AS BIGINT) AS blocks_b,
+      |         CAST(e.cbs AS DOUBLE) /
+      |           CAST(ea.nb + eb.nb - e.cbs AS DOUBLE) AS js
+      |  FROM edges e JOIN ent ea ON e.url_a = ea.id
+      |       JOIN ent eb ON e.url_b = eb.id
+      |)""".stripMargin
+
   private val linkTablesCtes =
     """lk AS (
       |  SELECT c_custkey AS id, c_nationkey AS key, c_name AS name FROM customer
@@ -483,6 +547,18 @@ object SparkEntry {
       .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
       .select(col("ka"), col("kb"), osa_sim(col("na"), col("nb")).as("sim"))),
 
+    // Token-order-robust ratios (the fuzzywuzzy pair), composed purely
+    // from stock codegen expressions under levenshtein_sim — no bespoke
+    // kernel. token_sort: Levenshtein over sorted-token strings;
+    // token_set: max of the three Levenshteins over (intersection,
+    // intersection+a-only, intersection+b-only). Oracle rebuilds the same
+    // strings with DuckDB list ops (list_intersect dedups, matching
+    // Spark's array_intersect) + its levenshtein builtin (ASCII inputs).
+    "q_token_ratio" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        token_sort_ratio(col("na"), col("nb")).as("tsr"),
+        token_set_ratio(col("na"), col("nb")).as("tstr"))),
+
     // Unicode similarity gate: the shared testdata is all-ASCII, so the
     // byte-vs-code-point divergence the kernels are built around never
     // met the DuckDB oracle (only the sbt conformance vectors). This
@@ -586,6 +662,75 @@ object SparkEntry {
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
     }),
 
+    // Meta-blocking (Papadakis TKDE'14): blocking graph over a redundant
+    // 3-family block collection (segment:nation ∪ phone-prefix ∪ a
+    // conditional nation key, so per-record block counts VARY), CBS +
+    // Jaccard edge weights, then Weighted Edge Pruning by integer
+    // cross-multiplication (w·n ≥ Σw — no divided mean anywhere). At
+    // sf0.1 the phone-prefix buckets exceed bucketCap and route through
+    // the salted grid, so the gate also proves tier-2 preserves per-key
+    // multiplicity (the oracle is the plain per-key join).
+    "q_meta_blocking" -> ((s, dir) =>
+      graft.operators.MetaBlocking.wepPrune(
+        graft.operators.MetaBlocking.blockingGraph(metaKeys(s, dir),
+          idCol = "id", keyCol = "key", bucketCap = 50))),
+
+    // Weighted Node Pruning over the same graph: keep an edge ≥ the mean
+    // weight of either endpoint's incident edges (per-node integer
+    // cross-multiplication; one both-directions groupBy + two joins).
+    "q_meta_blocking_wnp" -> ((s, dir) =>
+      graft.operators.MetaBlocking.wnpPrune(
+        graft.operators.MetaBlocking.blockingGraph(metaKeys(s, dir),
+          idCol = "id", keyCol = "key", bucketCap = 50))
+        .select(col("url_a"), col("url_b"), col("cbs"), col("blocks_a"),
+          col("blocks_b"), col("js"))),
+
+    // Cardinality Node Pruning: either endpoint's top-k incident edges
+    // (budgeted per-record comparisons; row_number window with its ≤ k
+    // filter right above it → InferWindowGroupLimit caps rows per map
+    // task before the shuffle; ties pinned by opposite id).
+    "q_meta_blocking_cnp" -> ((s, dir) =>
+      graft.operators.MetaBlocking.cnpPrune(
+        graft.operators.MetaBlocking.blockingGraph(metaKeys(s, dir),
+          idCol = "id", keyCol = "key", bucketCap = 50), k = 3)),
+
+    // Block filtering (Papadakis): drop each RECORD from its largest
+    // blocks, keeping only its ⌈n/2⌉ smallest (size ASC, key ASC; the
+    // per-record budget applied by integer cross-multiplication). Runs
+    // UPSTREAM of the blocking graph — the block-collection-level cut
+    // before any pair is enumerated.
+    "q_block_filter" -> ((s, dir) =>
+      graft.operators.MetaBlocking.blockFilter(metaKeys(s, dir),
+        idCol = "id", keyCol = "key")),
+
+    // Golden-record survivorship: collapse each entity cluster to ONE
+    // canonical row with deterministic order-insensitive rules — text →
+    // longest (ties: smallest), lang → mode (ties: smallest), source →
+    // min, n_chars → max; canonical id = min member id. The final
+    // pipeline stage a downstream consumer reads.
+    "q_golden_records" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val records = d.select(col("doc_id").as("id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val assignment = d.select(col("doc_id").as("id"),
+        (col("doc_id") % 89).as("component"))
+      graft.operators.Canonicalize.goldenRecords(records, assignment, "id",
+        rules = Seq("text" -> "longest", "lang" -> "mode",
+          "source" -> "min", "n_chars" -> "max"))
+    }),
+
+    // Adjusted Rand Index (Hubert-Arabie): chance-corrected pair-counting
+    // agreement between two partitions of the customers (nation vs
+    // market segment) — integer sufficient statistics (decimal-folded
+    // pair sums), ONE double division at the end.
+    "q_adjusted_rand" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.Linkage.adjustedRandStats(
+        c.select(col("c_custkey").as("id"),
+          col("c_nationkey").cast("string").as("cluster_id"),
+          col("c_mktsegment").as("truth_id")))
+    }),
+
     // sorted-neighborhood blocking (Hernández-Stolfo): every pair within
     // w consecutive positions of the (c_name, c_custkey) order — the
     // complement of hash blocking. Spark side: range-partitioned global
@@ -610,6 +755,30 @@ object SparkEntry {
           col("s_nationkey").as("bk"))
       graft.operators.Linkage.linkTables(cust, supp, "id", "name", "bk",
         theta = 1.0, bucketPairCap = 1000000L)
+    }),
+
+    // Decision-threshold sweep over the two-corpus linkage: P/R/F1 at ten
+    // θ values against suffix-equality truth (Customer#…001 ↔
+    // Supplier#…001), in ONE pass (explode over the θ literals, map-side
+    // combined). Truth pairs blocked apart (different nationkey) never
+    // reach the scorer and surface as irreducible fn — the recall ceiling
+    // blocking imposes, which is exactly what the curve should show.
+    "q_threshold_sweep" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("bk"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey").as("bk"))
+      val scored = graft.operators.Linkage.linkTables(cust, supp, "id",
+        "name", "bk", theta = 1.0, bucketPairCap = 1000000L)
+      val labeled = cust
+        .select(col("id").as("id_l"), substring(col("name"), -9, 9).as("__sfx"))
+        .join(supp.select(col("id").as("id_r"),
+          substring(col("name"), -9, 9).as("__sfx")), "__sfx")
+        .select(col("id_l"), col("id_r"))
+      graft.operators.Linkage.thresholdSweep(scored, labeled,
+        Seq(1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9))
     }),
 
     // Symmetric best match over the two-corpus linkage: keep (l, r) only
@@ -2257,6 +2426,42 @@ object SparkEntry {
          |LEFT JOIN (SELECT ka, kb, cell FROM dp
          |           WHERE t = (n+1)*(m+1) - 1) d
          |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
+    // Token ratios: rebuild the exact strings the Spark composition builds
+    // (sorted tokens / sorted distinct-token set ops, space-joined,
+    // trimmed concat) with DuckDB list ops — list_intersect dedups like
+    // Spark's array_intersect; except is list_filter + list_contains —
+    // then DuckDB's levenshtein (ASCII p_name). The equality CASE mirrors
+    // the kernel's byte-equal → 1.0 shortcut (and covers ""/"").
+    "q_token_ratio" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), tok AS (
+         |  SELECT ka, kb,
+         |    array_to_string(list_sort(string_split(trim(na), ' ')), ' ') AS sa,
+         |    array_to_string(list_sort(string_split(trim(nb), ' ')), ' ') AS sb,
+         |    list_sort(list_distinct(string_split(trim(na), ' '))) AS ta,
+         |    list_sort(list_distinct(string_split(trim(nb), ' '))) AS tb
+         |  FROM pairs
+         |), setstr AS (
+         |  SELECT ka, kb, sa, sb,
+         |    array_to_string(list_sort(list_intersect(ta, tb)), ' ') AS s0,
+         |    trim(concat_ws(' ',
+         |      array_to_string(list_sort(list_intersect(ta, tb)), ' '),
+         |      array_to_string(list_sort(
+         |        list_filter(ta, x -> NOT list_contains(tb, x))), ' '))) AS s1,
+         |    trim(concat_ws(' ',
+         |      array_to_string(list_sort(list_intersect(ta, tb)), ' '),
+         |      array_to_string(list_sort(
+         |        list_filter(tb, x -> NOT list_contains(ta, x))), ' '))) AS s2
+         |  FROM tok
+         |)
+         |SELECT ka, kb,
+         |  ${levSimSql("sa", "sb")} AS tsr,
+         |  greatest(${levSimSql("s0", "s1")}, ${levSimSql("s0", "s2")},
+         |           ${levSimSql("s1", "s2")}) AS tstr
+         |FROM setstr""".stripMargin,
     "q_sorted_neighborhood" ->
       """WITH ranked AS (
         |  SELECT c_custkey AS id,
@@ -2270,6 +2475,49 @@ object SparkEntry {
       s"""WITH $linkTablesCtes
         |SELECT id_l, id_r, jw, dice, jw + dice AS score
         |FROM scored WHERE jw + dice >= 1.0""".stripMargin,
+    // Threshold sweep: per-θ confusion counts over the linkage scores vs
+    // suffix-equality truth; counts are integer aggregates, P/R one exact
+    // division each (NULL when the denominator is 0), f1 pinned to
+    // (2·p)·r/(p+r) with 0.0 at tp=0. θ literals CAST to DOUBLE (DuckDB
+    // parses bare decimals as DECIMAL).
+    "q_threshold_sweep" ->
+      s"""WITH $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), labeled AS (
+        |  SELECT DISTINCT c.c_custkey AS id_l, s.s_suppkey AS id_r
+        |  FROM customer c JOIN supplier s
+        |    ON right(c.c_name, 9) = right(s.s_name, 9)
+        |), flag AS (
+        |  SELECT b.score, CASE WHEN l.id_l IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM base b LEFT JOIN labeled l
+        |    ON b.id_l = l.id_l AND b.id_r = l.id_r
+        |), thetas AS (
+        |  SELECT unnest([CAST(1.0 AS DOUBLE), CAST(1.1 AS DOUBLE),
+        |    CAST(1.2 AS DOUBLE), CAST(1.3 AS DOUBLE), CAST(1.4 AS DOUBLE),
+        |    CAST(1.5 AS DOUBLE), CAST(1.6 AS DOUBLE), CAST(1.7 AS DOUBLE),
+        |    CAST(1.8 AS DOUBLE), CAST(1.9 AS DOUBLE)]) AS theta
+        |), per AS (
+        |  SELECT t.theta,
+        |    CAST(sum(CASE WHEN f.score >= t.theta THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN f.score >= t.theta THEN f.t ELSE 0 END) AS BIGINT) AS tp
+        |  FROM thetas t CROSS JOIN flag f GROUP BY t.theta
+        |), ntrue AS (SELECT count(*) AS n FROM labeled
+        |), pr AS (
+        |  SELECT p.theta, p.n_pred, p.tp, p.n_pred - p.tp AS fp,
+        |    n.n - p.tp AS fn,
+        |    CASE WHEN p.n_pred > 0 THEN
+        |      CAST(p.tp AS DOUBLE) / CAST(p.n_pred AS DOUBLE) END AS "precision",
+        |    CASE WHEN n.n > 0 THEN
+        |      CAST(p.tp AS DOUBLE) / CAST(n.n AS DOUBLE) END AS recall
+        |  FROM per p, ntrue n
+        |)
+        |SELECT theta, n_pred, tp, fp, fn, "precision", recall,
+        |  CASE WHEN tp > 0 THEN
+        |    CAST(2.0 AS DOUBLE) * "precision" * recall / ("precision" + recall)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS f1
+        |FROM pr""".stripMargin,
     "q_best_match" ->
       s"""WITH $linkTablesCtes,
         |base AS (
@@ -2413,6 +2661,134 @@ object SparkEntry {
         |)
         |SELECT DISTINCT a.id AS ka, b.id AS kb
         |FROM keys a JOIN keys b ON a.key = b.key AND a.id < b.id""".stripMargin,
+    // Meta-blocking WEP: integer cross-multiplied mean cut over the graph
+    // CTEs (sum(cbs) is HUGEINT in DuckDB — the comparison promotes, so
+    // the cut is exact on both sides).
+    "q_meta_blocking" ->
+      s"""WITH $metaGraphCtes,
+         |tot AS (SELECT sum(cbs) AS wsum, count(*) AS wcnt FROM graph)
+         |SELECT g.url_a, g.url_b, g.cbs, g.blocks_a, g.blocks_b, g.js
+         |FROM graph g, tot t WHERE g.cbs * t.wcnt >= t.wsum""".stripMargin,
+    // Meta-blocking WNP: per-node mean via both-directions node sums,
+    // same integer cross-multiplication, OR over the two endpoints.
+    "q_meta_blocking_wnp" ->
+      s"""WITH $metaGraphCtes,
+         |und AS (
+         |  SELECT url_a AS u, cbs AS w FROM graph
+         |  UNION ALL
+         |  SELECT url_b AS u, cbs AS w FROM graph
+         |), node AS (
+         |  SELECT u, sum(w) AS nsum, count(*) AS ndeg FROM und GROUP BY u
+         |)
+         |SELECT g.url_a, g.url_b, g.cbs, g.blocks_a, g.blocks_b, g.js
+         |FROM graph g JOIN node x ON g.url_a = x.u
+         |     JOIN node y ON g.url_b = y.u
+         |WHERE g.cbs * x.ndeg >= x.nsum OR g.cbs * y.ndeg >= y.nsum""".stripMargin,
+    // Meta-blocking CNP: per-node top-k by (weight DESC, opposite id) over
+    // both directions, folded back to canonical orientation, semi-joined.
+    "q_meta_blocking_cnp" ->
+      s"""WITH $metaGraphCtes,
+         |und AS (
+         |  SELECT url_a AS u, url_b AS v, cbs AS w FROM graph
+         |  UNION ALL
+         |  SELECT url_b AS u, url_a AS v, cbs AS w FROM graph
+         |), ranked AS (
+         |  SELECT u, v, row_number() OVER (
+         |    PARTITION BY u ORDER BY w DESC, v) AS rn
+         |  FROM und
+         |), kept AS (
+         |  SELECT DISTINCT least(u, v) AS url_a, greatest(u, v) AS url_b
+         |  FROM ranked WHERE rn <= 3
+         |)
+         |SELECT g.url_a, g.url_b, g.cbs, g.blocks_a, g.blocks_b, g.js
+         |FROM graph g JOIN kept k
+         |  ON g.url_a = k.url_a AND g.url_b = k.url_b""".stripMargin,
+    // Block filtering: per-record rank of blocks by (size ASC, key ASC),
+    // budget ⌈n/2⌉ applied by the SAME integer cross-multiplication the
+    // Scala uses (n·1 > (rank−1)·2) — no division on either side. Sizes
+    // count ALL blocks (blockFilter has no hardCap tier; it runs before
+    // capping).
+    "q_block_filter" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS seg, c_nationkey AS nk,
+        |         c_name AS nm
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |), mkeys AS (
+        |  SELECT id, seg || ':' || CAST(nk AS VARCHAR) AS key FROM recs
+        |  UNION ALL
+        |  SELECT id, 'd2:' || right(nm, 2) FROM recs
+        |  UNION ALL
+        |  SELECT id, 'nk3:' || CAST(nk AS VARCHAR) FROM recs WHERE id % 3 = 0
+        |), bsized AS (
+        |  SELECT key, count(*) AS bn FROM mkeys GROUP BY key
+        |), ranked AS (
+        |  SELECT k.id, k.key,
+        |    row_number() OVER (PARTITION BY k.id ORDER BY s.bn, k.key) AS rn,
+        |    count(*) OVER (PARTITION BY k.id) AS nb
+        |  FROM mkeys k JOIN bsized s ON k.key = s.key
+        |)
+        |SELECT id, key FROM ranked WHERE nb * 1 > (rn - 1) * 2""".stripMargin,
+    // Golden records: canonical id = min(id); text → longest-then-
+    // smallest (code-point length on BOTH sides: Spark length() counts
+    // code points, DuckDB length() counts code points too); lang → mode
+    // with smallest-value tie-break; source → min; n_chars → max.
+    "q_golden_records" ->
+      """WITH j AS (
+        |  SELECT doc_id AS id, doc_id % 89 AS component, text, lang,
+        |         source, n_chars
+        |  FROM documents
+        |), base AS (
+        |  SELECT component, min(id) AS id, count(*) AS n_members,
+        |         min(source) AS source, max(n_chars) AS n_chars
+        |  FROM j GROUP BY component
+        |), longest AS (
+        |  SELECT component, text FROM (
+        |    SELECT component, text, row_number() OVER (
+        |      PARTITION BY component
+        |      ORDER BY length(text) DESC, text) AS rn
+        |    FROM j WHERE text IS NOT NULL) WHERE rn = 1
+        |), langcnt AS (
+        |  SELECT component, lang, count(*) AS cnt FROM j
+        |  WHERE lang IS NOT NULL GROUP BY component, lang
+        |), langmode AS (
+        |  SELECT component, lang FROM (
+        |    SELECT component, lang, row_number() OVER (
+        |      PARTITION BY component ORDER BY cnt DESC, lang) AS rn
+        |    FROM langcnt) WHERE rn = 1
+        |)
+        |SELECT b.component, b.id, b.n_members, l.text, m.lang, b.source,
+        |       b.n_chars
+        |FROM base b
+        |LEFT JOIN longest l ON b.component = l.component
+        |LEFT JOIN langmode m ON b.component = m.component""".stripMargin,
+    // Adjusted Rand Index: contingency pair sums in HUGEINT (the s2_*
+    // terms carry 2·ΣC(·,2), all even → // 2 exact), the cleared-fraction
+    // formula, one CASTed double division.
+    "q_adjusted_rand" ->
+      """WITH asg AS (
+        |  SELECT c_custkey AS id, CAST(c_nationkey AS VARCHAR) AS a,
+        |         c_mktsegment AS b
+        |  FROM customer
+        |), cell AS (
+        |  SELECT a, b, count(*) AS nij FROM asg GROUP BY a, b
+        |), sij AS (
+        |  SELECT sum(nij * (nij - 1)) AS s2_ij, sum(nij) AS n FROM cell
+        |), sa AS (
+        |  SELECT sum(na * (na - 1)) AS s2_a FROM (
+        |    SELECT a, sum(nij) AS na FROM cell GROUP BY a)
+        |), sb AS (
+        |  SELECT sum(nb * (nb - 1)) AS s2_b FROM (
+        |    SELECT b, sum(nij) AS nb FROM cell GROUP BY b)
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(s2_ij // 2 AS BIGINT) AS s_ij,
+        |  CAST(s2_a // 2 AS BIGINT) AS s_a,
+        |  CAST(s2_b // 2 AS BIGINT) AS s_b,
+        |  CASE WHEN n * (n - 1) * (s2_a + s2_b) - 2 * s2_a * s2_b <> 0 THEN
+        |    CAST(2 * (n * (n - 1) * s2_ij - s2_a * s2_b) AS DOUBLE) /
+        |    CAST(n * (n - 1) * (s2_a + s2_b) - 2 * s2_a * s2_b AS DOUBLE)
+        |  END AS ari
+        |FROM sij, sa, sb""".stripMargin,
     "q_match_pairs" ->
       s"""WITH pairs AS (
          |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,

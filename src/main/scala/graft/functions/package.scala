@@ -71,6 +71,65 @@ package object functions {
   def tversky_sim(a: Column, b: Column, alpha: Double, beta: Double): Column =
     wrap(TverskySim(expr(a), expr(b), alpha, beta))
 
+  // Token-ratio compositions are built at the CATALYST level (not the
+  // Column functions API): Column-API nodes are UnresolvedFunction wrappers
+  // in Spark 4, which don't type-check when embedded in a registered SQL
+  // function's expression tree. Building the raw expressions once lets the
+  // Column surface and the SQL registration share one definition.
+  private def tokenSortRatioExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, ArraySort,
+      Literal, StringSplit, StringTrim}
+    def key(e: Expression): Expression = new ArrayJoin(
+      new ArraySort(new StringSplit(new StringTrim(e), Literal("\\s+"))),
+      Literal(" "))
+    LevenshteinSim(key(a), key(b))
+  }
+
+  private def tokenSetRatioExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct,
+      ArrayExcept, ArrayIntersect, ArrayJoin, ArraySort, ConcatWs, Greatest,
+      If, IsNull, Literal, Or, StringSplit, StringTrim}
+    import org.apache.spark.sql.types.DoubleType
+    def toks(e: Expression): Expression =
+      new ArraySort(ArrayDistinct(new StringSplit(new StringTrim(e),
+        Literal("\\s+"))))
+    def joined(e: Expression): Expression = new ArrayJoin(e, Literal(" "))
+    val ta = toks(a)
+    val tb = toks(b)
+    val s0 = joined(new ArraySort(ArrayIntersect(ta, tb)))
+    val da = joined(new ArraySort(ArrayExcept(ta, tb)))
+    val db = joined(new ArraySort(ArrayExcept(tb, ta)))
+    val s1 = new StringTrim(ConcatWs(Seq(Literal(" "), s0, da)))
+    val s2 = new StringTrim(ConcatWs(Seq(Literal(" "), s0, db)))
+    If(Or(IsNull(a), IsNull(b)), Literal.create(null, DoubleType),
+      Greatest(Seq(LevenshteinSim(s0, s1), LevenshteinSim(s0, s2),
+        LevenshteinSim(s1, s2))))
+  }
+
+  /** Token-sort ratio (the fuzzywuzzy classic): Levenshtein similarity of
+    * the two strings after whitespace tokenization + lexicographic token
+    * sort — word-order-invariant edit similarity ("smith john" ≡ "john
+    * smith"). Pure composition of stock codegen expressions (split /
+    * array_sort / array_join) under [[levenshtein_sim]]: one Project, no
+    * new kernel. Empty↔empty → 1.0; null propagates. */
+  def token_sort_ratio(a: Column, b: Column): Column =
+    wrap(tokenSortRatioExpr(expr(a), expr(b)))
+  def token_sort_ratio(a: String, b: String): Column =
+    token_sort_ratio(col(a), col(b))
+
+  /** Token-set ratio (fuzzywuzzy): split both sides into DISTINCT sorted
+    * whitespace tokens, build s0 = sorted(a ∩ b), s1 = s0 + sorted(a − b),
+    * s2 = s0 + sorted(b − a) (space-joined, trimmed), and return
+    * max(lev(s0,s1), lev(s0,s2), lev(s1,s2)) — robust to one side carrying
+    * extra tokens ("john smith" vs "smith, john, esq." scores on the
+    * shared core). Stock set-op expressions only. Null on either side →
+    * null (guarded explicitly: ConcatWs would otherwise swallow the null
+    * and leak a 0.0). */
+  def token_set_ratio(a: Column, b: Column): Column =
+    wrap(tokenSetRatioExpr(expr(a), expr(b)))
+  def token_set_ratio(a: String, b: String): Column =
+    token_set_ratio(col(a), col(b))
+
   /** Monge-Elkan token similarity with Jaro-Winkler inner kernel
     * (asymmetric; mean over a's tokens of the best JW match in b). */
   def monge_elkan_jw(a: Column, b: Column): Column = wrap(MongeElkanJw(expr(a), expr(b)))
@@ -176,6 +235,10 @@ package object functions {
     "damerau_levenshtein_sim" -> (es => DamerauLevenshteinSim(es(0), es(1))),
     "hamming_sim" -> (es => HammingSim(es(0), es(1))),
     "monge_elkan_jw" -> (es => MongeElkanJw(es(0), es(1))),
+    // composed (not bespoke) kernels — SQL and Column paths share the one
+    // catalyst-level composition
+    "token_sort_ratio" -> (es => tokenSortRatioExpr(es(0), es(1))),
+    "token_set_ratio" -> (es => tokenSetRatioExpr(es(0), es(1))),
     "overlap_sim" -> (es => OverlapSim(es(0), es(1))),
     "cosine_bag_sim" -> (es => CosineBagSim(es(0), es(1))),
     "osa_sim" -> (es => OsaSim(es(0), es(1))),

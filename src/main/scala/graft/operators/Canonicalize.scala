@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Golden-record construction (survivorship): collapse each entity
+  * cluster produced by [[ConnectedComponents]] into ONE canonical record
+  * by per-attribute survivorship rules — the final stage of the linkage
+  * pipeline (blocking → scoring → clustering → canonicalize), and the
+  * piece a downstream consumer actually reads (MDM vocabulary:
+  * "survivorship" / "golden record").
+  *
+  * Every rule is a deterministic, ORDER-INSENSITIVE aggregate, so the
+  * canonical frame is bit-identical regardless of partitioning — the same
+  * replay-stability contract the rest of the pipeline carries:
+  *
+  *  - `longest`: the longest non-null string; ties broken by the
+  *    lexicographically smallest (via `min(struct(-length, value))` — a
+  *    single min-combinable struct aggregate, no window).
+  *  - `mode`: the most frequent non-null value; ties broken by the
+  *    smallest value. Two chained map-side-combinable groupBys
+  *    (cluster×value counts, then a min-struct fold) — never a window,
+  *    never a collect.
+  *  - `min` / `max`: plain null-ignoring extrema.
+  *
+  * The canonical id is always `min(idCol)` (matching the min-node-id root
+  * convention of [[ConnectedComponents]]), and `n_members` counts the
+  * cluster's records.
+  *
+  * Scale shape: one inner equi-join (records ⋈ assignment on id — both
+  * sides shuffle on the id they are already keyed by), then one groupBy
+  * per the base + one (groupBy → groupBy → broadcast-sized join) chain
+  * per `mode` column. Nothing is quadratic in cluster size; a hot
+  * mega-cluster costs its row count, not its pair count.
+  *
+  * @param records    one row per record, carrying `idCol` + attributes
+  * @param assignment (idCol, clusterCol) as produced by the clustering
+  *                   stage; records without an assignment row are dropped
+  *                   (they belong to no entity)
+  * @param rules      (attributeColumn, rule) with rule in
+  *                   longest | mode | min | max
+  */
+object Canonicalize {
+
+  private val ValidRules = Set("longest", "mode", "min", "max")
+
+  def goldenRecords(records: DataFrame, assignment: DataFrame,
+      idCol: String, clusterCol: String = "component",
+      rules: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val bad = rules.collect { case (c, r) if !ValidRules(r) => s"$c:$r" }
+    require(bad.isEmpty,
+      s"unknown survivorship rule(s) ${bad.mkString(", ")} — " +
+        s"valid: ${ValidRules.mkString("|")}")
+
+    val joined = records.join(assignment.select(col(idCol), col(clusterCol)),
+      idCol)
+
+    // base + all non-mode rules in ONE aggregate pass
+    def longestAgg(c: String): Column =
+      min(when(col(c).isNotNull,
+        struct((-length(col(c))).as("nl"), col(c).as("v"))))
+        .getField("v").as(c)
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("n_members") +:
+        rules.collect {
+          case (c, "longest") => longestAgg(c)
+          case (c, "min")     => min(col(c)).as(c)
+          case (c, "max")     => max(col(c)).as(c)
+        }
+    val base = joined.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as(idCol), aggCols: _*)
+
+    // each mode column: cluster×value counts, then a min-struct fold to
+    // (count DESC, value ASC) — two shuffles on (cluster[, value]), both
+    // map-side combined; result is cluster-count-sized
+    rules.collect { case (c, "mode") => c }.foldLeft(base) { (acc, c) =>
+      val m = joined.where(col(c).isNotNull)
+        .groupBy(col(clusterCol), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col(clusterCol))
+        .agg(min(struct((-col("__cnt")).as("nc"), col(c).as("v")))
+          .getField("v").as(c))
+      acc.join(m, Seq(clusterCol), "left")
+    }
+  }
+}

@@ -491,6 +491,61 @@ object Linkage {
     } finally stats.unpersist()
   }
 
+  /** Adjusted Rand Index (Hubert & Arabie 1985) of a predicted clustering
+    * vs a reference partition — the chance-corrected pair-counting metric
+    * next to [[bCubed]] (ARI = 0 for a random clustering, 1 for a perfect
+    * one, negative for worse-than-chance). One row: (n, s_ij, s_a, s_b,
+    * ari) where s_ij = Σ C(n_ij,2) over the contingency cells, s_a / s_b
+    * the marginal pair sums, and
+    *   ari = (2·N·s_ij − 2·s_a·s_b) / (N·(s_a+s_b) − 2·s_a·s_b),
+    * N = C(n,2) — the formula cleared of fractions so everything up to
+    * the final division is INTEGER arithmetic. Pair sums are folded in
+    * decimal(38,0) (long products overflow at ~3e9 records — the
+    * [[blockingQuality]] lesson); the cleared products stay exact to
+    * n ≈ 10^9 and the one double division is the only rounding anywhere.
+    * NULL when the denominator is 0 (both partitions trivial — all
+    * singletons or one block: chance correction is undefined).
+    *
+    * Shapes: one groupBy over the (cluster, truth) contingency counts,
+    * two marginal groupBys over THAT (cell-count-sized) frame, three
+    * 1-row aggregates cross-joined — no window, no collect beyond the
+    * 1-row frames Spark folds itself. */
+  def adjustedRandStats(assignments: DataFrame,
+      clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def pairs2(c: Column): Column = // 2·C(x,2) = x·(x−1), decimal-exact
+      (c.cast(dec) * (c.cast(dec) - 1))
+    val ni = assignments.groupBy(col(clusterCol), col(truthCol))
+      .agg(count(lit(1)).as("__ni"))
+    val sij = ni.agg(sum(pairs2(col("__ni"))).as("s2_ij"),
+      sum(col("__ni")).as("__n"))
+    val sa = ni.groupBy(col(clusterCol)).agg(sum(col("__ni")).as("__na"))
+      .agg(sum(pairs2(col("__na"))).as("s2_a"))
+    val sb = ni.groupBy(col(truthCol)).agg(sum(col("__ni")).as("__nb"))
+      .agg(sum(pairs2(col("__nb"))).as("s2_b"))
+    // s2_* carry 2·ΣC(·,2); N2 = 2·C(n,2) = n·(n−1). Substituting into
+    // the cleared form and scaling numerator and denominator to a common
+    // factor of 8: ari = 2·(N2·s2_ij − s2_a·s2_b) /
+    // (N2·(s2_a+s2_b) − 2·s2_a·s2_b) — every term a decimal INTEGER, no
+    // intermediate division anywhere.
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("__num",
+        lit(2).cast(dec) * (col("__n").cast(dec) * (col("__n").cast(dec) - 1)
+          * col("s2_ij") - col("s2_a") * col("s2_b")))
+      .withColumn("__den",
+        col("__n").cast(dec) * (col("__n").cast(dec) - 1)
+          * (col("s2_a") + col("s2_b")) - lit(2).cast(dec) * col("s2_a")
+          * col("s2_b"))
+      .select(col("__n").cast("long").as("n"),
+        (col("s2_ij") / 2).cast("long").as("s_ij"),
+        (col("s2_a") / 2).cast("long").as("s_a"),
+        (col("s2_b") / 2).cast("long").as("s_b"),
+        when(col("__den") =!= 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("ari"))
+  }
+
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
     * pairs, both restricted to candidate pairs (= pairs sharing a blocking
     * key, per BASELINE.json:2,14). */
@@ -506,5 +561,62 @@ object Linkage {
     val recall = if (tp + fn == 0) 1.0 else tp / (tp + fn)
     val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
     (precision, recall, f1)
+  }
+
+  /** Decision-threshold sweep: for each θ in `thetas`, the confusion
+    * counts and P/R/F1 of "match ⇔ score ≥ θ" against `labeled` true
+    * pairs — the operating-curve view a θ choice should be read off
+    * (complements the model-driven μ/λ calibration in
+    * [[FellegiSunter.calibrate]] with a label-driven one).
+    *
+    * One pass over the scored pairs: each row fans out to the thresholds
+    * it clears (explode over a literal array, |θ| small) and partial
+    * aggregation folds to |θ| groups map-side, so the added cost over a
+    * single count is ~|θ| comparisons per row — no per-θ rescan, no
+    * window. `labeled` pairs carry a left-join flag; fn = n_true − tp
+    * against ALL labeled pairs, so truth lost by blocking shows up as
+    * irreducible fn (the recall ceiling [[blockingQuality]] measures).
+    *
+    * All counts are 64-bit integers; precision/recall are one exact
+    * long→double division each (null when the denominator is 0 — no
+    * evidence, not perfection); f1 = 2·p·r/(p+r) with that exact
+    * evaluation order, 0.0 when tp = 0. Output: (theta, n_pred, tp, fp,
+    * fn, precision, recall, f1), one row per θ, present even when
+    * nothing clears it. */
+  def thresholdSweep(scored: DataFrame, labeled: DataFrame,
+      thetas: Seq[Double], aCol: String = "id_l", bCol: String = "id_r",
+      scoreCol: String = "score"): DataFrame = {
+    require(thetas.nonEmpty, "thresholdSweep needs at least one threshold")
+    val thetaArr = array(thetas.map(lit(_)): _*)
+    val flagged = scored.select(col(aCol), col(bCol), col(scoreCol))
+      .join(labeled.select(col(aCol), col(bCol), lit(1L).as("__t"))
+        .distinct(), Seq(aCol, bCol), "left")
+      .select(col(scoreCol), coalesce(col("__t"), lit(0L)).as("__t"))
+    val perTheta = flagged
+      .select(col(scoreCol), col("__t"), explode(thetaArr).as("theta"))
+      .where(col(scoreCol) >= col("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_pred"), sum(col("__t")).as("tp"))
+    val allThetas = scored.sparkSession.range(1)
+      .select(explode(thetaArr).as("theta"))
+    val nTrue = labeled.select(col(aCol), col(bCol)).distinct()
+      .agg(count(lit(1)).as("__ntrue"))
+    allThetas.join(perTheta, Seq("theta"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("theta"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        col("__ntrue"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("__ntrue") - col("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall", when(col("__ntrue") > 0,
+        col("tp").cast("double") / col("__ntrue").cast("double")))
+      .withColumn("f1", when(col("tp") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))).otherwise(lit(0.0)))
+      .select(col("theta"), col("n_pred"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"), col("f1"))
   }
 }

@@ -131,6 +131,34 @@ class BlockingSpec extends SparkFunSuite {
     assert(s1.contains(Seq("cluster", "A", 3L, 5L)))  // 2² + 1² = 5
   }
 
+  // ------------------------------------------------------- adjusted Rand
+
+  test("adjustedRandStats matches the hand-computed Hubert-Arabie example") {
+    import spark.implicits._
+    // clusters {1,2,3}{4,5,6}; truth {1,2}{3,4,5}{6}:
+    // S_ij = 2, S_a = 6, S_b = 4, N = 15 → ARI = (2−1.6)/(5−1.6) = 2/17
+    val asg = Seq(
+      (1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y"),
+      (4L, "B", "y"), (5L, "B", "y"), (6L, "B", "z"))
+      .toDF("id", "cluster_id", "truth_id")
+    val r = Linkage.adjustedRandStats(asg).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L &&
+      r.getLong(2) == 6L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 12.0 / 102.0)
+    // identical partitions → 1.0
+    val perfect = Seq((1L, "A", "x"), (2L, "A", "x"), (3L, "B", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    assert(Linkage.adjustedRandStats(perfect).collect().head.getDouble(4) == 1.0)
+    // all singletons both sides → chance correction undefined → NULL
+    val triv = Seq((1L, "A", "x"), (2L, "B", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    assert(Linkage.adjustedRandStats(triv).collect().head.isNullAt(4))
+    // partition-independent
+    val a = Linkage.adjustedRandStats(asg.repartition(7)).collect().head.toSeq
+    val b = Linkage.adjustedRandStats(asg.coalesce(1)).collect().head.toSeq
+    assert(a == b)
+  }
+
   // ------------------------------------------------------- blocking quality
 
   test("blockingQuality computes reduction ratio and pairs completeness") {

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Golden-record survivorship on hand-computed clusters: rule semantics,
+  * pinned tie-breaks, null handling, and unassigned-record exclusion. */
+class CanonicalizeSpec extends SparkFunSuite {
+
+  import spark.implicits._
+
+  private lazy val records = Seq(
+    // cluster 10: names of differing length (tie on length 5), segs with
+    // a 2-1 mode, one null bal
+    (1L, "anne", "AUTO", Some(5.0)),
+    (2L, "annie", "AUTO", None),
+    (3L, "annia", "BIKE", Some(3.0)),
+    // cluster 20: all-null name, seg mode tied 1-1 → smallest value
+    (4L, null, "CARS", Some(9.0)),
+    (5L, null, "BIKE", Some(7.0)),
+    // unassigned — must not appear anywhere
+    (6L, "zzzzzzzz", "ZZZZ", Some(99.0))).toDF("id", "name", "seg", "bal")
+
+  private lazy val assignment = Seq(
+    (1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L))
+    .toDF("id", "component")
+
+  test("longest / mode / min / max rules with pinned tie-breaks") {
+    val g = Canonicalize.goldenRecords(records, assignment, "id",
+        rules = Seq("name" -> "longest", "seg" -> "mode", "bal" -> "max"))
+      .orderBy("component").collect()
+    assert(g.length == 2)
+    // cluster 10: canonical id 1, 3 members; longest name tie annie/annia
+    // → lexicographically smaller "annia"? no: both length 5, min value
+    // wins → "annia"; seg mode AUTO (2 of 3); max bal 5.0
+    val r10 = g(0)
+    assert(r10.getAs[Long]("component") == 10L)
+    assert(r10.getAs[Long]("id") == 1L)
+    assert(r10.getAs[Long]("n_members") == 3L)
+    assert(r10.getAs[String]("name") == "annia")
+    assert(r10.getAs[String]("seg") == "AUTO")
+    assert(r10.getAs[Double]("bal") == 5.0)
+    // cluster 20: all names null → null survives; seg tie BIKE/CARS →
+    // smallest "BIKE"; max bal 9.0
+    val r20 = g(1)
+    assert(r20.getAs[Long]("id") == 4L)
+    assert(r20.isNullAt(r20.fieldIndex("name")))
+    assert(r20.getAs[String]("seg") == "BIKE")
+    assert(r20.getAs[Double]("bal") == 9.0)
+  }
+
+  test("min rule and no-rules base frame") {
+    val g = Canonicalize.goldenRecords(records, assignment, "id",
+        rules = Seq("bal" -> "min"))
+      .orderBy("component").collect()
+    assert(g(0).getAs[Double]("bal") == 3.0) // null bal ignored
+    assert(g(1).getAs[Double]("bal") == 7.0)
+    val base = Canonicalize.goldenRecords(records, assignment, "id")
+    assert(base.columns.toSeq == Seq("component", "id", "n_members"))
+    assert(base.count() == 2)
+  }
+
+  test("result is partitioning-independent") {
+    val r1 = Canonicalize.goldenRecords(records.repartition(7), assignment,
+      "id", rules = Seq("name" -> "longest", "seg" -> "mode"))
+      .orderBy("component").collect().toSeq
+    val r2 = Canonicalize.goldenRecords(records.coalesce(1), assignment,
+      "id", rules = Seq("name" -> "longest", "seg" -> "mode"))
+      .orderBy("component").collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("unknown rule raises a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      Canonicalize.goldenRecords(records, assignment, "id",
+        rules = Seq("name" -> "median"))
+    }
+    assert(e.getMessage.contains("name:median"))
+  }
+}

@@ -38,6 +38,19 @@ for name, sql in sorted(oracle.items()):
     bad = 0
     for c in dcols:
         dv, sv = d[c].values, s[c].values
+        # vectorized fast path (NaN == NaN accepted); fall into the
+        # per-value loop only to report the first mismatches
+        try:
+            import numpy as np
+            eqv = (dv == sv)
+            if eqv.dtype == bool:
+                both_nan = np.zeros(len(dv), dtype=bool)
+                if dv.dtype.kind == 'f' and sv.dtype.kind == 'f':
+                    both_nan = np.isnan(dv.astype('float64')) & np.isnan(sv.astype('float64'))
+                if bool(np.all(eqv | both_nan)):
+                    continue
+        except Exception:
+            pass
         for i in range(len(dv)):
             a, b = dv[i], sv[i]
             eq = (a == b) or (isinstance(a, float) and isinstance(b, float)
