@@ -547,6 +547,27 @@ object SparkEntry {
       .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
       .select(col("ka"), col("kb"), osa_sim(col("na"), col("nb")).as("sim"))),
 
+    // Alignment family (round 5): LCS, Needleman-Wunsch (+1/−1/−1 global),
+    // and Smith-Waterman (local, floored) similarities — DuckDB has no
+    // builtin for any of them, so each oracle replays its FULL DP as a
+    // recursive CTE with the q_osa_sim cell-per-step sliding-window
+    // technique (SW additionally threads the running max through the
+    // recursion — the answer is max over ALL cells, not the corner).
+    // Same double-key subsample as q_osa_sim keeps the oracles tractable.
+    "q_lcs_sim" -> ((s, dir) => customerPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"), lcs_sim(col("na"), col("nb")).as("sim"))),
+
+    "q_nw_sim" -> ((s, dir) => customerPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"),
+        needleman_wunsch_sim(col("na"), col("nb")).as("sim"))),
+
+    "q_sw_sim" -> ((s, dir) => customerPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"),
+        smith_waterman_sim(col("na"), col("nb")).as("sim"))),
+
     // Token-order-robust ratios (the fuzzywuzzy pair), composed purely
     // from stock codegen expressions under levenshtein_sim — no bespoke
     // kernel. token_sort: Levenshtein over sorted-token strings;
@@ -2424,6 +2445,131 @@ object SparkEntry {
          |  END AS sim
          |FROM pairs p
          |LEFT JOIN (SELECT ka, kb, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
+    // LCS: same cell-per-step recursion; borders 0, interior
+    // diag+1 on match else max(up, left); sim = 2·L/(n+m).
+    "q_lcs_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |         a.c_name AS na, b.c_name AS nb
+         |  $customerPairsSql
+         |  AND a.c_custkey % 17 = 0 AND b.c_custkey % 5 = 0
+         |), prep AS (
+         |  SELECT ka, kb, string_split(na, '') AS xa, string_split(nb, '') AS xb,
+         |         length(na) AS n, length(nb) AS m
+         |  FROM pairs WHERE na <> nb
+         |), dp AS (
+         |  SELECT ka, kb, xa, xb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         list_transform(range(1, 2*m + 5), k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT ka, kb, xa, xb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 OR (t+1) // (m+1) = 0 THEN CAST(0 AS BIGINT)
+         |      WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)] THEN nw[m+3] + 1
+         |      ELSE greatest(nw[m+4], nw[2*m+4])
+         |    END AS cell,
+         |    nw AS win
+         |  FROM (SELECT *, win[2:] || [cell] AS nw
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(2.0 AS DOUBLE) * CAST(d.cell AS DOUBLE) /
+         |            CAST(length(p.na) + length(p.nb) AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
+    // Needleman-Wunsch: borders −i/−j, interior max(diag±1, up−1,
+    // left−1); sim = 0.5 + S/(2·max(n,m)).
+    "q_nw_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |         a.c_name AS na, b.c_name AS nb
+         |  $customerPairsSql
+         |  AND a.c_custkey % 17 = 0 AND b.c_custkey % 5 = 0
+         |), prep AS (
+         |  SELECT ka, kb, string_split(na, '') AS xa, string_split(nb, '') AS xb,
+         |         length(na) AS n, length(nb) AS m
+         |  FROM pairs WHERE na <> nb
+         |), dp AS (
+         |  SELECT ka, kb, xa, xb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         list_transform(range(1, 2*m + 5), k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT ka, kb, xa, xb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 THEN CAST(-((t+1) // (m+1)) AS BIGINT)
+         |      WHEN (t+1) // (m+1) = 0 THEN CAST(-((t+1) % (m+1)) AS BIGINT)
+         |      ELSE greatest(
+         |        nw[m+3] + (CASE WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)]
+         |                        THEN 1 ELSE -1 END),
+         |        nw[m+4] - 1,
+         |        nw[2*m+4] - 1)
+         |    END AS cell,
+         |    nw AS win
+         |  FROM (SELECT *, win[2:] || [cell] AS nw
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(0.5 AS DOUBLE) + CAST(d.cell AS DOUBLE) /
+         |            (CAST(2.0 AS DOUBLE) *
+         |             CAST(greatest(length(p.na), length(p.nb)) AS DOUBLE))
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
+    // Smith-Waterman: borders 0, interior floored at 0, and the RUNNING
+    // MAX threaded through the recursion (the answer is max over all
+    // cells, not the corner); sim = H*/min(n,m).
+    "q_sw_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |         a.c_name AS na, b.c_name AS nb
+         |  $customerPairsSql
+         |  AND a.c_custkey % 17 = 0 AND b.c_custkey % 5 = 0
+         |), prep AS (
+         |  SELECT ka, kb, string_split(na, '') AS xa, string_split(nb, '') AS xb,
+         |         length(na) AS n, length(nb) AS m
+         |  FROM pairs WHERE na <> nb
+         |), dp AS (
+         |  SELECT ka, kb, xa, xb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         CAST(0 AS BIGINT) AS best,
+         |         list_transform(range(1, 2*m + 5), k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT ka, kb, xa, xb, n, m, t + 1 AS t, ncell AS cell,
+         |         greatest(best, ncell) AS best, nw AS win
+         |  FROM (
+         |    SELECT *,
+         |      CASE
+         |        WHEN (t+1) % (m+1) = 0 OR (t+1) // (m+1) = 0
+         |          THEN CAST(0 AS BIGINT)
+         |        ELSE greatest(
+         |          CAST(0 AS BIGINT),
+         |          nw[m+3] + (CASE WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)]
+         |                          THEN 1 ELSE -1 END),
+         |          nw[m+4] - 1,
+         |          nw[2*m+4] - 1)
+         |      END AS ncell
+         |    FROM (SELECT *, win[2:] || [cell] AS nw
+         |          FROM dp WHERE t < (n+1)*(m+1) - 1) q0) q
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(d.best AS DOUBLE) /
+         |            CAST(least(length(p.na), length(p.nb)) AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, best FROM dp
          |           WHERE t = (n+1)*(m+1) - 1) d
          |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
     // Token ratios: rebuild the exact strings the Spark composition builds

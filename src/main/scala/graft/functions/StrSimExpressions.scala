@@ -168,6 +168,42 @@ case class OsaSim(left: Expression, right: Expression) extends StrSimExpression 
     copy(left = l, right = r)
 }
 
+/** Normalized longest-common-subsequence similarity
+  * ([[StrSimKernels.lcs]]): 2·|LCS|/(|a|+|b|) — order-preserving overlap
+  * that charges nothing for unmatched interleaved material. */
+case class LcsSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "lcs_sim"
+  override protected def kernelMethod: String = "lcs"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.lcs(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Normalized Needleman-Wunsch global-alignment similarity
+  * ([[StrSimKernels.needlemanWunsch]]): match +1 / mismatch −1 / gap −1,
+  * mapped to [0,1] by 0.5 + S/(2·max len). */
+case class NeedlemanWunschSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "needleman_wunsch_sim"
+  override protected def kernelMethod: String = "needlemanWunsch"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.needlemanWunsch(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Normalized Smith-Waterman local-alignment similarity
+  * ([[StrSimKernels.smithWaterman]]): best local window score over
+  * min(|a|,|b|) — the alignment view of substring matching. */
+case class SmithWatermanSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "smith_waterman_sim"
+  override protected def kernelMethod: String = "smithWaterman"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.smithWaterman(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Tversky index over code-point bags with compile-time weights α (a-only
   * mass) and β (b-only mass) — [[StrSimKernels.tversky]]. α and β must be
   * foldable non-negative finite literals so codegen bakes them into the

@@ -66,6 +66,28 @@ package object functions {
   def osa_sim(a: Column, b: Column): Column = wrap(OsaSim(expr(a), expr(b)))
   def osa_sim(a: String, b: String): Column = osa_sim(col(a), col(b))
 
+  /** Normalized LCS similarity: 2·|LCS|/(|a|+|b|) over code points —
+    * order-preserving overlap that charges nothing for unmatched
+    * interleaved material (middle names, titles). */
+  def lcs_sim(a: Column, b: Column): Column = wrap(LcsSim(expr(a), expr(b)))
+  def lcs_sim(a: String, b: String): Column = lcs_sim(col(a), col(b))
+
+  /** Needleman-Wunsch global-alignment similarity (match +1, mismatch −1,
+    * gap −1; 0.5 + S/(2·max len)) — rewards matches, not only charging
+    * edits: long shared runs dominate scattered mismatches. */
+  def needleman_wunsch_sim(a: Column, b: Column): Column =
+    wrap(NeedlemanWunschSim(expr(a), expr(b)))
+  def needleman_wunsch_sim(a: String, b: String): Column =
+    needleman_wunsch_sim(col(a), col(b))
+
+  /** Smith-Waterman local-alignment similarity (best local window over
+    * min(|a|,|b|)) — 1.0 on exact substring containment; the scorer for
+    * one-side-truncated fields. */
+  def smith_waterman_sim(a: Column, b: Column): Column =
+    wrap(SmithWatermanSim(expr(a), expr(b)))
+  def smith_waterman_sim(a: String, b: String): Column =
+    smith_waterman_sim(col(a), col(b))
+
   /** Tversky index over code-point bags with literal weights α (a-only
     * mass) and β (b-only mass): α=β=1 is Jaccard, α=β=0.5 is Dice. */
   def tversky_sim(a: Column, b: Column, alpha: Double, beta: Double): Column =
@@ -242,6 +264,9 @@ package object functions {
     "overlap_sim" -> (es => OverlapSim(es(0), es(1))),
     "cosine_bag_sim" -> (es => CosineBagSim(es(0), es(1))),
     "osa_sim" -> (es => OsaSim(es(0), es(1))),
+    "lcs_sim" -> (es => LcsSim(es(0), es(1))),
+    "needleman_wunsch_sim" -> (es => NeedlemanWunschSim(es(0), es(1))),
+    "smith_waterman_sim" -> (es => SmithWatermanSim(es(0), es(1))),
     // alpha/beta must be foldable non-negative numeric literals:
     //   tversky_sim(a, b, 0.25, 0.75)
     "tversky_sim" -> (es => TverskySim(es(0), es(1),

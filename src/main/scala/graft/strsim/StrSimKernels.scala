@@ -533,6 +533,164 @@ object StrSimKernels {
     1.0 - dist.toDouble / math.max(nFull, mFull).toDouble
   }
 
+  // ---------------------------------------------------------------- LCS
+
+  /** Normalized longest-common-subsequence similarity: 2·|LCS|/(|a|+|b|)
+    * over code points (the Dice-style normalization most linkage toolkits
+    * use) — order-preserving overlap that, unlike edit distance, charges
+    * nothing for unmatched interleaved material, making it the robust
+    * choice when one side carries insertions (middle names, titles).
+    * Byte-equal → 1.0 (covers ""/""), one side empty → 0.0.
+    *
+    * Two-row rolling DP over code points, shared-affix trimmed (an equal
+    * prefix/suffix is always part of some LCS; |LCS| = lo + hi +
+    * LCS(middle) — verified exhaustively vs the untrimmed recurrence over
+    * all |Σ|=3 strings up to length 5 in AlignmentSpec). */
+  def lcs(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val nFull = decode(a, s.aCp)
+    val mFull = decode(b, s.bCp)
+    val lo = commonPrefix(s, nFull, mFull)
+    val hi = commonSuffix(s, nFull, mFull, lo)
+    val n = nFull - lo - hi
+    val m = mFull - lo - hi
+    var len = lo + hi
+    if (n > 0 && m > 0) {
+      val w = m + 1
+      s.dp = ensure(s.dp, 2 * w)
+      val d = s.dp
+      var j = 0
+      while (j <= m) { d(j) = 0; j += 1 }
+      var i = 1
+      while (i <= n) {
+        val cur = (i & 1) * w
+        val prev = ((i + 1) & 1) * w
+        val ai = s.aCp(lo + i - 1)
+        d(cur) = 0
+        j = 1
+        while (j <= m) {
+          d(cur + j) =
+            if (ai == s.bCp(lo + j - 1)) d(prev + j - 1) + 1
+            else math.max(d(prev + j), d(cur + j - 1))
+          j += 1
+        }
+        i += 1
+      }
+      len += d((n & 1) * w + m)
+    }
+    2.0 * len.toDouble / (nFull + mFull).toDouble
+  }
+
+  // ------------------------------------------------- Needleman-Wunsch
+
+  /** Normalized Needleman-Wunsch (global alignment) similarity with the
+    * classic record-linkage scoring match=+1, mismatch=−1, gap=−1
+    * (Winkler's string-comparator family): raw score S mapped to [0,1] by
+    * 0.5 + S/(2·max(|a|,|b|)) — identical → 1.0, one side empty → 0.0
+    * (S = −max), so it degrades continuously between the two. Differs
+    * from [[levenshtein]] in rewarding matches, not only charging edits:
+    * long shared runs dominate scattered mismatches.
+    *
+    * Two-row rolling DP over code points, shared-affix trimmed (with
+    * match strictly the best column score, an equal affix aligns to
+    * itself in some optimal alignment; S = lo + hi + S(middle) — verified
+    * exhaustively vs the untrimmed recurrence in AlignmentSpec). */
+  def needlemanWunsch(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val nFull = decode(a, s.aCp)
+    val mFull = decode(b, s.bCp)
+    val lo = commonPrefix(s, nFull, mFull)
+    val hi = commonSuffix(s, nFull, mFull, lo)
+    val n = nFull - lo - hi
+    val m = mFull - lo - hi
+    var score = lo + hi
+    if (n == 0) score -= m
+    else if (m == 0) score -= n
+    else {
+      val w = m + 1
+      s.dp = ensure(s.dp, 2 * w)
+      val d = s.dp
+      var j = 0
+      while (j <= m) { d(j) = -j; j += 1 }
+      var i = 1
+      while (i <= n) {
+        val cur = (i & 1) * w
+        val prev = ((i + 1) & 1) * w
+        val ai = s.aCp(lo + i - 1)
+        d(cur) = -i
+        j = 1
+        while (j <= m) {
+          val sub = d(prev + j - 1) + (if (ai == s.bCp(lo + j - 1)) 1 else -1)
+          var best = sub
+          val del = d(prev + j) - 1
+          if (del > best) best = del
+          val ins = d(cur + j - 1) - 1
+          if (ins > best) best = ins
+          d(cur + j) = best
+          j += 1
+        }
+        i += 1
+      }
+      score += d((n & 1) * w + m)
+    }
+    0.5 + score.toDouble / (2.0 * math.max(nFull, mFull).toDouble)
+  }
+
+  // --------------------------------------------------- Smith-Waterman
+
+  /** Normalized Smith-Waterman (local alignment) similarity, match=+1,
+    * mismatch=−1, gap=−1, floored at 0: best local score H* over
+    * min(|a|,|b|) — 1.0 when either string contains the other's best
+    * window exactly (H* = min length for substring containment), the
+    * alignment view of substring matching that global scores punish.
+    * Byte-equal → 1.0, one side empty → 0.0.
+    *
+    * NOT affix-trimmed: the best local window may span the shared affix
+    * (trimming changes H* — e.g. "xay"/"xby" has H*=1 from either affix,
+    * but the trimmed middles share nothing). Two-row rolling DP with a
+    * running max. */
+  def smithWaterman(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    val w = m + 1
+    s.dp = ensure(s.dp, 2 * w)
+    val d = s.dp
+    var best = 0
+    var j = 0
+    while (j <= m) { d(j) = 0; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val cur = (i & 1) * w
+      val prev = ((i + 1) & 1) * w
+      val ai = s.aCp(i - 1)
+      d(cur) = 0
+      j = 1
+      while (j <= m) {
+        val sub = d(prev + j - 1) + (if (ai == s.bCp(j - 1)) 1 else -1)
+        var h = if (sub > 0) sub else 0
+        val del = d(prev + j) - 1
+        if (del > h) h = del
+        val ins = d(cur + j - 1) - 1
+        if (ins > h) h = ins
+        d(cur + j) = h
+        if (h > best) best = h
+        j += 1
+      }
+      i += 1
+    }
+    best.toDouble / math.min(n, m).toDouble
+  }
+
   // ---------------------------------------------------------------- Hamming
 
   /** Normalized Hamming similarity: mismatched positions over the common
@@ -720,4 +878,10 @@ object StrSimKernels {
     cosineBag(UTF8String.fromString(a), UTF8String.fromString(b))
   def osa(a: String, b: String): Double =
     osa(UTF8String.fromString(a), UTF8String.fromString(b))
+  def lcs(a: String, b: String): Double =
+    lcs(UTF8String.fromString(a), UTF8String.fromString(b))
+  def needlemanWunsch(a: String, b: String): Double =
+    needlemanWunsch(UTF8String.fromString(a), UTF8String.fromString(b))
+  def smithWaterman(a: String, b: String): Double =
+    smithWaterman(UTF8String.fromString(a), UTF8String.fromString(b))
 }
