@@ -580,6 +580,23 @@ object SparkEntry {
         token_sort_ratio(col("na"), col("nb")).as("tsr"),
         token_set_ratio(col("na"), col("nb")).as("tstr"))),
 
+    // Q-gram profile similarity (Ukkonen): 1 − Σ|Δcount|/(nA+nB) over
+    // code-point bigrams — the cheap edit-distance lower-bound pre-filter
+    // (lev ≥ d/(2q)). Oracle: relational gram bags via unnest(range) +
+    // substr with ±1 weights, |Σw| summed per pair.
+    "q_qgram_sim" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        qgram_sim(col("na"), col("nb"), 2).as("sim"))),
+
+    // Token-LEVEL set scorers (vs the code-point bags of q_jaccard_sim):
+    // distinct-whitespace-token Jaccard and overlap/containment, composed
+    // from stock set-op expressions — the [""]-token split artifact gives
+    // the pinned empty contract for free (""≡"" → 1.0, ""-vs-x → 0.0).
+    "q_token_level_sims" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        token_jaccard_sim(col("na"), col("nb")).as("tj"),
+        token_overlap_sim(col("na"), col("nb")).as("tov"))),
+
     // Unicode similarity gate: the shared testdata is all-ASCII, so the
     // byte-vs-code-point divergence the kernels are built around never
     // met the DuckDB oracle (only the sbt conformance vectors). This
@@ -2608,6 +2625,52 @@ object SparkEntry {
          |  greatest(${levSimSql("s0", "s1")}, ${levSimSql("s0", "s2")},
          |           ${levSimSql("s1", "s2")}) AS tstr
          |FROM setstr""".stripMargin,
+    // Q-gram (q=2): gram bags as ±1-weighted rows, profile L1 distance =
+    // Σ|Σw| per pair; sim normalization mirrors the kernel's order.
+    "q_qgram_sim" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), gr AS (
+         |  SELECT ka, kb, substr(na, CAST(i AS INT), 2) AS g, 1 AS w
+         |  FROM (SELECT ka, kb, na,
+         |        unnest(range(1, length(na))) AS i FROM pairs)
+         |  UNION ALL
+         |  SELECT ka, kb, substr(nb, CAST(i AS INT), 2), -1
+         |  FROM (SELECT ka, kb, nb,
+         |        unnest(range(1, length(nb))) AS i FROM pairs)
+         |), cell AS (
+         |  SELECT ka, kb, g, sum(w) AS s FROM gr GROUP BY ka, kb, g
+         |), dd AS (
+         |  SELECT ka, kb, sum(abs(s)) AS d FROM cell GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) - CAST(dd.d AS DOUBLE) /
+         |            CAST((length(p.na) - 1) + (length(p.nb) - 1) AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN dd ON p.ka = dd.ka AND p.kb = dd.kb""".stripMargin,
+    // Token-level Jaccard / overlap: DuckDB list ops over distinct
+    // space-split tokens (list_distinct(ta || tb) ≡ Spark array_union).
+    "q_token_level_sims" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), tok AS (
+         |  SELECT ka, kb,
+         |    list_distinct(string_split(trim(na), ' ')) AS ta,
+         |    list_distinct(string_split(trim(nb), ' ')) AS tb
+         |  FROM pairs
+         |)
+         |SELECT ka, kb,
+         |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+         |    CAST(len(list_distinct(ta || tb)) AS DOUBLE) AS tj,
+         |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+         |    CAST(least(len(ta), len(tb)) AS DOUBLE) AS tov
+         |FROM tok""".stripMargin,
     "q_sorted_neighborhood" ->
       """WITH ranked AS (
         |  SELECT c_custkey AS id,

@@ -225,6 +225,25 @@ case class TverskySim(left: Expression, right: Expression, alpha: Double, beta: 
     copy(left = l, right = r)
 }
 
+/** Normalized q-gram profile similarity with compile-time gram size `q`
+  * ([[StrSimKernels.qgram]]): 1 − Σ|countA(g) − countB(g)|/(nA+nB) — the
+  * Ukkonen edit-distance lower-bound filter (lev ≥ d/(2q)). q must be a
+  * foldable 1..3 literal (each gram packs into one long) so codegen bakes
+  * it into the call site. */
+case class QgramSim(left: Expression, right: Expression, q: Int)
+  extends StrSimExpression {
+  require(q >= 1 && q <= 3, s"qgram_sim requires q in 1..3, got $q")
+  override def prettyName: String = "qgram_sim"
+  override protected def kernelMethod: String = "qgram"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.qgram(a, b, q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.strsim.StrSimKernels.qgram($a, $b, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Monge-Elkan similarity with Jaro-Winkler as the inner kernel
   * ([[StrSimKernels.mongeElkanJaroWinkler]]): the hybrid token/char scorer
   * for multi-token entity names, robust to token reordering. Asymmetric by

@@ -88,6 +88,26 @@ package object functions {
   def smith_waterman_sim(a: String, b: String): Column =
     smith_waterman_sim(col(a), col(b))
 
+  /** Normalized q-gram profile similarity (Ukkonen): 1 − Σ|Δcount|/(nA+nB)
+    * over code-point q-grams, q a 1..3 literal — the cheap edit-distance
+    * lower-bound pre-filter (lev ≥ d/(2q)). */
+  def qgram_sim(a: Column, b: Column, q: Int): Column =
+    wrap(QgramSim(expr(a), expr(b), q))
+  def qgram_sim(a: String, b: String, q: Int): Column =
+    qgram_sim(col(a), col(b), q)
+
+  /** Token-level Jaccard over distinct whitespace tokens. */
+  def token_jaccard_sim(a: Column, b: Column): Column =
+    wrap(tokenJaccardExpr(expr(a), expr(b)))
+  def token_jaccard_sim(a: String, b: String): Column =
+    token_jaccard_sim(col(a), col(b))
+
+  /** Token-level overlap (containment) over distinct whitespace tokens. */
+  def token_overlap_sim(a: Column, b: Column): Column =
+    wrap(tokenOverlapExpr(expr(a), expr(b)))
+  def token_overlap_sim(a: String, b: String): Column =
+    token_overlap_sim(col(a), col(b))
+
   /** Tversky index over code-point bags with literal weights α (a-only
     * mass) and β (b-only mass): α=β=1 is Jaccard, α=β=0.5 is Dice. */
   def tversky_sim(a: Column, b: Column, alpha: Double, beta: Double): Column =
@@ -126,6 +146,41 @@ package object functions {
     If(Or(IsNull(a), IsNull(b)), Literal.create(null, DoubleType),
       Greatest(Seq(LevenshteinSim(s0, s1), LevenshteinSim(s0, s2),
         LevenshteinSim(s1, s2))))
+  }
+
+  /** Token-level Jaccard: |ta ∩ tb| / |ta ∪ tb| over DISTINCT whitespace
+    * tokens. Note the [""]-token artifact: split("") = [""], so two
+    * empty/whitespace-only strings share the "" token → 1.0, and
+    * ""-vs-nonempty → 0.0 — exactly the pinned empty contract, for free. */
+  private def tokenJaccardExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct,
+      ArrayIntersect, ArrayUnion, Cast, Divide, If, IsNull, Literal, Or,
+      Size, StringSplit, StringTrim}
+    import org.apache.spark.sql.types.DoubleType
+    def toks(e: Expression): Expression =
+      ArrayDistinct(new StringSplit(new StringTrim(e), Literal("\\s+")))
+    val ta = toks(a)
+    val tb = toks(b)
+    If(Or(IsNull(a), IsNull(b)), Literal.create(null, DoubleType),
+      Divide(Cast(Size(ArrayIntersect(ta, tb)), DoubleType),
+        Cast(Size(ArrayUnion(ta, tb)), DoubleType)))
+  }
+
+  /** Token-level overlap (containment): |ta ∩ tb| / min(|ta|, |tb|) over
+    * distinct whitespace tokens — 1.0 when either token set contains the
+    * other. Same [""]-artifact empty contract as [[tokenJaccardExpr]]. */
+  private def tokenOverlapExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct,
+      ArrayIntersect, Cast, Divide, If, IsNull, Least, Literal, Or, Size,
+      StringSplit, StringTrim}
+    import org.apache.spark.sql.types.DoubleType
+    def toks(e: Expression): Expression =
+      ArrayDistinct(new StringSplit(new StringTrim(e), Literal("\\s+")))
+    val ta = toks(a)
+    val tb = toks(b)
+    If(Or(IsNull(a), IsNull(b)), Literal.create(null, DoubleType),
+      Divide(Cast(Size(ArrayIntersect(ta, tb)), DoubleType),
+        Cast(Least(Seq(Size(ta), Size(tb))), DoubleType)))
   }
 
   /** Token-sort ratio (the fuzzywuzzy classic): Levenshtein similarity of
@@ -272,6 +327,12 @@ package object functions {
     "tversky_sim" -> (es => TverskySim(es(0), es(1),
       litDouble(es(2), "tversky_sim", "alpha"),
       litDouble(es(3), "tversky_sim", "beta"))),
+    // q must be a foldable 1..3 int literal: qgram_sim(a, b, 2)
+    "qgram_sim" -> (es => QgramSim(es(0), es(1),
+      litInt(es(2), "qgram_sim", "q"))),
+    // token-level set scorers — shared catalyst compositions
+    "token_jaccard_sim" -> (es => tokenJaccardExpr(es(0), es(1))),
+    "token_overlap_sim" -> (es => tokenOverlapExpr(es(0), es(1))),
     // k must be a foldable non-negative int literal:
     //   levenshtein_capped(a, b, 2) / levenshtein_within(a, b, 2)
     "levenshtein_capped" -> (es => LevenshteinCapped(es(0), es(1),

@@ -53,6 +53,8 @@ object StrSimKernels {
     var tokLenA: Array[Int] = new Array[Int](16)
     var tokOffB: Array[Int] = new Array[Int](16)
     var tokLenB: Array[Int] = new Array[Int](16)
+    var gramA: Array[Long] = new Array[Long](64)    // packed q-gram bags
+    var gramB: Array[Long] = new Array[Long](64)
   }
 
   private val scratch = new ThreadLocal[Scratch] {
@@ -533,6 +535,67 @@ object StrSimKernels {
     1.0 - dist.toDouble / math.max(nFull, mFull).toDouble
   }
 
+  // ------------------------------------------------------------- q-grams
+
+  private def ensureL(arr: Array[Long], n: Int): Array[Long] =
+    if (arr.length >= n) arr else new Array[Long](java.lang.Integer.highestOneBit(n - 1) << 1)
+
+  /** Normalized q-gram profile similarity (Ukkonen 1992): 1 − d/(nA+nB)
+    * where d = Σ_g |countA(g) − countB(g)| over all UNPADDED q-grams of
+    * code points and nA/nB are the gram counts (max(len−q+1, 0)) — the
+    * classic cheap edit-distance lower-bound filter (lev ≥ d/(2q), so a
+    * q-gram cut admits a superset of any edit cut at ~1/q the cost).
+    * Byte-equal → 1.0; both sides shorter than q → 0.0 unless byte-equal
+    * (no evidence ≠ identity); one side gramless → 0.0 (d = nA+nB).
+    *
+    * q must be 1..3: each gram packs into one long (21 bits per code
+    * point), so the bags sort and merge-count allocation-free in the
+    * per-thread scratch — the same sorted-bag micro-architecture as the
+    * multiset [[jaccard]]. Longer shingles belong to the MinHash tier
+    * (Dedup.minhashSig), not a scalar kernel. */
+  def qgram(a: UTF8String, b: UTF8String, q: Int): Double = {
+    require(q >= 1 && q <= 3, s"qgram_sim requires q in 1..3, got $q")
+    if (a.equals(b)) return 1.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    val na = math.max(n - q + 1, 0)
+    val nb = math.max(m - q + 1, 0)
+    if (na == 0 || nb == 0) return 0.0
+    s.gramA = ensureL(s.gramA, na); s.gramB = ensureL(s.gramB, nb)
+    var i = 0
+    while (i < na) {
+      var g = 0L
+      var k = 0
+      while (k < q) { g = (g << 21) | s.aCp(i + k).toLong; k += 1 }
+      s.gramA(i) = g
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      var g = 0L
+      var k = 0
+      while (k < q) { g = (g << 21) | s.bCp(i + k).toLong; k += 1 }
+      s.gramB(i) = g
+      i += 1
+    }
+    java.util.Arrays.sort(s.gramA, 0, na)
+    java.util.Arrays.sort(s.gramB, 0, nb)
+    // merge-count the L1 distance between the two sorted bags
+    var d = 0
+    var x = 0
+    var y = 0
+    while (x < na && y < nb) {
+      val ga = s.gramA(x); val gb = s.gramB(y)
+      if (ga == gb) { x += 1; y += 1 }
+      else if (ga < gb) { d += 1; x += 1 }
+      else { d += 1; y += 1 }
+    }
+    d += (na - x) + (nb - y)
+    1.0 - d.toDouble / (na + nb).toDouble
+  }
+
   // ---------------------------------------------------------------- LCS
 
   /** Normalized longest-common-subsequence similarity: 2·|LCS|/(|a|+|b|)
@@ -884,4 +947,6 @@ object StrSimKernels {
     needlemanWunsch(UTF8String.fromString(a), UTF8String.fromString(b))
   def smithWaterman(a: String, b: String): Double =
     smithWaterman(UTF8String.fromString(a), UTF8String.fromString(b))
+  def qgram(a: String, b: String, q: Int): Double =
+    qgram(UTF8String.fromString(a), UTF8String.fromString(b), q)
 }
