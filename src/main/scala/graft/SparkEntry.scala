@@ -732,6 +732,16 @@ object SparkEntry {
         graft.operators.MetaBlocking.blockingGraph(metaKeys(s, dir),
           idCol = "id", keyCol = "key", bucketCap = 50), k = 3)),
 
+    // NYSIIS phonetic blocking key (the second classic next to Soundex;
+    // pinned variant documented on TextKernels.nysiis). Oracle replays the
+    // whole algorithm: prefix/suffix CASEs + a recursive CTE walking the
+    // positions with the same first-match-wins transcode rules, dedup
+    // append, and suffix cleanup.
+    "q_nysiis_block" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"),
+          nysiis_key(col("p_name")).as("key"))),
+
     // Block filtering (Papadakis): drop each RECORD from its largest
     // blocks, keeping only its ⌈n/2⌉ smallest (size ASC, key ASC; the
     // per-record budget applied by integer cross-multiplication). Runs
@@ -2912,6 +2922,91 @@ object SparkEntry {
          |SELECT g.url_a, g.url_b, g.cbs, g.blocks_a, g.blocks_b, g.js
          |FROM graph g JOIN kept k
          |  ON g.url_a = k.url_a AND g.url_b = k.url_b""".stripMargin,
+    // NYSIIS: full independent replay of the pinned algorithm — letters-
+    // only uppercase, prefix/suffix transforms, then a recursive CTE over
+    // positions carrying the key built so far (first-match-wins transcode
+    // CASE identical in order to the kernel, NULL = skip, dedup against
+    // the key's last char), and the trailing-S/AY/A cleanup + 6-char
+    // truncation.
+    "q_nysiis_block" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT p_partkey AS id,
+        |         upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS nm0
+        |  FROM part
+        |), pre AS (
+        |  SELECT id, CASE
+        |    WHEN nm0 LIKE 'MAC%' THEN 'MCC' || substr(nm0, 4)
+        |    WHEN nm0 LIKE 'KN%' THEN 'NN' || substr(nm0, 3)
+        |    WHEN nm0 LIKE 'K%' THEN 'C' || substr(nm0, 2)
+        |    WHEN nm0 LIKE 'PH%' OR nm0 LIKE 'PF%' THEN 'FF' || substr(nm0, 3)
+        |    WHEN nm0 LIKE 'SCH%' THEN 'SSS' || substr(nm0, 4)
+        |    ELSE nm0 END AS nm1
+        |  FROM base WHERE length(nm0) > 0
+        |), ab AS (
+        |  SELECT id, CASE
+        |    WHEN nm1 LIKE '%EE' OR nm1 LIKE '%IE'
+        |      THEN substr(nm1, 1, length(nm1) - 2) || 'Y'
+        |    WHEN nm1 LIKE '%DT' OR nm1 LIKE '%RT' OR nm1 LIKE '%RD'
+        |      OR nm1 LIKE '%NT' OR nm1 LIKE '%ND'
+        |      THEN substr(nm1, 1, length(nm1) - 2) || 'D'
+        |    ELSE nm1 END AS nm
+        |  FROM pre
+        |), it AS (
+        |  SELECT id, nm, 2 AS i, substr(nm, 1, 1) AS key FROM ab
+        |  UNION ALL
+        |  SELECT id, nm, i + 1,
+        |    CASE WHEN tc IS NULL OR tc = substr(key, length(key), 1)
+        |         THEN key ELSE key || tc END
+        |  FROM (
+        |    SELECT id, nm, i, key,
+        |      CASE
+        |        WHEN cur = 'S' AND nxt = 'C' AND nxt2 = 'H' THEN 'S'
+        |        WHEN cur = 'C' AND prv = 'S' AND nxt = 'H' THEN 'S'
+        |        WHEN cur = 'H' AND prv = 'C' AND prv2 = 'S' THEN 'S'
+        |        WHEN cur = 'P' AND nxt = 'H' THEN 'F'
+        |        WHEN cur = 'H' AND prv = 'P' THEN 'F'
+        |        WHEN cur = 'V' AND prv = 'E' THEN 'F'
+        |        WHEN cur IN ('A','E','I','O','U') THEN 'A'
+        |        WHEN cur = 'Q' THEN 'G'
+        |        WHEN cur = 'Z' THEN 'S'
+        |        WHEN cur = 'M' THEN 'N'
+        |        WHEN cur = 'K' THEN
+        |          CASE WHEN nxt = 'N' THEN NULL ELSE 'C' END
+        |        WHEN cur = 'H' THEN
+        |          CASE WHEN prv IN ('A','E','I','O','U')
+        |                AND nxt IN ('A','E','I','O','U')
+        |               THEN 'H' ELSE NULL END
+        |        WHEN cur = 'W' THEN
+        |          CASE WHEN prv IN ('A','E','I','O','U') THEN NULL
+        |               ELSE 'W' END
+        |        ELSE cur
+        |      END AS tc
+        |    FROM (
+        |      SELECT id, nm, i, key,
+        |        substr(nm, i, 1) AS cur,
+        |        substr(nm, i - 1, 1) AS prv,
+        |        CASE WHEN i >= 3 THEN substr(nm, i - 2, 1) ELSE ' ' END AS prv2,
+        |        substr(nm, i + 1, 1) AS nxt,
+        |        substr(nm, i + 2, 1) AS nxt2
+        |      FROM it WHERE i <= length(nm)) q0) q1
+        |), fin AS (
+        |  SELECT id, key FROM it WHERE i = length(nm) + 1
+        |), clean AS (
+        |  SELECT id,
+        |    CASE WHEN length(key) > 1 AND key LIKE '%S'
+        |         THEN substr(key, 1, length(key) - 1) ELSE key END AS k1
+        |  FROM fin
+        |), clean2 AS (
+        |  SELECT id, CASE WHEN k1 LIKE '%AY'
+        |    THEN substr(k1, 1, length(k1) - 2) || 'Y' ELSE k1 END AS k2
+        |  FROM clean
+        |), clean3 AS (
+        |  SELECT id, CASE WHEN length(k2) > 1 AND k2 LIKE '%A'
+        |    THEN substr(k2, 1, length(k2) - 1) ELSE k2 END AS k3
+        |  FROM clean2
+        |)
+        |SELECT b.id, coalesce(substr(c.k3, 1, 6), '') AS key
+        |FROM base b LEFT JOIN clean3 c ON b.id = c.id""".stripMargin,
     // Block filtering: per-record rank of blocks by (size ASC, key ASC),
     // budget ⌈n/2⌉ applied by the SAME integer cross-multiplication the
     // Scala uses (n·1 > (rank−1)·2) — no division on either side. Sizes

@@ -56,6 +56,20 @@ case class RepetitionCounters(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** NYSIIS phonetic key ([[graft.strsim.TextKernels.nysiis]]) — the second
+  * classic phonetic blocking key next to Soundex; full consonant skeleton,
+  * truncated to the classic 6 chars. Pinned variant documented on the
+  * kernel. */
+case class NysiisKey(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "nysiis_key"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.nysiis(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.nysiis($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Min rolling-hash document fingerprint over byte k-grams. */
 case class MinKGramHash(child: Expression, k: Int) extends TextHashExpression {
   require(k > 0, "k must be positive")

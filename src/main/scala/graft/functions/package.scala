@@ -230,6 +230,10 @@ package object functions {
   /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
   def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
 
+  /** NYSIIS phonetic key (pinned variant; see TextKernels.nysiis). */
+  def nysiis_key(c: Column): Column = wrap(NysiisKey(expr(c)))
+  def nysiis_key(c: String): Column = nysiis_key(col(c))
+
   /** Gopher-style repetition counters (array<long> of 6 — line instances,
     * dup line instances, dup line chars, total line chars, top bigram
     * coverage, total word chars); fractions derive by integer division. */
@@ -359,6 +363,7 @@ package object functions {
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
       litInt(es(1), "min_kgram_hash", "k"))),
+    "nysiis_key" -> (es => NysiisKey(es(0))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

@@ -235,4 +235,99 @@ object TextKernels {
     }
     minH
   }
+
+  // ---------------------------------------------------------------- NYSIIS
+
+  private def isVowel(c: Char): Boolean =
+    c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U'
+
+  /** NYSIIS phonetic key (Taft 1970, the New York State Identification and
+    * Intelligence System code) — the second classic phonetic blocking key
+    * next to [[graft.operators.Phonetic.soundexKey]]: better suited to
+    * vowel-heavy and non-Anglo surnames because it keeps a full consonant
+    * skeleton instead of Soundex's 3-digit truncation.
+    *
+    * PINNED variant (documented here because published NYSIIS
+    * implementations disagree on the H/W and multi-char interior rules;
+    * the DuckDB oracle replays EXACTLY these steps):
+    *
+    *  1. uppercase, strip everything outside A-Z; empty → "".
+    *  2. prefix: MAC→MCC, KN→NN, K→C, PH→FF, PF→FF, SCH→SSS.
+    *  3. suffix: EE/IE→Y; DT/RT/RD/NT/ND→D.
+    *  4. key = first char; for each later position with (prev, cur, next)
+    *     read from the step-2/3 string (NOT the key built so far), the
+    *     first matching rule wins:
+    *       S[CH]→S, [S]C[H]→S, [SC]H→S   (SCH→SSS anywhere)
+    *       P[H]→F, [P]H→F                (PH→FF)
+    *       [E]V→F; vowels→A; Q→G; Z→S; M→N
+    *       K→ skip if next is N, else C  (the N itself survives)
+    *       H→ keep only between two vowels, else skip
+    *       W→ skip after a vowel, else W
+    *       otherwise → itself
+    *     append iff ≠ the last appended char (collapse runs).
+    *  5. drop trailing S (if longer than 1), AY→Y, drop trailing A (if
+    *     longer than 1); truncate to 6 (the classic key width).
+    */
+  def nysiis(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val up = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = Character.toUpperCase(raw.charAt(i))
+      if (c >= 'A' && c <= 'Z') up.append(c)
+      i += 1
+    }
+    if (up.isEmpty) return UTF8String.EMPTY_UTF8
+    var nm = up.toString
+    // step 2: prefix
+    if (nm.startsWith("MAC")) nm = "MCC" + nm.substring(3)
+    else if (nm.startsWith("KN")) nm = "NN" + nm.substring(2)
+    else if (nm.startsWith("K")) nm = "C" + nm.substring(1)
+    else if (nm.startsWith("PH") || nm.startsWith("PF")) nm = "FF" + nm.substring(2)
+    else if (nm.startsWith("SCH")) nm = "SSS" + nm.substring(3)
+    // step 3: suffix
+    if (nm.endsWith("EE") || nm.endsWith("IE"))
+      nm = nm.substring(0, nm.length - 2) + "Y"
+    else if (nm.endsWith("DT") || nm.endsWith("RT") || nm.endsWith("RD") ||
+        nm.endsWith("NT") || nm.endsWith("ND"))
+      nm = nm.substring(0, nm.length - 2) + "D"
+    // step 4: transcode against the FIXED post-prefix/suffix string
+    val key = new StringBuilder(nm.length)
+    key.append(nm.charAt(0))
+    i = 1
+    while (i < nm.length) {
+      val cur = nm.charAt(i)
+      val prev = nm.charAt(i - 1)
+      val prev2 = if (i >= 2) nm.charAt(i - 2) else ' '
+      val next = if (i + 1 < nm.length) nm.charAt(i + 1) else ' '
+      val next2 = if (i + 2 < nm.length) nm.charAt(i + 2) else ' '
+      // ' ' = skip (emit nothing)
+      val tc: Char =
+        if (cur == 'S' && next == 'C' && next2 == 'H') 'S'
+        else if (cur == 'C' && prev == 'S' && next == 'H') 'S'
+        else if (cur == 'H' && prev == 'C' && prev2 == 'S') 'S'
+        else if (cur == 'P' && next == 'H') 'F'
+        else if (cur == 'H' && prev == 'P') 'F'
+        else if (cur == 'V' && prev == 'E') 'F'
+        else if (isVowel(cur)) 'A'
+        else if (cur == 'Q') 'G'
+        else if (cur == 'Z') 'S'
+        else if (cur == 'M') 'N'
+        else if (cur == 'K') { if (next == 'N') ' ' else 'C' }
+        else if (cur == 'H') { if (isVowel(prev) && isVowel(next)) 'H' else ' ' }
+        else if (cur == 'W') { if (isVowel(prev)) ' ' else 'W' }
+        else cur
+      if (tc != ' ' && tc != key.charAt(key.length - 1)) key.append(tc)
+      i += 1
+    }
+    // step 5: suffix cleanup + classic 6-char truncation
+    var k = key.toString
+    if (k.length > 1 && k.endsWith("S")) k = k.substring(0, k.length - 1)
+    if (k.endsWith("AY")) k = k.substring(0, k.length - 2) + "Y"
+    if (k.length > 1 && k.endsWith("A")) k = k.substring(0, k.length - 1)
+    if (k.length > 6) k = k.substring(0, 6)
+    UTF8String.fromString(k)
+  }
+
+  def nysiis(s: String): String = nysiis(UTF8String.fromString(s)).toString
 }

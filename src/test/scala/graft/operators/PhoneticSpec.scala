@@ -38,4 +38,52 @@ class PhoneticSpec extends SparkFunSuite {
       .select(Phonetic.soundexKey(col("name"))).head()
     assert(r.isNullAt(0))
   }
+
+  // ----------------------------------------------------------------- NYSIIS
+
+  /** Hand-derived per the PINNED rules on TextKernels.nysiis (step-by-step
+    * derivations in the comments — these DEFINE the variant). */
+  private val nysiisVectors = Seq(
+    // KN→NN prefix; I→A; GH: H between G,T dropped → NAGT
+    "KNIGHT" -> "NAGT",
+    // SCH→SSS prefix collapses to one S; DT→D suffix; M→N → SNAD
+    "SCHMIDT" -> "SNAD",
+    // PH→FF prefix; LL collapses; trailing S dropped → FALAP
+    "PHILLIPS" -> "FALAP",
+    // FILLIPS lands on the same key — the phonetic point
+    "FILLIPS" -> "FALAP",
+    // MAC→MCC prefix; CC collapses; EO → A (run-collapsed) → MCLAD
+    "MACLEOD" -> "MCLAD",
+    // ND→D suffix; W kept (word-initial, not post-vowel); 6-char truncation
+    // of WASTARLAD
+    "WESTERLUND" -> "WASTAR",
+    // W after vowel O skipped → BRAN
+    "BROWN" -> "BRAN",
+    // punctuation stripped; IE inside (no suffix hit); E,I→A collapse
+    "O'Brien" -> "OBRAN",
+    // first char kept raw (even a vowel); V after E → F; trailing S dropped
+    "EVERS" -> "EFAR",
+    // case-insensitive; interior U→A (dup-collapsed with A); Z→S which the
+    // trailing-S cleanup then drops; the leading Q survives raw — only
+    // interior Qs map to G
+    "quartz" -> "QART",
+    "" -> "", "123" -> "", "  " -> "")
+
+  test("nysiis_key matches the pinned hand-derived vectors (codegen + SQL)") {
+    import spark.implicits._
+    val df = nysiisVectors.map(_._1).toDF("name")
+    val got = df.select(col("name"), graft.functions.nysiis_key(col("name")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    nysiisVectors.foreach { case (name, want) =>
+      assert(got(name) == want, s"nysiis($name)")
+      assert(graft.strsim.TextKernels.nysiis(name) == want, s"kernel nysiis($name)")
+    }
+    df.createOrReplaceTempView("ny_names")
+    val sql = spark.sql("SELECT name, nysiis_key(name) FROM ny_names")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    nysiisVectors.foreach { case (name, want) => assert(sql(name) == want) }
+    val n = Seq[Option[String]](None).toDF("name")
+      .select(graft.functions.nysiis_key(col("name"))).head()
+    assert(n.isNullAt(0))
+  }
 }
