@@ -388,6 +388,21 @@ object SparkEntry {
     """FROM part a JOIN part b
       | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey""".stripMargin
 
+  /** Zobel-Dart letter-group bitmask of an upper-cased char `ch` (bound by
+    * the enclosing DuckDB lambda) — groups overlap, mirroring
+    * [[graft.strsim.StrSimKernels]]'s editexMask bit-for-bit. */
+  private val editexMaskSql =
+    """((CASE WHEN ch IN ('A','E','I','O','U','Y') THEN 1 ELSE 0 END)
+      | + (CASE WHEN ch IN ('B','P') THEN 2 ELSE 0 END)
+      | + (CASE WHEN ch IN ('C','K','Q') THEN 4 ELSE 0 END)
+      | + (CASE WHEN ch IN ('D','T') THEN 8 ELSE 0 END)
+      | + (CASE WHEN ch IN ('L','R') THEN 16 ELSE 0 END)
+      | + (CASE WHEN ch IN ('M','N') THEN 32 ELSE 0 END)
+      | + (CASE WHEN ch IN ('G','J') THEN 64 ELSE 0 END)
+      | + (CASE WHEN ch IN ('F','P','V') THEN 128 ELSE 0 END)
+      | + (CASE WHEN ch IN ('S','X','Z') THEN 256 ELSE 0 END)
+      | + (CASE WHEN ch IN ('C','S','Z') THEN 512 ELSE 0 END))""".stripMargin
+
   /** Multiset (bag-of-chars) similarity oracle: explode both strings to
     * per-char counts, then Σmin / Σmax (jaccard) or 2Σmin / (|a|+|b|)
     * (dice). Matches reference strsim.rs:286-344 semantics relationally. */
@@ -596,6 +611,28 @@ object SparkEntry {
       .select(col("ka"), col("kb"),
         token_jaccard_sim(col("na"), col("nb")).as("tj"),
         token_overlap_sim(col("na"), col("nb")).as("tov"))),
+
+    // Editex (round 5): the phonetic-aware edit distance (Zobel-Dart
+    // letter-group substitutions, H/W silent context, free tapering
+    // doubles) — the edit-DISTANCE view of phonetic matching where
+    // Soundex/NYSIIS give only the blocking-KEY view. The oracle replays
+    // the FULL position-dependent-cost DP as a recursive CTE (q_osa_sim
+    // sliding-window technique) with packed char-code·1024+group-mask
+    // lists and both border-cost arrays precomputed per pair; a heavier
+    // double-key subsample (%41/%13) keeps its ~1.2k-cell-per-pair
+    // recursion tractable at sf0.1 (~15k pairs).
+    "q_editex_sim" -> ((s, dir) => partPairs(s, dir)
+      .where(col("ka") % 41 === 0 && col("kb") % 13 === 0)
+      .select(col("ka"), col("kb"), editex_sim(col("na"), col("nb")).as("sim"))),
+
+    // Longest-common-SUBSTRING similarity (round 5): |longest contiguous
+    // shared run|/max len — strict under proper containment where
+    // smith_waterman_sim saturates at 1.0. Oracle is purely relational:
+    // every substring of the shorter side (double unnest over start ×
+    // length), position() containment in the longer, max length per pair.
+    "q_lcsstr_sim" -> ((s, dir) => partPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"), lcsstr_sim(col("na"), col("nb")).as("sim"))),
 
     // Unicode similarity gate: the shared testdata is all-ASCII, so the
     // byte-vs-code-point divergence the kernels are built around never
@@ -2662,6 +2699,114 @@ object SparkEntry {
          |  END AS sim
          |FROM pairs p
          |LEFT JOIN dd ON p.ka = dd.ka AND p.kb = dd.kb""".stripMargin,
+    // Editex: full DP replay with position-dependent costs. Each char is
+    // packed as code·1024 + Zobel-Dart group bitmask (groups OVERLAP, so
+    // "same group" is a nonzero mask intersection, never an id compare);
+    // both border-cost arrays (sentinel 2 at position 1, free doubles,
+    // H/W silent context) are precomputed per pair, then the q_osa_sim
+    // sliding-window recursion walks the (n+1)×(m+1) matrix one cell per
+    // step. Case fold via upper() ≡ the kernel's ASCII fold on this
+    // all-ASCII corpus.
+    "q_editex_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |  AND a.p_partkey % 41 = 0 AND b.p_partkey % 13 = 0
+         |), prep0 AS (
+         |  SELECT ka, kb,
+         |    list_transform(string_split(upper(na), ''), ch ->
+         |      unicode(ch) * 1024 + $editexMaskSql) AS ca,
+         |    list_transform(string_split(upper(nb), ''), ch ->
+         |      unicode(ch) * 1024 + $editexMaskSql) AS cb,
+         |    length(na) AS n, length(nb) AS m
+         |  FROM pairs
+         |  WHERE upper(na) <> upper(nb) AND length(na) > 0 AND length(nb) > 0
+         |), prep AS (
+         |  SELECT ka, kb, ca, cb, n, m,
+         |    list_transform(range(1, n + 1), i -> CASE
+         |        WHEN i = 1 THEN 2
+         |        WHEN ca[CAST(i AS INT) - 1] = ca[CAST(i AS INT)] THEN 0
+         |        WHEN ca[CAST(i AS INT) - 1] // 1024 IN (72, 87) THEN 1
+         |        WHEN (ca[CAST(i AS INT) - 1] % 1024)
+         |             & (ca[CAST(i AS INT)] % 1024) <> 0 THEN 1
+         |        ELSE 2 END) AS dca,
+         |    list_transform(range(1, m + 1), j -> CASE
+         |        WHEN j = 1 THEN 2
+         |        WHEN cb[CAST(j AS INT) - 1] = cb[CAST(j AS INT)] THEN 0
+         |        WHEN cb[CAST(j AS INT) - 1] // 1024 IN (72, 87) THEN 1
+         |        WHEN (cb[CAST(j AS INT) - 1] % 1024)
+         |             & (cb[CAST(j AS INT)] % 1024) <> 0 THEN 1
+         |        ELSE 2 END) AS dcb
+         |  FROM prep0
+         |), dp AS (
+         |  SELECT ka, kb, ca, cb, dca, dcb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         list_transform(range(1, 2*m + 5), k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT ka, kb, ca, cb, dca, dcb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 THEN nw[m+4] + dca[(t+1)//(m+1)]
+         |      WHEN (t+1) // (m+1) = 0 THEN nw[2*m+4] + dcb[(t+1)%(m+1)]
+         |      ELSE least(
+         |        nw[m+4] + dca[(t+1)//(m+1)],
+         |        nw[2*m+4] + dcb[(t+1)%(m+1)],
+         |        nw[m+3] + CASE
+         |          WHEN ca[(t+1)//(m+1)] = cb[(t+1)%(m+1)] THEN 0
+         |          WHEN (ca[(t+1)//(m+1)] % 1024)
+         |               & (cb[(t+1)%(m+1)] % 1024) <> 0 THEN 1
+         |          ELSE 2 END)
+         |    END AS cell,
+         |    nw AS win
+         |  FROM (SELECT *, win[2:] || [cell] AS nw
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN upper(p.na) = upper(p.nb) THEN CAST(1.0 AS DOUBLE)
+         |       WHEN length(p.na) = 0 OR length(p.nb) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) - CAST(d.cell AS DOUBLE) /
+         |            (CAST(2.0 AS DOUBLE) *
+         |             CAST(greatest(length(p.na), length(p.nb)) AS DOUBLE))
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
+    // Longest common substring: relational — every substring of the
+    // SHORTER side (start × length double unnest), position() containment
+    // in the longer, max length per pair; sim = best/max(n,m).
+    "q_lcsstr_sim" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |  AND a.p_partkey % 17 = 0 AND b.p_partkey % 5 = 0
+         |), prep AS (
+         |  SELECT ka, kb,
+         |         CASE WHEN length(na) <= length(nb) THEN na ELSE nb END AS s,
+         |         CASE WHEN length(na) <= length(nb) THEN nb ELSE na END AS t
+         |  FROM pairs WHERE na <> nb AND length(na) > 0 AND length(nb) > 0
+         |), pos AS (
+         |  SELECT ka, kb, s, t, unnest(range(1, length(s) + 1)) AS i FROM prep
+         |), subs AS (
+         |  SELECT ka, kb, t, CAST(i AS INT) AS i, s,
+         |         unnest(range(1, length(s) - i + 2)) AS l
+         |  FROM pos
+         |), runs AS (
+         |  SELECT ka, kb, max(l) AS best
+         |  FROM subs
+         |  WHERE position(substr(s, i, CAST(l AS INT)) IN t) > 0
+         |  GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       WHEN length(p.na) = 0 OR length(p.nb) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(coalesce(r.best, 0) AS DOUBLE) /
+         |            CAST(greatest(length(p.na), length(p.nb)) AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN runs r ON p.ka = r.ka AND p.kb = r.kb""".stripMargin,
     // Token-level Jaccard / overlap: DuckDB list ops over distinct
     // space-split tokens (list_distinct(ta || tb) ≡ Spark array_union).
     "q_token_level_sims" ->

@@ -204,6 +204,32 @@ case class SmithWatermanSim(left: Expression, right: Expression) extends StrSimE
     copy(left = l, right = r)
 }
 
+/** Normalized Editex similarity ([[StrSimKernels.editex]]): the
+  * phonetic-aware edit distance (Zobel-Dart letter groups, H/W
+  * silent-context and free-double deletions), mapped to [0,1] by
+  * 1 − dist/(2·max len). The pinned variant is documented on the kernel. */
+case class EditexSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "editex_sim"
+  override protected def kernelMethod: String = "editex"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.editex(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Normalized longest-common-SUBSTRING similarity
+  * ([[StrSimKernels.lcsstr]]): |longest contiguous shared run| / max len —
+  * the contiguous counterpart of [[LcsSim]], strict under proper
+  * containment where [[SmithWatermanSim]] saturates. */
+case class LcsStrSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "lcsstr_sim"
+  override protected def kernelMethod: String = "lcsstr"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.lcsstr(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Tversky index over code-point bags with compile-time weights α (a-only
   * mass) and β (b-only mass) — [[StrSimKernels.tversky]]. α and β must be
   * foldable non-negative finite literals so codegen bakes them into the

@@ -96,6 +96,20 @@ package object functions {
   def qgram_sim(a: String, b: String, q: Int): Column =
     qgram_sim(col(a), col(b), q)
 
+  /** Normalized Editex similarity (Zobel-Dart phonetic edit distance:
+    * letter-group substitutions, H/W silent-context and free-double
+    * deletions; 1 − dist/(2·max len)) — the edit-distance view of
+    * phonetic matching, where [[nysiis_key]]/Soundex give only the
+    * blocking-key view. */
+  def editex_sim(a: Column, b: Column): Column = wrap(EditexSim(expr(a), expr(b)))
+  def editex_sim(a: String, b: String): Column = editex_sim(col(a), col(b))
+
+  /** Longest-common-substring similarity: |longest contiguous shared
+    * run|/max(|a|,|b|) — strict under proper containment where
+    * [[smith_waterman_sim]] saturates at 1.0. */
+  def lcsstr_sim(a: Column, b: Column): Column = wrap(LcsStrSim(expr(a), expr(b)))
+  def lcsstr_sim(a: String, b: String): Column = lcsstr_sim(col(a), col(b))
+
   /** Token-level Jaccard over distinct whitespace tokens. */
   def token_jaccard_sim(a: Column, b: Column): Column =
     wrap(tokenJaccardExpr(expr(a), expr(b)))
@@ -326,6 +340,8 @@ package object functions {
     "lcs_sim" -> (es => LcsSim(es(0), es(1))),
     "needleman_wunsch_sim" -> (es => NeedlemanWunschSim(es(0), es(1))),
     "smith_waterman_sim" -> (es => SmithWatermanSim(es(0), es(1))),
+    "editex_sim" -> (es => EditexSim(es(0), es(1))),
+    "lcsstr_sim" -> (es => LcsStrSim(es(0), es(1))),
     // alpha/beta must be foldable non-negative numeric literals:
     //   tversky_sim(a, b, 0.25, 0.75)
     "tversky_sim" -> (es => TverskySim(es(0), es(1),

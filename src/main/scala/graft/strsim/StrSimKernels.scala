@@ -913,6 +913,146 @@ object StrSimKernels {
     n
   }
 
+  // ------------------------------------------------------------------ Editex
+
+  /** Zobel-Dart letter-group bitmask of an ASCII-case-folded code point:
+    * bit k set ⇔ membership in group k of {aeiouy, bp, ckq, dt, lr, mn,
+    * gj, fpv, sxz, csz}. The groups OVERLAP (p, c, s, z each sit in two),
+    * so "same group" is a nonzero mask intersection — never a single
+    * group id. Non-Latin code points carry mask 0 (each its own
+    * singleton group: cost 0 only on equality). */
+  private def editexMask(cp: Int): Int = cp match {
+    case 'A' | 'E' | 'I' | 'O' | 'U' | 'Y' => 1
+    case 'B' => 2
+    case 'P' => 2 | 128
+    case 'C' => 4 | 512
+    case 'K' | 'Q' => 4
+    case 'D' | 'T' => 8
+    case 'L' | 'R' => 16
+    case 'M' | 'N' => 32
+    case 'G' | 'J' => 64
+    case 'F' | 'V' => 128
+    case 'S' => 256 | 512
+    case 'X' => 256
+    case 'Z' => 256 | 512
+    case _ => 0
+  }
+
+  /** ASCII-only upcase fold (Editex is defined on the Latin alphabet; the
+    * pinned variant leaves every other code point unfolded/ungrouped). */
+  private def foldAscii(cp: Int): Int =
+    if (cp >= 'a' && cp <= 'z') cp - 32 else cp
+
+  /** Editex substitution cost over folded code points: 0 equal, 1 same
+    * letter group (any shared group — they overlap), 2 otherwise. */
+  private def editexR(x: Int, y: Int): Int =
+    if (x == y) 0 else if ((editexMask(x) & editexMask(y)) != 0) 1 else 2
+
+  /** Editex deletion cost of `cur` given its left neighbor `prev` IN THE
+    * SAME STRING: 0 for a repeated code point (tapering doubles are
+    * free), 1 when the neighbor is H or W (silent-letter context), else
+    * the group cost — the rule that makes Editex phonetic where plain
+    * Levenshtein is typographic. */
+  private def editexD(prev: Int, cur: Int): Int =
+    if (prev == cur) 0 else if (prev == 'H' || prev == 'W') 1 else editexR(prev, cur)
+
+  /** Normalized Editex similarity (Zobel & Dart 1996): edit distance whose
+    * substitution cost is 0/1/2 by letter group and whose insert/delete
+    * cost depends on the char's left neighbor (see [[editexD]]), mapped to
+    * [0,1] by 1 − dist/(2·max(|a|,|b|)) — the diagonal DP path bounds
+    * dist ≤ 2·max. PINNED variant (published implementations disagree on
+    * sentinels and case): ASCII-case-folded code points; the FIRST
+    * insert/delete of a string has no left neighbor and costs the
+    * sentinel rate 2; byte-equal → 1.0, both-empty → 1.0, one-empty →
+    * 0.0. NOT affix-trimmed — border and deletion costs reference the
+    * left neighbor, so an equal affix is not cost-isolated the way it is
+    * for Levenshtein. Two-row rolling DP, O(min memory) via the shared
+    * scratch. */
+  def editex(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    if (n == 0 && m == 0) return 1.0
+    if (n == 0 || m == 0) return 0.0
+    var i = 0
+    while (i < n) { s.aCp(i) = foldAscii(s.aCp(i)); i += 1 }
+    var j = 0
+    while (j < m) { s.bCp(j) = foldAscii(s.bCp(j)); j += 1 }
+    val w = m + 1
+    s.dp = ensure(s.dp, 2 * w)
+    val d = s.dp
+    d(0) = 0
+    j = 1
+    while (j <= m) {
+      d(j) = d(j - 1) + (if (j == 1) 2 else editexD(s.bCp(j - 2), s.bCp(j - 1)))
+      j += 1
+    }
+    i = 1
+    while (i <= n) {
+      val cur = (i & 1) * w
+      val prev = ((i + 1) & 1) * w
+      val ai = s.aCp(i - 1)
+      val da = if (i == 1) 2 else editexD(s.aCp(i - 2), ai)
+      d(cur) = d(prev) + da
+      j = 1
+      while (j <= m) {
+        val bj = s.bCp(j - 1)
+        var best = d(prev + j) + da
+        val ins = d(cur + j - 1) + (if (j == 1) 2 else editexD(s.bCp(j - 2), bj))
+        if (ins < best) best = ins
+        val sub = d(prev + j - 1) + editexR(ai, bj)
+        if (sub < best) best = sub
+        d(cur + j) = best
+        j += 1
+      }
+      i += 1
+    }
+    val dist = d((n & 1) * w + m)
+    1.0 - dist.toDouble / (2.0 * math.max(n, m).toDouble)
+  }
+
+  // ------------------------------------------- Longest common substring
+
+  /** Normalized longest-common-SUBSTRING similarity: |longest contiguous
+    * shared run| / max(|a|,|b|) code points — 1.0 iff equal, and strictly
+    * below 1.0 for proper containment (unlike [[smithWaterman]], which
+    * saturates there); the contiguous counterpart of [[lcs]]. Byte-equal
+    * → 1.0, one side empty → 0.0. NOT affix-trimmed (the longest run may
+    * span an affix boundary). Two-row rolling DP of run lengths with a
+    * running max. */
+  def lcsstr(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    val w = m + 1
+    s.dp = ensure(s.dp, 2 * w)
+    val d = s.dp
+    var best = 0
+    var j = 0
+    while (j <= m) { d(j) = 0; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val cur = (i & 1) * w
+      val prev = ((i + 1) & 1) * w
+      val ai = s.aCp(i - 1)
+      d(cur) = 0
+      j = 1
+      while (j <= m) {
+        val run = if (ai == s.bCp(j - 1)) d(prev + j - 1) + 1 else 0
+        d(cur + j) = run
+        if (run > best) best = run
+        j += 1
+      }
+      i += 1
+    }
+    best.toDouble / math.max(n, m).toDouble
+  }
+
   // ------------------------------------------------------- String conveniences
 
   def levenshtein(a: String, b: String): Double =
@@ -949,4 +1089,8 @@ object StrSimKernels {
     smithWaterman(UTF8String.fromString(a), UTF8String.fromString(b))
   def qgram(a: String, b: String, q: Int): Double =
     qgram(UTF8String.fromString(a), UTF8String.fromString(b), q)
+  def editex(a: String, b: String): Double =
+    editex(UTF8String.fromString(a), UTF8String.fromString(b))
+  def lcsstr(a: String, b: String): Double =
+    lcsstr(UTF8String.fromString(a), UTF8String.fromString(b))
 }
