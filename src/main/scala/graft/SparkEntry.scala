@@ -1199,6 +1199,18 @@ object SparkEntry {
       Seq("lang", "source"), tau = 0.5, bucketCap = 8, hardCap = 13,
       saltGroups = 8)),
 
+    // Prefix-filtered set-similarity self-join (round 5): the EXACT
+    // sub-quadratic Jaccard join (AllPairs/Vernica prefix filter over
+    // rarest-first token orderings) — where MinHash-LSH trades recall for
+    // speed, this misses nothing >= tau by construction. bucketCap=40
+    // forces the salted tier to actually run in the gated plan (both
+    // tiers are lossless, so the oracle is tier-blind brute force). The
+    // %2 subsample keeps the oracle's all-pairs verification tractable at
+    // sf0.1; the Spark side scales sub-quadratically and doesn't need it.
+    "q_setsim_join" -> ((s, dir) => graft.operators.SetSimJoin.prefixJaccardPairs(
+      s.read.parquet(s"$dir/documents.parquet").where(col("doc_id") % 2 === 0),
+      "doc_id", "text", tau = 0.95, bucketCap = 40, saltGroups = 8)),
+
     // MinHash-LSH near-dup (sub-quadratic path). sha256 family → the full
     // pipeline (signature, banding, bucket cap, candidate join, exact
     // verification) is hash-checked against a DuckDB re-derivation.
@@ -3464,6 +3476,24 @@ object SparkEntry {
         |FROM hashed h JOIN canon c USING (content_hash)""".stripMargin,
     "q_dedup_ngram_jaccard" -> dedupNgramOracle(None),
     "q_dedup_ngram_capped" -> dedupNgramOracle(Some(13)),
+    // Prefix-filter join oracle: tier-blind brute force — ALL pairs of the
+    // subsampled corpus, exact distinct-token Jaccard, threshold at a
+    // DOUBLE-cast tau. The prefix/length/salt machinery is lossless below
+    // hardCap (default: unbounded), so completeness of the filtered join
+    // is exactly what equality against this proves.
+    "q_setsim_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |)
+        |SELECT ia, ib, jaccard FROM p
+        |WHERE jaccard >= CAST(0.95 AS DOUBLE)""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
