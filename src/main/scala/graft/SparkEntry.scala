@@ -583,6 +583,17 @@ object SparkEntry {
       .select(col("ka"), col("kb"),
         smith_waterman_sim(col("na"), col("nb")).as("sim"))),
 
+    // Affine-gap (Gotoh) alignment (round 5): three-state DP where a gap
+    // of length L costs 1 + 0.5(L-1) — completes the alignment family
+    // (NW unit-gap / SW local / LCS / LCSstr). The oracle replays the
+    // full Gotoh recursion as a recursive CTE carrying THREE parallel
+    // sliding windows (M/X/Y states), one cell-triple per step; all
+    // arithmetic is the kernel's exact half-unit integers.
+    "q_affine_gap_sim" -> ((s, dir) => customerPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"),
+        affine_gap_sim(col("na"), col("nb")).as("sim"))),
+
     // Token-order-robust ratios (the fuzzywuzzy pair), composed purely
     // from stock codegen expressions under levenshtein_sim — no bespoke
     // kernel. token_sort: Levenshtein over sorted-token strings;
@@ -2646,6 +2657,67 @@ object SparkEntry {
          |  END AS sim
          |FROM pairs p
          |LEFT JOIN (SELECT ka, kb, best FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
+    // Affine gap (Gotoh): the full three-state recursion replayed with
+    // THREE parallel sliding windows (wm/wx/wy for the M/X/Y matrices),
+    // one (cm,cx,cy) triple per step. Borders: X(i,0) = -(i+1) (one gap
+    // of length i in half-units), Y(0,j) = -(j+1), M off-origin = -inf
+    // (-1e9 sentinel — never surfaces: best >= -2*max(n,m)). sim = 0.5 +
+    // best/(4*max) in exact half-unit integers, matching the kernel.
+    "q_affine_gap_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |         a.c_name AS na, b.c_name AS nb
+         |  $customerPairsSql
+         |  AND a.c_custkey % 17 = 0 AND b.c_custkey % 5 = 0
+         |), prep AS (
+         |  SELECT ka, kb, string_split(na, '') AS xa, string_split(nb, '') AS xb,
+         |         length(na) AS n, length(nb) AS m
+         |  FROM pairs WHERE na <> nb
+         |), dp AS (
+         |  SELECT ka, kb, xa, xb, n, m,
+         |         0 AS t,
+         |         CAST(0 AS BIGINT) AS cm,
+         |         CAST(-1000000000 AS BIGINT) AS cx,
+         |         CAST(-1000000000 AS BIGINT) AS cy,
+         |         list_transform(range(1, 2*m + 5), q -> CAST(NULL AS BIGINT)) AS wm,
+         |         list_transform(range(1, 2*m + 5), q -> CAST(NULL AS BIGINT)) AS wx,
+         |         list_transform(range(1, 2*m + 5), q -> CAST(NULL AS BIGINT)) AS wy
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT ka, kb, xa, xb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 OR (t+1) // (m+1) = 0
+         |        THEN CAST(-1000000000 AS BIGINT)
+         |      ELSE greatest(nm[m+3], nx[m+3], ny[m+3]) +
+         |           (CASE WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)]
+         |                 THEN 2 ELSE -2 END)
+         |    END AS cm,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 THEN CAST(-((t+1)//(m+1)) - 1 AS BIGINT)
+         |      WHEN (t+1) // (m+1) = 0 THEN CAST(-1000000000 AS BIGINT)
+         |      ELSE greatest(nm[m+4] - 2, nx[m+4] - 1)
+         |    END AS cx,
+         |    CASE
+         |      WHEN (t+1) // (m+1) = 0 THEN CAST(-((t+1)%(m+1)) - 1 AS BIGINT)
+         |      WHEN (t+1) % (m+1) = 0 THEN CAST(-1000000000 AS BIGINT)
+         |      ELSE greatest(nm[2*m+4] - 2, ny[2*m+4] - 1)
+         |    END AS cy,
+         |    nm AS wm, nx AS wx, ny AS wy
+         |  FROM (SELECT *, wm[2:] || [cm] AS nm, wx[2:] || [cx] AS nx,
+         |               wy[2:] || [cy] AS ny
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(0.5 AS DOUBLE) +
+         |            CAST(greatest(d.cm, d.cx, d.cy) AS DOUBLE) /
+         |            (CAST(4.0 AS DOUBLE) *
+         |             CAST(greatest(length(p.na), length(p.nb)) AS DOUBLE))
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, cm, cx, cy FROM dp
          |           WHERE t = (n+1)*(m+1) - 1) d
          |  ON p.ka = d.ka AND p.kb = d.kb""".stripMargin,
     // Token ratios: rebuild the exact strings the Spark composition builds

@@ -230,6 +230,20 @@ case class LcsStrSim(left: Expression, right: Expression) extends StrSimExpressi
     copy(left = l, right = r)
 }
 
+/** Normalized affine-gap (Gotoh) global alignment similarity
+  * ([[StrSimKernels.affineGap]]): match +1 / mismatch −1, a gap of length
+  * L costs 1 + 0.5·(L−1) — the alignment scorer where one long gap (a
+  * dropped middle name) costs less than scattered single gaps, unlike the
+  * unit-gap [[NeedlemanWunschSim]]. */
+case class AffineGapSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "affine_gap_sim"
+  override protected def kernelMethod: String = "affineGap"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.affineGap(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Tversky index over code-point bags with compile-time weights α (a-only
   * mass) and β (b-only mass) — [[StrSimKernels.tversky]]. α and β must be
   * foldable non-negative finite literals so codegen bakes them into the

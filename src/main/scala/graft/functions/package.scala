@@ -110,6 +110,13 @@ package object functions {
   def lcsstr_sim(a: Column, b: Column): Column = wrap(LcsStrSim(expr(a), expr(b)))
   def lcsstr_sim(a: String, b: String): Column = lcsstr_sim(col(a), col(b))
 
+  /** Affine-gap (Gotoh) global alignment similarity: match +1, mismatch
+    * −1, gap of length L costs 1 + 0.5·(L−1) — one long gap beats many
+    * scattered ones, unlike the unit-gap [[needleman_wunsch_sim]]. */
+  def affine_gap_sim(a: Column, b: Column): Column =
+    wrap(AffineGapSim(expr(a), expr(b)))
+  def affine_gap_sim(a: String, b: String): Column = affine_gap_sim(col(a), col(b))
+
   /** Token-level Jaccard over distinct whitespace tokens. */
   def token_jaccard_sim(a: Column, b: Column): Column =
     wrap(tokenJaccardExpr(expr(a), expr(b)))
@@ -342,6 +349,7 @@ package object functions {
     "smith_waterman_sim" -> (es => SmithWatermanSim(es(0), es(1))),
     "editex_sim" -> (es => EditexSim(es(0), es(1))),
     "lcsstr_sim" -> (es => LcsStrSim(es(0), es(1))),
+    "affine_gap_sim" -> (es => AffineGapSim(es(0), es(1))),
     // alpha/beta must be foldable non-negative numeric literals:
     //   tversky_sim(a, b, 0.25, 0.75)
     "tversky_sim" -> (es => TverskySim(es(0), es(1),

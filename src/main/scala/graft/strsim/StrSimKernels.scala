@@ -1053,6 +1053,79 @@ object StrSimKernels {
     best.toDouble / math.max(n, m).toDouble
   }
 
+  // ------------------------------------------------------ Affine gap (Gotoh)
+
+  /** Normalized affine-gap global alignment similarity (Gotoh 1982) — the
+    * record-linkage alignment scorer where one long gap should cost less
+    * than many scattered ones (e.g. a dropped middle name): match +1,
+    * mismatch −1, a gap of length L costs 1 + 0.5·(L−1). Three-state DP
+    * (M = align, X = gap consuming a, Y = gap consuming b) with the
+    * standard Gotoh transitions (a gap state extends itself or opens from
+    * M — opposing adjacent gaps are never modelled). All scores are kept
+    * scaled ×2 in ints (the only non-integer weight is the 0.5 extension),
+    * so the DP is exact integer arithmetic end-to-end; sim = 0.5 +
+    * score₂/(4·max(n,m)) ∈ [0,1] (the diagonal path bounds score₂ ≥
+    * −2·max). NO prefix/suffix trimming: unlike the linear-gap kernels, a
+    * trimmed-boundary gap's open-vs-extend split depends on context, so
+    * the full matrix is walked (the spec cross-checks against an
+    * independent recursive reference).
+    *
+    * Follows the reference's elementwise kernel conventions
+    * (`/root/reference/src/expressions/strsim.rs:41-107`): equal → 1.0,
+    * either side empty → 0.0, code-point iteration. */
+  def affineGap(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    val w = m + 1
+    // three states × 2 rolling rows in one scratch block:
+    // M rows at [0, 2w), X at [2w, 4w), Y at [4w, 6w)
+    s.dp = ensure(s.dp, 6 * w)
+    val d = s.dp
+    val NEG = Int.MinValue / 4 // -inf sentinel with subtraction headroom
+    d(0) = 0; d(2 * w) = NEG; d(4 * w) = NEG
+    var j = 1
+    while (j <= m) {
+      d(j) = NEG             // M(0,j): can't end aligned with no a consumed
+      d(2 * w + j) = NEG     // X(0,j): gap in a before any a exists
+      d(4 * w + j) = -(j + 1) // Y(0,j): one gap of length j = 2 + (j-1)
+      j += 1
+    }
+    var i = 1
+    while (i <= n) {
+      val cur = (i & 1) * w
+      val prev = ((i + 1) & 1) * w
+      val ai = s.aCp(i - 1)
+      d(cur) = NEG
+      d(2 * w + cur) = -(i + 1)
+      d(4 * w + cur) = NEG
+      j = 1
+      while (j <= m) {
+        val sub = if (ai == s.bCp(j - 1)) 2 else -2
+        var diag = d(prev + j - 1)
+        val dx = d(2 * w + prev + j - 1); if (dx > diag) diag = dx
+        val dy = d(4 * w + prev + j - 1); if (dy > diag) diag = dy
+        d(cur + j) = diag + sub
+        val xo = d(prev + j) - 2
+        val xe = d(2 * w + prev + j) - 1
+        d(2 * w + cur + j) = if (xo > xe) xo else xe
+        val yo = d(cur + j - 1) - 2
+        val ye = d(4 * w + cur + j - 1) - 1
+        d(4 * w + cur + j) = if (yo > ye) yo else ye
+        j += 1
+      }
+      i += 1
+    }
+    val last = (n & 1) * w + m
+    var best = d(last)
+    if (d(2 * w + last) > best) best = d(2 * w + last)
+    if (d(4 * w + last) > best) best = d(4 * w + last)
+    0.5 + best.toDouble / (4.0 * math.max(n, m).toDouble)
+  }
+
   // ------------------------------------------------------- String conveniences
 
   def levenshtein(a: String, b: String): Double =
@@ -1093,4 +1166,6 @@ object StrSimKernels {
     editex(UTF8String.fromString(a), UTF8String.fromString(b))
   def lcsstr(a: String, b: String): Double =
     lcsstr(UTF8String.fromString(a), UTF8String.fromString(b))
+  def affineGap(a: String, b: String): Double =
+    affineGap(UTF8String.fromString(a), UTF8String.fromString(b))
 }
