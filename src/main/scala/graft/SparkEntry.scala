@@ -992,6 +992,17 @@ object SparkEntry {
       .select(col("p_partkey").as("id"), col("p_name").as("name"),
         graft.operators.Phonetic.soundexKey(col("p_name")).as("sdx"))),
 
+    // Suffix-array blocking (round 5, Aizawa-Oyama): every >= 8-char tail
+    // of the part name is a key; blocks > 400 members removed (part of
+    // the method — a suffix that common is signal-free — and the cap path
+    // is exactly what the oracle's HAVING replays; it bites at sf0.1,
+    // where the hottest tails reach ~958 members — the part vocabulary is
+    // tiny, so block sizes scale with the corpus). Catches shared-tail
+    // variation both equi-key and phonetic blocking miss.
+    "q_suffix_block" -> ((s, dir) => graft.operators.Linkage.suffixBlockKeys(
+      s.read.parquet(s"$dir/part.parquet"), "p_partkey", "p_name",
+      minLen = 8, maxBlockSize = 400)),
+
     // Blocking quality metrics: reduction ratio + pairs completeness of
     // the capped mktsegment:nationkey blocking, with name-suffix equality
     // as the labeled true-pair set — the go/no-go numbers for a blocking
@@ -3014,6 +3025,21 @@ object SparkEntry {
     // semantics): letters -> digit codes (H/W -> marker 7) -> drop 7s ->
     // collapse 1-6 runs -> drop 0s -> drop the leading digit when the
     // first letter is a coded consonant -> letter + 3 digits rpad'd
+    // Suffix blocking: unnest start positions 1..len-minLen+1 (whole key
+    // when shorter), substr-to-end, HAVING replays the maxBlockSize cut.
+    "q_suffix_block" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, lower(trim(p_name)) AS k FROM part
+        |  WHERE length(trim(p_name)) > 0
+        |), sufs AS (
+        |  SELECT id, substr(k, CAST(i AS INT)) AS suffix
+        |  FROM (SELECT id, k,
+        |          unnest(range(1, greatest(length(k) - 8 + 1, 1) + 1)) AS i
+        |        FROM base)
+        |), sized AS (
+        |  SELECT suffix FROM sufs GROUP BY suffix HAVING count(*) <= 400
+        |)
+        |SELECT s.id, s.suffix FROM sufs s JOIN sized z USING (suffix)""".stripMargin,
     "q_phonetic_block" ->
       """WITH s1 AS (
         |  SELECT p_partkey AS id, p_name AS name,

@@ -300,6 +300,39 @@ object Linkage {
     * the rank — and therefore the pair set — deterministic and
     * partitioning-independent). Output: (<id>_a, <id>_b, rank_a, rank_b)
     * with rank_a < rank_b; ranks are 1-based in (sortKey, id) order. */
+  /** Suffix-array blocking keys (Aizawa & Oyama 2005): every suffix of the
+    * normalized key value with length >= `minLen` becomes a blocking key,
+    * so records agreeing on any TAIL of the key ("1 Main St Apt 4" vs
+    * "Main St Apt 4", OCR'd leading characters, titles glued to names)
+    * share a block — variation the equi-key and phonetic families both
+    * miss. Blocks larger than `maxBlockSize` are REMOVED, which is part of
+    * the published method, not a skew workaround: a suffix shared by that
+    * many records (e.g. a common street designator) carries no linkage
+    * signal, and dropping it bounds every block's pair cost at
+    * maxBlockSize²/2 by construction. Keys shorter than `minLen` emit
+    * just themselves (the standard degenerate case).
+    *
+    * Plan shape: one codegen projection exploding <= len-minLen+1 suffixes
+    * per record, one map-side-combinable sizing groupBy, one equi-join
+    * back — no window, no driver state; pairs from the keys go through
+    * [[crossCandidatePairs]]/[[candidatePairs]] like any other key frame.
+    * Output: (id, suffix), deduped by construction (suffixes of one value
+    * all differ in length). */
+  def suffixBlockKeys(records: DataFrame, idCol: String, keyCol: String,
+      minLen: Int = 4, maxBlockSize: Int = 50): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(maxBlockSize >= 1, s"maxBlockSize must be >= 1, got $maxBlockSize")
+    val base = records.select(col(idCol).as("id"), lower(trim(col(keyCol))).as("k"))
+      .where(length(col("k")) > 0)
+    val sufs = base.select(col("id"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("k")) - lit(minLen) + 1, lit(1))),
+        i => col("k").substr(i, length(col("k"))))).as("suffix"))
+    val sized = sufs.groupBy(col("suffix")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxBlockSize)
+    sufs.join(sized, "suffix").select(col("id"), col("suffix"))
+  }
+
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKeyCol: String,
       window: Int, partitions: Int = 0): DataFrame = {
     require(window >= 2, s"sorted-neighborhood window must be >= 2, got $window")

@@ -185,4 +185,37 @@ class BlockingSpec extends SparkFunSuite {
     assert(r.getAs[Long]("n_true") == 0L)
     assert(r.isNullAt(r.fieldIndex("pairs_completeness")))
   }
+
+  test("suffixBlockKeys: tails >= minLen, shared-tail blocking, size cap") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "1 Main St Apt 4"),
+      (2L, "Main St Apt 4"),   // tail of 1: must share blocks with it
+      (3L, "Oak Ave"),         // len 7 < minLen 8: emits only itself
+      (4L, "OAK AVE "),        // normalization: lower+trim → same as 3
+      (5L, "")                 // empty: excluded
+    ).toDF("id", "addr")
+    val keys = Linkage.suffixBlockKeys(recs, "id", "addr",
+      minLen = 8, maxBlockSize = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byId = keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // record 1: "1 main st apt 4" (len 15) → starts 1..8, all 8 suffixes
+    assert(byId(1L).size == 8 && byId(1L).contains("1 main st apt 4")
+      && byId(1L).contains("st apt 4"))
+    // the full key of 2 is a suffix of 1 → they share every suffix of 2
+    assert(byId(2L).subsetOf(byId(1L)))
+    // short keys block on themselves; normalization folds 3 and 4 together
+    assert(byId(3L) == Set("oak ave") && byId(4L) == Set("oak ave"))
+    assert(!byId.contains(5L))
+    // cap: 30 records sharing one tail + a rare pair; cap 10 removes the
+    // hot suffix blocks but keeps the rare one
+    val hot = (1L to 30L).map(i => (i, s"unit $i common tail here")) ++
+      Seq((101L, "rare address x"), (102L, "xxrare address x"))
+    val capped = Linkage.suffixBlockKeys(hot.toDF("id", "addr"), "id", "addr",
+      minLen = 8, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySuffix = capped.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySuffix.values.forall(_ <= 10))
+    assert(bySuffix.get("rare address x").contains(2)) // 101's full, 102's tail
+  }
 }
