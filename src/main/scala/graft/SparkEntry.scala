@@ -1221,6 +1221,20 @@ object SparkEntry {
       Seq("lang", "source"), tau = 0.5, bucketCap = 8, hardCap = 13,
       saltGroups = 8)),
 
+    // TF-IDF cosine pair scoring (round 5, Cohen et al. 2003 hybrid
+    // baseline): rational idf tf·(N+1)/(df+1) (exact int product, one
+    // IEEE division — the q_tfidf_terms precedent), vectors are
+    // token-sorted arrays, norms and dots are ORDERED folds, so the
+    // oracle replays every double bit-for-bit with list_reduce.
+    "q_tfidf_cosine" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ids = d.select(col("doc_id"))
+      val pairs = ids.where(col("doc_id") % 13 === 0).select(col("doc_id").as("ia"))
+        .crossJoin(ids.where(col("doc_id") % 17 === 0).select(col("doc_id").as("ib")))
+        .where(col("ia") < col("ib"))
+      graft.operators.Linkage.tfidfCosinePairs(d, "doc_id", "text", pairs)
+    }),
+
     // Prefix-filtered set-similarity self-join (round 5): the EXACT
     // sub-quadratic Jaccard join (AllPairs/Vernica prefix filter over
     // rarest-first token orderings) — where MinHash-LSH trades recall for
@@ -3574,6 +3588,40 @@ object SparkEntry {
         |FROM hashed h JOIN canon c USING (content_hash)""".stripMargin,
     "q_dedup_ngram_jaccard" -> dedupNgramOracle(None),
     "q_dedup_ngram_capped" -> dedupNgramOracle(Some(13)),
+    // TF-IDF cosine: weights = CAST(tf*(N+1) AS DOUBLE)/CAST(df+1 AS
+    // DOUBLE); vectors list(... ORDER BY term); norm and dot via
+    // list_reduce left folds (Spark's aggregate seeds 0.0, and 0.0+x = x
+    // exactly, so the bracketings agree); per-term lookup by list_filter.
+    "q_tfidf_cosine" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), w AS (
+        |  SELECT doc_id, tf.term,
+        |    CAST(tf * (n.n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS w
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |), vec AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(term := term, w := w) ORDER BY term) AS v,
+        |    sqrt(list_reduce(list_transform(list(w ORDER BY term), x -> x * x),
+        |         (x, y) -> x + y)) AS nrm
+        |  FROM w GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id % 13 = 0 AND b.doc_id % 17 = 0 AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.ia, c.ib,
+        |  list_reduce(list_transform(a.v, s ->
+        |    coalesce(list_filter(b.v, x -> x.term = s.term)[1].w,
+        |             CAST(0.0 AS DOUBLE)) * s.w),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |FROM cand c JOIN vec a ON c.ia = a.doc_id JOIN vec b ON c.ib = b.doc_id""".stripMargin,
     // Prefix-filter join oracle: tier-blind brute force — ALL pairs of the
     // subsampled corpus, exact distinct-token Jaccard, threshold at a
     // DOUBLE-cast tau. The prefix/length/salt machinery is lossless below

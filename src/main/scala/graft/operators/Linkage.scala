@@ -400,6 +400,57 @@ object Linkage {
     * composite JW+Dice scoring of `nameCol`, thresholded at `theta`.
     * Both inputs carry (idCol, nameCol, keyCol); ids need only be unique
     * within their own table. Output: (id_l, id_r, jw, dice, score ≥ θ). */
+  /** TF-IDF-weighted cosine scoring of candidate pairs (Cohen, Ravikumar
+    * & Fienberg 2003's baseline hybrid scorer): tokens weighted by
+    * tf · (N+1)/(df+1) — the same log-free RATIONAL idf as
+    * [[TextAnalysis.topTfidfTerms]], one exact int product and one IEEE
+    * division, so the oracle reproduces every weight bit-for-bit — then
+    * cosine over the weighted token vectors. Where plain token Jaccard
+    * treats "the" and a rare surname alike, idf makes agreement on rare
+    * tokens dominate.
+    *
+    * Determinism contract: each document's vector is its token-SORTED
+    * (term, w) array; norms and dot products are ORDERED left folds over
+    * that array (`aggregate` with a 0.0 seed — IEEE summation order is
+    * part of the operator's definition, like Jaro's pinned sum order), so
+    * the score is independent of partitioning and join order.
+    *
+    * 100 TB shape: tf and df are map-side-combinable groupBys, the weight
+    * attach is one AQE-skew-splittable equi-join, vectors are one
+    * groupBy(id) bounded by per-document token counts, and scoring is two
+    * primary-key joins of `pairs` to the vector frame — per-pair cost is
+    * O(|tokens_a|) map lookups inside the row, no shuffle beyond the
+    * joins, nothing driver-sized. Token-less documents have no vector
+    * (norm 0 is undefined); pairs touching them are dropped by the inner
+    * joins. `pairs` carries (iaCol, ibCol); output (iaCol, ibCol, cosine). */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, iaCol: String = "ia", ibCol: String = "ib"): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        ((col("tf") * (col("n_docs") + 1)).cast("double") /
+          (col("df") + 1).cast("double")).as("w"))
+    val vecs = weighted.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("v"))
+      .select(col("id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0),
+          (acc, s) => acc + s.getField("w") * s.getField("w"))).as("nrm"))
+    val va = vecs.select(col("id").as(iaCol), col("v").as("__va"),
+      col("nrm").as("__na"))
+    val vb = vecs.select(col("id").as(ibCol),
+      map_from_entries(col("v")).as("__mb"), col("nrm").as("__nb"))
+    pairs.select(col(iaCol), col(ibCol))
+      .join(va, iaCol).join(vb, ibCol)
+      .select(col(iaCol), col(ibCol),
+        (aggregate(col("__va"), lit(0.0), (acc, s) =>
+          acc + coalesce(element_at(col("__mb"), s.getField("term")), lit(0.0)) *
+            s.getField("w")) / (col("__na") * col("__nb"))).as("cosine"))
+  }
+
   def linkTables(left: DataFrame, right: DataFrame, idCol: String,
       nameCol: String, keyCol: String, theta: Double,
       bucketPairCap: Long = 1000000L): DataFrame = {
