@@ -790,6 +790,15 @@ object SparkEntry {
         .select(col("p_partkey").as("id"),
           nysiis_key(col("p_name")).as("key"))),
 
+    // Cologne phonetics (round 5): third phonetic family, variable-length
+    // digit key. Oracle replays the pinned steps relationally: per-letter
+    // codes with prev/next context, ordered string_agg, collapse by
+    // lag-compare over the digit positions, strip non-leading 0s.
+    "q_cologne_block" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"),
+          cologne_key(col("p_name")).as("key"))),
+
     // Block filtering (Papadakis): drop each RECORD from its largest
     // blocks, keeping only its ⌈n/2⌉ smallest (size ASC, key ASC; the
     // per-record budget applied by integer cross-multiplication). Runs
@@ -3197,6 +3206,68 @@ object SparkEntry {
     // CASE identical in order to the kernel, NULL = skip, dedup against
     // the key's last char), and the trailing-S/AY/A cleanup + 6-char
     // truncation.
+    // Cologne phonetics: full relational replay of the pinned variant.
+    // Umlauts/ß folded by translate BEFORE upper (so the mapping never
+    // depends on DuckDB's non-ASCII casing); letter codes computed with
+    // prev/next context per position; X emits the two-code '48'; collapse
+    // compares each digit to its RAW predecessor and drops non-leading 0s
+    // in the same pass (identical to collapse-then-strip; the kernel doc
+    // proves the equivalence).
+    "q_cologne_block" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id,
+        |         regexp_replace(upper(translate(p_name,
+        |           'äöüßÄÖÜ', 'AOUSAOU')), '[^A-Z]', '', 'g') AS nm
+        |  FROM part
+        |), pos AS (
+        |  SELECT id, nm, unnest(range(1, length(nm) + 1)) AS i
+        |  FROM base WHERE length(nm) > 0
+        |), ctx AS (
+        |  SELECT id, i, substr(nm, CAST(i AS INT), 1) AS cur,
+        |    CASE WHEN i > 1 THEN substr(nm, CAST(i AS INT) - 1, 1)
+        |         ELSE '' END AS prv,
+        |    substr(nm, CAST(i AS INT) + 1, 1) AS nxt
+        |  FROM pos
+        |), coded AS (
+        |  SELECT id, i, CASE
+        |    WHEN cur IN ('A','E','I','J','O','U','Y') THEN '0'
+        |    WHEN cur = 'H' THEN ''
+        |    WHEN cur = 'B' THEN '1'
+        |    WHEN cur = 'P' THEN CASE WHEN nxt = 'H' THEN '3' ELSE '1' END
+        |    WHEN cur IN ('D','T') THEN
+        |      CASE WHEN nxt IN ('C','S','Z') THEN '8' ELSE '2' END
+        |    WHEN cur IN ('F','V','W') THEN '3'
+        |    WHEN cur IN ('G','K','Q') THEN '4'
+        |    WHEN cur = 'C' THEN CASE
+        |      WHEN i = 1 AND nxt IN ('A','H','K','L','O','Q','R','U','X')
+        |        THEN '4'
+        |      WHEN i > 1 AND prv NOT IN ('S','Z')
+        |        AND nxt IN ('A','H','K','O','Q','U','X') THEN '4'
+        |      ELSE '8' END
+        |    WHEN cur = 'X' THEN
+        |      CASE WHEN prv IN ('C','K','Q') THEN '8' ELSE '48' END
+        |    WHEN cur = 'L' THEN '5'
+        |    WHEN cur IN ('M','N') THEN '6'
+        |    WHEN cur = 'R' THEN '7'
+        |    ELSE '8'
+        |  END AS code FROM ctx
+        |), raw AS (
+        |  SELECT id, string_agg(code, '' ORDER BY i) AS digits
+        |  FROM coded GROUP BY id
+        |), chars AS (
+        |  SELECT id, substr(digits, CAST(j AS INT), 1) AS d,
+        |    CASE WHEN j > 1 THEN substr(digits, CAST(j AS INT) - 1, 1)
+        |         ELSE '' END AS pd,
+        |    j
+        |  FROM (SELECT id, digits, unnest(range(1, length(digits) + 1)) AS j
+        |        FROM raw)
+        |), collapsed AS (
+        |  SELECT id, string_agg(d, '' ORDER BY j) AS key
+        |  FROM chars WHERE j = 1 OR (d <> pd AND d <> '0')
+        |  GROUP BY id
+        |)
+        |SELECT b.id, coalesce(c.key, '') AS key
+        |FROM base b LEFT JOIN collapsed c ON b.id = c.id""".stripMargin,
     "q_nysiis_block" ->
       """WITH RECURSIVE base AS (
         |  SELECT p_partkey AS id,

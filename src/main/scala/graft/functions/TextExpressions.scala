@@ -70,6 +70,19 @@ case class NysiisKey(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Cologne phonetics key ([[graft.strsim.TextKernels.cologne]]) — third
+  * phonetic blocking family (Postel 1969), variable-length digit code
+  * tuned for German names. Pinned variant documented on the kernel. */
+case class CologneKey(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "cologne_key"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.cologne(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.cologne($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Min rolling-hash document fingerprint over byte k-grams. */
 case class MinKGramHash(child: Expression, k: Int) extends TextHashExpression {
   require(k > 0, "k must be positive")

@@ -255,6 +255,11 @@ package object functions {
   def nysiis_key(c: Column): Column = wrap(NysiisKey(expr(c)))
   def nysiis_key(c: String): Column = nysiis_key(col(c))
 
+  /** Cologne phonetics (Kölner Phonetik) blocking key — variable-length
+    * digit code, the German-tuned third phonetic family. */
+  def cologne_key(c: Column): Column = wrap(CologneKey(expr(c)))
+  def cologne_key(c: String): Column = cologne_key(col(c))
+
   /** Gopher-style repetition counters (array<long> of 6 — line instances,
     * dup line instances, dup line chars, total line chars, top bigram
     * coverage, total word chars); fractions derive by integer division. */
@@ -388,6 +393,7 @@ package object functions {
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
       litInt(es(1), "min_kgram_hash", "k"))),
     "nysiis_key" -> (es => NysiisKey(es(0))),
+    "cologne_key" -> (es => CologneKey(es(0))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

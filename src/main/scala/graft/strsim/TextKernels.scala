@@ -330,4 +330,85 @@ object TextKernels {
   }
 
   def nysiis(s: String): String = nysiis(UTF8String.fromString(s)).toString
+
+  /** Cologne phonetics (Kölner Phonetik, Postel 1969) — the third phonetic
+    * blocking key next to Soundex and NYSIIS, tuned for German names and
+    * variable-length (no truncation), so it separates long names Soundex's
+    * 4-char key folds together.
+    *
+    * PINNED variant (the DuckDB oracle replays EXACTLY these steps):
+    *
+    *  1. uppercase per char; map Ä→A Ö→O Ü→U ß→S; strip non-A-Z; empty→"".
+    *  2. per-letter code with context read from the STRIPPED string:
+    *     vowels/J/Y→0; H→(no code); B→1; P→1 but 3 before H; D,T→2 but 8
+    *     before C/S/Z; F,V,W→3; G,K,Q→4; L→5; M,N→6; R→7; S,Z→8;
+    *     C→4 when (initial and before A,H,K,L,O,Q,R,U,X) or (non-initial,
+    *     not after S/Z, and before A,H,K,O,Q,U,X), else 8;
+    *     X→8 after C,K,Q else the TWO codes 48.
+    *  3. collapse adjacent equal digits in the emitted code string (X's
+    *     48 participates as two codes; codes collapse ACROSS skipped H —
+    *     both standard emit-then-collapse semantics).
+    *  4. drop every 0 except a leading one.
+    *
+    * Checked against the published worked examples:
+    * Müller-Lüdenscheidt→65752682, Breschnew→17863, Wikipedia→3412. */
+  def cologne(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val up = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val u = Character.toUpperCase(raw.charAt(i))
+      val c = u match {
+        case 'Ä' => 'A'; case 'Ö' => 'O'; case 'Ü' => 'U'; case 'ß' => 'S'
+        case x => x
+      }
+      if (c >= 'A' && c <= 'Z') up.append(c)
+      i += 1
+    }
+    if (up.isEmpty) return UTF8String.EMPTY_UTF8
+    val nm = up.toString
+    val codes = new StringBuilder(nm.length + 2)
+    i = 0
+    while (i < nm.length) {
+      val cur = nm.charAt(i)
+      val prev = if (i > 0) nm.charAt(i - 1) else ' '
+      val next = if (i + 1 < nm.length) nm.charAt(i + 1) else ' '
+      cur match {
+        case 'A' | 'E' | 'I' | 'J' | 'O' | 'U' | 'Y' => codes.append('0')
+        case 'H' => // silent: no code
+        case 'B' => codes.append('1')
+        case 'P' => codes.append(if (next == 'H') '3' else '1')
+        case 'D' | 'T' =>
+          codes.append(if (next == 'C' || next == 'S' || next == 'Z') '8' else '2')
+        case 'F' | 'V' | 'W' => codes.append('3')
+        case 'G' | 'K' | 'Q' => codes.append('4')
+        case 'C' =>
+          val soft =
+            if (i == 0) "AHKLOQRUX".indexOf(next) >= 0
+            else prev != 'S' && prev != 'Z' && "AHKOQUX".indexOf(next) >= 0
+          codes.append(if (soft) '4' else '8')
+        case 'X' =>
+          if (prev == 'C' || prev == 'K' || prev == 'Q') codes.append('8')
+          else { codes.append('4'); codes.append('8') }
+        case 'L' => codes.append('5')
+        case 'M' | 'N' => codes.append('6')
+        case 'R' => codes.append('7')
+        case 'S' | 'Z' => codes.append('8')
+        case _ => // unreachable: stripped to A-Z
+      }
+      i += 1
+    }
+    // collapse runs, then strip non-leading 0s
+    val out = new StringBuilder(codes.length)
+    i = 0
+    while (i < codes.length) {
+      val c = codes.charAt(i)
+      if (i == 0) out.append(c)
+      else if (c != codes.charAt(i - 1) && (c != '0')) out.append(c)
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  def cologne(s: String): String = cologne(UTF8String.fromString(s)).toString
 }

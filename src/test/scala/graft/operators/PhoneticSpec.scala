@@ -86,4 +86,48 @@ class PhoneticSpec extends SparkFunSuite {
       .select(graft.functions.nysiis_key(col("name"))).head()
     assert(n.isNullAt(0))
   }
+
+  /** Published Kölner Phonetik worked examples plus rule-edge vectors
+    * hand-derived per the pinned steps on TextKernels.cologne. */
+  private val cologneVectors = Seq(
+    "Müller-Lüdenscheidt" -> "65752682", // Wikipedia worked example
+    "Breschnew" -> "17863",              // Wikipedia worked example
+    "Wikipedia" -> "3412",               // Wikipedia worked example
+    "Müller" -> "657",
+    "Meyer" -> "67",
+    "Maier" -> "67",      // sound-alike of Meyer: same key
+    "Schmidt" -> "862",   // S8 C8(after S, collapses) H· M6 I0 D2 T2(collapses)
+    "Ohm" -> "06",        // leading 0 kept
+    "Axt" -> "0482",      // X after vowel → the two codes 48
+    "Xaver" -> "4837",    // initial X → 48; raw 480307 → strip 0s
+    "akx" -> "048",       // X directly after K → 8 only
+    "Pharma" -> "376",    // P before H → 3
+    "Cäsar" -> "487",     // initial C before (Ä→A) → 4
+    "Aachen" -> "046",    // raw 00406 → collapse 0406 → strip 046
+    "hhh" -> "",          // all-silent → empty
+    "" -> "")
+
+  test("cologne_key matches published and pinned vectors (codegen + SQL)") {
+    import spark.implicits._
+    // kernel-direct first (catches rule bugs without Spark in the loop)
+    cologneVectors.foreach { case (name, want) =>
+      assert(graft.strsim.TextKernels.cologne(name) == want,
+        s"kernel cologne($name)")
+    }
+    val df = cologneVectors.map(_._1).filter(_.nonEmpty).toDF("name")
+    val got = df.select(col("name"), graft.functions.cologne_key(col("name")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cologneVectors.filter(_._1.nonEmpty).foreach { case (name, want) =>
+      assert(got(name) == want, s"cologne_key($name)")
+    }
+    df.createOrReplaceTempView("co_names")
+    val sql = spark.sql("SELECT name, cologne_key(name) FROM co_names")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cologneVectors.filter(_._1.nonEmpty).foreach { case (name, want) =>
+      assert(sql(name) == want)
+    }
+    val n = Seq[Option[String]](None).toDF("name")
+      .select(graft.functions.cologne_key(col("name"))).head()
+    assert(n.isNullAt(0))
+  }
 }
