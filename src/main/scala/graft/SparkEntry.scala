@@ -594,6 +594,19 @@ object SparkEntry {
       .select(col("ka"), col("kb"),
         affine_gap_sim(col("na"), col("nb")).as("sim"))),
 
+    // Match Rating Approach (round 5): codex + its OWN published
+    // comparison rule (rating 0..6, combined-length minimum, and the
+    // "no comparison" NULL when codex lengths differ by >= 3). The
+    // pinned positional-zip residual scan is fully relational, so the
+    // oracle replays codex AND comparison end-to-end.
+    "q_mra" -> ((s, dir) => partPairs(s, dir)
+      .where(col("ka") % 17 === 0 && col("kb") % 5 === 0)
+      .select(col("ka"), col("kb"),
+        mra_codex(col("na")).as("ca"),
+        mra_codex(col("nb")).as("cb"),
+        mra_similarity(col("na"), col("nb")).as("rating"),
+        mra_match(col("na"), col("nb")).as("is_match"))),
+
     // Token-order-robust ratios (the fuzzywuzzy pair), composed purely
     // from stock codegen expressions under levenshtein_sim — no bespoke
     // kernel. token_sort: Levenshtein over sorted-token strings;
@@ -3206,6 +3219,81 @@ object SparkEntry {
     // CASE identical in order to the kernel, NULL = skip, dedup against
     // the key's last char), and the trailing-S/AY/A cleanup + 6-char
     // truncation.
+    // MRA: codex replayed relationally (strip, vowel-drop after the
+    // first char, lag-compare collapse, first3+last3 truncation), then
+    // the pinned positional-zip comparison: forward residuals by
+    // same-position mismatch, backward pass on the reversed residuals,
+    // rating = 6 - the longer backward residual; the length-gap >= 3
+    // "no comparison" gate and the combined-length minimum both inline.
+    "q_mra" ->
+      s"""WITH base AS (
+         |  SELECT p_partkey AS id,
+         |         upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS nm
+         |  FROM part
+         |), kept AS (
+         |  SELECT id, CASE WHEN length(nm) = 0 THEN ''
+         |    ELSE substr(nm, 1, 1) ||
+         |         regexp_replace(substr(nm, 2), '[AEIOU]', '', 'g') END AS ks
+         |  FROM base
+         |), chars AS (
+         |  SELECT id, substr(ks, CAST(j AS INT), 1) AS d,
+         |    CASE WHEN j > 1 THEN substr(ks, CAST(j AS INT) - 1, 1)
+         |         ELSE '' END AS pd, j
+         |  FROM (SELECT id, ks, unnest(range(1, length(ks) + 1)) AS j
+         |        FROM kept)
+         |), coll AS (
+         |  SELECT id, string_agg(d, '' ORDER BY j) AS c
+         |  FROM chars WHERE j = 1 OR d <> pd GROUP BY id
+         |), codex AS (
+         |  SELECT k.id, CASE WHEN c.c IS NULL THEN ''
+         |    WHEN length(c.c) > 6 THEN substr(c.c, 1, 3) ||
+         |         substr(c.c, length(c.c) - 2) ELSE c.c END AS cx
+         |  FROM kept k LEFT JOIN coll c ON k.id = c.id
+         |), pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+         |  $partPairsSql
+         |  AND a.p_partkey % 17 = 0 AND b.p_partkey % 5 = 0
+         |), pc AS (
+         |  SELECT p.ka, p.kb, x.cx AS c1, y.cx AS c2
+         |  FROM pairs p JOIN codex x ON p.ka = x.id JOIN codex y ON p.kb = y.id
+         |), resid AS (
+         |  SELECT ka, kb, c1, c2,
+         |    list_filter(list_transform(range(1, length(c1) + 1), i ->
+         |      CASE WHEN i > length(c2)
+         |                OR substr(c1, CAST(i AS INT), 1)
+         |                   <> substr(c2, CAST(i AS INT), 1)
+         |           THEN substr(c1, CAST(i AS INT), 1) END),
+         |      x -> x IS NOT NULL) AS r1,
+         |    list_filter(list_transform(range(1, length(c2) + 1), i ->
+         |      CASE WHEN i > length(c1)
+         |                OR substr(c2, CAST(i AS INT), 1)
+         |                   <> substr(c1, CAST(i AS INT), 1)
+         |           THEN substr(c2, CAST(i AS INT), 1) END),
+         |      x -> x IS NOT NULL) AS r2
+         |  FROM pc
+         |), backr AS (
+         |  SELECT ka, kb, c1, c2,
+         |         list_reverse(r1) AS b1, list_reverse(r2) AS b2
+         |  FROM resid
+         |), unm AS (
+         |  SELECT ka, kb, c1, c2, greatest(
+         |    len(list_filter(list_transform(range(1, len(b1) + 1), i ->
+         |      CASE WHEN i > len(b2) OR b1[i] <> b2[i] THEN 1 END),
+         |      x -> x IS NOT NULL)),
+         |    len(list_filter(list_transform(range(1, len(b2) + 1), i ->
+         |      CASE WHEN i > len(b1) OR b2[i] <> b1[i] THEN 1 END),
+         |      x -> x IS NOT NULL))) AS u
+         |  FROM backr
+         |)
+         |SELECT ka, kb, c1 AS ca, c2 AS cb,
+         |  CASE WHEN abs(length(c1) - length(c2)) >= 3 THEN NULL
+         |       ELSE CAST(6 - u AS INT) END AS rating,
+         |  CASE WHEN abs(length(c1) - length(c2)) >= 3 THEN NULL
+         |       ELSE (6 - u) >= (CASE WHEN length(c1) + length(c2) <= 4 THEN 5
+         |                             WHEN length(c1) + length(c2) <= 7 THEN 4
+         |                             WHEN length(c1) + length(c2) <= 11 THEN 3
+         |                             ELSE 2 END) END AS is_match
+         |FROM unm""".stripMargin,
     // Cologne phonetics: full relational replay of the pinned variant.
     // Umlauts/ß folded by translate BEFORE upper (so the mapping never
     // depends on DuckDB's non-ASCII casing); letter codes computed with

@@ -260,6 +260,23 @@ package object functions {
   def cologne_key(c: Column): Column = wrap(CologneKey(expr(c)))
   def cologne_key(c: String): Column = cologne_key(col(c))
 
+  /** Match Rating Approach codex — fourth phonetic key; compare with
+    * [[mra_similarity]]/[[mra_match]], not key equality. */
+  def mra_codex(c: Column): Column = wrap(MraCodex(expr(c)))
+  def mra_codex(c: String): Column = mra_codex(col(c))
+
+  /** MRA comparison rating 0..6; NULL when MRA declares "no comparison"
+    * (codex length gap >= 3). */
+  def mra_similarity(a: Column, b: Column): Column =
+    wrap(MraSimilarity(expr(a), expr(b)))
+  def mra_similarity(a: String, b: String): Column =
+    mra_similarity(col(a), col(b))
+
+  /** MRA decision: rating >= the combined-codex-length minimum; NULL =
+    * "no comparison". */
+  def mra_match(a: Column, b: Column): Column = wrap(MraMatch(expr(a), expr(b)))
+  def mra_match(a: String, b: String): Column = mra_match(col(a), col(b))
+
   /** Gopher-style repetition counters (array<long> of 6 — line instances,
     * dup line instances, dup line chars, total line chars, top bigram
     * coverage, total word chars); fractions derive by integer division. */
@@ -394,6 +411,9 @@ package object functions {
       litInt(es(1), "min_kgram_hash", "k"))),
     "nysiis_key" -> (es => NysiisKey(es(0))),
     "cologne_key" -> (es => CologneKey(es(0))),
+    "mra_codex" -> (es => MraCodex(es(0))),
+    "mra_similarity" -> (es => MraSimilarity(es(0), es(1))),
+    "mra_match" -> (es => MraMatch(es(0), es(1))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

@@ -411,4 +411,88 @@ object TextKernels {
   }
 
   def cologne(s: String): String = cologne(UTF8String.fromString(s)).toString
+
+  /** Match Rating Approach codex (Moore et al. 1977, Western Airlines) —
+    * the fourth phonetic key, paired with its OWN comparison rule
+    * ([[mraSimilarity]]/[[mraMatch]]) rather than plain key equality.
+    *
+    * PINNED codex: uppercase, strip non-A-Z (empty → ""); drop vowels
+    * AEIOU except a leading one; collapse adjacent duplicate letters; if
+    * longer than 6, keep first 3 + last 3. */
+  def mraCodex(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val up = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = Character.toUpperCase(raw.charAt(i))
+      if (c >= 'A' && c <= 'Z') up.append(c)
+      i += 1
+    }
+    if (up.isEmpty) return UTF8String.EMPTY_UTF8
+    val kept = new StringBuilder(up.length)
+    kept.append(up.charAt(0))
+    i = 1
+    while (i < up.length) {
+      val c = up.charAt(i)
+      if ("AEIOU".indexOf(c) < 0) kept.append(c)
+      i += 1
+    }
+    val coll = new StringBuilder(kept.length)
+    i = 0
+    while (i < kept.length) {
+      val c = kept.charAt(i)
+      if (i == 0 || c != kept.charAt(i - 1)) coll.append(c)
+      i += 1
+    }
+    var k = coll.toString
+    if (k.length > 6) k = k.substring(0, 3) + k.substring(k.length - 3)
+    UTF8String.fromString(k)
+  }
+
+  /** MRA comparison rating in 0..6, or -1 = "no comparison" (codex length
+    * difference >= 3 — the published gate). PINNED variant (published MRA
+    * descriptions differ on the unmatched-character scan; this is the
+    * POSITIONAL-ZIP reading, fully relational for the oracle): forward
+    * residuals keep each codex's chars that differ from the other codex
+    * at the SAME position (or extend past it); the backward pass repeats
+    * positionally on the reversed residuals; rating = 6 − the longer
+    * backward residual. */
+  def mraSimilarity(a: UTF8String, b: UTF8String): Int = {
+    val c1 = mraCodex(a).toString
+    val c2 = mraCodex(b).toString
+    if (math.abs(c1.length - c2.length) >= 3) return -1
+    def residual(x: String, y: String): String = {
+      val sb = new StringBuilder(x.length)
+      var i = 0
+      while (i < x.length) {
+        if (i >= y.length || x.charAt(i) != y.charAt(i)) sb.append(x.charAt(i))
+        i += 1
+      }
+      sb.toString
+    }
+    val r1 = residual(c1, c2)
+    val r2 = residual(c2, c1)
+    val b1 = r1.reverse
+    val b2 = r2.reverse
+    val u = math.max(residual(b1, b2).length, residual(b2, b1).length)
+    6 - u
+  }
+
+  /** MRA decision: 1 = codexes match (rating >= the minimum for their
+    * combined length: <=4 → 5, <=7 → 4, <=11 → 3, else 2), 0 = no, -1 =
+    * "no comparison" (see [[mraSimilarity]]). */
+  def mraMatch(a: UTF8String, b: UTF8String): Int = {
+    val sim = mraSimilarity(a, b)
+    if (sim < 0) return -1
+    val len = mraCodex(a).numChars + mraCodex(b).numChars
+    val minRating =
+      if (len <= 4) 5 else if (len <= 7) 4 else if (len <= 11) 3 else 2
+    if (sim >= minRating) 1 else 0
+  }
+
+  def mraCodex(s: String): String = mraCodex(UTF8String.fromString(s)).toString
+  def mraSimilarity(a: String, b: String): Int =
+    mraSimilarity(UTF8String.fromString(a), UTF8String.fromString(b))
+  def mraMatch(a: String, b: String): Int =
+    mraMatch(UTF8String.fromString(a), UTF8String.fromString(b))
 }
