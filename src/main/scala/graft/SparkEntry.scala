@@ -812,6 +812,15 @@ object SparkEntry {
         .select(col("p_partkey").as("id"),
           cologne_key(col("p_name")).as("key"))),
 
+    // Metaphone (round 5): fifth phonetic family; the pinned variant is
+    // deliberately POSITIONAL (each emission a function of prev/cur/
+    // next/next2 + first/last flags), so the oracle is a flat per-
+    // position CASE + ordered string_agg — no recursion.
+    "q_metaphone_block" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"),
+          metaphone_key(col("p_name")).as("key"))),
+
     // Block filtering (Papadakis): drop each RECORD from its largest
     // blocks, keeping only its ⌈n/2⌉ smallest (size ASC, key ASC; the
     // per-record budget applied by integer cross-multiplication). Runs
@@ -3219,6 +3228,86 @@ object SparkEntry {
     // CASE identical in order to the kernel, NULL = skip, dedup against
     // the key's last char), and the trailing-S/AY/A cleanup + 6-char
     // truncation.
+    // Metaphone: initial-transform CASE, then one flat CASE per position
+    // (first match wins, mirroring the kernel's rule order), ordered
+    // string_agg. '' boundary chars behave like the kernel's \0 (never a
+    // vowel, never equal to a letter).
+    "q_metaphone_block" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id,
+        |         upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS up
+        |  FROM part
+        |), pre AS (
+        |  SELECT id, CASE
+        |    WHEN substr(up, 1, 2) IN ('AE','GN','KN','PN','WR')
+        |      THEN substr(up, 2)
+        |    WHEN substr(up, 1, 1) = 'X' THEN 'S' || substr(up, 2)
+        |    WHEN substr(up, 1, 2) = 'WH' THEN 'W' || substr(up, 3)
+        |    ELSE up END AS nm
+        |  FROM base
+        |), ctx AS (
+        |  SELECT id, i, length(nm) AS n,
+        |    substr(nm, CAST(i AS INT), 1) AS cur,
+        |    CASE WHEN i > 1 THEN substr(nm, CAST(i AS INT) - 1, 1)
+        |         ELSE '' END AS prv,
+        |    substr(nm, CAST(i AS INT) + 1, 1) AS nxt,
+        |    substr(nm, CAST(i AS INT) + 2, 1) AS nx2
+        |  FROM (SELECT id, nm, unnest(range(1, length(nm) + 1)) AS i
+        |        FROM pre WHERE length(nm) > 0)
+        |), coded AS (
+        |  SELECT id, i, CASE
+        |    WHEN cur = prv AND cur <> 'C' THEN ''
+        |    WHEN cur IN ('A','E','I','O','U') THEN
+        |      CASE WHEN i = 1 THEN cur ELSE '' END
+        |    WHEN cur = 'B' THEN
+        |      CASE WHEN i = n AND prv = 'M' THEN '' ELSE 'B' END
+        |    WHEN cur = 'C' THEN CASE
+        |      WHEN nxt = 'I' AND nx2 = 'A' THEN 'X'
+        |      WHEN nxt = 'H' THEN CASE WHEN prv = 'S' THEN 'K' ELSE 'X' END
+        |      WHEN nxt IN ('E','I','Y') THEN
+        |        CASE WHEN prv = 'S' THEN '' ELSE 'S' END
+        |      ELSE 'K' END
+        |    WHEN cur = 'D' THEN
+        |      CASE WHEN nxt = 'G' AND nx2 IN ('E','I','Y') THEN 'J'
+        |           ELSE 'T' END
+        |    WHEN cur = 'G' THEN CASE
+        |      WHEN nxt = 'H' THEN
+        |        CASE WHEN nx2 IN ('A','E','I','O','U') THEN 'K' ELSE '' END
+        |      WHEN nxt = 'N' THEN ''
+        |      WHEN prv = 'D' AND nxt IN ('E','I','Y') THEN ''
+        |      WHEN nxt IN ('E','I','Y') THEN 'J'
+        |      ELSE 'K' END
+        |    WHEN cur = 'H' THEN CASE
+        |      WHEN prv IN ('C','S','P','T','G') THEN ''
+        |      WHEN prv IN ('A','E','I','O','U')
+        |        AND nxt NOT IN ('A','E','I','O','U') THEN ''
+        |      ELSE 'H' END
+        |    WHEN cur = 'K' THEN CASE WHEN prv = 'C' THEN '' ELSE 'K' END
+        |    WHEN cur = 'P' THEN CASE WHEN nxt = 'H' THEN 'F' ELSE 'P' END
+        |    WHEN cur = 'Q' THEN 'K'
+        |    WHEN cur = 'S' THEN CASE
+        |      WHEN nxt = 'H' OR (nxt = 'I' AND nx2 IN ('O','A')) THEN 'X'
+        |      ELSE 'S' END
+        |    WHEN cur = 'T' THEN CASE
+        |      WHEN nxt = 'C' AND nx2 = 'H' THEN ''
+        |      WHEN nxt = 'H' THEN '0'
+        |      WHEN nxt = 'I' AND nx2 IN ('O','A') THEN 'X'
+        |      ELSE 'T' END
+        |    WHEN cur = 'V' THEN 'F'
+        |    WHEN cur = 'W' THEN
+        |      CASE WHEN nxt IN ('A','E','I','O','U') THEN 'W' ELSE '' END
+        |    WHEN cur = 'X' THEN 'KS'
+        |    WHEN cur = 'Y' THEN
+        |      CASE WHEN nxt IN ('A','E','I','O','U') THEN 'Y' ELSE '' END
+        |    WHEN cur = 'Z' THEN 'S'
+        |    ELSE cur
+        |  END AS code FROM ctx
+        |), agg AS (
+        |  SELECT id, string_agg(code, '' ORDER BY i) AS key
+        |  FROM coded GROUP BY id
+        |)
+        |SELECT b.id, coalesce(a.key, '') AS key
+        |FROM base b LEFT JOIN agg a ON b.id = a.id""".stripMargin,
     // MRA: codex replayed relationally (strip, vowel-drop after the
     // first char, lag-compare collapse, first3+last3 truncation), then
     // the pinned positional-zip comparison: forward residuals by

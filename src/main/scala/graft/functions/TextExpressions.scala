@@ -83,6 +83,19 @@ case class CologneKey(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Original Metaphone key ([[graft.strsim.TextKernels.metaphone]]) —
+  * fifth phonetic family; pinned positional variant documented on the
+  * kernel (no truncation). */
+case class MetaphoneKey(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "metaphone_key"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.metaphone(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.metaphone($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Match Rating Approach codex ([[graft.strsim.TextKernels.mraCodex]]) —
   * fourth phonetic key; pair with [[MraSimilarity]]/[[MraMatch]], not
   * plain key equality. Pinned variant documented on the kernel. */

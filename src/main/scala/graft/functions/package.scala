@@ -260,6 +260,11 @@ package object functions {
   def cologne_key(c: Column): Column = wrap(CologneKey(expr(c)))
   def cologne_key(c: String): Column = cologne_key(col(c))
 
+  /** Original Metaphone blocking key (pinned positional variant; no
+    * truncation) — fifth phonetic family. */
+  def metaphone_key(c: Column): Column = wrap(MetaphoneKey(expr(c)))
+  def metaphone_key(c: String): Column = metaphone_key(col(c))
+
   /** Match Rating Approach codex — fourth phonetic key; compare with
     * [[mra_similarity]]/[[mra_match]], not key equality. */
   def mra_codex(c: Column): Column = wrap(MraCodex(expr(c)))
@@ -411,6 +416,7 @@ package object functions {
       litInt(es(1), "min_kgram_hash", "k"))),
     "nysiis_key" -> (es => NysiisKey(es(0))),
     "cologne_key" -> (es => CologneKey(es(0))),
+    "metaphone_key" -> (es => MetaphoneKey(es(0))),
     "mra_codex" -> (es => MraCodex(es(0))),
     "mra_similarity" -> (es => MraSimilarity(es(0), es(1))),
     "mra_match" -> (es => MraMatch(es(0), es(1))),

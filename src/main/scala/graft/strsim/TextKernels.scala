@@ -495,4 +495,109 @@ object TextKernels {
     mraSimilarity(UTF8String.fromString(a), UTF8String.fromString(b))
   def mraMatch(a: String, b: String): Int =
     mraMatch(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  private def isMetaVowel(c: Char): Boolean =
+    c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U'
+
+  /** Original Metaphone key (Philips 1990) — fifth phonetic family,
+    * consonant-class folding richer than Soundex's digit map (CH/SH→X,
+    * TH→0, DGE→J, silent GH/KN/WR/MB...).
+    *
+    * PINNED variant (published implementations disagree on many edge
+    * rules; the oracle replays EXACTLY these, and every position's
+    * emission depends only on (prev, cur, next, next2, first?, last?) —
+    * deliberately POSITIONAL so the oracle needs no recursion):
+    *
+    *  1. uppercase, strip non-A-Z; empty → "".
+    *  2. initial transforms: AE/GN/KN/PN/WR → drop the first letter;
+    *     X… → S…; WH… → W… .
+    *  3. per position, first matching rule wins (· = emit nothing):
+    *     duplicate of prev (except C) → ·; vowels → kept only at
+    *     position 1; B → · when final after M; C → X before IA or H
+    *     (but SCH → K), S before E/I/Y (· after S), else K; D → J
+    *     before GE/GI/GY else T; G → before H: K when a vowel follows
+    *     the H else ·; · before N; · in DGE/DGI/DGY (the D said J);
+    *     J before E/I/Y; else K; H → · after C/S/P/T/G, · after a
+    *     vowel with no vowel following, else H; K → · after C;
+    *     P → F before H; Q → K; S → X before H or IO/IA; T → · in
+    *     TCH, 0 before H, X before IO/IA; V → F; W/Y → kept only
+    *     before a vowel; X → KS; Z → S; F/J/L/M/N/R → themselves.
+    *  4. no truncation (classic 4-char cut discards signal at linkage
+    *     scale; callers can substr).
+    *
+    * Hand-derived conformance examples (from these rules):
+    * metaphone→MTFN, Knight→NT, Wright→RT, school→SKL, science→SNS,
+    * lamb→LM, judge→JJ, watch→WX, ghost→KST. */
+  def metaphone(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val up0 = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = Character.toUpperCase(raw.charAt(i))
+      if (c >= 'A' && c <= 'Z') up0.append(c)
+      i += 1
+    }
+    if (up0.isEmpty) return UTF8String.EMPTY_UTF8
+    var nm = up0.toString
+    val first2 = if (nm.length >= 2) nm.substring(0, 2) else ""
+    if (first2 == "AE" || first2 == "GN" || first2 == "KN" ||
+        first2 == "PN" || first2 == "WR") nm = nm.substring(1)
+    else if (nm.charAt(0) == 'X') nm = "S" + nm.substring(1)
+    else if (first2 == "WH") nm = "W" + nm.substring(2)
+    val n = nm.length
+    val out = new StringBuilder(n + 2)
+    i = 0
+    while (i < n) {
+      val cur = nm.charAt(i)
+      val prv = if (i > 0) nm.charAt(i - 1) else 0.toChar
+      val nxt = if (i + 1 < n) nm.charAt(i + 1) else 0.toChar
+      val nx2 = if (i + 2 < n) nm.charAt(i + 2) else 0.toChar
+      def eiy(c: Char) = c == 'E' || c == 'I' || c == 'Y'
+      if (cur == prv && cur != 'C') { /* dedup */ }
+      else cur match {
+        case 'A' | 'E' | 'I' | 'O' | 'U' => if (i == 0) out.append(cur)
+        case 'B' => if (!(i == n - 1 && prv == 'M')) out.append('B')
+        case 'C' =>
+          if (nxt == 'I' && nx2 == 'A') out.append('X')
+          else if (nxt == 'H') out.append(if (prv == 'S') 'K' else 'X')
+          else if (eiy(nxt)) { if (prv != 'S') out.append('S') }
+          else out.append('K')
+        case 'D' =>
+          out.append(if (nxt == 'G' && eiy(nx2)) 'J' else 'T')
+        case 'G' =>
+          if (nxt == 'H') { if (isMetaVowel(nx2)) out.append('K') }
+          else if (nxt == 'N') { /* silent */ }
+          else if (prv == 'D' && eiy(nxt)) { /* DGE: D already said J */ }
+          else if (eiy(nxt)) out.append('J')
+          else out.append('K')
+        case 'H' =>
+          val afterSilencer = prv == 'C' || prv == 'S' || prv == 'P' ||
+            prv == 'T' || prv == 'G'
+          if (!afterSilencer && !(isMetaVowel(prv) && !isMetaVowel(nxt)))
+            out.append('H')
+        case 'K' => if (prv != 'C') out.append('K')
+        case 'P' => out.append(if (nxt == 'H') 'F' else 'P')
+        case 'Q' => out.append('K')
+        case 'S' =>
+          if (nxt == 'H' || (nxt == 'I' && (nx2 == 'O' || nx2 == 'A')))
+            out.append('X')
+          else out.append('S')
+        case 'T' =>
+          if (nxt == 'C' && nx2 == 'H') { /* TCH: the C says X */ }
+          else if (nxt == 'H') out.append('0')
+          else if (nxt == 'I' && (nx2 == 'O' || nx2 == 'A')) out.append('X')
+          else out.append('T')
+        case 'V' => out.append('F')
+        case 'W' => if (isMetaVowel(nxt)) out.append('W')
+        case 'X' => out.append('K'); out.append('S')
+        case 'Y' => if (isMetaVowel(nxt)) out.append('Y')
+        case 'Z' => out.append('S')
+        case other => out.append(other) // F J L M N R
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  def metaphone(s: String): String = metaphone(UTF8String.fromString(s)).toString
 }

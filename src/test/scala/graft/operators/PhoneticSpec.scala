@@ -130,4 +130,48 @@ class PhoneticSpec extends SparkFunSuite {
       .select(graft.functions.cologne_key(col("name"))).head()
     assert(n.isNullAt(0))
   }
+
+  /** Hand-derived per the PINNED positional rules on
+    * TextKernels.metaphone (step-by-step in the comments there). */
+  private val metaphoneVectors = Seq(
+    "metaphone" -> "MTFN",   // PH→F, final E dropped
+    "Knight" -> "NT",        // KN- initial drop, GH silent before T
+    "Wright" -> "RT",        // WR- initial drop
+    "school" -> "SKL",       // SCH→K, OO dedup
+    "science" -> "SNS",      // C silent in SCI
+    "lamb" -> "LM",          // final MB → M
+    "judge" -> "JJ",         // DGE→J, its G silent
+    "watch" -> "WX",         // TCH: T silent, CH→X
+    "ghost" -> "KST",        // GH before vowel → K
+    "Thompson" -> "0MPSN",   // TH→0 (pinned: position-local, no lookback)
+    "Xavier" -> "SFR",       // initial X→S, V→F
+    "accept" -> "AKSPT",     // CC not deduped: K then S
+    "pizza" -> "PS",         // ZZ dedups, Z→S
+    "who" -> "W",            // WH- → W, O non-initial vowel dropped
+    "hhh" -> "H",            // dedup collapses; leading H kept (no prior)
+    "" -> "")
+
+  test("metaphone_key matches the pinned hand-derived vectors (codegen + SQL)") {
+    import spark.implicits._
+    metaphoneVectors.foreach { case (name, want) =>
+      assert(graft.strsim.TextKernels.metaphone(name) == want,
+        s"kernel metaphone($name)")
+    }
+    val df = metaphoneVectors.map(_._1).filter(_.nonEmpty).toDF("name")
+    val got = df.select(col("name"),
+        graft.functions.metaphone_key(col("name")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    metaphoneVectors.filter(_._1.nonEmpty).foreach { case (name, want) =>
+      assert(got(name) == want, s"metaphone_key($name)")
+    }
+    df.createOrReplaceTempView("mp_names")
+    val sql = spark.sql("SELECT name, metaphone_key(name) FROM mp_names")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    metaphoneVectors.filter(_._1.nonEmpty).foreach { case (name, want) =>
+      assert(sql(name) == want)
+    }
+    val n = Seq[Option[String]](None).toDF("name")
+      .select(graft.functions.metaphone_key(col("name"))).head()
+    assert(n.isNullAt(0))
+  }
 }
