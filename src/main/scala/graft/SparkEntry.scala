@@ -1266,6 +1266,20 @@ object SparkEntry {
       graft.operators.Linkage.tfidfCosinePairs(d, "doc_id", "text", pairs)
     }),
 
+    // Ed-Join (round 5): EXACT edit-distance self-join via positional-
+    // q-gram prefix filtering — each record joins on its q·k+1 rarest
+    // (gram, occurrence) multiset elements (one edit destroys <= q
+    // positional grams), length-filtered, verified by the banded
+    // levenshtein_capped kernel. Customer names differ only in digit
+    // positions, so ed <= 2 pairs are plentiful and every prefix is
+    // digit-gram-keyed — the rarity ordering doing real work. The
+    // oracle is tier-blind brute force over DuckDB's levenshtein
+    // builtin (byte == code point on this ASCII corpus).
+    "q_edjoin" -> ((s, dir) => graft.operators.SetSimJoin.edJoinPairs(
+      s.read.parquet(s"$dir/customer.parquet").where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"), col("c_name")),
+      "id", "c_name", k = 2, q = 2, bucketCap = 200, saltGroups = 8)),
+
     // Prefix-filtered set-similarity self-join (round 5): the EXACT
     // sub-quadratic Jaccard join (AllPairs/Vernica prefix filter over
     // rarest-first token orderings) — where MinHash-LSH trades recall for
@@ -3836,6 +3850,14 @@ object SparkEntry {
         |FROM hashed h JOIN canon c USING (content_hash)""".stripMargin,
     "q_dedup_ngram_jaccard" -> dedupNgramOracle(None),
     "q_dedup_ngram_capped" -> dedupNgramOracle(Some(13)),
+    // Ed-Join oracle: tier-blind brute force, DuckDB builtin levenshtein.
+    "q_edjoin" ->
+      """SELECT a.c_custkey AS ia, b.c_custkey AS ib,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     // TF-IDF cosine: weights = CAST(tf*(N+1) AS DOUBLE)/CAST(df+1 AS
     // DOUBLE); vectors list(... ORDER BY term); norm and dot via
     // list_reduce left folds (Spark's aggregate seeds 0.0, and 0.0+x = x

@@ -116,4 +116,114 @@ object SetSimJoin {
     prefixRows(base(docs, idCol, textCol), tau)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .where(col("n") > hardCap)
+
+  // ------------------------------------------------------------- Ed-Join
+
+  /** Exact edit-distance similarity self-join via positional-q-gram
+    * prefix filtering (Gravano et al. VLDB'01 count bound; Xiao, Wang &
+    * Lin's Ed-Join refinement of the prefix idea): returns every pair
+    * with levenshtein(x, y) <= k, none missed, as (ia, ib, dist).
+    *
+    * Bound: one edit destroys at most q of a string's |x|-q+1 positional
+    * q-grams, so ed(x,y) <= k forces the MULTISETS of q-grams to share
+    * at least max(|x|,|y|)-q+1 - q·k elements. Multisets are encoded as
+    * (gram, occurrence-index) elements — an exact set encoding, so the
+    * same prefix lemma as [[prefixJaccardPairs]] applies with per-side
+    * required overlap alpha = |grams(x)| - q·k: each record joins on its
+    * q·k+1 globally-rarest (gram, occ) elements. Candidates then pass
+    * the |len(x)-len(y)| <= k length filter BEFORE the distinct, and are
+    * verified by the banded [[graft.functions.levenshtein_capped]]
+    * kernel (O(k·n) — its stated pipeline purpose).
+    *
+    * SHORT tier (exactness, not skew): a pair can evade the gram bound
+    * only when max(|x|,|y|)-q+1 <= q·k, i.e. BOTH strings are shorter
+    * than q(k+1) code points — for (q=2, k=1) that is length <= 3. Those
+    * strings join in one salted-grid tier of their own (lossless,
+    * skew-sharded; the class is tiny for any name/url field and its
+    * size is observable via [[shortStrings]]).
+    *
+    * 100 TB shape: positional grams explode map-side; occurrence indexes
+    * and per-record rarest-first prefixes are windows partitioned by
+    * (id, gram) / id — both bounded by ONE record's gram count, never by
+    * corpus or bucket size; the prefix-element join has rarity-sized
+    * buckets (3-tier salted policy, `droppedEdJoinGrams` companion); the
+    * only all-candidate shuffle is the dedup distinct, fed post-length-
+    * filter; verification is two primary-key joins + the banded kernel. */
+  def edJoinPairs(docs: DataFrame, idCol: String, strCol: String, k: Int,
+      q: Int = 2, bucketCap: Int = 10000, hardCap: Int = Int.MaxValue,
+      saltGroups: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val b = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    val pre = edPrefixRows(b, k, q)
+    val sized = pre.groupBy(col("g"), col("occ")).agg(count(lit(1)).as("n"))
+    val keyed = pre.join(sized, Seq("g", "occ"))
+    val lenOk = abs(col("la") - col("lb")) <= k
+    val good = keyed.where(col("n") <= bucketCap)
+    val cold = good.select(col("g"), col("occ"), col("id").as("ia"), col("len").as("la"))
+      .join(good.select(col("g"), col("occ"), col("id").as("ib"), col("len").as("lb")),
+        Seq("g", "occ"))
+      .where(col("ia") < col("ib") && lenOk)
+      .select(col("ia"), col("ib"))
+    val hot = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
+      .select(concat_ws("\u0001", col("g"), col("occ")).as("key"),
+        col("id").as("url"), col("len"))
+    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups, payload = Seq("len"))
+      .select(col("url_a").as("ia"), col("url_b").as("ib"),
+        col("len_a").as("la"), col("len_b").as("lb"))
+      .where(lenOk)
+      .select(col("ia"), col("ib"))
+    // short tier: strings the gram bound cannot cover — one salted grid
+    val shorts = shortStrings(b, k, q)
+      .select(lit("short").as("key"), col("id").as("url"), col("len"))
+    val shortPairs = Linkage.saltedSelfJoin(shorts, saltGroups, payload = Seq("len"))
+      .select(col("url_a").as("ia"), col("url_b").as("ib"),
+        col("len_a").as("la"), col("len_b").as("lb"))
+      .where(lenOk)
+      .select(col("ia"), col("ib"))
+    val verify = graft.functions.levenshtein_capped(col("sa"), col("sb"), k)
+    cold.union(hotPairs).union(shortPairs).distinct()
+      .join(b.select(col("id").as("ia"), col("s").as("sa")), "ia")
+      .join(b.select(col("id").as("ib"), col("s").as("sb")), "ib")
+      .select(col("ia"), col("ib"), verify.as("dist"))
+      .where(col("dist") <= k)
+  }
+
+  /** (g, occ, id, len) prefix elements: each record's q·k+1 globally-
+    * rarest positional-q-gram multiset elements. Occurrence indexes come
+    * from a window over (id, gram) — bounded by one record's gram count. */
+  private def edPrefixRows(b: DataFrame, k: Int, q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = b.where(col("len") >= q).select(col("id"), col("len"),
+        posexplode(expr(s"transform(sequence(1, len - $q + 1), i -> substring(s, i, $q))")))
+      .withColumnRenamed("col", "g")
+    val occ = grams.withColumn("occ",
+      row_number().over(Window.partitionBy(col("id"), col("g"))
+        .orderBy(col("pos"))) - 1)
+    val freq = occ.groupBy(col("g"), col("occ")).agg(count(lit(1)).as("df"))
+    val ranked = occ.join(freq, Seq("g", "occ")).withColumn("rnk",
+      row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("df"), col("g"), col("occ"))))
+    ranked.where(col("rnk") <= q * k + 1)
+      .select(col("g"), col("occ"), col("id"), col("len"))
+  }
+
+  /** Strings the Ed-Join gram bound cannot cover (len < q(k+1)): the
+    * SHORT tier's membership, exposed so its size is observable. */
+  def shortStrings(docs: DataFrame, k: Int, q: Int): DataFrame =
+    docs.where(col("len") <= q * (k + 1) - 1)
+
+  /** Prefix (gram, occ) buckets excluded by `hardCap` with their sizes —
+    * the non-silent record of what [[edJoinPairs]] dropped. */
+  def droppedEdJoinGrams(docs: DataFrame, idCol: String, strCol: String,
+      k: Int, q: Int = 2, hardCap: Int = Int.MaxValue): DataFrame = {
+    val b = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    edPrefixRows(b, k, q)
+      .groupBy(col("g"), col("occ")).agg(count(lit(1)).as("n"))
+      .where(col("n") > hardCap)
+  }
 }

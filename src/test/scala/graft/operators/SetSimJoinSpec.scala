@@ -98,4 +98,70 @@ class SetSimJoinSpec extends SparkFunSuite {
       assert(run(docs, tau) == bruteForce(docs, tau), s"tau=$tau")
     }
   }
+
+  // ------------------------------------------------------------ Ed-Join
+
+  /** Brute-force levenshtein <= k over all pairs (classic full DP). */
+  private def bruteForceEd(docs: Seq[(Long, String)], k: Int) = {
+    def lev(a: String, b: String): Int = {
+      val (n, m) = (a.length, b.length)
+      val d = Array.tabulate(n + 1, m + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to n; j <- 1 to m) {
+        val sub = d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        d(i)(j) = math.min(sub, math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1))
+      }
+      d(n)(m)
+    }
+    (for {
+      (ia, sa) <- docs
+      (ib, sb) <- docs if ib > ia
+      dist = lev(sa, sb) if dist <= k
+    } yield (ia, ib, dist)).toSet
+  }
+
+  private def runEd(docs: Seq[(Long, String)], k: Int, q: Int = 2,
+      bucketCap: Int = 10000, hardCap: Int = Int.MaxValue,
+      saltGroups: Int = 16) =
+    SetSimJoin.edJoinPairs(docs.toDF("id", "text"), "id", "text",
+      k, q, bucketCap, hardCap, saltGroups)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("edJoin equals brute force on random corpora at several (k, q)") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    val docs = (1L to 70L).map { i =>
+      (i, Seq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString)
+    }.filter(_._2.nonEmpty) // edJoin requires non-null; empties allowed though
+    for ((k, q) <- Seq((1, 2), (2, 2), (1, 3), (3, 2))) {
+      assert(runEd(docs, k, q) == bruteForceEd(docs, k), s"k=$k q=$q")
+    }
+  }
+
+  test("edJoin short tier: strings below the gram bound still pair exactly") {
+    // with q=2, k=1 the gram bound covers nothing of length <= 3
+    val docs = Seq((1L, "ab"), (2L, "b"), (3L, "abc"), (4L, "xyz"),
+      (5L, "abcd"), (6L, "abcde"))
+    assert(runEd(docs, 1) == bruteForceEd(docs, 1))
+    assert(runEd(docs, 1).contains((1L, 2L, 1)))  // both short-tier
+    assert(runEd(docs, 1).contains((3L, 5L, 1)))  // short x long via grams
+  }
+
+  test("edJoin salted hot-gram tier is lossless") {
+    // near-identical strings: every (gram, occ) bucket goes hot
+    val docs = (1L to 40L).map(i => (i, f"record$i%02d"))
+    val plain = runEd(docs, 2)
+    val salted = runEd(docs, 2, bucketCap = 3, saltGroups = 4)
+    assert(salted == plain)
+    assert(plain == bruteForceEd(docs, 2))
+    assert(plain.nonEmpty) // e.g. record01/record02 at distance <= 2
+  }
+
+  test("edJoin hardCap drops are observable") {
+    val docs = (1L to 30L).map(i => (i, "samesame")) ++
+      Seq((101L, "uniqpair"), (102L, "uniqpais"))
+    val dropped = SetSimJoin.droppedEdJoinGrams(
+      docs.toDF("id", "text"), "id", "text", k = 1, q = 2, hardCap = 10)
+      .collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) > 10L))
+  }
 }
