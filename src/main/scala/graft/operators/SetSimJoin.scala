@@ -45,11 +45,13 @@ object SetSimJoin {
       .withColumn("len", size(col("toks")))
       .where(col("len") > 0)
 
-  /** (tok, id, len) prefix rows: each record's |x| - ceil(tau*|x|) + 1
-    * globally-rarest tokens. The ceil subtracts 1e-9 first so a tau*len
-    * that is mathematically integral but rounds a hair high in binary
-    * (e.g. 0.95*20) cannot shorten the prefix below the provable bound —
-    * the slack only ever ADMITS candidates, never loses one. */
+  /** (tok, id, len, pos) prefix rows: each record's |x| - ceil(tau*|x|)
+    * + 1 globally-rarest tokens, with `pos` = the token's 1-based rank in
+    * the record's FULL rarity order (the PPJoin positional filter reads
+    * it). The ceil subtracts 1e-9 first so a tau*len that is
+    * mathematically integral but rounds a hair high in binary (e.g.
+    * 0.95*20) cannot shorten the prefix below the provable bound — the
+    * slack only ever ADMITS candidates, never loses one. */
   private def prefixRows(b: DataFrame, tau: Double): DataFrame = {
     val exploded = b.select(col("id"), col("len"), explode(col("toks")).as("tok"))
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -59,8 +61,9 @@ object SetSimJoin {
     val pLen = (col("len") - ceil(col("len") * lit(tau) - lit(1e-9)) + 1).cast("int")
     ordered
       .select(col("id"), col("len"),
-        explode(slice(transform(col("ord"), s => s.getField("tok")), lit(1), pLen))
-          .as("tok"))
+        posexplode(slice(transform(col("ord"), s => s.getField("tok")), lit(1), pLen)))
+      .select(col("id"), col("len"), col("col").as("tok"),
+        (col("pos") + 1).as("pos"))
   }
 
   /** Exact token-set Jaccard >= tau self-join: (ia, ib, jaccard) with
@@ -78,34 +81,70 @@ object SetSimJoin {
       saltGroups: Int = 16): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     val b = base(docs, idCol, textCol)
-    val pre = prefixRows(b, tau)
-    val sized = pre.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val keyed = pre.join(sized, "tok")
-    val lenOk = least(col("la"), col("lb")).cast("double") >=
-      lit(tau) * greatest(col("la"), col("lb")).cast("double") - lit(1e-9)
-    val good = keyed.where(col("n") <= bucketCap)
-    val cold = good.select(col("tok"), col("id").as("ia"), col("len").as("la"))
-      .join(good.select(col("tok"), col("id").as("ib"), col("len").as("lb")), "tok")
-      .where(col("ia") < col("ib") && lenOk)
-      .select(col("ia"), col("ib"))
-    val hot = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
-      .select(col("tok").as("key"), col("id").as("url"), col("len"))
-    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups, payload = Seq("len"))
-      .select(col("url_a").as("ia"), col("url_b").as("ib"),
-        col("len_a").as("la"), col("len_b").as("lb"))
-      .where(lenOk)
-      .select(col("ia"), col("ib"))
-    // A pair can share SEVERAL prefix tokens (and meet in both tiers via
-    // different tokens), so unlike the one-block-per-record generators the
-    // tier union is NOT disjoint — one distinct pass dedups candidates
-    // before the verification joins.
-    cold.union(hotPairs).distinct()
+    jaccardCandidates(b, tau, bucketCap, hardCap, saltGroups)
       .join(b.select(col("id").as("ia"), col("toks").as("ta")), "ia")
       .join(b.select(col("id").as("ib"), col("toks").as("tb")), "ib")
       .select(col("ia"), col("ib"),
         (size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= tau)
+  }
+
+  /** Spec window into the candidate set (pre-verification). */
+  private[operators] def jaccardCandidatesFor(docs: DataFrame, idCol: String,
+      textCol: String, tau: Double, bucketCap: Int = 10000,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame =
+    jaccardCandidates(base(docs, idCol, textCol), tau, bucketCap, hardCap,
+      saltGroups)
+
+  /** Deduped (ia, ib) candidates surviving the prefix, length, and
+    * POSITIONAL filters — exposed `private[operators]` so the spec can
+    * pin the positional filter's candidate reduction.
+    *
+    * Positional filter (the PPJoin refinement, Xiao et al. 2008, lossless):
+    * for a candidate pair, take its FIRST shared prefix token in the
+    * global rarity order — the token minimizing the in-record positions
+    * (i, j) (positions are order-consistent, so min i and min j name the
+    * same token, even across tiers). Everything before it on both sides is
+    * pairwise disjoint (anything shared earlier would itself be a shared
+    * prefix token), so overlap <= 1 + min(|x|-i, |y|-j); prune when that
+    * bound cannot reach the Jaccard overlap requirement
+    * ceil(tau/(1+tau)·(|x|+|y|)) (epsilon-relaxed — only ever admits).
+    * The dedup shuffle this rides on (groupBy replacing the former
+    * distinct) was already being paid. */
+  private[operators] def jaccardCandidates(b: DataFrame, tau: Double,
+      bucketCap: Int, hardCap: Int, saltGroups: Int): DataFrame = {
+    val pre = prefixRows(b, tau)
+    val sized = pre.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val keyed = pre.join(sized, "tok")
+    val lenOk = least(col("la"), col("lb")).cast("double") >=
+      lit(tau) * greatest(col("la"), col("lb")).cast("double") - lit(1e-9)
+    val good = keyed.where(col("n") <= bucketCap)
+    val cold = good.select(col("tok"), col("id").as("ia"), col("len").as("la"),
+        col("pos").as("pa"))
+      .join(good.select(col("tok"), col("id").as("ib"), col("len").as("lb"),
+        col("pos").as("pb")), "tok")
+      .where(col("ia") < col("ib") && lenOk)
+      .select(col("ia"), col("ib"), col("la"), col("lb"), col("pa"), col("pb"))
+    val hot = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
+      .select(col("tok").as("key"), col("id").as("url"), col("len"), col("pos"))
+    val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups,
+        payload = Seq("len", "pos"))
+      .select(col("url_a").as("ia"), col("url_b").as("ib"),
+        col("len_a").as("la"), col("len_b").as("lb"),
+        col("pos_a").as("pa"), col("pos_b").as("pb"))
+      .where(lenOk)
+    // A pair can share SEVERAL prefix tokens (and meet in both tiers via
+    // different tokens): ONE groupBy both dedups candidates and finds the
+    // first shared token's positions for the positional filter.
+    val alpha = ceil((lit(tau) / (1.0 + tau)) *
+      (col("la") + col("lb")).cast("double") - lit(1e-9))
+    cold.union(hotPairs)
+      .groupBy(col("ia"), col("ib"))
+      .agg(min(col("la")).as("la"), min(col("lb")).as("lb"),
+        min(col("pa")).as("i"), min(col("pb")).as("j"))
+      .where(lit(1) + least(col("la") - col("i"), col("lb") - col("j")) >= alpha)
+      .select(col("ia"), col("ib"))
   }
 
   /** Prefix-token buckets excluded by `hardCap` with their sizes — the

@@ -99,6 +99,31 @@ class SetSimJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("positional filter prunes candidates the prefix filter alone admits") {
+    // docs 1 and 2 share ONLY their 3rd-ranked prefix token c1 (u*/v* are
+    // rarer, f1/f2 commoner via doc 3): first shared token at (i,j)=(3,3)
+    // bounds overlap at 1+min(2,2)=3 < alpha=ceil(0.6/1.6*10)=4 → the
+    // positional filter removes the pair BEFORE verification, which the
+    // prefix+length filters alone would not (c1 is in both prefixes).
+    val docs = Seq(
+      (1L, "u1 u2 c1 f1 f2"),
+      (2L, "v1 v2 c1 f1 f2"),
+      (3L, "w1 w2 w3 f1 f2"),
+      (11L, "r1 h1 h2 h3 h4"), // shares early-ranked r1 with 12 (J=2/3):
+      (12L, "r1 h1 h2 h3 h5"), //   must survive candidates AND the join
+      (13L, "h1 h2 h3 h4 h5"), // df booster for the h tokens
+      (5L, "same five tokens here now"),
+      (6L, "same five tokens here now")) // J=1.0 pair: must survive
+    val cand = SetSimJoin.jaccardCandidatesFor(docs.toDF("id", "text"),
+      "id", "text", tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cand.contains((1L, 2L)), "positionally prunable pair survived")
+    assert(cand.contains((11L, 12L)), "early shared token must survive")
+    assert(cand.contains((5L, 6L)))
+    // and the final join is still exactly brute force on this corpus
+    assert(run(docs, 0.6) == bruteForce(docs, 0.6))
+  }
+
   // ------------------------------------------------------------ Ed-Join
 
   /** Brute-force levenshtein <= k over all pairs (classic full DP). */
