@@ -925,6 +925,25 @@ object SparkEntry {
       graft.operators.Linkage.symmetricBestMatches(scored)
     }),
 
+    // Greedy one-to-one matching (unique-mapping decision rule): iterate
+    // locally-dominant mutual-best rounds until the scored pair set
+    // drains — exactly the sequential sort-by-score greedy matching,
+    // computed in O(rounds) distributed passes. The oracle replays the
+    // SAME rounds as a recursive CTE (layered windows over the working
+    // table), so round count, tie-breaks, and the final matching are all
+    // hash-grade.
+    "q_greedy_matches" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("bk"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey").as("bk"))
+      val scored = graft.operators.Linkage.linkTables(cust, supp, "id",
+        "name", "bk", theta = 1.0, bucketPairCap = 1000000L)
+      graft.operators.Linkage.greedyMatches(scored)
+    }),
+
     // B-cubed sufficient statistics (Bagga-Baldwin cluster-level metric):
     // per-cluster and per-truth-class (n_g, Σ ni²) over the contingency
     // counts of a predicted partition (the capped blocking key) vs a
@@ -1264,6 +1283,24 @@ object SparkEntry {
         .crossJoin(ids.where(col("doc_id") % 17 === 0).select(col("doc_id").as("ib")))
         .where(col("ia") < col("ib"))
       graft.operators.Linkage.tfidfCosinePairs(d, "doc_id", "text", pairs)
+    }),
+
+    // SoftTFIDF (Cohen-Ravikumar-Fienberg): TF-IDF-weighted soft token
+    // matching — each a-token's best Jaro-Winkler partner among b's
+    // tokens contributes v_a·v_b·jw when jw >= 0.85. Shares the log-free
+    // rational idf with q_tfidf_cosine; the oracle replays weighting,
+    // norm, the per-token argmax (ties by partner token), and the
+    // term-ordered contribution fold bit-for-bit on DuckDB's
+    // jaro_winkler_similarity (kernel equality itself gate-proven by
+    // q_jaro_winkler_sim / q_monge_elkan).
+    "q_soft_tfidf" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val pairs = p.where(col("id") % 31 === 0).select(col("id").as("ia"))
+        .crossJoin(p.where(col("id") % 37 === 0).select(col("id").as("ib")))
+        .where(col("ia") < col("ib"))
+      graft.operators.Linkage.softTfIdfPairs(p, "id", "name", pairs,
+        theta = 0.85)
     }),
 
     // Ed-Join (round 5): EXACT edit-distance self-join via positional-
@@ -2487,6 +2524,54 @@ object SparkEntry {
     // a-token order), divided by a's token count last. Part names always
     // tokenize non-empty, so the tokenless edge rules (both → 1.0, one →
     // 0.0) are pinned in ConformanceSpec rather than here.
+    // SoftTFIDF: the q_tfidf_cosine weighting CTEs over part names, then
+    // the per-a-token best-JW-partner argmax (row_number ties by partner
+    // token) and a term-ordered list_reduce of v_a·v_b·jw contributions.
+    // Pairs with no token pair clearing theta emit no row on both sides.
+    "q_soft_tfidf" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM part),
+        |tok AS (
+        |  SELECT p_partkey AS id, unnest(string_split(trim(p_name), ' ')) AS term
+        |  FROM part WHERE length(trim(p_name)) > 0
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), w AS (
+        |  SELECT id, tf.term,
+        |    CAST(tf * (n.n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS w
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |), nrm AS (
+        |  SELECT id, sqrt(list_reduce(list_transform(list(w ORDER BY term),
+        |    x -> x * x), (x, y) -> x + y)) AS nrm
+        |  FROM w GROUP BY id
+        |), unit AS (
+        |  SELECT w.id, w.term, w.w / nrm.nrm AS v
+        |  FROM w JOIN nrm ON w.id = nrm.id
+        |), cand AS (
+        |  SELECT a.p_partkey AS ia, b.p_partkey AS ib
+        |  FROM part a JOIN part b
+        |    ON a.p_partkey % 31 = 0 AND b.p_partkey % 37 = 0
+        |   AND a.p_partkey < b.p_partkey
+        |), close_t AS (
+        |  SELECT c.ia, c.ib, ta.term AS ta, tb.term AS tb,
+        |    ta.v AS va, tb.v AS vb,
+        |    CASE WHEN ta.term = tb.term THEN CAST(1.0 AS DOUBLE)
+        |         ELSE jaro_winkler_similarity(ta.term, tb.term) END AS jw
+        |  FROM cand c JOIN unit ta ON c.ia = ta.id
+        |              JOIN unit tb ON c.ib = tb.id
+        |  WHERE (CASE WHEN ta.term = tb.term THEN CAST(1.0 AS DOUBLE)
+        |         ELSE jaro_winkler_similarity(ta.term, tb.term) END)
+        |        >= CAST(0.85 AS DOUBLE)
+        |), best AS (
+        |  SELECT ia, ib, ta, va * vb * jw AS c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ia, ib, ta
+        |      ORDER BY jw DESC, tb) AS rn
+        |    FROM close_t) WHERE rn = 1
+        |)
+        |SELECT ia, ib, list_reduce(list(c ORDER BY ta), (x, y) -> x + y)
+        |  AS soft_tfidf
+        |FROM best GROUP BY ia, ib""".stripMargin,
     "q_monge_elkan" ->
       s"""WITH pairs AS (
          |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
@@ -3054,6 +3139,38 @@ object SparkEntry {
         |)
         |SELECT bl.id_l, bl.id_r, bl.jw, bl.dice, bl.score
         |FROM bl JOIN br ON bl.id_l = br.id_l AND bl.id_r = br.id_r""".stripMargin,
+    // Greedy 1:1 matching replayed round-by-round: each recursive step
+    // sees the previous round's survivors, flags locally-dominant pairs
+    // (top-1 for BOTH endpoints under (score DESC, opposite id)), then a
+    // second window layer removes every survivor sharing an endpoint with
+    // an accepted pair. Accepted rows (acc) accumulate; survivors carry
+    // acc = false and are the only rows the next step reads.
+    "q_greedy_matches" ->
+      s"""WITH RECURSIVE $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), st(rnd, id_l, id_r, score, acc) AS (
+        |  SELECT 0, id_l, id_r, score, FALSE FROM base
+        |  UNION ALL
+        |  SELECT rnd + 1, id_l, id_r, score, acc FROM (
+        |    SELECT rnd, id_l, id_r, score, acc,
+        |      max(CASE WHEN acc THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY id_l) AS dead_l,
+        |      max(CASE WHEN acc THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY id_r) AS dead_r
+        |    FROM (
+        |      SELECT rnd, id_l, id_r, score,
+        |        (row_number() OVER (PARTITION BY id_l
+        |           ORDER BY score DESC, id_r) = 1
+        |         AND row_number() OVER (PARTITION BY id_r
+        |           ORDER BY score DESC, id_l) = 1) AS acc
+        |      FROM st WHERE NOT acc
+        |    ) s0
+        |  ) s1
+        |  WHERE acc OR (dead_l = 0 AND dead_r = 0)
+        |)
+        |SELECT id_l, id_r, score FROM st WHERE acc""".stripMargin,
     "q_bcubed" ->
       """WITH j AS (
         |  SELECT c_custkey AS id,

@@ -451,6 +451,70 @@ object Linkage {
             s.getField("w")) / (col("__na") * col("__nb"))).as("cosine"))
   }
 
+  /** SoftTFIDF (Cohen-Ravikumar-Fienberg 2003) hybrid pair scorer — the
+    * classic record-linkage compromise between token-level TF-IDF cosine
+    * (brittle to typos: "smyth" ≠ "smith" contributes nothing) and
+    * char-level Jaro-Winkler (blind to token importance): for every
+    * a-token whose BEST Jaro-Winkler match among b's tokens clears θ, add
+    * `v(t_a,a) · v(t_b,b) · jw(t_a,t_b)` where v is the L2-normalized
+    * TF-IDF weight. Degenerates to exact TF-IDF cosine when all matches
+    * are exact (jw = 1), and to 0 when no token pair clears θ (such pairs
+    * emit NO row — absence of evidence, mirrored by the oracle).
+    *
+    * Weights reuse [[tfidfCosinePairs]]' log-free rational idf
+    * `tf·(n+1)/(df+1)` so both scorers share one hash-exact weighting and
+    * the oracle replays it without transcendental drift; the only
+    * rounding is the norm sqrt, the v divisions, and the pinned
+    * `(v_a · v_b) · jw` + term-ordered fold.
+    *
+    * Scale shape: corpus passes are the same map-side-combining tf/df
+    * aggregates as [[tfidfCosinePairs]]; the per-pair token cross is
+    * bounded by name length (|T_a|·|T_b| rows per candidate pair, ~25 for
+    * person/org names — NOT corpus-quadratic); the argmax is a window
+    * whose `= 1` filter sits directly above it (InferWindowGroupLimit
+    * inserts the per-group top-1 limit before the shuffle). */
+  def softTfIdfPairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, theta: Double, iaCol: String = "ia",
+      ibCol: String = "ib"): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1], got $theta")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        ((col("tf") * (col("n_docs") + 1)).cast("double") /
+          (col("df") + 1).cast("double")).as("w"))
+    // norm folded in the same term-sorted order as tfidfCosinePairs
+    val norms = weighted
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("v"))
+      .select(col("id"),
+        sqrt(aggregate(col("v"), lit(0.0),
+          (acc, s) => acc + s.getField("w") * s.getField("w"))).as("nrm"))
+    val unit = weighted.join(norms, "id")
+      .select(col("id"), col("term"), (col("w") / col("nrm")).as("v"))
+    val ta = unit.select(col("id").as(iaCol), col("term").as("__ta"),
+      col("v").as("__va"))
+    val tb = unit.select(col("id").as(ibCol), col("term").as("__tb"),
+      col("v").as("__vb"))
+    val close = pairs.select(col(iaCol), col(ibCol))
+      .join(ta, iaCol).join(tb, ibCol)
+      .withColumn("__jw", when(col("__ta") === col("__tb"), lit(1.0))
+        .otherwise(jaro_winkler_sim(col("__ta"), col("__tb"))))
+      .where(col("__jw") >= lit(theta))
+    val wBest = W.partitionBy(col(iaCol), col(ibCol), col("__ta"))
+      .orderBy(col("__jw").desc, col("__tb"))
+    val best = close.withColumn("__rn", row_number().over(wBest))
+      .where(col("__rn") === 1)
+      .select(col(iaCol), col(ibCol), col("__ta"),
+        (col("__va") * col("__vb") * col("__jw")).as("__c"))
+    best.groupBy(col(iaCol), col(ibCol))
+      .agg(aggregate(sort_array(collect_list(struct(col("__ta"), col("__c")))),
+        lit(0.0), (acc, s) => acc + s.getField("__c")).as("soft_tfidf"))
+  }
+
   def linkTables(left: DataFrame, right: DataFrame, idCol: String,
       nameCol: String, keyCol: String, theta: Double,
       bucketPairCap: Long = 1000000L): DataFrame = {
@@ -491,6 +555,66 @@ object Linkage {
       .where(col("__rn") === 1)
       .select(col(leftId), col(rightId))
     bestPerLeft.join(bestPerRight, Seq(leftId, rightId), "left_semi")
+  }
+
+  /** Greedy one-to-one matching over scored two-corpus pairs — the full
+    * unique-mapping assignment, strictly stronger than
+    * [[symmetricBestMatches]] (which keeps only the FIRST mutual-best
+    * layer and discards every record whose best candidate was claimed by
+    * someone better). Semantically: sort all pairs by
+    * (score DESC, leftId, rightId) and accept each pair whose endpoints
+    * are both still free — the classic sequential greedy weighted
+    * bipartite matching every record-linkage toolkit ships as its 1:1
+    * decision rule.
+    *
+    * Distributed formulation: a pair is LOCALLY DOMINANT when it is the
+    * best surviving pair for BOTH its endpoints under the same total
+    * order; accepting all locally-dominant pairs simultaneously, removing
+    * their endpoints, and repeating yields EXACTLY the sequential greedy
+    * matching (the locally-dominant-edge theorem: the order pairs are
+    * accepted in never changes the greedy result, only the round they
+    * land in). Each round is one [[symmetricBestMatches]] call — whose
+    * per-partition tie-breaks (score DESC, opposite id) coincide with the
+    * global total order within each endpoint partition — plus two
+    * key-only anti-joins; rounds shrink geometrically on real score
+    * distributions (expected O(log n)), while an adversarial descending
+    * chain a₁>b₁>a₂>b₂>… serializes to O(chain length) rounds — that cost
+    * is inherent to greedy semantics, not this formulation (each accepted
+    * pair must be known before the next domino falls). GreedyMatchSpec
+    * pins parallel ≡ sequential on random and adversarial inputs.
+    *
+    * Scale shape: every round's windows carry InferWindowGroupLimit
+    * per-group top-1 limits before their shuffles (inherited from
+    * [[symmetricBestMatches]]); survivors shrink monotonically and each
+    * round is lineage-truncated, so cost ∝ surviving pairs, never the
+    * original corpus. Scores must be non-null and non-NaN.
+    *
+    * @return (leftId, rightId, scoreCol) — the greedy matching. */
+  def greedyMatches(scored: DataFrame, leftId: String = "id_l",
+      rightId: String = "id_r", scoreCol: String = "score",
+      maxIter: Int = 1000): DataFrame = {
+    var cur = scored.select(col(leftId), col(rightId), col(scoreCol))
+      .localCheckpoint(eager = false)
+    var matched = cur.limit(0)
+    var iter = 0
+    var drained = cur.isEmpty
+    while (!drained && iter < maxIter) {
+      val best = symmetricBestMatches(cur, leftId, rightId, scoreCol)
+        .localCheckpoint(eager = false)
+      matched = matched.union(best)
+      cur = cur
+        .join(best.select(col(leftId)), Seq(leftId), "left_anti")
+        .join(best.select(col(rightId)), Seq(rightId), "left_anti")
+        .localCheckpoint(eager = false)
+      drained = cur.isEmpty
+      iter += 1
+    }
+    // progress is guaranteed (the globally best surviving pair is always
+    // locally dominant), so non-drained means maxIter was undersized for
+    // an adversarial chain — fail loudly rather than return a partial
+    // matching that silently violates the greedy contract
+    require(drained, s"greedyMatches did not drain in $maxIter rounds")
+    matched
   }
 
   /** Blocking quality metrics, the standard pair before committing a
