@@ -1108,6 +1108,21 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
+    // Pivot correlation clustering (KwikCluster) over the SAME match
+    // edges as q_connected_components — the chaining-resistant clustering
+    // alternative: clusters are stars around deterministic-rank pivots,
+    // so a~b~c with no a~c edge yields {a,b} {c} (or {b-pivot star}), not
+    // one merged component. The oracle replays the parallel greedy-MIS
+    // rounds (two window layers per round over the working table) and the
+    // min-rank-pivot claim, using the identical LCG rank mix.
+    "q_pivot_clusters" -> ((s, dir) => {
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka"), col("kb"))
+      graft.operators.PivotClustering.run(edges)
+    }),
+
     // MinHash band keys (stage: secondary blocking). Driven with the
     // sha256 hash family so DuckDB reproduces the ENTIRE signature+banding
     // pipeline bit-exactly (same operator code path as the xxhash64
@@ -3805,6 +3820,70 @@ object SparkEntry {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
         |)
         |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+    // Pivot clustering: parallel greedy-MIS rounds replayed in a recursive
+    // CTE. Each step joins the ACTIVE working set to both edge ends; two
+    // window layers compute (a) local-min pivot flags for both endpoints
+    // of every surviving edge row and (b) per-node domination by a pivot
+    // neighbor; actives with no active neighbor are pivots by the second
+    // branch. rk packs the LCG mix and the id into one BIGINT (ids < 2^31
+    // here), matching Spark's (k, id) struct order exactly.
+    "q_pivot_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND 1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+        |        / greatest(length(a.c_name), length(b.c_name)) >= 0.94
+        |), edges AS (
+        |  SELECT ka AS u, kb AS v FROM pairs
+        |  UNION ALL SELECT kb, ka FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT u AS id FROM edges
+        |), keyed AS (
+        |  SELECT id,
+        |    ((id * 1103515245 + 12345) % 2147483648) * 2147483648 + id AS rk
+        |  FROM nodes
+        |), st(id, rk, mis) AS (
+        |  SELECT id, rk, FALSE FROM keyed
+        |  UNION ALL
+        |  SELECT id, rk, mis FROM (
+        |    SELECT DISTINCT u AS id, rku AS rk, pivu AS mis, dom
+        |    FROM (
+        |      SELECT u, rku, pivu,
+        |        max(CASE WHEN pivv THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY u) AS dom
+        |      FROM (
+        |        SELECT u, rku, v, rkv,
+        |          rku < min(rkv) OVER (PARTITION BY u) AS pivu,
+        |          rkv < min(rku) OVER (PARTITION BY v) AS pivv
+        |        FROM (
+        |          SELECT e.u, a.rk AS rku, e.v, b.rk AS rkv
+        |          FROM edges e
+        |          JOIN (SELECT id, rk FROM st WHERE NOT mis) a ON e.u = a.id
+        |          JOIN (SELECT id, rk FROM st WHERE NOT mis) b ON e.v = b.id
+        |        ) r
+        |      ) f
+        |    ) g
+        |    WHERE pivu OR dom = 0
+        |    UNION ALL
+        |    SELECT a2.id, a2.rk, TRUE, 0
+        |    FROM (SELECT id, rk FROM st WHERE NOT mis) a2
+        |    WHERE a2.id NOT IN (
+        |      SELECT e2.u FROM edges e2
+        |      JOIN (SELECT id FROM st WHERE NOT mis) b2 ON e2.v = b2.id)
+        |  ) z
+        |), misq AS (
+        |  SELECT id, rk FROM st WHERE mis
+        |), claims AS (
+        |  SELECT e.u AS id, arg_min(p.id, p.rk) AS claim
+        |  FROM edges e JOIN misq p ON e.v = p.id
+        |  GROUP BY e.u
+        |)
+        |SELECT n.id,
+        |  CASE WHEN m.id IS NOT NULL THEN n.id ELSE c.claim END AS cluster
+        |FROM nodes n LEFT JOIN misq m ON n.id = m.id
+        |             LEFT JOIN claims c ON n.id = c.id""".stripMargin,
     "q_text_analysis" ->
       """WITH toks AS (
         |  SELECT doc_id, text,
