@@ -1042,6 +1042,14 @@ object SparkEntry {
       .select(col("p_partkey").as("id"), col("p_name").as("name"),
         graft.operators.Phonetic.soundexKey(col("p_name")).as("sdx"))),
 
+    // Caverphone 2.0 blocking key — the published rewrite chain replayed
+    // from ONE shared rule table on both engines (Spark foldLeft of
+    // codegen regexp_replace; oracle = the same fold rendered as nested
+    // DuckDB regexp_replace with 'g').
+    "q_caverphone_block" -> ((s, dir) => s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        graft.operators.Phonetic.caverphoneKey(col("p_name")).as("cvp"))),
+
     // Suffix-array blocking (round 5, Aizawa-Oyama): every >= 8-char tail
     // of the part name is a key; blocks > 400 members removed (part of
     // the method — a suffix that common is signal-free — and the cap path
@@ -2386,6 +2394,17 @@ object SparkEntry {
     k -> v.replace("__ML_SQL__", mlSql)
   }
 
+  /** Caverphone 2.0 as one nested-SQL expression, generated by folding the
+    * SAME rule table the Spark Column folds over — the two engines cannot
+    * drift because there is only one rule list. */
+  private val caverphoneSqlExpr: String = {
+    val base = "regexp_replace(lower(p_name), '[^a-z]', '', 'g')"
+    val chained = graft.operators.Phonetic.caverphoneRules.foldLeft(base) {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    s"substring($chained || '1111111111', 1, 10)"
+  }
+
   private def oracleSqlRaw: Map[String, String] = Map(
     "q_media_features" -> mediaFeaturesOracle,
     "q_split_assign" -> splitAssignOracle,
@@ -3265,6 +3284,13 @@ object SparkEntry {
         |       ELSE substring(letters, 1, 1) || rpad(substring(tail, 1, 3), 3, '0')
         |  END AS sdx
         |FROM s5""".stripMargin,
+    // Caverphone 2.0: the identical rewrite chain, rendered from the SAME
+    // rule table the Spark key folds over (Phonetic.caverphoneRules) —
+    // one source of truth, two engines.
+    "q_caverphone_block" ->
+      s"""SELECT p_partkey AS id, p_name AS name,
+         |  $caverphoneSqlExpr AS cvp
+         |FROM part""".stripMargin,
     "q_blocking_quality" ->
       """WITH keys AS (
         |  SELECT c_custkey AS id,

@@ -54,4 +54,47 @@ object Phonetic {
     when(letters === "", lit("")).otherwise(
       concat(first, rpad(substring(tail, 1, 3), 3, "0")))
   }
+
+  /** Caverphone 2.0 key (David Hood, "Caverphone Revisited", 2004 — the
+    * accent-tolerant phonetic code developed for the Caversham Project's
+    * New Zealand electoral-roll linkage; pinned vectors:
+    * Stevenson → STFNSN1111, Peter → PTA1111111, "" → 1111111111).
+    *
+    * The published algorithm is literally a fixed sequence of string
+    * rewrites, so the key is a chain of codegen regexp_replace built-ins
+    * (Java∩RE2 dialect — anchors and character classes only, no
+    * backreferences) the oracle replays verbatim with DuckDB's
+    * regexp_replace(..., 'g'). Zero shuffle, stays inside whole-stage
+    * codegen like [[soundexKey]]. */
+  def caverphoneKey(c: Column): Column = {
+    val letters = regexp_replace(lower(c), "[^a-z]", "")
+    val coded = caverphoneRules.foldLeft(letters) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    }
+    substring(concat(coded, lit("1111111111")), 1, 10)
+  }
+
+  /** (pattern, replacement) pairs in the EXACT published order; every
+    * rewrite is global (Spark regexp_replace is global; the oracle adds
+    * 'g'). Shared with the oracle builder so both engines replay ONE
+    * rule table. */
+  private[graft] val caverphoneRules: Seq[(String, String)] = Seq(
+      "e$" -> "",
+      "^cough" -> "cou2f", "^rough" -> "rou2f", "^tough" -> "tou2f",
+      "^enough" -> "enou2f", "^trough" -> "trou2f", "^gn" -> "2n",
+      "mb$" -> "m2",
+      "cq" -> "2q", "ci" -> "si", "ce" -> "se", "cy" -> "sy",
+      "tch" -> "2ch", "c" -> "k", "q" -> "k", "x" -> "k", "v" -> "f",
+      "dg" -> "2g", "tio" -> "sio", "tia" -> "sia", "d" -> "t",
+      "ph" -> "fh", "b" -> "p", "sh" -> "s2", "z" -> "s",
+      "^[aeiou]" -> "A", "[aeiou]" -> "3",
+      "j" -> "y", "^y3" -> "Y3", "^y" -> "A", "y" -> "3",
+      "3gh3" -> "3kh3", "gh" -> "22", "g" -> "k",
+      "s+" -> "S", "t+" -> "T", "p+" -> "P", "k+" -> "K", "f+" -> "F",
+      "m+" -> "M", "n+" -> "N",
+      "w3" -> "W3", "wh3" -> "Wh3", "w$" -> "3", "w" -> "2",
+      "^h" -> "A", "h" -> "2",
+      "r3" -> "R3", "r$" -> "3", "r" -> "2",
+      "l3" -> "L3", "l$" -> "3", "l" -> "2",
+      "2" -> "", "3$" -> "A", "3" -> "")
 }

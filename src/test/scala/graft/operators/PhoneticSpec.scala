@@ -174,4 +174,30 @@ class PhoneticSpec extends SparkFunSuite {
       .select(graft.functions.metaphone_key(col("name"))).head()
     assert(n.isNullAt(0))
   }
+
+  // Caverphone 2.0 published vectors (Hood 2004; same vectors pinned by
+  // Apache commons-codec's Caverphone2 tests) plus the edge rules: empty
+  // input is all-pad, the trailing-vowel → A rule (Peter), and the
+  // rewrite interplay on ph/h (Thompson).
+  private val caverphoneVectors = Seq(
+    "Stevenson" -> "STFNSN1111",
+    "Peter" -> "PTA1111111",
+    "Thompson" -> "TMPSN11111",
+    "Lee" -> "LA11111111",
+    "" -> "1111111111",
+    "123" -> "1111111111") // non-letters strip to empty → all pad
+
+  test("caverphone 2.0 key matches the published vectors and null-propagates") {
+    import spark.implicits._
+    val df = caverphoneVectors.map(_._1).toDF("name")
+    val got = df.select(col("name"),
+        Phonetic.caverphoneKey(col("name")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    caverphoneVectors.foreach { case (name, want) =>
+      assert(got(name) == want, s"caverphone($name)")
+    }
+    val n = Seq[Option[String]](None).toDF("name")
+      .select(Phonetic.caverphoneKey(col("name"))).head()
+    assert(n.isNullAt(0))
+  }
 }
