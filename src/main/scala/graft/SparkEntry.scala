@@ -1116,6 +1116,20 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
+    // Canopy clustering (McCallum-Nigam-Ungar) over the nationkey-blocked
+    // customer pairs with normalized-Levenshtein as the cheap metric:
+    // loose t1 = 0.88 (≤2 edits on the fixed-length names), tight
+    // t2 = 0.94 (≤1 edit). Overlapping membership: centers = greedy MIS
+    // of the tight graph in the LCG visit order; a record joins every
+    // center picked while it was still on the candidate list. The oracle
+    // replays the MIS rounds recursively plus the removal-rank joins.
+    "q_canopies" -> ((s, dir) => {
+      val pairs = customerPairs(s, dir)
+        .select(col("ka").as("ia"), col("kb").as("ib"),
+          levenshtein_sim(col("na"), col("nb")).as("sim"))
+      graft.operators.Canopy.canopies(pairs, t1Loose = 0.88, t2Tight = 0.94)
+    }),
+
     // Pivot correlation clustering (KwikCluster) over the SAME match
     // edges as q_connected_components — the chaining-resistant clustering
     // alternative: clusters are stars around deterministic-rank pivots,
@@ -3846,6 +3860,75 @@ object SparkEntry {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
         |)
         |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+    // Canopies: loose/tight pair CTEs, the SAME recursive greedy-MIS
+    // rounds as q_pivot_clusters over the TIGHT graph, then removal-rank
+    // (own rank for centers, min tight-center-neighbor rank otherwise)
+    // and the loose-membership join with self-membership unioned.
+    "q_canopies" ->
+      s"""WITH RECURSIVE cpairs AS (
+        |  SELECT a.c_custkey AS ia, b.c_custkey AS ib,
+        |    ${levSimSql("a.c_name", "b.c_name")} AS s
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |), loose AS (
+        |  SELECT ia, ib, s FROM cpairs WHERE s >= CAST(0.88 AS DOUBLE)
+        |), sym AS (
+        |  SELECT u, v, max(s) AS s FROM (
+        |    SELECT ia AS u, ib AS v, s FROM loose
+        |    UNION ALL SELECT ib, ia, s FROM loose) z
+        |  GROUP BY u, v
+        |), nodes AS (
+        |  SELECT DISTINCT u AS id FROM sym
+        |), keyed AS (
+        |  SELECT id,
+        |    ((id * 1103515245 + 12345) % 2147483648) * 2147483648 + id AS rk
+        |  FROM nodes
+        |), tight AS (
+        |  SELECT u, v FROM sym WHERE s >= CAST(0.94 AS DOUBLE)
+        |), st(id, rk, mis) AS (
+        |  SELECT id, rk, FALSE FROM keyed
+        |  UNION ALL
+        |  SELECT id, rk, mis FROM (
+        |    SELECT DISTINCT u AS id, rku AS rk, pivu AS mis, dom
+        |    FROM (
+        |      SELECT u, rku, pivu,
+        |        max(CASE WHEN pivv THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY u) AS dom
+        |      FROM (
+        |        SELECT u, rku, v, rkv,
+        |          rku < min(rkv) OVER (PARTITION BY u) AS pivu,
+        |          rkv < min(rku) OVER (PARTITION BY v) AS pivv
+        |        FROM (
+        |          SELECT e.u, a.rk AS rku, e.v, b.rk AS rkv
+        |          FROM tight e
+        |          JOIN (SELECT id, rk FROM st WHERE NOT mis) a ON e.u = a.id
+        |          JOIN (SELECT id, rk FROM st WHERE NOT mis) b ON e.v = b.id
+        |        ) r
+        |      ) f
+        |    ) g
+        |    WHERE pivu OR dom = 0
+        |    UNION ALL
+        |    SELECT a2.id, a2.rk, TRUE, 0
+        |    FROM (SELECT id, rk FROM st WHERE NOT mis) a2
+        |    WHERE a2.id NOT IN (
+        |      SELECT e2.u FROM tight e2
+        |      JOIN (SELECT id FROM st WHERE NOT mis) b2 ON e2.v = b2.id)
+        |  ) z
+        |), ctr AS (
+        |  SELECT id, rk FROM st WHERE mis
+        |), remn AS (
+        |  SELECT t.u AS id, min(p.rk) AS rem
+        |  FROM tight t JOIN ctr p ON t.v = p.id GROUP BY t.u
+        |), rem AS (
+        |  SELECT k.id, CASE WHEN c.id IS NOT NULL THEN k.rk ELSE r.rem END AS rem
+        |  FROM keyed k LEFT JOIN ctr c ON k.id = c.id
+        |               LEFT JOIN remn r ON k.id = r.id
+        |)
+        |SELECT s.u AS id, s.v AS canopy
+        |FROM sym s JOIN ctr p ON s.v = p.id JOIN rem ON s.u = rem.id
+        |WHERE p.rk <= rem.rem
+        |UNION ALL
+        |SELECT id, id AS canopy FROM ctr""".stripMargin,
     // Pivot clustering: parallel greedy-MIS rounds replayed in a recursive
     // CTE. Each step joins the ACTIVE working set to both edge ends; two
     // window layers compute (a) local-min pivot flags for both endpoints

@@ -42,25 +42,21 @@ import org.apache.spark.sql.functions._
   */
 object PivotClustering {
 
-  private def rank(id: Column): Column =
+  private[operators] def rank(id: Column): Column =
     struct(((id * 1103515245L + 12345L) % 2147483648L).as("k"), id.as("id"))
 
-  /** @param edges0 two Long columns = undirected match-edge ends.
-    * @return (id, cluster) for every node appearing in an edge; cluster =
-    *         pivot node id. Isolated nodes (in no edge) are the caller's
-    *         to union, matching [[ConnectedComponents.run]]. */
-  def run(edges0: DataFrame, maxIter: Int = 60): DataFrame = {
-    val Seq(c0, c1) = edges0.columns.take(2).toSeq
-    val half = edges0
-      .select(col(c0).as("u"), col(c1).as("v"))
-      .where(col("u") =!= col("v"))
-    // symmetric, deduped, and lineage-truncated once: every round re-reads it
-    val sym = half.union(half.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint(eager = false)
-
-    var active = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), rank(col("id")).as("rk"))
+  /** Sequential-greedy (lexicographically-first by [[rank]]) maximal
+    * independent set, computed in parallel local-minimum rounds — the
+    * shared engine under [[run]] (pivots) and [[Canopy.canopies]]
+    * (canopy centers).
+    *
+    * @param sym   symmetric deduped edge list (u, v), lineage-truncated.
+    * @param nodes one Long `id` column — the node universe (isolated
+    *              nodes are trivial MIS members).
+    * @return (id, rk) of every MIS member. */
+  private[operators] def greedyMis(sym: DataFrame, nodes: DataFrame,
+      maxIter: Int): DataFrame = {
+    var active = nodes.select(col("id"), rank(col("id")).as("rk"))
       .localCheckpoint(eager = false)
     var mis = active.limit(0)
     var iter = 0
@@ -86,7 +82,25 @@ object PivotClustering {
       drained = active.isEmpty
       iter += 1
     }
-    require(drained, s"pivot clustering did not drain in $maxIter rounds")
+    require(drained, s"greedy MIS did not drain in $maxIter rounds")
+    mis
+  }
+
+  /** @param edges0 two Long columns = undirected match-edge ends.
+    * @return (id, cluster) for every node appearing in an edge; cluster =
+    *         pivot node id. Isolated nodes (in no edge) are the caller's
+    *         to union, matching [[ConnectedComponents.run]]. */
+  def run(edges0: DataFrame, maxIter: Int = 60): DataFrame = {
+    val Seq(c0, c1) = edges0.columns.take(2).toSeq
+    val half = edges0
+      .select(col(c0).as("u"), col(c1).as("v"))
+      .where(col("u") =!= col("v"))
+    // symmetric, deduped, and lineage-truncated once: every round re-reads it
+    val sym = half.union(half.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    val mis = greedyMis(sym, sym.select(col("u").as("id")).distinct(), maxIter)
 
     // every non-pivot joins its minimum-rank pivot neighbor — the pivot
     // that claimed it first in the sequential visit order
