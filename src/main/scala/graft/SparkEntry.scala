@@ -1116,6 +1116,28 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
+    // Adaptive sorted neighborhood (Yan et al.): segment the name-sorted
+    // order at every adjacency whose keys drop below JW 0.75, pair within
+    // segments (via candidatePairs' 3-tier skew contract — lossless
+    // tiers, so the oracle is tier-blind: rank, lag-join boundary flags,
+    // running-sum segments, per-segment self-join).
+    "q_adaptive_snm" -> ((s, dir) =>
+      graft.operators.Linkage.adaptiveSortedNeighborhoodPairs(
+        s.read.parquet(s"$dir/part.parquet")
+          .where(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey").as("id"), col("p_name").as("name")),
+        "id", "name", theta = 0.75)),
+
+    // MUC link-edit metric over the SAME predicted/truth partitions as
+    // q_bcubed — integer numerators/denominators, exact divisions.
+    "q_muc" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val assigned = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("cluster_id"),
+        substring(col("c_name"), 16, 3).as("truth_id"))
+      graft.operators.Linkage.mucStats(assigned)
+    }),
+
     // Canopy clustering (McCallum-Nigam-Ungar) over the nationkey-blocked
     // customer pairs with normalized-Levenshtein as the cheap metric:
     // loose t1 = 0.88 (≤2 edits on the fixed-length names), tight
@@ -3860,6 +3882,64 @@ object SparkEntry {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
         |)
         |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+    // Adaptive SNM: rank over (name, id), boundary where the adjacent-key
+    // JW drops below 0.75 (rank 1 opens segment 1), running-sum segment
+    // ids, all-pairs within each segment. Spark's salted tier is lossless
+    // and the drop tier never bites at this scale, so no tier logic here.
+    "q_adaptive_snm" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, p_name AS name
+        |  FROM part WHERE p_partkey % 2 = 0
+        |), ranked AS (
+        |  SELECT id, name, row_number() OVER (ORDER BY name, id) AS rnk
+        |  FROM base
+        |), flagged AS (
+        |  SELECT r.id, r.rnk,
+        |    CASE WHEN p.name IS NULL THEN 1
+        |         WHEN (CASE WHEN p.name = r.name THEN CAST(1.0 AS DOUBLE)
+        |               ELSE jaro_winkler_similarity(p.name, r.name) END)
+        |              < CAST(0.75 AS DOUBLE) THEN 1 ELSE 0 END AS b
+        |  FROM ranked r LEFT JOIN ranked p ON p.rnk = r.rnk - 1
+        |), seg AS (
+        |  SELECT id, sum(b) OVER (ORDER BY rnk) AS sid FROM flagged
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM seg a JOIN seg b ON a.sid = b.sid AND a.id < b.id""".stripMargin,
+    // MUC: contingency counts, per-class scatter counts, exact integer
+    // sums and divisions; f1 null iff either side is null.
+    "q_muc" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g,
+        |         substring(c_name, 16, 3) AS t
+        |  FROM customer
+        |), ni AS (
+        |  SELECT g, t, count(*) AS ni FROM j GROUP BY g, t
+        |), byt AS (
+        |  SELECT CAST(sum(n - p) AS BIGINT) AS recall_num,
+        |         CAST(sum(n - 1) AS BIGINT) AS recall_den
+        |  FROM (SELECT t, sum(ni) AS n, count(*) AS p FROM ni GROUP BY t) z1
+        |), byg AS (
+        |  SELECT CAST(sum(n - q) AS BIGINT) AS precision_num,
+        |         CAST(sum(n - 1) AS BIGINT) AS precision_den
+        |  FROM (SELECT g, sum(ni) AS n, count(*) AS q FROM ni GROUP BY g) z2
+        |), pr AS (
+        |  SELECT precision_num, precision_den, recall_num, recall_den,
+        |    CASE WHEN precision_den > 0 THEN
+        |      CAST(precision_num AS DOUBLE) / CAST(precision_den AS DOUBLE)
+        |    END AS muc_precision,
+        |    CASE WHEN recall_den > 0 THEN
+        |      CAST(recall_num AS DOUBLE) / CAST(recall_den AS DOUBLE)
+        |    END AS muc_recall
+        |  FROM byg, byt
+        |)
+        |SELECT precision_num, precision_den, recall_num, recall_den,
+        |  muc_precision, muc_recall,
+        |  CASE WHEN muc_precision IS NULL OR muc_recall IS NULL THEN NULL
+        |       WHEN muc_precision + muc_recall > 0 THEN
+        |         CAST(2.0 AS DOUBLE) * muc_precision * muc_recall
+        |           / (muc_precision + muc_recall)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS muc_f1
+        |FROM pr""".stripMargin,
     // Canopies: loose/tight pair CTEs, the SAME recursive greedy-MIS
     // rounds as q_pivot_clusters over the TIGHT graph, then removal-rank
     // (own rank for centers, min tight-center-neighbor rank otherwise)

@@ -333,27 +333,34 @@ object Linkage {
     sufs.join(sized, "suffix").select(col("id"), col("suffix"))
   }
 
-  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKeyCol: String,
-      window: Int, partitions: Int = 0): DataFrame = {
-    require(window >= 2, s"sorted-neighborhood window must be >= 2, got $window")
+  /** Distributed global rank over (sortKeyCol, idCol) order WITHOUT a
+    * single-partition window: range partition, rank within partition, add
+    * broadcast per-partition offsets (a P-row exclusive prefix sum — the
+    * only single-partition window runs over ≤ P metadata rows).
+    * Returns (idCol, sortKeyCol, __rnk) with __rnk contiguous from 1. */
+  private[operators] def globalRanked(df: DataFrame, idCol: String,
+      sortKeyCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val sorted = df.select(col(idCol), col(sortKeyCol))
       .repartitionByRange(p, col(sortKeyCol), col(idCol))
       .sortWithinPartitions(col(sortKeyCol), col(idCol))
       .withColumn("__pid", spark_partition_id())
-    // P-row offset frame: counts per range partition, exclusive prefix sum.
-    // The single-partition window below runs over ≤ P rows (metadata-sized);
-    // the per-row rank window partitions by __pid, so its state is one
-    // range partition, not the corpus.
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offsets = counts.withColumn("__offset",
       coalesce(sum(col("__n")).over(
         W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
-    val ranked = sorted.join(broadcast(offsets), "__pid")
+    sorted.join(broadcast(offsets), "__pid")
       .withColumn("__rnk", col("__offset") +
         row_number().over(W.partitionBy("__pid").orderBy(col(sortKeyCol), col(idCol))))
+      .select(col(idCol), col(sortKeyCol), col("__rnk"))
+  }
+
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKeyCol: String,
+      window: Int, partitions: Int = 0): DataFrame = {
+    require(window >= 2, s"sorted-neighborhood window must be >= 2, got $window")
+    val ranked = globalRanked(df, idCol, sortKeyCol, partitions)
       .select(col(idCol), col("__rnk"))
     val b = window - 1
     val l = ranked.select(col(idCol).as(s"${idCol}_a"), col("__rnk").as("rank_a"),
@@ -363,6 +370,64 @@ object Linkage {
     l.join(r, "__bucket")
       .where(col("rank_b") > col("rank_a") && col("rank_b") - col("rank_a") <= b)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("rank_a"), col("rank_b"))
+  }
+
+  /** ADAPTIVE sorted neighborhood (Yan et al., "Adaptive sorting-based
+    * blocking"): instead of a fixed window sliding over the sort order, cut
+    * the order into SEGMENTS at every adjacency whose sort keys are not
+    * similar enough (`sim(prev, cur) < theta`), and pair all records
+    * within a segment. A fixed window both misses duplicates straddling a
+    * dense run longer than the window AND wastes comparisons across
+    * obvious discontinuities; the adaptive cut spends the pair budget
+    * exactly where the sort order says records cluster. Equal keys can
+    * never be split (sim = 1 ≥ θ for any valid θ).
+    *
+    * Scale shape: one [[globalRanked]] pass, ONE equi-self-join on rank
+    * (rank = rank+1) for adjacency — no corpus-sized window — then a
+    * second broadcast-offset prefix sum turns boundary flags into segment
+    * ids, and the within-segment pairing is delegated to
+    * [[candidatePairs]], inheriting the full 3-tier (plain / salted-grid /
+    * observable-drop) skew contract: a degenerate sort key that lumps the
+    * corpus into one segment becomes a salted grid or an observable drop,
+    * never a silent quadratic reducer.
+    *
+    * @param sim similarity between ADJACENT SORT KEYS (not records);
+    *            default Jaro-Winkler. θ in (0,1].
+    * @return (idCol_a, idCol_b) distinct candidate pairs. */
+  def adaptiveSortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortKeyCol: String, theta: Double,
+      sim: (Column, Column) => Column = jaro_winkler_sim(_, _),
+      bucketCap: Int = 200, hardCap: Int = 100000, saltGroups: Int = 16,
+      partitions: Int = 0): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1], got $theta")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val ranked = globalRanked(df, idCol, sortKeyCol, partitions)
+      .localCheckpoint(eager = false)
+    val prev = ranked.select((col("__rnk") + 1).as("__rnk"),
+      col(sortKeyCol).as("__prev"))
+    val flagged = ranked.join(prev, Seq("__rnk"), "left")
+      .withColumn("__b",
+        when(col("__prev").isNull, lit(1L)) // rank 1 opens segment 1
+          .otherwise(when(sim(col("__prev"), col(sortKeyCol)) < theta, lit(1L))
+            .otherwise(lit(0L))))
+    // distributed prefix sum of the boundary flags = segment id per row
+    val parts = flagged
+      .repartitionByRange(p, col("__rnk"))
+      .sortWithinPartitions(col("__rnk"))
+      .withColumn("__pid", spark_partition_id())
+    val counts = parts.groupBy(col("__pid")).agg(sum(col("__b")).as("__n"))
+    val offsets = counts.withColumn("__offset",
+      coalesce(sum(col("__n")).over(
+        W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val segments = parts.join(broadcast(offsets), "__pid")
+      .withColumn("__seg", col("__offset") +
+        sum(col("__b")).over(W.partitionBy("__pid").orderBy(col("__rnk"))))
+      .select(col(idCol).as("url"),
+        concat(lit("seg:"), col("__seg")).as("key"))
+    candidatePairs(segments, bucketCap, hardCap, saltGroups)
+      .select(col("url_a").as(s"${idCol}_a"), col("url_b").as(s"${idCol}_b"))
   }
 
   /** Two-corpus candidate pairs: records of LEFT and RIGHT sharing a
@@ -697,6 +762,50 @@ object Linkage {
       val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
       (p, r, f1)
     } finally stats.unpersist()
+  }
+
+  /** MUC link-based metric (Vilain et al., MUC-6 1995) of a predicted
+    * clustering vs a reference partition — the third classic ER/coref
+    * metric next to [[bCubedStats]] (mention-weighted) and
+    * [[adjustedRandStats]] (chance-corrected pair counting): MUC counts
+    * the MINIMUM LINK EDITS to reconcile the two partitions. Recall =
+    * Σ_t (n_t − p_t) / Σ_t (n_t − 1) over truth classes t, where p_t =
+    * #predicted clusters class t is scattered across (links missing to
+    * reunite it); precision mirrors with roles swapped. Singletons carry
+    * zero weight — MUC's known blind spot, which is exactly why the three
+    * metrics ship together.
+    *
+    * One pass to the contingency counts (map-side combining groupBy),
+    * then two class-count aggregates folded to one row each and a 1-row
+    * broadcast cross join; the numerators/denominators are exact 64-bit
+    * integers, P/R one exact division each (null when the denominator is
+    * 0 — all classes singleton = no evidence), f1 pinned to
+    * 2·p·r/(p+r), 0.0 when p + r = 0, null if either side is null. */
+  def mucStats(assignments: DataFrame, clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val ni = assignments
+      .groupBy(col(clusterCol).as("g"), col(truthCol).as("t"))
+      .agg(count(lit(1)).as("ni"))
+    val byT = ni.groupBy(col("t"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("p"))
+      .agg(sum(col("n") - col("p")).as("recall_num"),
+        sum(col("n") - 1).as("recall_den"))
+    val byG = ni.groupBy(col("g"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("q"))
+      .agg(sum(col("n") - col("q")).as("precision_num"),
+        sum(col("n") - 1).as("precision_den"))
+    byG.crossJoin(broadcast(byT))
+      .withColumn("muc_precision", when(col("precision_den") > 0,
+        col("precision_num").cast("double") / col("precision_den").cast("double")))
+      .withColumn("muc_recall", when(col("recall_den") > 0,
+        col("recall_num").cast("double") / col("recall_den").cast("double")))
+      .withColumn("muc_f1",
+        when(col("muc_precision").isNull || col("muc_recall").isNull,
+          lit(null).cast("double"))
+          .when(col("muc_precision") + col("muc_recall") > 0,
+            lit(2.0) * col("muc_precision") * col("muc_recall") /
+              (col("muc_precision") + col("muc_recall")))
+          .otherwise(lit(0.0)))
   }
 
   /** Adjusted Rand Index (Hubert & Arabie 1985) of a predicted clustering
