@@ -1116,6 +1116,19 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
+    // Dynamic blocking (hierarchical key extension): over-cap blocks
+    // split by the next key part instead of being dropped/salted. cap=100
+    // makes the settle depth DATA-DEPENDENT: at sf0.01 segment:nation
+    // blocks fit (depth 1); at sf0.1 they are ~240 strong and descend to
+    // the name-suffix depth 2 — the oracle replays all three sizing
+    // levels and the coarsest-fitting-depth rule.
+    "q_dynamic_block" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.Linkage.dynamicBlockKeys(c, "c_custkey",
+        Seq(col("c_mktsegment"), col("c_nationkey"),
+          substring(col("c_name"), -1, 1)), cap = 100L)
+    }),
+
     // Adaptive sorted neighborhood (Yan et al.): segment the name-sorted
     // order at every adjacency whose keys drop below JW 0.75, pair within
     // segments (via candidatePairs' 3-tier skew contract — lossless
@@ -3882,6 +3895,29 @@ object SparkEntry {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
         |)
         |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+    // Dynamic blocking: three sizing CTEs (one per depth), coarsest
+    // fitting depth wins, never-fitting records excluded.
+    "q_dynamic_block" ->
+      """WITH k AS (
+        |  SELECT c_custkey AS id,
+        |    c_mktsegment AS k0,
+        |    c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS k1,
+        |    c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR)
+        |      || ':' || right(c_name, 1) AS k2
+        |  FROM customer
+        |), n0 AS (SELECT k0, count(*) AS n FROM k GROUP BY k0
+        |), n1 AS (SELECT k1, count(*) AS n FROM k GROUP BY k1
+        |), n2 AS (SELECT k2, count(*) AS n FROM k GROUP BY k2
+        |)
+        |SELECT id AS c_custkey,
+        |  CASE WHEN n0.n <= 100 THEN k0
+        |       WHEN n1.n <= 100 THEN k1
+        |       WHEN n2.n <= 100 THEN k2 END AS block_key,
+        |  CASE WHEN n0.n <= 100 THEN 0
+        |       WHEN n1.n <= 100 THEN 1
+        |       WHEN n2.n <= 100 THEN 2 END AS depth
+        |FROM k JOIN n0 USING (k0) JOIN n1 USING (k1) JOIN n2 USING (k2)
+        |WHERE n0.n <= 100 OR n1.n <= 100 OR n2.n <= 100""".stripMargin,
     // Adaptive SNM: rank over (name, id), boundary where the adjacent-key
     // JW drops below 0.75 (rank 1 opens segment 1), running-sum segment
     // ids, all-pairs within each segment. Spark's salted tier is lossless

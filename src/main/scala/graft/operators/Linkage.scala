@@ -430,6 +430,63 @@ object Linkage {
       .select(col("url_a").as(s"${idCol}_a"), col("url_b").as(s"${idCol}_b"))
   }
 
+  /** DYNAMIC BLOCKING (hierarchical key extension — the McNeill-Kardes-
+    * Borthwick remedy): a block bigger than `cap` is not dropped and not
+    * salted — its key is EXTENDED with the next key part, splitting it
+    * into child blocks, recursively until every block fits or the parts
+    * run out. Where [[candidatePairs]]' tier policy trades recall for
+    * boundedness on ultra-hot keys, dynamic blocking keeps recall
+    * whenever a finer signal exists, and only the records whose FULL key
+    * chain is still over `cap` fall out (observably —
+    * [[droppedDynamicRecords]]).
+    *
+    * Because depth-d keys are prefixes, all members of an over-cap block
+    * share every ancestor key, so the whole block descends together —
+    * which makes the recursion evaporate into |parts| map-side-combining
+    * groupBys over the full population plus |parts| equi-joins (the size
+    * frames are block-count-sized, usually broadcast): a record settles
+    * at the FIRST depth whose block count fits. No driver loop, no
+    * generated shuffles beyond the D sizing joins.
+    *
+    * @param parts ordered key parts, coarse → fine (e.g. segment, nation,
+    *              name prefix). Depth-d key = parts(0..d) joined by ':'.
+    * @return (id, block_key, depth) for every record that settles. */
+  def dynamicBlockKeys(records: DataFrame, idCol: String,
+      parts: Seq[Column], cap: Long): DataFrame = {
+    require(parts.nonEmpty, "dynamicBlockKeys needs at least one key part")
+    val keyed = records.select(
+      col(idCol) +: parts.indices.map(d =>
+        concat_ws(":", parts.take(d + 1).map(_.cast("string")): _*)
+          .as(s"__k$d")): _*)
+    val sized = parts.indices.foldLeft(keyed) { (acc, d) =>
+      val s = keyed.groupBy(col(s"__k$d")).agg(count(lit(1)).as(s"__n$d"))
+      acc.join(s, s"__k$d")
+    }
+    // first (coarsest) fitting depth wins: fold fine → coarse so shallower
+    // WHEN branches overwrite deeper ones
+    val depth = parts.indices.reverse.foldLeft(lit(-1)) { (acc, d) =>
+      when(col(s"__n$d") <= cap, lit(d)).otherwise(acc)
+    }
+    sized.withColumn("__d", depth)
+      .where(col("__d") >= 0)
+      .withColumn("block_key",
+        parts.indices.foldLeft(lit(null).cast("string")) { (acc, d) =>
+          when(col("__d") === d, col(s"__k$d")).otherwise(acc)
+        })
+      .select(col(idCol), col("block_key"), col("__d").as("depth"))
+  }
+
+  /** Records whose FULL dynamic key chain is still over `cap` — the
+    * non-silent record of what [[dynamicBlockKeys]] excluded. */
+  def droppedDynamicRecords(records: DataFrame, idCol: String,
+      parts: Seq[Column], cap: Long): DataFrame = {
+    val full = records.select(col(idCol),
+      concat_ws(":", parts.map(_.cast("string")): _*).as("__kf"))
+    val sized = full.groupBy(col("__kf")).agg(count(lit(1)).as("block_n"))
+    full.join(sized.where(col("block_n") > cap), "__kf")
+      .select(col(idCol), col("__kf").as("block_key"), col("block_n"))
+  }
+
   /** Two-corpus candidate pairs: records of LEFT and RIGHT sharing a
     * blocking key (the A-vs-B linkage shape — most production ER links two
     * tables, e.g. crawl vs registry; [[candidatePairs]] is the self-join
