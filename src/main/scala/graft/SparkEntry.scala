@@ -1151,6 +1151,18 @@ object SparkEntry {
       graft.operators.Linkage.mucStats(assigned)
     }),
 
+    // Partition-agreement metrics (Rand / Fowlkes-Mallows / Talburt-Wang
+    // + raw pair confusion counts) over the SAME predicted/truth
+    // partitions as q_muc/q_bcubed — integer contingency sums in
+    // decimal(38,0), the only rounding the final IEEE division/sqrt.
+    "q_partition_agreement" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val assigned = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("cluster_id"),
+        substring(col("c_name"), 16, 3).as("truth_id"))
+      graft.operators.Linkage.partitionAgreementStats(assigned)
+    }),
+
     // Canopy clustering (McCallum-Nigam-Ungar) over the nationkey-blocked
     // customer pairs with normalized-Levenshtein as the cheap metric:
     // loose t1 = 0.88 (≤2 edits on the fixed-length names), tight
@@ -1189,6 +1201,21 @@ object SparkEntry {
         .select(col("p_partkey").cast("string").as("url"),
           regexp_replace(lower(col("p_name")), "[^a-z]", "").as("name_norm"))
       graft.operators.Linkage.minhashBandKeys(ex, hashFamily = "sha256")
+    }),
+
+    // One-permutation MinHash signature (16 bins, rotation-densified) over
+    // the documents' sorted-distinct token 2-shingles: ONE digest per
+    // shingle instead of 16 lane digests — the O(m) scale path. Driven
+    // with the sha256 family so DuckDB replays the whole derivation
+    // (nibble bins, per-bin minima, circular borrow with distance tag).
+    "q_minhash_oph_sig" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val toks = array_sort(array_distinct(
+        filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+      d.select(col("doc_id"), minhash_sig_oph(toks, "sha256").as("sig"))
+        .where(col("sig").isNotNull)
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").as("bin"), col("col").as("h"))
     }),
 
     // ---- training-data operators over documents/embeddings ----
@@ -2495,6 +2522,39 @@ object SparkEntry {
         |WHERE sample_rank <= 20""".stripMargin,
     "q_scrub_pii" -> scrubPiiOracle,
     "q_minhash_band_keys" -> minhashBandKeysOracle,
+    // OPH: one sha256 per 2-shingle, first-hex-nibble bins, per-bin min,
+    // then circular right-rotation densification — bin i takes the
+    // nearest non-empty bin's minimum tagged with the borrow distance.
+    // The j = 0 row of the offset scan IS the filled bin, so one
+    // row_number window covers both cases.
+    "q_minhash_oph_sig" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
+        |    ELSE tk END) AS sh
+        |  FROM base WHERE len(tk) > 0
+        |), filled AS (
+        |  SELECT doc_id,
+        |         strpos('0123456789abcdef', substr(sha256(sh), 1, 1)) - 1 AS bin,
+        |         min(sha256(sh)) AS h
+        |  FROM sh GROUP BY doc_id, bin
+        |), grid AS (
+        |  SELECT DISTINCT doc_id FROM filled
+        |), scan AS (
+        |  SELECT g.doc_id, b.i AS bin, r.j AS j, f.h,
+        |         row_number() OVER (PARTITION BY g.doc_id, b.i ORDER BY r.j) AS rn
+        |  FROM grid g
+        |  CROSS JOIN range(0, 16) b(i)
+        |  CROSS JOIN range(0, 16) r(j)
+        |  JOIN filled f ON f.doc_id = g.doc_id AND f.bin = (b.i + r.j) % 16
+        |)
+        |SELECT doc_id, CAST(bin AS INTEGER) AS bin,
+        |  CASE WHEN j = 0 THEN h ELSE h || ':' || CAST(j AS VARCHAR) END AS h
+        |FROM scan WHERE rn = 1""".stripMargin,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
     // the indexed path must reproduce the direct path bit-for-bit: same
@@ -3976,6 +4036,45 @@ object SparkEntry {
         |           / (muc_precision + muc_recall)
         |       ELSE CAST(0.0 AS DOUBLE) END AS muc_f1
         |FROM pr""".stripMargin,
+    // Partition agreement: the same contingency/marginal sums as the
+    // Spark side (2·C(x,2) = x·(x−1) kept integral in HUGEINT), pair
+    // confusion counts by exact halving, then the identical double
+    // division / sqrt expressions (sqrt is correctly rounded, so the
+    // doubles match bit-exactly).
+    "q_partition_agreement" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g,
+        |         substring(c_name, 16, 3) AS t
+        |  FROM customer
+        |), ni AS (
+        |  SELECT g, t, CAST(count(*) AS HUGEINT) AS ni FROM j GROUP BY g, t
+        |), cells AS (
+        |  SELECT sum(ni * (ni - 1)) AS s2_ij, sum(ni) AS n,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM ni
+        |), sa AS (
+        |  SELECT sum(na * (na - 1)) AS s2_a, CAST(count(*) AS BIGINT) AS ca
+        |  FROM (SELECT g, sum(ni) AS na FROM ni GROUP BY g) z1
+        |), sb AS (
+        |  SELECT sum(nb * (nb - 1)) AS s2_b, CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT t, sum(ni) AS nb FROM ni GROUP BY t) z2
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, ca, cb, v,
+        |  CAST(s2_ij // 2 AS BIGINT) AS tp,
+        |  CAST((s2_a - s2_ij) // 2 AS BIGINT) AS fp,
+        |  CAST((s2_b - s2_ij) // 2 AS BIGINT) AS fn,
+        |  CAST((n * (n - 1) - s2_a - s2_b + s2_ij) // 2 AS BIGINT) AS tn,
+        |  CASE WHEN n * (n - 1) > 0 THEN
+        |    CAST(2 * s2_ij + n * (n - 1) - s2_a - s2_b AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) END AS rand_index,
+        |  CASE WHEN s2_a > 0 AND s2_b > 0 THEN
+        |    CAST(s2_ij // 2 AS DOUBLE)
+        |      / sqrt(CAST(s2_a // 2 AS DOUBLE) * CAST(s2_b // 2 AS DOUBLE))
+        |  END AS fowlkes_mallows,
+        |  CASE WHEN v > 0 THEN
+        |    sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(v AS DOUBLE)
+        |  END AS talburt_wang
+        |FROM cells, sa, sb""".stripMargin,
     // Canopies: loose/tight pair CTEs, the SAME recursive greedy-MIS
     // rounds as q_pivot_clusters over the TIGHT graph, then removal-rank
     // (own rank for centers, min tight-center-neighbor rank otherwise)

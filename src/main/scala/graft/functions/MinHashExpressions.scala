@@ -227,6 +227,112 @@ object MinHashKernels {
     }
     new GenericArrayData(out)
   }
+
+  // --------------------------------------------- one-permutation hashing
+
+  /** OPH bin count — fixed at 16 so the sha256 family's bin index is
+    * exactly the FIRST HEX NIBBLE of the single per-shingle digest (a SQL
+    * oracle re-derives it with strpos over the hex string) and the
+    * xxhash64 family mirrors it with the hash's top nibble. */
+  val OphBins = 16
+
+  /** One-permutation MinHash over token 2-shingles, sha256 family
+    * (Li-Owen-Zhang 2012; densified per Shrivastava-Li 2014): ONE digest
+    * per shingle — O(m) per document where the classic k-lane signature
+    * [[sigTokensSha]] is O(k·m) — bucketed by the digest's first hex
+    * nibble, keeping the lexicographic-min digest per bin. An empty bin
+    * borrows the nearest non-empty bin to the RIGHT (circular, distance
+    * j ≥ 1) and TAGS the borrow as `hex ++ ":" ++ j`: two documents
+    * collide on a densified bin iff they borrow the same minimum over the
+    * same distance — the collision structure the densified-OPH Jaccard
+    * estimator needs (untagged copying would inflate agreement between
+    * sparse documents). Token-less input → null, as [[sigTokensSha]]. */
+  def sigTokensShaOph(tokens: ArrayData): ArrayData = {
+    val toks = nonNullTokens(tokens)
+    val n = toks.length
+    if (n == 0) return null
+    val md = shaDigest.get()
+    val mins = new Array[Array[Byte]](OphBins)
+    def fold(feed: MessageDigest => Unit): Unit = {
+      md.reset()
+      feed(md)
+      val d = md.digest()
+      val bin = (d(0) >>> 4) & 0xF
+      if (mins(bin) == null || lessThan(d, mins(bin))) mins(bin) = d
+    }
+    if (n == 1) {
+      val tb = toks(0).getBytes
+      fold(_.update(tb))
+    } else {
+      val tb = new Array[Array[Byte]](n)
+      var j = 0
+      while (j < n) { tb(j) = toks(j).getBytes; j += 1 }
+      j = 0
+      while (j < n - 1) {
+        val a = tb(j)
+        val b = tb(j + 1)
+        fold { m => m.update(a); m.update(' '.toByte); m.update(b) }
+        j += 1
+      }
+    }
+    val out = new Array[AnyRef](OphBins)
+    var i = 0
+    while (i < OphBins) {
+      if (mins(i) != null) out(i) = toHex(mins(i))
+      else {
+        var j = 1
+        while (mins((i + j) % OphBins) == null) j += 1
+        out(i) = UTF8String.fromString(
+          toHex(mins((i + j) % OphBins)).toString + ":" + j)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-permutation MinHash over token 2-shingles, xxhash64 family — the
+    * production path: one 64-bit hash per shingle, top-nibble bins,
+    * UNSIGNED minima (mirroring the sha family's lexicographic byte
+    * order), rotation densification re-keyed by distance —
+    * `XXH64.hashLong(borrowed, j)`, deterministic in (value, distance),
+    * so the collision structure matches the sha family's tagged borrow. */
+  def sigTokensXxOph(tokens: ArrayData): ArrayData = {
+    val toks = nonNullTokens(tokens)
+    val n = toks.length
+    if (n == 0) return null
+    val mins = new Array[Long](OphBins)
+    val filled = new Array[Boolean](OphBins)
+    def fold(h: Long): Unit = {
+      val bin = ((h >>> 60) & 0xFL).toInt
+      if (!filled(bin) || java.lang.Long.compareUnsigned(h, mins(bin)) < 0) {
+        mins(bin) = h
+        filled(bin) = true
+      }
+    }
+    if (n == 1) fold(XXH64.hashUTF8String(toks(0), 42L))
+    else {
+      var prev = XXH64.hashUTF8String(toks(0), 42L)
+      var j = 1
+      while (j < n) {
+        val cur = XXH64.hashUTF8String(toks(j), 42L)
+        fold(XXH64.hashLong(cur, prev))
+        prev = cur
+        j += 1
+      }
+    }
+    val out = new Array[Long](OphBins)
+    var i = 0
+    while (i < OphBins) {
+      if (filled(i)) out(i) = mins(i)
+      else {
+        var j = 1
+        while (!filled((i + j) % OphBins)) j += 1
+        out(i) = XXH64.hashLong(mins((i + j) % OphBins), j.toLong)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Base for the fused MinHash signature expressions: unary, deterministic,
@@ -291,5 +397,42 @@ case class MinHashSigChars(child: Expression, shingleK: Int, numHashes: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v =>
       s"graft.functions.MinHashKernels.$kernelMethod($v, $shingleK, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_sig_oph(tokens array<string>, family) → 16-bin one-permutation
+  * MinHash signature with rotation densification
+  * ([[MinHashKernels.sigTokensShaOph]] /
+  * [[MinHashKernels.sigTokensXxOph]]): O(m) per document vs O(k·m) for
+  * [[MinHashSig]] — the scale path for long documents, where the classic
+  * signature's k lane hashes per shingle dominate the fingerprint pass.
+  * Same null semantics as [[MinHashSig]] (token-less → NULL, never a
+  * shared sentinel signature). */
+case class MinHashSigOph(child: Expression, family: String)
+    extends UnaryExpression with Serializable {
+  require(family == "xxhash64" || family == "sha256",
+    s"unknown minhash family: $family")
+  override def prettyName: String = "minhash_sig_oph"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    if (family == "sha256") ArrayType(StringType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  private val kernelMethod =
+    if (family == "sha256") "sigTokensShaOph" else "sigTokensXxOph"
+  override protected def nullSafeEval(v: Any): Any =
+    if (family == "sha256")
+      MinHashKernels.sigTokensShaOph(v.asInstanceOf[ArrayData])
+    else MinHashKernels.sigTokensXxOph(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.MinHashKernels.$kernelMethod($v);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

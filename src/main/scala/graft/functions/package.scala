@@ -316,6 +316,12 @@ package object functions {
       family: String = "xxhash64"): Column =
     wrap(MinHashSigChars(expr(s), shingleK, numHashes, family))
 
+  /** One-permutation MinHash signature (16 bins, rotation-densified) over
+    * token 2-shingles — O(m) per document vs O(k·m) for [[minhash_sig]];
+    * family ∈ {xxhash64 (production), sha256 (oracle-checkable)}. */
+  def minhash_sig_oph(tokens: Column, family: String = "xxhash64"): Column =
+    wrap(MinHashSigOph(expr(tokens), family))
+
   /** SQL function names → expression builders. One convention everywhere:
     * every similarity kernel is `<name>_sim` (`levenshtein` alone would
     * shadow Spark's built-in DISTANCE of the same name, and a mixed
@@ -411,6 +417,9 @@ package object functions {
       litInt(es(1), "minhash_sig_chars", "shingleK"),
       litInt(es(2), "minhash_sig_chars", "numHashes"),
       if (es.length > 3) litStr(es(3), "minhash_sig_chars", "family") else "xxhash64")),
+    //   minhash_sig_oph(tokens) / minhash_sig_oph(tokens, 'sha256')
+    "minhash_sig_oph" -> (es => MinHashSigOph(es(0),
+      if (es.length > 1) litStr(es(1), "minhash_sig_oph", "family") else "xxhash64")),
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
       litInt(es(1), "min_kgram_hash", "k"))),

@@ -920,6 +920,62 @@ object Linkage {
           .as("ari"))
   }
 
+  /** Partition-agreement metrics that complete the pair-counting family
+    * beside [[adjustedRandStats]] / [[bCubedStats]] / [[mucStats]]: the
+    * raw pair confusion counts (tp/fp/fn/tn), the UNADJUSTED Rand index
+    * (Rand 1971), the Fowlkes-Mallows index (Fowlkes & Mallows 1983,
+    * FM = tp / sqrt((tp+fp)·(tp+fn)) = the geometric mean of pairwise
+    * precision and recall), and the Talburt-Wang index (Talburt 2011,
+    * TW = sqrt(|A|·|B|) / V with V = #non-empty contingency overlaps —
+    * the ER-textbook metric that needs NO pair counts at all, only
+    * cluster counts, so it stays meaningful on singleton-heavy linkage
+    * output where MUC goes null).
+    *
+    * Same shapes and exactness discipline as [[adjustedRandStats]]: one
+    * contingency groupBy, two marginal groupBys over the cell-sized
+    * frame, three 1-row aggregates broadcast-cross-joined; pair sums
+    * folded in decimal(38,0) (long products overflow at ~3e9 records),
+    * every count exact, and the only rounding is the final double
+    * division / sqrt (sqrt is IEEE-correctly-rounded, so any engine
+    * replaying the same integer inputs reproduces the doubles bit-exactly).
+    * rand_index is null when n < 2 (no pairs to count); fowlkes_mallows
+    * is null when either side has no intra-cluster pair (precision or
+    * recall undefined); talburt_wang is null only on an empty input. */
+  def partitionAgreementStats(assignments: DataFrame,
+      clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def pairs2(c: Column): Column = // 2·C(x,2) = x·(x−1), decimal-exact
+      (c.cast(dec) * (c.cast(dec) - 1))
+    val ni = assignments.groupBy(col(clusterCol), col(truthCol))
+      .agg(count(lit(1)).as("__ni"))
+    val cells = ni.agg(sum(pairs2(col("__ni"))).as("s2_ij"),
+      sum(col("__ni")).as("__n"), count(lit(1)).as("v"))
+    val sa = ni.groupBy(col(clusterCol)).agg(sum(col("__ni")).as("__na"))
+      .agg(sum(pairs2(col("__na"))).as("s2_a"), count(lit(1)).as("ca"))
+    val sb = ni.groupBy(col(truthCol)).agg(sum(col("__ni")).as("__nb"))
+      .agg(sum(pairs2(col("__nb"))).as("s2_b"), count(lit(1)).as("cb"))
+    val n2 = col("__n").cast(dec) * (col("__n").cast(dec) - 1) // 2·C(n,2)
+    cells.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(
+        col("__n").cast("long").as("n"), col("ca"), col("cb"), col("v"),
+        (col("s2_ij") / 2).cast("long").as("tp"),
+        ((col("s2_a") - col("s2_ij")) / 2).cast("long").as("fp"),
+        ((col("s2_b") - col("s2_ij")) / 2).cast("long").as("fn"),
+        ((n2 - col("s2_a") - col("s2_b") + col("s2_ij")) / 2).cast("long")
+          .as("tn"),
+        when(n2 > 0,
+          (lit(2).cast(dec) * col("s2_ij") + n2 - col("s2_a") - col("s2_b"))
+            .cast("double") / n2.cast("double")).as("rand_index"),
+        when(col("s2_a") > 0 && col("s2_b") > 0,
+          (col("s2_ij") / 2).cast("double") /
+            sqrt((col("s2_a") / 2).cast("double") *
+              (col("s2_b") / 2).cast("double"))).as("fowlkes_mallows"),
+        when(col("v") > 0,
+          sqrt(col("ca").cast("double") * col("cb").cast("double")) /
+            col("v").cast("double")).as("talburt_wang"))
+  }
+
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
     * pairs, both restricted to candidate pairs (= pairs sharing a blocking
     * key, per BASELINE.json:2,14). */

@@ -159,6 +159,48 @@ class BlockingSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  // ------------------------------------- Rand / Fowlkes-Mallows / Talburt-Wang
+
+  test("partitionAgreementStats matches the hand-computed example") {
+    import spark.implicits._
+    // clusters {1,2,3}{4,5}; truth {1,2}{3,4,5}: contingency (A,x)=2,
+    // (A,y)=1, (B,y)=2 → tp = 1+0+1 = 2, tp+fp = C(3,2)+C(2,2) = 4,
+    // tp+fn = C(2,2)+C(3,2) = 4, C(5,2) = 10 → fp = fn = 2, tn = 4,
+    // Rand = 6/10, FM = 2/sqrt(16) = 0.5, TW = sqrt(2·2)/3 = 2/3.
+    val asg = Seq(
+      (1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y"),
+      (4L, "B", "y"), (5L, "B", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    val r = Linkage.partitionAgreementStats(asg).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L &&
+      r.getLong(3) == 3L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 2L && r.getLong(6) == 2L &&
+      r.getLong(7) == 4L)
+    assert(r.getDouble(8) == 0.6)
+    assert(r.getDouble(9) == 0.5)
+    assert(r.getDouble(10) == 2.0 / 3.0)
+    // identical partitions → all three indexes 1.0
+    val perfect = Seq((1L, "A", "x"), (2L, "A", "x"), (3L, "B", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    val p = Linkage.partitionAgreementStats(perfect).collect().head
+    assert(p.getDouble(8) == 1.0 && p.getDouble(9) == 1.0 &&
+      p.getDouble(10) == 1.0)
+    // all singletons both sides: no intra pairs → FM null, Rand = 1
+    // (every pair truly negative), TW = sqrt(n·n)/n = 1
+    val triv = Seq((1L, "A", "x"), (2L, "B", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    val t = Linkage.partitionAgreementStats(triv).collect().head
+    assert(t.isNullAt(9) && t.getDouble(8) == 1.0 && t.getDouble(10) == 1.0)
+    // single row: no pairs at all → Rand null too
+    val one = Seq((1L, "A", "x")).toDF("id", "cluster_id", "truth_id")
+    val o = Linkage.partitionAgreementStats(one).collect().head
+    assert(o.isNullAt(8) && o.isNullAt(9) && o.getDouble(10) == 1.0)
+    // partition-independent
+    val a2 = Linkage.partitionAgreementStats(asg.repartition(7)).collect().head.toSeq
+    val b2 = Linkage.partitionAgreementStats(asg.coalesce(1)).collect().head.toSeq
+    assert(a2 == b2)
+  }
+
   // ------------------------------------------------------- blocking quality
 
   test("blockingQuality computes reduction ratio and pairs completeness") {
