@@ -1218,6 +1218,13 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").as("bin"), col("col").as("h"))
     }),
 
+    // OPH dedup end-to-end: the one-hash-per-shingle signature feeding
+    // the SAME banded/capped/Jaccard-verified LSH tail as
+    // q_dedup_minhash_lsh — the fingerprint-bound corpus's scale path.
+    "q_dedup_minhash_oph" -> ((s, dir) => graft.operators.Dedup.minhashOphLshPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      tau = 0.5, bands = 4, bucketCap = 500, hashFamily = "sha256")),
+
     // ---- training-data operators over documents/embeddings ----
 
     // deterministic train/val/test split: a pure hash projection (no
@@ -1772,6 +1779,42 @@ object SparkEntry {
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** CTE list (no WITH) deriving the one-permutation MinHash signature of
+    * `from`(doc_id, text) as rows: base(id, tk) — sorted distinct
+    * whitespace tokens, the derivation every dedup oracle shares — and
+    * dens(id, bin, h) — the 16 rotation-densified OPH bins (one sha256
+    * per 2-shingle, first-hex-nibble bins, per-bin lexicographic minima,
+    * circular right-borrow tagged with its distance; the j = 0 row of
+    * the offset scan IS the filled bin, so one row_number window covers
+    * filled and borrowed bins alike). Shared by the signature gate and
+    * the OPH dedup gate so the derivation cannot de-sync. */
+  private def ophDensCteList(from: String): String =
+    s"""base AS (
+       |  SELECT doc_id AS id,
+       |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
+       |  FROM $from
+       |), sh AS (
+       |  SELECT id, unnest(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
+       |    ELSE tk END) AS sh
+       |  FROM base WHERE len(tk) > 0
+       |), filled AS (
+       |  SELECT id, strpos('0123456789abcdef', substr(sha256(sh), 1, 1)) - 1 AS bin,
+       |         min(sha256(sh)) AS h
+       |  FROM sh GROUP BY id, bin
+       |), scan AS (
+       |  SELECT g.id, b.i AS bin, r.j AS j, f.h,
+       |         row_number() OVER (PARTITION BY g.id, b.i ORDER BY r.j) AS rn
+       |  FROM (SELECT DISTINCT id FROM filled) g
+       |  CROSS JOIN range(0, 16) b(i)
+       |  CROSS JOIN range(0, 16) r(j)
+       |  JOIN filled f ON f.id = g.id AND f.bin = (b.i + r.j) % 16
+       |), dens AS (
+       |  SELECT id, bin,
+       |    CASE WHEN j = 0 THEN h ELSE h || ':' || CAST(j AS VARCHAR) END AS h
+       |  FROM scan WHERE rn = 1
+       |)""".stripMargin
 
   private def minhashBandKeysOracle: String = {
     val bandKeys = (0 until 6).map { b =>
@@ -2528,33 +2571,28 @@ object SparkEntry {
     // The j = 0 row of the offset scan IS the filled bin, so one
     // row_number window covers both cases.
     "q_minhash_oph_sig" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))) AS tk
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
-        |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
-        |    ELSE tk END) AS sh
-        |  FROM base WHERE len(tk) > 0
-        |), filled AS (
-        |  SELECT doc_id,
-        |         strpos('0123456789abcdef', substr(sha256(sh), 1, 1)) - 1 AS bin,
-        |         min(sha256(sh)) AS h
-        |  FROM sh GROUP BY doc_id, bin
-        |), grid AS (
-        |  SELECT DISTINCT doc_id FROM filled
-        |), scan AS (
-        |  SELECT g.doc_id, b.i AS bin, r.j AS j, f.h,
-        |         row_number() OVER (PARTITION BY g.doc_id, b.i ORDER BY r.j) AS rn
-        |  FROM grid g
-        |  CROSS JOIN range(0, 16) b(i)
-        |  CROSS JOIN range(0, 16) r(j)
-        |  JOIN filled f ON f.doc_id = g.doc_id AND f.bin = (b.i + r.j) % 16
+      s"""WITH ${ophDensCteList("documents")}
+        |SELECT id AS doc_id, CAST(bin AS INTEGER) AS bin, h
+        |FROM dens""".stripMargin,
+    // OPH dedup end-to-end: the SAME dens CTEs, banded 4×4 in bin order
+    // (string_agg ORDER BY bin == the Spark side's element_at order),
+    // then the standard sized/good/cand/verify tail at tau = 0.5.
+    "q_dedup_minhash_oph" ->
+      s"""WITH ${ophDensCteList("documents")}, banded AS (
+        |  SELECT id, CAST(bin // 4 AS VARCHAR) || ':' ||
+        |         sha256(string_agg(h, '|' ORDER BY bin)) AS key
+        |  FROM dens GROUP BY id, bin // 4
+        |), sized AS (
+        |  SELECT key, count(*) AS n FROM banded GROUP BY key
+        |), good AS (
+        |  SELECT b.id, b.key FROM banded b JOIN sized s USING (key) WHERE s.n <= 500
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM good a JOIN good b ON a.key = b.key AND a.id < b.id
         |)
-        |SELECT doc_id, CAST(bin AS INTEGER) AS bin,
-        |  CASE WHEN j = 0 THEN h ELSE h || ':' || CAST(j AS VARCHAR) END AS h
-        |FROM scan WHERE rn = 1""".stripMargin,
+        |SELECT c.ia, c.ib, $tokenJaccardSql AS jaccard
+        |FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
+        |WHERE $tokenJaccardSql >= 0.5""".stripMargin,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
     // the indexed path must reproduce the direct path bit-for-bit: same

@@ -124,17 +124,14 @@ object Dedup {
       .groupBy(col("bk")).agg(count(lit(1)).as("n"))
       .where(col("n") > hardCap)
 
-  /** (id, band key) rows for the MinHash-LSH banding — shared by
-    * [[minhashLshPairs]] and [[droppedMinhashBuckets]]. */
-  private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, hashFamily: String): DataFrame = {
+  /** (id, key) band rows from an already-computed `(id, sig)` frame —
+    * the banding step alone, shared by the classic k-lane signature
+    * ([[minhashBanded]]) and the one-permutation signature
+    * ([[ophBanded]]); only the signature expression differs upstream. */
+  private def bandKeysOf(sig: DataFrame, numHashes: Int, bands: Int,
+      hashFamily: String): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val toksOf = distinctTokens(textCol)
-    val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
-    // token-less docs carry no shingle signal: exact dedup owns them
-    val sig = base.where(size(col("toks")) > 0).select(col("id"),
-      graft.functions.minhash_sig(col("toks"), numHashes, hashFamily).as("sig"))
     val bandCols = (0 until bands).map { bnd =>
       val elems = (0 until rows).map(r => element_at(col("sig"), bnd * rows + r + 1))
       val h =
@@ -145,6 +142,53 @@ object Dedup {
     sig.select(col("id") +: bandCols: _*)
       .select(col("id"),
         explode(array((0 until bands).map(bnd => col(s"band$bnd")): _*)).as("key"))
+  }
+
+  /** (id, band key) rows for the MinHash-LSH banding — shared by
+    * [[minhashLshPairs]] and [[droppedMinhashBuckets]]. */
+  private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, hashFamily: String): DataFrame = {
+    val toksOf = distinctTokens(textCol)
+    val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
+    // token-less docs carry no shingle signal: exact dedup owns them
+    val sig = base.where(size(col("toks")) > 0).select(col("id"),
+      graft.functions.minhash_sig(col("toks"), numHashes, hashFamily).as("sig"))
+    bandKeysOf(sig, numHashes, bands, hashFamily)
+  }
+
+  /** (id, band key) rows from the ONE-PERMUTATION signature
+    * ([[graft.functions.minhash_sig_oph]]: 16 rotation-densified bins,
+    * one hash per shingle): same banding as [[minhashBanded]], but the
+    * fingerprint pass is O(m) per document instead of O(k·m) — at corpus
+    * scale the difference between a hash-bound and an IO-bound scan.
+    * `bands` must divide 16. */
+  private def ophBanded(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, hashFamily: String): DataFrame = {
+    require(16 % bands == 0, s"bands must divide the 16 OPH bins, got $bands")
+    val toksOf = distinctTokens(textCol)
+    val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
+    val sig = base.where(size(col("toks")) > 0).select(col("id"),
+      graft.functions.minhash_sig_oph(col("toks"), hashFamily).as("sig"))
+    bandKeysOf(sig, 16, bands, hashFamily)
+  }
+
+  /** Shared tail of every banded-LSH dedup path: cap hot buckets
+    * (observably — the caller exposes its own dropped-buckets companion),
+    * self-join under the cap, dedup candidate pairs, then verify with
+    * exact token-set Jaccard ≥ tau. */
+  private def verifiedJaccardPairs(base: DataFrame, banded: DataFrame,
+      bucketCap: Int, tau: Double): DataFrame = {
+    val good = underCap(banded, bucketCap).select(col("key"), col("id"))
+    val cand = good.select(col("key"), col("id").as("ia"))
+      .join(good.select(col("key"), col("id").as("ib")), "key")
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    cand
+      .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
+      .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
+      .select(col("ia"), col("ib"),
+        jaccardOf(col("ta"), col("tb")).as("jaccard"))
+      .where(col("jaccard") >= tau)
   }
 
   /** Band buckets excluded by `bucketCap` with their sizes — the
@@ -197,19 +241,36 @@ object Dedup {
       if (persistBanded)
         banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else banded0
-    val good = underCap(banded, bucketCap).select(col("key"), col("id"))
-    val cand = good.select(col("key"), col("id").as("ia"))
-      .join(good.select(col("key"), col("id").as("ib")), "key")
-      .where(col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
-    // verification join back to token sets
-    cand
-      .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
-      .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
-      .select(col("ia"), col("ib"),
-        jaccardOf(col("ta"), col("tb")).as("jaccard"))
-      .where(col("jaccard") >= tau)
+    verifiedJaccardPairs(base, banded, bucketCap, tau)
   }
+
+  /** MinHash-LSH near-dup candidates from the ONE-PERMUTATION signature —
+    * identical contract and tail to [[minhashLshPairs]] (banded equi-join,
+    * observable bucket cap, exact-Jaccard verification ≥ tau), but the
+    * signature pass hashes each shingle ONCE (16 rotation-densified bins,
+    * [[graft.functions.minhash_sig_oph]]) instead of numHashes times.
+    * This is the fingerprint-bound corpus's scale path: the per-document
+    * cost of the signature scan drops k-fold while banding, capping, and
+    * verification stay byte-for-byte the same machinery. Drops observable
+    * via [[droppedOphBuckets]]. */
+  def minhashOphLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double, bands: Int = 4, bucketCap: Int = 500,
+      hashFamily: String = "xxhash64"): DataFrame = {
+    val toksOf = distinctTokens(textCol)
+    val base = docs.select(col(idCol).as("id"), toksOf.as("toks"))
+    verifiedJaccardPairs(base,
+      ophBanded(docs, idCol, textCol, bands, hashFamily), bucketCap, tau)
+  }
+
+  /** Band buckets excluded by `bucketCap` in [[minhashOphLshPairs]] with
+    * their sizes — the same never-silent cap contract as
+    * [[droppedMinhashBuckets]]. */
+  def droppedOphBuckets(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, bucketCap: Int = 500,
+      hashFamily: String = "xxhash64"): DataFrame =
+    ophBanded(docs, idCol, textCol, bands, hashFamily)
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .where(col("n") > bucketCap)
 
   /** The persistable `(key, id)` MinHash band index of a corpus, with the
     * `bucketCap` cut already applied (over-cap buckets excluded; their

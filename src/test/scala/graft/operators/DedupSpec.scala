@@ -95,6 +95,27 @@ class DedupSpec extends SparkFunSuite {
       .foreach(p => assert(p._3 == 1.0))
   }
 
+  test("minhashOphLshPairs: identical docs always collide, verification exact, caps observable") {
+    // identical token sets → identical OPH signatures → all bands collide
+    val pairs = Dedup.minhashOphLshPairs(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 5L)) && keys.contains((2L, 5L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    pairs.filter(p => Set(p._1, p._2) == Set(1L, 2L))
+      .foreach(p => assert(p._3 == 1.0))
+    // both families agree on the verified-identical pairs (verification is
+    // exact Jaccard, so family changes candidates only, never scores)
+    val sha = Dedup.minhashOphLshPairs(docs, "doc_id", "text", tau = 0.99,
+      hashFamily = "sha256").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sha == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    // cap: with bucketCap = 0 every bucket is hot → no pairs, all observable
+    assert(Dedup.minhashOphLshPairs(docs, "doc_id", "text", tau = 0.5,
+      bucketCap = 0).count() == 0)
+    assert(Dedup.droppedOphBuckets(docs, "doc_id", "text", bucketCap = 0)
+      .agg(sum(col("n"))).head().getLong(0) > 0)
+  }
+
   test("simhash 3-tier policy: salted grid is lossless, hardCap drops observably") {
     // degenerate boilerplate fixture: identical docs → identical signatures
     // → every band bucket is an attractor holding ALL of them (the shape
