@@ -1225,6 +1225,29 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       tau = 0.5, bands = 4, bucketCap = 500, hashFamily = "sha256")),
 
+    // CLK Bloom-filter PPRL encoding (Schnell-Bachteler-Reiher): 512-bit
+    // filter, 4 double-hashed sha256 positions per padded bigram of the
+    // normalized name. The oracle re-derives every bit from sha256 hex
+    // with exact BIGINT nibble arithmetic.
+    "q_clk_bits" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      c.select(col("c_custkey"),
+          regexp_replace(lower(col("c_name")), "[^a-z0-9]", "").as("nn"))
+        .select(col("c_custkey"), explode(clk_bits(col("nn"), 512, 4)).as("bit"))
+    }),
+
+    // CLK Dice comparison over nationkey-blocked pairs, computed on the
+    // PACKED filters (clk_sig + bloom_dice popcount arithmetic) — the
+    // oracle recomputes Dice from the exploded bit sets, so the gate
+    // proves packed-bitset popcount ≡ set semantics.
+    "q_clk_dice" -> ((s, dir) => {
+      def sig(c: Column) = clk_sig(
+        regexp_replace(lower(c), "[^a-z0-9]", ""), 512, 4)
+      customerPairs(s, dir)
+        .select(col("ka"), col("kb"),
+          bloom_dice(sig(col("na")), sig(col("nb"))).as("clk_dice"))
+    }),
+
     // ---- training-data operators over documents/embeddings ----
 
     // deterministic train/val/test split: a pure hash projection (no
@@ -1814,6 +1837,40 @@ object SparkEntry {
        |  SELECT id, bin,
        |    CASE WHEN j = 0 THEN h ELSE h || ':' || CAST(j AS VARCHAR) END AS h
        |  FROM scan WHERE rn = 1
+       |)""".stripMargin
+
+  /** Exact BIGINT parse of the 8 hex chars of `h` starting at 1-based
+    * `from` — the big-endian unsigned 32-bit word the CLK kernel reads
+    * from the sha256 digest. */
+  private def hexU32Sql(h: String, from: Int): String =
+    (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substr($h, ${from + k}, 1)) - 1) * ${1L << (4 * (7 - k))}"
+    }.mkString("(", " + ", ")")
+
+  /** CTE list (no WITH) deriving the CLK Bloom bit sets of customer
+    * names: cbase (normalized name), padded code-point bigrams, one
+    * sha256 per bigram, and cbits — the 4 double-hashed positions
+    * (h1 + i·h2) mod 512 per bigram, deduplicated. Shared by the bits
+    * gate and the Dice gate so the encoding cannot de-sync. */
+  private def clkBitsCteList: String =
+    s"""cbase AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS nn
+       |  FROM customer
+       |), cpad AS (
+       |  SELECT c_custkey, c_nationkey, '_' || nn || '_' AS p FROM cbase
+       |), cbg AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         unnest(list_transform(range(1, len(p)), k -> substr(p, k, 2))) AS bg
+       |  FROM cpad
+       |), chh AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
+       |  FROM (SELECT c_custkey, c_nationkey, sha256(bg) AS h FROM cbg) z
+       |), cbits AS (
+       |  SELECT DISTINCT c_custkey, c_nationkey,
+       |         CAST((h1 + r.i * h2) % 512 AS INTEGER) AS bit
+       |  FROM chh CROSS JOIN range(0, 4) r(i)
        |)""".stripMargin
 
   private def minhashBandKeysOracle: String = {
@@ -2593,6 +2650,37 @@ object SparkEntry {
         |SELECT c.ia, c.ib, $tokenJaccardSql AS jaccard
         |FROM cand c JOIN base x ON c.ia = x.id JOIN base y ON c.ib = y.id
         |WHERE $tokenJaccardSql >= 0.5""".stripMargin,
+    // CLK bits: padded bigrams, one sha256 each, exact BIGINT nibble
+    // parse of the digest's two 32-bit words, 4 double-hashed positions.
+    "q_clk_bits" ->
+      s"""WITH $clkBitsCteList
+        |SELECT c_custkey, bit FROM cbits""".stripMargin,
+    // CLK Dice: recomputed from the exploded bit SETS — the Spark side
+    // runs popcounts over the packed longs, so equality proves the
+    // packed form implements exactly the set semantics.
+    "q_clk_dice" ->
+      s"""WITH $clkBitsCteList, sizes AS (
+        |  SELECT c_custkey, CAST(count(*) AS BIGINT) AS nb
+        |  FROM cbits GROUP BY c_custkey
+        |), pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM cbase a JOIN cbase b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |), inter AS (
+        |  SELECT x.c_custkey AS ka, y.c_custkey AS kb,
+        |         CAST(count(*) AS BIGINT) AS ni
+        |  FROM cbits x JOIN cbits y
+        |    ON x.bit = y.bit AND x.c_nationkey = y.c_nationkey
+        |   AND x.c_custkey < y.c_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.ka, p.kb,
+        |  CAST(2 * coalesce(i.ni, 0) AS DOUBLE)
+        |    / CAST(sa.nb + sb.nb AS DOUBLE) AS clk_dice
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.ka = p.ka AND i.kb = p.kb
+        |JOIN sizes sa ON sa.c_custkey = p.ka
+        |JOIN sizes sb ON sb.c_custkey = p.kb""".stripMargin,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
     // the indexed path must reproduce the direct path bit-for-bit: same

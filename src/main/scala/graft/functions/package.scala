@@ -322,6 +322,21 @@ package object functions {
   def minhash_sig_oph(tokens: Column, family: String = "xxhash64"): Column =
     wrap(MinHashSigOph(expr(tokens), family))
 
+  /** CLK Bloom-filter PPRL encoder (Schnell-Bachteler-Reiher), set-bit
+    * positions form: m-bit filter, g double-hashed sha256 positions per
+    * padded code-point bigram. */
+  def clk_bits(s: Column, m: Int, g: Int): Column =
+    wrap(ClkBits(expr(s), m, g))
+
+  /** CLK Bloom-filter PPRL encoder, packed form (m/64 longs) — compare
+    * with [[bloom_dice]]. */
+  def clk_sig(s: Column, m: Int, g: Int): Column =
+    wrap(ClkSig(expr(s), m, g))
+
+  /** Dice coefficient of two packed CLK filters (popcount arithmetic). */
+  def bloom_dice(a: Column, b: Column): Column =
+    wrap(BloomDice(expr(a), expr(b)))
+
   /** SQL function names → expression builders. One convention everywhere:
     * every similarity kernel is `<name>_sim` (`levenshtein` alone would
     * shadow Spark's built-in DISTANCE of the same name, and a mixed
@@ -420,6 +435,12 @@ package object functions {
     //   minhash_sig_oph(tokens) / minhash_sig_oph(tokens, 'sha256')
     "minhash_sig_oph" -> (es => MinHashSigOph(es(0),
       if (es.length > 1) litStr(es(1), "minhash_sig_oph", "family") else "xxhash64")),
+    //   clk_bits(s, 512, 4) / clk_sig(s, 512, 4) / bloom_dice(a, b)
+    "clk_bits" -> (es => ClkBits(es(0),
+      litInt(es(1), "clk_bits", "m"), litInt(es(2), "clk_bits", "g"))),
+    "clk_sig" -> (es => ClkSig(es(0),
+      litInt(es(1), "clk_sig", "m"), litInt(es(2), "clk_sig", "g"))),
+    "bloom_dice" -> (es => BloomDice(es(0), es(1))),
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),
       litInt(es(1), "min_kgram_hash", "k"))),
