@@ -180,7 +180,8 @@ object SparkEntry {
     * last ulp. */
   private def fellegiSunterOracleSql(iters: Int,
       withTf: Boolean = false,
-      calibrate: Option[(Double, Double)] = None): String = {
+      calibrate: Option[(Double, Double)] = None,
+      uncertainK: Option[Int] = None): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
@@ -283,7 +284,17 @@ object SparkEntry {
          |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
          |      FROM pairs CROSS JOIN p$iters p)
          |CROSS JOIN upperT CROSS JOIN lowerT""".stripMargin
-    } else
+    } else if (uncertainK.isDefined)
+      // uncertainty sampling: same scoring projection, margin ordering
+      // with id tie-break, exact LIMIT — mirrors
+      // FellegiSunter.uncertaintySample's TakeOrderedAndProject.
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
+         |  abs(w / (w + v) - 0.5) AS margin
+         |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
+         |      FROM pairs CROSS JOIN p$iters p)
+         |ORDER BY margin, ka, kb LIMIT ${uncertainK.get}""".stripMargin
+    else
       s"""WITH ${ctes.mkString(",\n")}
          |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
          |  CASE WHEN w / v >= 0.5 THEN 'link'
@@ -1002,6 +1013,18 @@ object SparkEntry {
         mu = 0.08, lambdaErr = 0.25)
       graft.operators.FellegiSunter.classify(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model), up, lo)
+    }),
+
+    // Uncertainty sampling (active learning): the 100 pairs whose fitted
+    // posterior sits closest to 1/2 — the review queue an interactive ER
+    // trainer asks about next. Plans as TakeOrderedAndProject (bounded
+    // per-partition top-k), and the oracle replays the same EM + margin
+    // ordering with LIMIT.
+    "q_fs_uncertain" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      graft.operators.FellegiSunter.uncertaintySample(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model), k = 100)
     }),
 
     // Multi-level Fellegi-Sunter (Splink-style comparison levels): fields
@@ -3461,6 +3484,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'truth' AS side, t AS gid, n_g, sum_ni2 FROM st""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
+    "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fellegi_sunter_persisted" -> fellegiSunterOracleSql(iters = 15),
     "q_fellegi_sunter_calibrated" ->
       fellegiSunterOracleSql(iters = 15, calibrate = Some((0.08, 0.25))),

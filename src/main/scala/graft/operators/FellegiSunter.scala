@@ -435,4 +435,24 @@ object FellegiSunter {
         .when(col(lrCol) <= lowerLr, lit("non_link"))
         .otherwise(lit("possible")))
   }
+
+  /** Active-learning pair selection (uncertainty sampling): the k scored
+    * pairs whose match posterior sits closest to 1/2 — the pairs a human
+    * label shrinks the model fastest on, i.e. the review queue an
+    * interactive ER trainer asks about next. Appends the selection
+    * `margin` = |posterior − 1/2|; ties break on the id columns, so the
+    * sample is deterministic.
+    *
+    * Scale shape: orderBy + limit plans as TakeOrderedAndProject — a
+    * per-partition bounded top-k followed by a k-row driver merge. No
+    * global sort, no single-partition window, no full-result shuffle. */
+  def uncertaintySample(scored: DataFrame, k: Int,
+      posteriorCol: String = "posterior",
+      tieCols: Seq[String] = Seq("ka", "kb")): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    scored
+      .withColumn("margin", abs(col(posteriorCol) - lit(0.5)))
+      .orderBy(col("margin").asc +: tieCols.map(col(_).asc): _*)
+      .limit(k)
+  }
 }

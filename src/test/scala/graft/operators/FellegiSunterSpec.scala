@@ -188,6 +188,35 @@ class FellegiSunterSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](FellegiSunter.calibrate(m, 0.1, 1.0))
   }
 
+  test("uncertaintySample picks the k pairs nearest posterior 1/2, deterministically") {
+    import spark.implicits._
+    val model = FellegiSunter.fit(planted, gs, iters = 15)
+    val scored = FellegiSunter.score(planted, gs, model)
+      .withColumn("ka", col("id")).withColumn("kb", col("id"))
+    val got = FellegiSunter.uncertaintySample(scored, k = 50)
+    val rows = got.collect()
+    assert(rows.length == 50)
+    // margin column is |posterior - 1/2| and the cutoff is exact: every
+    // selected margin <= every rejected margin (ties broken by id)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") ==
+        math.abs(r.getAs[Double]("posterior") - 0.5))
+    }
+    val maxSel = rows.map(_.getAs[Double]("margin")).max
+    val all = scored.withColumn("margin", abs(col("posterior") - 0.5))
+      .select("margin").as[Double].collect().sorted
+    assert(maxSel == all(49))
+    // deterministic across partitionings
+    val again = FellegiSunter.uncertaintySample(scored.repartition(13), k = 50)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == rows.map(_.getAs[Long]("id")).toSet)
+    // plans as a bounded top-k, not a global sort or window
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    intercept[IllegalArgumentException](
+      FellegiSunter.uncertaintySample(scored, k = 0))
+  }
+
   test("fit validates gamma arity and iteration count") {
     intercept[IllegalArgumentException](FellegiSunter.fit(planted, Nil))
     intercept[IllegalArgumentException](
