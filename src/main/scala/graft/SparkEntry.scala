@@ -181,17 +181,23 @@ object SparkEntry {
   private def fellegiSunterOracleSql(iters: Int,
       withTf: Boolean = false,
       calibrate: Option[(Double, Double)] = None,
-      uncertainK: Option[Int] = None): String = {
+      uncertainK: Option[Int] = None,
+      missingG2: Boolean = false): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
       s"list_reduce(list($expr ORDER BY $gcols), (x, y) -> x + y)"
-    def wv(p: String): (String, String) = {
+    def wv(p: String, nullAware: Boolean = false): (String, String) = {
       val w = new StringBuilder(s"$p.lam")
       val v = new StringBuilder(s"(1.0 - $p.lam)")
+      // null-aware only in the missing-data SCORING projection: an
+      // unobserved gamma contributes factor 1.0 to both likelihoods
+      // (mirrors FellegiSunter.score); the EM folds run on complete
+      // patterns and keep the two-branch CASE.
+      val nul = if (nullAware) (j: Int) => s"WHEN g$j IS NULL THEN 1.0 " else (_: Int) => ""
       for (j <- 0 until k) {
-        w.append(s" * (CASE WHEN g$j = 1 THEN $p.m$j ELSE 1.0 - $p.m$j END)")
-        v.append(s" * (CASE WHEN g$j = 1 THEN $p.u$j ELSE 1.0 - $p.u$j END)")
+        w.append(s" * (CASE ${nul(j)}WHEN g$j = 1 THEN $p.m$j ELSE 1.0 - $p.m$j END)")
+        v.append(s" * (CASE ${nul(j)}WHEN g$j = 1 THEN $p.u$j ELSE 1.0 - $p.u$j END)")
       }
       (w.toString, v.toString)
     }
@@ -203,10 +209,12 @@ object SparkEntry {
       |         ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.95
       |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
       |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS BIGINT) AS g1,
-      |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
-      |         THEN 1 ELSE 0 END AS BIGINT) AS g2$segSel
+      |    ${if (missingG2)
+             "CASE WHEN (a.c_custkey + b.c_custkey) % 7 = 0 THEN NULL ELSE " else ""}CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+      |         THEN 1 ELSE 0 END AS BIGINT)${if (missingG2) " END" else ""} AS g2$segSel
       |  $customerPairsSql)""".stripMargin
-    ctes += s"pats AS (SELECT $gcols, CAST(count(*) AS DOUBLE) AS n FROM pairs GROUP BY $gcols)"
+    ctes += s"pats AS (SELECT $gcols, CAST(count(*) AS DOUBLE) AS n FROM pairs${
+      if (missingG2) " WHERE g2 IS NOT NULL" else ""} GROUP BY $gcols)"
     ctes += s"tot AS (SELECT ${fold("n")} AS t FROM pats)"
     ctes += "p0 AS (SELECT CAST(0.5 AS DOUBLE) AS lam, " +
       (0 until k).map(j => s"CAST(0.9 AS DOUBLE) AS m$j").mkString(", ") + ", " +
@@ -226,7 +234,7 @@ object SparkEntry {
         (0 until k).map(j => s"b$j / (t - s) AS u$j")
       ctes += s"p$i AS (SELECT ${upd.mkString(", ")} FROM s$i CROSS JOIN tot)"
     }
-    val (w, v) = wv("p")
+    val (w, v) = wv("p", nullAware = missingG2)
     if (withTf) {
       // value frequencies + the Winkler adjustment: lr * (u1 / tf) on
       // g1-agreeing pairs; everything stays DOUBLE end-to-end
@@ -1025,6 +1033,22 @@ object SparkEntry {
       val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
       graft.operators.FellegiSunter.uncertaintySample(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model), k = 100)
+    }),
+
+    // Missing-data FS: every 7th pair's acctbal gamma is unobserved
+    // (NULL). Fit is complete-case (EM over fully-observed pairs only);
+    // scoring treats NULL as evidence-free — factor 1.0 in both
+    // likelihoods (Splink's null level). The oracle replays the filtered
+    // EM and the null-aware scoring projection.
+    "q_fs_missing" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir).withColumn("g2",
+        when((col("ka") + col("kb")) % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("g2")))
+      val model = graft.operators.FellegiSunter.fit(
+        pairs.where(col("g2").isNotNull), fsGammas, iters = 15)
+      graft.operators.FellegiSunter.classify(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model),
+        upperLr = 0.5, lowerLr = 0.1)
     }),
 
     // Multi-level Fellegi-Sunter (Splink-style comparison levels): fields
@@ -3485,6 +3509,7 @@ object SparkEntry {
         |SELECT 'truth' AS side, t AS gid, n_g, sum_ni2 FROM st""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
+    "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),
     "q_fellegi_sunter_persisted" -> fellegiSunterOracleSql(iters = 15),
     "q_fellegi_sunter_calibrated" ->
       fellegiSunterOracleSql(iters = 15, calibrate = Some((0.08, 0.25))),

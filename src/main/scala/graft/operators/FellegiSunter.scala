@@ -106,16 +106,24 @@ object FellegiSunter {
     * and `lr` = P(γ|match)·λ over P(γ|non-match)·(1−λ) — the (prior-folded)
     * likelihood ratio whose log is the classic FS match weight (left as a
     * ratio: logs would cost bit-exactness across engines for nothing).
-    * Pure projection; the model rides as literals. */
+    * Pure projection; the model rides as literals.
+    *
+    * MISSING DATA: a NULL gamma contributes factor 1.0 to BOTH
+    * likelihoods — an unobserved comparison carries no evidence either
+    * way (the standard missing-at-random treatment; Splink's null level).
+    * [[fit]] stays complete-case and rejects NULLs loudly — fit on
+    * `pairs.where(gammas non-null)`, score everything. */
   def score(pairs: DataFrame, gammaCols: Seq[String], model: Model): DataFrame = {
     require(gammaCols.size == model.m.size,
       s"model has ${model.m.size} fields, gammaCols has ${gammaCols.size}")
     var w: Column = lit(model.lambda)
     var v: Column = lit(1.0 - model.lambda)
     for (j <- gammaCols.indices) {
-      w = w * when(col(gammaCols(j)) === 1, lit(model.m(j)))
+      w = w * when(col(gammaCols(j)).isNull, lit(1.0))
+        .when(col(gammaCols(j)) === 1, lit(model.m(j)))
         .otherwise(lit(1.0 - model.m(j)))
-      v = v * when(col(gammaCols(j)) === 1, lit(model.u(j)))
+      v = v * when(col(gammaCols(j)).isNull, lit(1.0))
+        .when(col(gammaCols(j)) === 1, lit(model.u(j)))
         .otherwise(lit(1.0 - model.u(j)))
     }
     pairs.withColumn("posterior", posteriorOf(w, v)).withColumn("lr", lrOf(w, v))

@@ -188,6 +188,25 @@ class FellegiSunterSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](FellegiSunter.calibrate(m, 0.1, 1.0))
   }
 
+  test("score treats a NULL gamma as evidence-free (factor 1 both sides)") {
+    import spark.implicits._
+    val m = FellegiSunter.Model(0.2, IndexedSeq(0.9, 0.8), IndexedSeq(0.1, 0.3))
+    val rows = Seq(
+      (1L, Some(1L), Some(1L)),
+      (2L, Some(1L), None),      // g1 unobserved
+      (3L, Option.empty[Long], Option.empty[Long])) // nothing observed
+      .toDF("id", "g0", "g1")
+    val got = FellegiSunter.score(rows, Seq("g0", "g1"), m)
+      .orderBy("id").collect()
+    def lr(w: Double, v: Double) = w / v
+    assert(got(0).getAs[Double]("lr") == lr(0.2 * 0.9 * 0.8, 0.8 * 0.1 * 0.3))
+    // missing g1 drops its factor entirely
+    assert(got(1).getAs[Double]("lr") == lr(0.2 * 0.9, 0.8 * 0.1))
+    // nothing observed -> prior odds
+    assert(got(2).getAs[Double]("lr") == lr(0.2, 0.8))
+    assert(got(2).getAs[Double]("posterior") == 0.2 / (0.2 + 0.8))
+  }
+
   test("uncertaintySample picks the k pairs nearest posterior 1/2, deterministically") {
     import spark.implicits._
     val model = FellegiSunter.fit(planted, gs, iters = 15)
