@@ -1622,6 +1622,13 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) => graft.operators.Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 3)),
 
+    // reciprocal top-k: pairs where EACH side ranks the other in its
+    // top-3 — the hub-suppressing mutual-kNN dedup criterion, one
+    // equi-join over the top-k frame (composes with any ANN tier).
+    "q_ann_mutual" -> ((s, dir) => graft.operators.Similarity.mutualTopK(
+      graft.operators.Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 3))),
+
     // banded hyperplane-LSH ANN (scale path). The hyperplanes are
     // plan-time constants, so the oracle re-derives the exact bucket
     // assignment in SQL with the planes inlined as literals — bucketing,
@@ -4618,6 +4625,26 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // mutual kNN: the same ranked CTE joined to itself with the roles
+    // swapped; cos is fold-order-identical in both directions so the
+    // equi-join needs no tolerance.
+    "q_ann_mutual" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT vec_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM pairs
+        |)
+        |SELECT a.vec_id AS ia, a.neighbor_id AS ib, a.cos,
+        |       a.rank AS rank_ab, b.rank AS rank_ba
+        |FROM ranked a JOIN ranked b
+        |  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+        |WHERE a.rank <= 3 AND b.rank <= 3 AND a.vec_id < a.neighbor_id""".stripMargin,
     "q_dedup_embedding_cosine" ->
       """WITH scored AS (
         |  SELECT a.vec_id AS ia, b.vec_id AS ib,

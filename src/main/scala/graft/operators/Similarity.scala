@@ -61,6 +61,31 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Reciprocal (mutual) top-k matches: the pairs where EACH side ranks
+    * the other among its k nearest by cosine — the classic
+    * reciprocal-nearest-neighbor criterion that suppresses hub vectors
+    * (a centroid-ish record that is everyone's neighbor but reciprocates
+    * almost nobody — the dominant false-positive mode of one-sided kNN
+    * dedup). Consumes any (vec_id, neighbor_id, rank, cos) top-k frame —
+    * [[bruteForceTopK]], [[lshTopK]], or [[ivfTopK]] — so the filter
+    * composes with every ANN tier; cost is one self-equi-join on the
+    * (k·n)-row top-k frame, never on the vectors themselves. cos is
+    * fold-order-identical in both directions (per-component multiply is
+    * commutative, the sum order is the index order either way), so the
+    * join needs no tolerance. Output: (ia, ib, cos, rank_ab, rank_ba)
+    * with ia < ib. */
+  def mutualTopK(topk: DataFrame): DataFrame = {
+    val ab = topk.select(col("vec_id").as("ia"), col("neighbor_id").as("ib"),
+      col("rank").as("rank_ab"), col("cos"))
+      .where(col("ia") < col("ib"))
+    val ba = topk.select(col("vec_id").as("ib2"), col("neighbor_id").as("ia2"),
+      col("rank").as("rank_ba"))
+      .where(col("ia2") < col("ib2"))
+    ab.join(ba, col("ia") === col("ia2") && col("ib") === col("ib2"))
+      .select(col("ia"), col("ib"), col("cos"),
+        col("rank_ab"), col("rank_ba"))
+  }
+
   /** Deterministic random hyperplanes: `bands` bands × `planesPerBand`
     * planes, components from splitmix64 mapped to [-1, 1). Public because
     * they are plan-time constants: the driver oracle inlines them as SQL

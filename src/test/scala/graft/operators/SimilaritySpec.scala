@@ -71,6 +71,37 @@ class SimilaritySpec extends SparkFunSuite {
     assert(top((3L, 1)) == 4L) // y-heavy neighbor
   }
 
+  test("mutualTopK keeps exactly the reciprocal pairs and kills the hub") {
+    // hub h sits between two tight clusters: it is everyone's 1-NN-ish
+    // neighbor, but each cluster member reciprocates its own twin first.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cluster A
+      (2L, Array(0.99f, 0.01f)),  // A twin
+      (3L, Array(0.0f, 1.0f)),    // cluster B
+      (4L, Array(0.01f, 0.99f)),  // B twin
+      (5L, Array(0.7f, 0.7f)),    // hub
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+    val mutual = Similarity.mutualTopK(top1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // twins reciprocate at k = 1; the hub reciprocates nobody
+    assert(mutual == Set((1L, 2L), (3L, 4L)))
+    // the hub IS in every member's top-2 (it would pollute one-sided
+    // kNN dedup there), yet at k = 1 no mutual pair touches it
+    val top2 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 2)
+    val oneSided = top2.collect().map(_.getLong(1)).toSet
+    assert(oneSided.contains(5L))
+    // mutual pairs are a subset of the one-sided pairs, with both ranks
+    val m2 = Similarity.mutualTopK(top2).collect()
+    m2.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(3) <= 2 && r.getInt(4) <= 2)
+    }
+    // at k = 2 the hub becomes mutual with its own 2-neighborhood, so
+    // relaxing k grows the pair set monotonically
+    assert(m2.length >= 2)
+  }
+
   test("lshTopK achieves useful recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
