@@ -1198,6 +1198,29 @@ object SparkEntry {
       graft.operators.Linkage.mucStats(assigned)
     }),
 
+    // Cluster-generation diff: two deterministic clusterings of customer
+    // engineered to produce all four cell kinds — stable singletons
+    // (id % 11), a merge family (singleton olds absorbed into one new,
+    // id % 13), a split family (one old carved into singleton news,
+    // id % 7), and segment/nation reshuffle cells for the rest.
+    "q_cluster_diff" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val oldA = c.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 11 === 0, concat(lit("st:"), col("c_custkey")))
+          .when(col("c_custkey") % 13 === 0, concat(lit("mg:"), col("c_custkey")))
+          .when(col("c_custkey") % 7 === 0, lit("sp:grp"))
+          .otherwise(concat(col("c_mktsegment"), lit(":"),
+            col("c_nationkey") % 3)).as("cluster_id"))
+      val newA = c.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 11 === 0, concat(lit("st:"), col("c_custkey")))
+          .when(col("c_custkey") % 13 === 0, lit("mg:all"))
+          .when(col("c_custkey") % 7 === 0, concat(lit("sp:"), col("c_custkey")))
+          .otherwise(concat(col("c_nationkey") % 3, lit(":"),
+            when(col("c_acctbal") >= 0, lit("p")).otherwise(lit("n"))))
+          .as("cluster_id"))
+      graft.operators.Linkage.clusterDiff(oldA, newA, "id")
+    }),
+
     // Partition-agreement metrics (Rand / Fowlkes-Mallows / Talburt-Wang
     // + raw pair confusion counts) over the SAME predicted/truth
     // partitions as q_muc/q_bcubed — integer contingency sums in
@@ -1293,6 +1316,27 @@ object SparkEntry {
       customerPairs(s, dir)
         .select(col("ka"), col("kb"),
           bloom_dice(sig(col("na")), sig(col("nb"))).as("clk_dice"))
+    }),
+
+    // End-to-end PPRL linkage: side B is side A's names with one
+    // deterministic typo; both sides encode to packed CLKs, block by
+    // Hamming-LSH bit sampling (8 bands × 16 sampled bits, the standard
+    // CLK blocking), and candidates pay one popcount Dice each. The
+    // linkage unit never sees an identifier. The oracle re-derives the
+    // sampled-bit keys (positions inlined as literals) and Dice from
+    // bit sets. bucketCap cannot bite at gate scale (≤ 375 rows/side vs
+    // cap 10000); the spec covers cap observability.
+    "q_pprl_link" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 40 === 1)
+        .select(col("c_custkey").as("id"),
+          regexp_replace(lower(col("c_name")), "[^a-z0-9]", "").as("nn"))
+      val a = c.select(col("id"), clk_sig(col("nn"), 512, 4).as("sig"))
+      val b = c.select(col("id"), clk_sig(
+        concat(substring(col("nn"), 1, 5), lit("x"), expr("substring(nn, 7)")),
+        512, 4).as("sig"))
+      graft.operators.Pprl.linkTables(a, b, "id", "sig",
+        m = 512, theta = 0.5)
     }),
 
     // ---- training-data operators over documents/embeddings ----
@@ -1900,6 +1944,39 @@ object SparkEntry {
     (0 until 8).map { k =>
       s"(strpos('0123456789abcdef', substr($h, ${from + k}, 1)) - 1) * ${1L << (4 * (7 - k))}"
     }.mkString("(", " + ", ")")
+
+  /** CLK bit-set CTEs from an arbitrary `(id, nn)` source CTE `src`,
+    * prefixed `pre` (producing `${pre}bits(id, bit)`): padded bigrams,
+    * one sha256 each, g = 4 double-hashed positions mod 512. The PPRL
+    * linkage oracle instantiates this twice (sides a and b). */
+  private def clkBitsFrom(src: String, pre: String): String =
+    s"""${pre}pad AS (
+       |  SELECT id, '_' || nn || '_' AS p FROM $src
+       |), ${pre}bg AS (
+       |  SELECT id, unnest(list_transform(range(1, len(p)), k -> substr(p, k, 2))) AS bg
+       |  FROM ${pre}pad
+       |), ${pre}hh AS (
+       |  SELECT id, ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
+       |  FROM (SELECT id, sha256(bg) AS h FROM ${pre}bg) z
+       |), ${pre}bits AS (
+       |  SELECT DISTINCT id, CAST((h1 + r.i * h2) % 512 AS INTEGER) AS bit
+       |  FROM ${pre}hh CROSS JOIN range(0, 4) r(i)
+       |)""".stripMargin
+
+  /** Per-band sampled-bit key SELECTs over a `${pre}bits` CTE, one
+    * UNION ALL branch per band, positions inlined from
+    * [[graft.operators.Pprl.samplePositions]] in sample order — exactly
+    * the keys Pprl.blockKeys derives from the packed filter. */
+  private def pprlKeysSql(pre: String): String = {
+    val pos = graft.operators.Pprl.samplePositions(
+      m = 512, bands = 8, bitsPerBand = 16, seed = 42L)
+    pos.zipWithIndex.map { case (ps, b) =>
+      val bitsExpr = ps.map(p =>
+        s"CAST(max(CASE WHEN bit = $p THEN 1 ELSE 0 END) AS VARCHAR)")
+        .mkString(" || ")
+      s"SELECT id, '$b:' || $bitsExpr AS key FROM ${pre}bits GROUP BY id"
+    }.mkString("\n  UNION ALL\n  ")
+  }
 
   /** CTE list (no WITH) deriving the CLK Bloom bit sets of customer
     * names: cbase (normalized name), padded code-point bigrams, one
@@ -2735,6 +2812,47 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.ka = p.ka AND i.kb = p.kb
         |JOIN sizes sa ON sa.c_custkey = p.ka
         |JOIN sizes sb ON sb.c_custkey = p.kb""".stripMargin,
+    // PPRL linkage: both sides' bit sets, sampled-bit band keys with the
+    // positions inlined (same splitmix sample as Pprl.samplePositions),
+    // key-join candidates, set-based Dice >= theta. theta = 0.5 > 0
+    // lets the intersection join be inner (a zero-overlap pair cannot
+    // reach the threshold).
+    "q_pprl_link" ->
+      s"""WITH norm AS (
+        |  SELECT c_custkey AS id,
+        |         regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS nn
+        |  FROM customer WHERE c_custkey % 40 = 1
+        |), aside AS (
+        |  SELECT id, nn FROM norm
+        |), bside AS (
+        |  SELECT id, substr(nn, 1, 5) || 'x' || substr(nn, 7) AS nn FROM norm
+        |), ${clkBitsFrom("aside", "a")},
+        |${clkBitsFrom("bside", "b")},
+        |akeys AS (
+        |  ${pprlKeysSql("a")}
+        |), bkeys AS (
+        |  ${pprlKeysSql("b")}
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM akeys x JOIN bkeys y ON x.key = y.key
+        |), sizesa AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS nb FROM abits GROUP BY id
+        |), sizesb AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS nb FROM bbits GROUP BY id
+        |), interc AS (
+        |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+        |  FROM cand c
+        |  JOIN abits x ON x.id = c.id_a
+        |  JOIN bbits y ON y.id = c.id_b AND y.bit = x.bit
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.id_a, i.id_b,
+        |  CAST(2 * i.ni AS DOUBLE) / CAST(sa.nb + sb.nb AS DOUBLE) AS dice
+        |FROM interc i
+        |JOIN sizesa sa ON sa.id = i.id_a
+        |JOIN sizesb sb ON sb.id = i.id_b
+        |WHERE CAST(2 * i.ni AS DOUBLE) / CAST(sa.nb + sb.nb AS DOUBLE)
+        |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_incremental" -> minhashIncrementalOracle,
     // the indexed path must reproduce the direct path bit-for-bit: same
@@ -4218,6 +4336,43 @@ object SparkEntry {
         |           / (muc_precision + muc_recall)
         |       ELSE CAST(0.0 AS DOUBLE) END AS muc_f1
         |FROM pr""".stripMargin,
+    // Cluster diff: the same CASE cluster derivations, contingency
+    // counts, cell-sized marginals, and the stable/merge/split/reshuffle
+    // classification.
+    "q_cluster_diff" ->
+      """WITH o AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'st:' || CAST(c_custkey AS VARCHAR)
+        |         WHEN c_custkey % 13 = 0 THEN 'mg:' || CAST(c_custkey AS VARCHAR)
+        |         WHEN c_custkey % 7 = 0 THEN 'sp:grp'
+        |         ELSE c_mktsegment || ':' || CAST(c_nationkey % 3 AS VARCHAR)
+        |    END AS old_id
+        |  FROM customer
+        |), nw AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'st:' || CAST(c_custkey AS VARCHAR)
+        |         WHEN c_custkey % 13 = 0 THEN 'mg:all'
+        |         WHEN c_custkey % 7 = 0 THEN 'sp:' || CAST(c_custkey AS VARCHAR)
+        |         ELSE CAST(c_nationkey % 3 AS VARCHAR) || ':' ||
+        |              CASE WHEN c_acctbal >= 0 THEN 'p' ELSE 'n' END
+        |    END AS new_id
+        |  FROM customer
+        |), cells AS (
+        |  SELECT old_id, new_id, count(*) AS n
+        |  FROM o JOIN nw USING (id) GROUP BY old_id, new_id
+        |), osz AS (
+        |  SELECT old_id, sum(n) AS n_old FROM cells GROUP BY old_id
+        |), nsz AS (
+        |  SELECT new_id, sum(n) AS n_new FROM cells GROUP BY new_id
+        |)
+        |SELECT c.old_id, c.new_id, c.n,
+        |  CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |  CASE WHEN c.n = n_old AND c.n = n_new THEN 'stable'
+        |       WHEN c.n = n_old THEN 'merge'
+        |       WHEN c.n = n_new THEN 'split'
+        |       ELSE 'reshuffle' END AS kind
+        |FROM cells c JOIN osz USING (old_id) JOIN nsz USING (new_id)""".stripMargin,
+
     // Partition agreement: the same contingency/marginal sums as the
     // Spark side (2·C(x,2) = x·(x−1) kept integral in HUGEINT), pair
     // confusion counts by exact halving, then the identical double

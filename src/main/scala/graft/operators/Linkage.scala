@@ -1049,4 +1049,39 @@ object Linkage {
       .select(col("theta"), col("n_pred"), col("tp"), col("fp"), col("fn"),
         col("precision"), col("recall"), col("f1"))
   }
+
+  /** Cluster-generation diff — the audit an incremental-ER deployment
+    * runs after every re-clustering: each (old cluster, new cluster)
+    * overlap cell with both marginal sizes and a classification:
+    * `stable` (the cell IS both clusters — the entity rode through
+    * unchanged), `merge` (the old cluster was absorbed whole into a
+    * larger new one), `split` (the new cluster was carved whole out of a
+    * larger old one), `reshuffle` (records crossed cluster boundaries
+    * both ways — the cells to eyeball before shipping). Only ids present
+    * in BOTH assignments participate (adds/removes are a plain anti-join
+    * the caller owns; mixing them in here would make every marginal
+    * ambiguous).
+    *
+    * Shapes: one equi-join on the record id, one contingency groupBy
+    * (map-side combine), two marginal groupBys over the CELL-sized
+    * frame, two cell-sized join-backs. Nothing corpus-sized is
+    * windowed. */
+  def clusterDiff(oldAsg: DataFrame, newAsg: DataFrame, idCol: String,
+      oldCol: String = "cluster_id", newCol: String = "cluster_id"): DataFrame = {
+    val o = oldAsg.select(col(idCol).as("__id"), col(oldCol).as("old_id"))
+    val n = newAsg.select(col(idCol).as("__id"), col(newCol).as("new_id"))
+    val cells = o.join(n, "__id").groupBy(col("old_id"), col("new_id"))
+      .agg(count(lit(1)).as("n"))
+    val oSize = cells.groupBy(col("old_id")).agg(sum(col("n")).as("n_old"))
+    val nSize = cells.groupBy(col("new_id")).agg(sum(col("n")).as("n_new"))
+    cells.join(oSize, "old_id").join(nSize, "new_id")
+      .withColumn("kind",
+        when(col("n") === col("n_old") && col("n") === col("n_new"),
+          lit("stable"))
+          .when(col("n") === col("n_old"), lit("merge"))
+          .when(col("n") === col("n_new"), lit("split"))
+          .otherwise(lit("reshuffle")))
+      .select(col("old_id"), col("new_id"), col("n"), col("n_old"),
+        col("n_new"), col("kind"))
+  }
 }

@@ -201,6 +201,36 @@ class BlockingSpec extends SparkFunSuite {
     assert(a2 == b2)
   }
 
+  // ------------------------------------------------------- cluster diff
+
+  test("clusterDiff classifies stable / merge / split / reshuffle cells") {
+    import spark.implicits._
+    val oldA = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"), (5L, "D"),
+      (6L, "D"), (7L, "E"), (8L, "E"), (9L, "F"))
+      .toDF("id", "cluster_id")
+    val newA = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"), (5L, "Z1"),
+      (6L, "Z2"), (7L, "W"), (8L, "V"), (9L, "W"))
+      .toDF("id", "cluster_id")
+    val got = Linkage.clusterDiff(oldA, newA, "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got(("A", "X")) == ((2L, 2L, 2L, "stable")))
+    assert(got(("B", "Y")) == ((1L, 1L, 2L, "merge")))
+    assert(got(("C", "Y")) == ((1L, 1L, 2L, "merge")))
+    assert(got(("D", "Z1")) == ((1L, 2L, 1L, "split")))
+    assert(got(("D", "Z2")) == ((1L, 2L, 1L, "split")))
+    // E scatters into W (which also gains F's record): E->W is partial
+    // both ways = reshuffle; E->V is a whole-new-cluster carve = split
+    assert(got(("E", "W")) == ((1L, 2L, 2L, "reshuffle")))
+    assert(got(("E", "V")) == ((1L, 2L, 1L, "split")))
+    assert(got(("F", "W")) == ((1L, 1L, 2L, "merge")))
+    // ids absent from either side never appear
+    val extra = Linkage.clusterDiff(
+      oldA.union(Seq((99L, "GONE")).toDF("id", "cluster_id")), newA, "id")
+    assert(!extra.collect().exists(_.getString(0) == "GONE"))
+  }
+
   // ------------------------------------------------------- blocking quality
 
   test("blockingQuality computes reduction ratio and pairs completeness") {
