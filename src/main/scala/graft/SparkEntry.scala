@@ -1331,10 +1331,10 @@ object SparkEntry {
         .where(col("c_custkey") % 40 === 1)
         .select(col("c_custkey").as("id"),
           regexp_replace(lower(col("c_name")), "[^a-z0-9]", "").as("nn"))
-      val a = c.select(col("id"), clk_sig(col("nn"), 512, 4).as("sig"))
+      val a = c.select(col("id"), clk_sig(col("nn"), 512, 4, "k7").as("sig"))
       val b = c.select(col("id"), clk_sig(
         concat(substring(col("nn"), 1, 5), lit("x"), expr("substring(nn, 7)")),
-        512, 4).as("sig"))
+        512, 4, "k7").as("sig"))
       graft.operators.Pprl.linkTables(a, b, "id", "sig",
         m = 512, theta = 0.5)
     }),
@@ -1949,7 +1949,7 @@ object SparkEntry {
     * prefixed `pre` (producing `${pre}bits(id, bit)`): padded bigrams,
     * one sha256 each, g = 4 double-hashed positions mod 512. The PPRL
     * linkage oracle instantiates this twice (sides a and b). */
-  private def clkBitsFrom(src: String, pre: String): String =
+  private def clkBitsFrom(src: String, pre: String, salt: String = ""): String =
     s"""${pre}pad AS (
        |  SELECT id, '_' || nn || '_' AS p FROM $src
        |), ${pre}bg AS (
@@ -1957,7 +1957,7 @@ object SparkEntry {
        |  FROM ${pre}pad
        |), ${pre}hh AS (
        |  SELECT id, ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
-       |  FROM (SELECT id, sha256(bg) AS h FROM ${pre}bg) z
+       |  FROM (SELECT id, sha256('$salt' || bg) AS h FROM ${pre}bg) z
        |), ${pre}bits AS (
        |  SELECT DISTINCT id, CAST((h1 + r.i * h2) % 512 AS INTEGER) AS bit
        |  FROM ${pre}hh CROSS JOIN range(0, 4) r(i)
@@ -2826,8 +2826,8 @@ object SparkEntry {
         |  SELECT id, nn FROM norm
         |), bside AS (
         |  SELECT id, substr(nn, 1, 5) || 'x' || substr(nn, 7) AS nn FROM norm
-        |), ${clkBitsFrom("aside", "a")},
-        |${clkBitsFrom("bside", "b")},
+        |), ${clkBitsFrom("aside", "a", salt = "k7")},
+        |${clkBitsFrom("bside", "b", salt = "k7")},
         |akeys AS (
         |  ${pprlKeysSql("a")}
         |), bkeys AS (

@@ -62,11 +62,13 @@ object BloomKernels {
     ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
       ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
 
-  private def setBits(s: UTF8String, m: Int, g: Int): Array[Boolean] = {
+  private def setBits(s: UTF8String, m: Int, g: Int,
+      salt: Array[Byte]): Array[Boolean] = {
     val md = MinHashKernels.shaDigest.get()
     val bits = new Array[Boolean](m)
     foreachPaddedBigram(s) { (bytes, from, until) =>
       md.reset()
+      if (salt.length > 0) md.update(salt)
       md.update(bytes, from, until - from)
       val d = md.digest()
       val h1 = u32(d, 0)
@@ -82,8 +84,8 @@ object BloomKernels {
 
   /** Sorted distinct set bit positions (array<int>) — the oracle-facing
     * form; one row per bit when exploded. */
-  def clkBits(s: UTF8String, m: Int, g: Int): ArrayData = {
-    val bits = setBits(s, m, g)
+  def clkBits(s: UTF8String, m: Int, g: Int, salt: Array[Byte]): ArrayData = {
+    val bits = setBits(s, m, g, salt)
     var c = 0
     var i = 0
     while (i < m) { if (bits(i)) c += 1; i += 1 }
@@ -100,8 +102,8 @@ object BloomKernels {
   /** Packed filter: m/64 longs, bit p stored in word p >> 6 at bit
     * p & 63 — the production form [[bloomDice]] compares with popcounts.
     * m must be a multiple of 64. */
-  def clkSig(s: UTF8String, m: Int, g: Int): ArrayData = {
-    val bits = setBits(s, m, g)
+  def clkSig(s: UTF8String, m: Int, g: Int, salt: Array[Byte]): ArrayData = {
+    val bits = setBits(s, m, g, salt)
     val words = new Array[Long](m >> 6)
     var i = 0
     while (i < m) {
@@ -135,11 +137,16 @@ object BloomKernels {
   }
 }
 
-/** Shared shape of the two CLK encoders: unary over string, fixed (m, g). */
+/** Shared shape of the two CLK encoders: unary over string, fixed
+  * (m, g, salt). The salt keys the construction (sha256(salt || bigram))
+  * — unsalted CLKs are dictionary-attackable, so deployments agree on a
+  * secret salt per linkage project; "" reproduces the unkeyed form. */
 abstract class ClkExpression extends UnaryExpression with Serializable {
   def m: Int
   def g: Int
+  def salt: String
   BloomKernels.requireParams(m, g)
+  protected lazy val saltBytes: Array[Byte] = salt.getBytes("UTF-8")
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -150,28 +157,34 @@ abstract class ClkExpression extends UnaryExpression with Serializable {
 
 /** clk_bits(s, m, g) → sorted distinct set-bit positions of the CLK Bloom
   * filter (array<int>) — the oracle/debug form. */
-case class ClkBits(child: Expression, m: Int, g: Int) extends ClkExpression {
+case class ClkBits(child: Expression, m: Int, g: Int, salt: String = "")
+    extends ClkExpression {
   override def prettyName: String = "clk_bits"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    BloomKernels.clkBits(v.asInstanceOf[UTF8String], m, g)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    BloomKernels.clkBits(v.asInstanceOf[UTF8String], m, g, saltBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("clkSalt", saltBytes, "byte[]")
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.BloomKernels.clkBits($v, $m, $g)")
+      s"graft.functions.BloomKernels.clkBits($v, $m, $g, $saltRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** clk_sig(s, m, g) → packed CLK Bloom filter (array of m/64 longs) —
   * the production form [[BloomDice]] compares with popcounts. */
-case class ClkSig(child: Expression, m: Int, g: Int) extends ClkExpression {
+case class ClkSig(child: Expression, m: Int, g: Int, salt: String = "")
+    extends ClkExpression {
   require(m % 64 == 0, s"clk_sig: m must be a multiple of 64, got $m")
   override def prettyName: String = "clk_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    BloomKernels.clkSig(v.asInstanceOf[UTF8String], m, g)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    BloomKernels.clkSig(v.asInstanceOf[UTF8String], m, g, saltBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("clkSalt", saltBytes, "byte[]")
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.BloomKernels.clkSig($v, $m, $g)")
+      s"graft.functions.BloomKernels.clkSig($v, $m, $g, $saltRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -325,13 +325,13 @@ package object functions {
   /** CLK Bloom-filter PPRL encoder (Schnell-Bachteler-Reiher), set-bit
     * positions form: m-bit filter, g double-hashed sha256 positions per
     * padded code-point bigram. */
-  def clk_bits(s: Column, m: Int, g: Int): Column =
-    wrap(ClkBits(expr(s), m, g))
+  def clk_bits(s: Column, m: Int, g: Int, salt: String = ""): Column =
+    wrap(ClkBits(expr(s), m, g, salt))
 
   /** CLK Bloom-filter PPRL encoder, packed form (m/64 longs) — compare
     * with [[bloom_dice]]. */
-  def clk_sig(s: Column, m: Int, g: Int): Column =
-    wrap(ClkSig(expr(s), m, g))
+  def clk_sig(s: Column, m: Int, g: Int, salt: String = ""): Column =
+    wrap(ClkSig(expr(s), m, g, salt))
 
   /** Dice coefficient of two packed CLK filters (popcount arithmetic). */
   def bloom_dice(a: Column, b: Column): Column =
@@ -437,9 +437,11 @@ package object functions {
       if (es.length > 1) litStr(es(1), "minhash_sig_oph", "family") else "xxhash64")),
     //   clk_bits(s, 512, 4) / clk_sig(s, 512, 4) / bloom_dice(a, b)
     "clk_bits" -> (es => ClkBits(es(0),
-      litInt(es(1), "clk_bits", "m"), litInt(es(2), "clk_bits", "g"))),
+      litInt(es(1), "clk_bits", "m"), litInt(es(2), "clk_bits", "g"),
+      if (es.length > 3) litStr(es(3), "clk_bits", "salt") else "")),
     "clk_sig" -> (es => ClkSig(es(0),
-      litInt(es(1), "clk_sig", "m"), litInt(es(2), "clk_sig", "g"))),
+      litInt(es(1), "clk_sig", "m"), litInt(es(2), "clk_sig", "g"),
+      if (es.length > 3) litStr(es(3), "clk_sig", "salt") else "")),
     "bloom_dice" -> (es => BloomDice(es(0), es(1))),
     // k must be a foldable int literal: min_kgram_hash(text, 16)
     "min_kgram_hash" -> (es => MinKGramHash(es(0),

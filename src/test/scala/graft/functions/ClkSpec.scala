@@ -76,6 +76,38 @@ class ClkSpec extends SparkFunSuite {
     assert(dice("phillips", "zzqqvv") < dice("phillips", "philips"))
   }
 
+  test("salted CLK: sha256(salt || bigram), distinct from unkeyed, replayable") {
+    def saltedReplay(s: String, salt: String, m: Int, g: Int): Set[Int] = {
+      val p = "_" + s + "_"
+      p.sliding(2).toSeq.flatMap { bg =>
+        val d = MessageDigest.getInstance("SHA-256")
+          .digest((salt + bg).getBytes("UTF-8"))
+        def u32(off: Int): Long =
+          ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
+            ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
+        (0 until g).map(i => ((u32(0) + i * u32(4)) % m).toInt)
+      }.toSet
+    }
+    def bits(s: String, salt: String): Set[Int] =
+      Seq(Tuple1(s)).toDF("s")
+        .select(clk_bits(col("s"), 512, 4, salt).as("b"))
+        .head().getSeq[Int](0).toSet
+    assert(bits("phillips", "k7") == saltedReplay("phillips", "k7", 512, 4))
+    // a different salt (or none) re-keys the whole construction
+    assert(bits("phillips", "k7") != bits("phillips", ""))
+    assert(bits("phillips", "k7") != bits("phillips", "k8"))
+    // "" reproduces the unkeyed form
+    assert(bits("phillips", "") == replay("phillips", 512, 4))
+    // similarity still survives the typo under a shared salt
+    val (pa, pb) = (bits("phillips", "k7"), bits("philips", "k7"))
+    assert(2.0 * (pa & pb).size / (pa.size + pb.size) > 0.7)
+    // SQL path takes the salt as a fourth literal
+    registerAll(spark)
+    Seq(Tuple1("phillips")).toDF("a").createOrReplaceTempView("clk_salt_t")
+    assert(spark.sql("select clk_bits(a, 512, 4, 'k7') from clk_salt_t")
+      .head().getSeq[Int](0).toSet == bits("phillips", "k7"))
+  }
+
   test("null propagates; mismatched m fails loudly; bad types rejected") {
     val r = Seq((Option.empty[String], "x")).toDF("a", "b")
       .select(clk_sig(col("a"), 512, 4).as("s")).head()
