@@ -532,6 +532,30 @@ object SparkEntry {
     "q_sorensen_dice_sim" -> ((s, dir) => partPairs(s, dir)
       .select(col("ka"), col("kb"), sorensen_dice_sim(col("na"), col("nb")).as("sim"))),
 
+    // Bag similarity (Bartolini-Ciaccia-Patella bag distance as a
+    // similarity): Σmin/max(|a|,|b|) over code-point bags — the CHEAPEST
+    // edit pre-filter tier (bag distance lower-bounds Levenshtein, so
+    // bag_sim ≥ θ soundly admits for levenshtein_sim ≥ θ with one scratch
+    // sort-merge, below qgram_sim in the stack). Oracle reuses the
+    // q_jaccard_sim relational bag with the max-length denominator.
+    "q_bag_sim" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"), bag_sim(col("na"), col("nb")).as("sim"))),
+
+    // Ratcliff-Obershelp (gestalt / Python difflib.SequenceMatcher.ratio,
+    // junk-free): 2·M/(|a|+|b|) with M from recursive longest-common-
+    // substring splitting, ties earliest-in-a then earliest-in-b. The
+    // oracle replays the RECURSION itself: a recursive CTE over segment
+    // rows (path-id keyed so identical segment texts never merge), each
+    // iteration finding every segment's best block via the q_lcsstr_sim
+    // substring-enumeration technique + a (l DESC, i, j) row_number, then
+    // emitting the left/right child segments plus a match-mass tombstone;
+    // the editex-grade double-key subsample keeps the per-pair recursion
+    // (~len² candidate rows × depth iterations) tractable at sf0.1.
+    "q_ratcliff_sim" -> ((s, dir) => partPairs(s, dir)
+      .where(col("ka") % 41 === 0 && col("kb") % 13 === 0)
+      .select(col("ka"), col("kb"),
+        ratcliff_obershelp_sim(col("na"), col("nb")).as("sim"))),
+
     // banded capped-Levenshtein pre-filter tier (O(k·n) Ukkonen DP, never
     // the full quadratic): exact distance when ≤ k, else k+1, plus the
     // boolean face. The 100 TB shape: levenshtein_within(…, k) prunes
@@ -1088,6 +1112,16 @@ object SparkEntry {
     "q_phonetic_block" -> ((s, dir) => s.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey").as("id"), col("p_name").as("name"),
         graft.operators.Phonetic.soundexKey(col("p_name")).as("sdx"))),
+
+    // Refined Soundex (the Commons-Codec ten-class table): finer buckets
+    // than classic Soundex — no length cap, vowel 0s kept as separators —
+    // the precision-leaning member of the phonetic-key family (classic
+    // Soundex's 4-char keys become scale-hostile hot blocks on large
+    // corpora; refined keys split them). Oracle replays the identical
+    // translate + per-digit run-collapse chain.
+    "q_refined_soundex" -> ((s, dir) => s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        graft.operators.Phonetic.refinedSoundexKey(col("p_name")).as("rsdx"))),
 
     // Caverphone 2.0 blocking key — the published rewrite chain replayed
     // from ONE shared rule table on both engines (Spark foldLeft of
@@ -2953,6 +2987,70 @@ object SparkEntry {
       bagSimSql("CAST(s.inter AS DOUBLE) / s.uni"),
     "q_sorensen_dice_sim" ->
       bagSimSql("2.0 * CAST(s.inter AS DOUBLE) / s.total"),
+    // bag similarity = Σmin / max(|a|,|b|) — same relational bag, the
+    // max-length denominator (kernel: inter.toDouble / max(n,m).toDouble)
+    "q_bag_sim" ->
+      bagSimSql("CAST(s.inter AS DOUBLE) / " +
+        "CAST(greatest(length(p.na), length(p.nb)) AS DOUBLE)"),
+    // Ratcliff-Obershelp: replay the gestalt RECURSION itself. Each seg
+    // row is one pending segment pair keyed by a base-3 path id (so two
+    // segments with identical text inside one pair can never merge in the
+    // window partition); one recursive step finds each segment's best
+    // block — candidates = every substring of sa (start × length double
+    // unnest, the q_lcsstr_sim technique) that occurs in sb, j =
+    // position() (the FIRST occurrence), winner by (l DESC, i, j) — and
+    // emits the left child, the right child, and a match-mass tombstone
+    // (sa = sb = '', so it never recurses). M = sum of tombstone masses
+    // per pair; sim = 2·M/(n+m) with the kernel's multiply-then-divide
+    // IEEE order.
+    "q_ratcliff_sim" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |  AND a.p_partkey % 41 = 0 AND b.p_partkey % 13 = 0
+         |), seg(ka, kb, sid, sa, sb, mlen) AS (
+         |  SELECT ka, kb, CAST(1 AS BIGINT), na, nb, 0
+         |  FROM pairs WHERE na <> nb AND length(na) > 0 AND length(nb) > 0
+         |  UNION ALL
+         |  SELECT ka, kb,
+         |    sid * 3 + part,
+         |    CASE part WHEN 0 THEN substr(sa, 1, i - 1)
+         |              WHEN 1 THEN substr(sa, i + l) ELSE '' END,
+         |    CASE part WHEN 0 THEN substr(sb, 1, j - 1)
+         |              WHEN 1 THEN substr(sb, j + l) ELSE '' END,
+         |    CASE part WHEN 2 THEN l ELSE 0 END
+         |  FROM (
+         |    SELECT ka, kb, sid, sa, sb, l, i, j,
+         |      row_number() OVER (PARTITION BY ka, kb, sid
+         |                         ORDER BY l DESC, i ASC, j ASC) AS rn
+         |    FROM (
+         |      SELECT ka, kb, sid, sa, sb, l, i,
+         |        position(substr(sa, i, l) IN sb) AS j
+         |      FROM (
+         |        SELECT ka, kb, sid, sa, sb, i,
+         |          CAST(unnest(range(1, length(sa) - i + 2)) AS INT) AS l
+         |        FROM (
+         |          SELECT ka, kb, sid, sa, sb,
+         |            CAST(unnest(range(1, length(sa) + 1)) AS INT) AS i
+         |          FROM seg WHERE length(sa) > 0 AND length(sb) > 0
+         |        ) q1
+         |      ) q2
+         |    ) c
+         |    WHERE j > 0
+         |  ) best
+         |  CROSS JOIN (VALUES (0), (1), (2)) p(part)
+         |  WHERE rn = 1
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       WHEN length(p.na) = 0 OR length(p.nb) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(2.0 AS DOUBLE) * CAST(coalesce(m.tot, 0) AS DOUBLE) /
+         |            CAST(length(p.na) + length(p.nb) AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT ka, kb, sum(mlen) AS tot FROM seg GROUP BY ka, kb) m
+         |  ON p.ka = m.ka AND p.kb = m.kb""".stripMargin,
     "q_lev_capped" ->
       s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
          |  least(levenshtein(a.c_name, b.c_name), 4) AS dist_c,
@@ -3659,6 +3757,29 @@ object SparkEntry {
         |  SELECT suffix FROM sufs GROUP BY suffix HAVING count(*) <= 400
         |)
         |SELECT s.id, s.suffix FROM sufs s JOIN sized z USING (suffix)""".stripMargin,
+    // Refined Soundex: translate to the ten-class table, collapse runs of
+    // every digit 0-9 (nested regexp_replace — the same per-digit fold the
+    // Spark chain runs), first letter + ALL digits, no pad, no cap.
+    "q_refined_soundex" -> {
+      val collapsed = (0 to 9).foldLeft("coded") { (acc, d) =>
+        s"regexp_replace($acc, '$d{2,}', '$d', 'g')"
+      }
+      s"""WITH s1 AS (
+         |  SELECT p_partkey AS id, p_name AS name,
+         |         regexp_replace(upper(p_name), '[^A-Z]', '', 'g') AS letters
+         |  FROM part
+         |), s2 AS (
+         |  SELECT id, name, letters,
+         |    translate(letters, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+         |              '01360240043788015936020505') AS coded
+         |  FROM s1
+         |)
+         |SELECT id, name,
+         |  CASE WHEN letters = '' THEN ''
+         |       ELSE substring(letters, 1, 1) || $collapsed
+         |  END AS rsdx
+         |FROM s2""".stripMargin
+    },
     "q_phonetic_block" ->
       """WITH s1 AS (
         |  SELECT p_partkey AS id, p_name AS name,

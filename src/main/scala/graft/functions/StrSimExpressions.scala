@@ -244,6 +244,36 @@ case class AffineGapSim(left: Expression, right: Expression) extends StrSimExpre
     copy(left = l, right = r)
 }
 
+/** Bag similarity over code-point multisets ([[StrSimKernels.bag]]):
+  * Σmin/max(|a|,|b|), i.e. 1 − bagdist/max where bagdist is the
+  * Bartolini-Ciaccia-Patella bag distance — a LOWER bound on Levenshtein
+  * distance, so `bag_sim ≥ θ` is a sound admission filter in front of
+  * `levenshtein_sim ≥ θ` (the cheapest tier of the edit pre-filter stack:
+  * one scratch sort-merge, no DP, no gram packing). */
+case class BagSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "bag_sim"
+  override protected def kernelMethod: String = "bag"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.bag(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Ratcliff-Obershelp (gestalt) similarity — Python
+  * difflib.SequenceMatcher.ratio without junk heuristics
+  * ([[StrSimKernels.ratcliffObershelp]]): 2·M/(|a|+|b|) with M the total
+  * matched length from recursive longest-common-substring splitting,
+  * tie-broken earliest-in-a then earliest-in-b like difflib. */
+case class RatcliffObershelpSim(left: Expression, right: Expression)
+  extends StrSimExpression {
+  override def prettyName: String = "ratcliff_obershelp_sim"
+  override protected def kernelMethod: String = "ratcliffObershelp"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.ratcliffObershelp(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Tversky index over code-point bags with compile-time weights α (a-only
   * mass) and β (b-only mass) — [[StrSimKernels.tversky]]. α and β must be
   * foldable non-negative finite literals so codegen bakes them into the

@@ -117,6 +117,22 @@ package object functions {
     wrap(AffineGapSim(expr(a), expr(b)))
   def affine_gap_sim(a: String, b: String): Column = affine_gap_sim(col(a), col(b))
 
+  /** Bag similarity over code-point multisets: Σmin/max(|a|,|b|). Bag
+    * distance lower-bounds Levenshtein distance, so `bag_sim(a,b) >= θ`
+    * is a sound (and the cheapest) admission filter in front of
+    * `levenshtein_sim(a,b) >= θ` — below [[qgram_sim]] in the pre-filter
+    * stack. */
+  def bag_sim(a: Column, b: Column): Column = wrap(BagSim(expr(a), expr(b)))
+  def bag_sim(a: String, b: String): Column = bag_sim(col(a), col(b))
+
+  /** Ratcliff-Obershelp (gestalt) similarity — Python difflib's
+    * SequenceMatcher.ratio (without junk heuristics): 2·M/(|a|+|b|) over
+    * recursively matched longest-common-substring blocks. */
+  def ratcliff_obershelp_sim(a: Column, b: Column): Column =
+    wrap(RatcliffObershelpSim(expr(a), expr(b)))
+  def ratcliff_obershelp_sim(a: String, b: String): Column =
+    ratcliff_obershelp_sim(col(a), col(b))
+
   /** Token-level Jaccard over distinct whitespace tokens. */
   def token_jaccard_sim(a: Column, b: Column): Column =
     wrap(tokenJaccardExpr(expr(a), expr(b)))
@@ -398,6 +414,8 @@ package object functions {
     "editex_sim" -> (es => EditexSim(es(0), es(1))),
     "lcsstr_sim" -> (es => LcsStrSim(es(0), es(1))),
     "affine_gap_sim" -> (es => AffineGapSim(es(0), es(1))),
+    "bag_sim" -> (es => BagSim(es(0), es(1))),
+    "ratcliff_obershelp_sim" -> (es => RatcliffObershelpSim(es(0), es(1))),
     // alpha/beta must be foldable non-negative numeric literals:
     //   tversky_sim(a, b, 0.25, 0.75)
     "tversky_sim" -> (es => TverskySim(es(0), es(1),

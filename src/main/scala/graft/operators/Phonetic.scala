@@ -55,6 +55,36 @@ object Phonetic {
       concat(first, rpad(substring(tail, 1, 3), 3, "0")))
   }
 
+  /** Refined Soundex letter → digit map (the Commons-Codec /
+    * "refined soundex" table): A0 B1 C3 D6 E0 F2 G4 H0 I0 J4 K3 L7 M8 N8
+    * O0 P1 Q5 R9 S3 T6 U0 V2 W0 X5 Y0 Z5 — ten code classes instead of
+    * classic Soundex's seven, vowels retained as 0 separators. */
+  private val refinedCodeMap = "01360240043788015936020505"
+
+  /** Refined Soundex key: finer-grained and longer than classic Soundex —
+    * ten consonant classes, NO length cap, vowel 0s KEPT (so vowels
+    * separate consonant runs but never merge across them), making it the
+    * higher-precision/lower-recall member of the phonetic-key family
+    * (classic Soundex buckets too coarsely for large corpora; refined
+    * keys split those hot buckets). Pinned semantics (the widely
+    * implemented variant, e.g. Apache Commons Codec `RefinedSoundex`):
+    *
+    *  1. uppercase, strip everything outside A-Z; empty → `""`;
+    *  2. map EVERY letter (including the first) to its digit;
+    *  3. collapse runs of each identical adjacent digit;
+    *  4. key = first letter + the collapsed digit string (no pad, no cap).
+    *
+    * Worked example: TESTING → 6 0 3 6 0 8 4 → T6036084. */
+  def refinedSoundexKey(c: Column): Column = {
+    val letters = regexp_replace(upper(c), "[^A-Z]", "")
+    val coded = translate(letters, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", refinedCodeMap)
+    val collapsed = (0 to 9).foldLeft(coded) { (acc, d) =>
+      regexp_replace(acc, s"$d{2,}", s"$d")
+    }
+    when(letters === "", lit("")).otherwise(
+      concat(substring(letters, 1, 1), collapsed))
+  }
+
   /** Caverphone 2.0 key (David Hood, "Caverphone Revisited", 2004 — the
     * accent-tolerant phonetic code developed for the Caversham Project's
     * New Zealand electoral-roll linkage; pinned vectors:

@@ -55,6 +55,9 @@ object StrSimKernels {
     var tokLenB: Array[Int] = new Array[Int](16)
     var gramA: Array[Long] = new Array[Long](64)    // packed q-gram bags
     var gramB: Array[Long] = new Array[Long](64)
+    // Ratcliff-Obershelp segment worklist (4 ints per frame; filled
+    // incrementally, so growth must COPY — use ensureCopy, never ensure)
+    var roStack: Array[Int] = new Array[Int](64)
   }
 
   private val scratch = new ThreadLocal[Scratch] {
@@ -1126,6 +1129,94 @@ object StrSimKernels {
     0.5 + best.toDouble / (4.0 * math.max(n, m).toDouble)
   }
 
+  // ----------------------------------------------------- Bag / Ratcliff-Obershelp
+
+  /** Bag similarity: 1 − bagdist(a,b)/max(|a|,|b|) over code-point
+    * multisets, where bagdist = max(|a−b|, |b−a|) (Bartolini-Ciaccia-
+    * Patella 2002). Since |a−b| = |a| − Σmin and |b−a| = |b| − Σmin,
+    * bagdist = max(|a|,|b|) − Σmin and the similarity collapses to
+    * Σmin/max(|a|,|b|) — one sorted-bag merge, no DP. Bag distance is a
+    * LOWER bound on Levenshtein distance (one edit changes the bag by at
+    * most one element), so bag_sim(a,b) ≥ levenshtein_sim(a,b) in the
+    * reals (the two kernels round through different expressions, so exact
+    * ties can land 1 ulp apart): `bag_sim ≥ θ` is a sound, strictly
+    * cheaper admission filter in front of `levenshtein_sim ≥ θ` (the tier
+    * below qgram_sim in the pre-filter stack — no gram packing, just the
+    * Jaccard-family scratch sort).
+    * Edge policy matches the reference kernels: byte-equal → 1.0, exactly
+    * one side empty → 0.0. */
+  def bag(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val (n, m, inter) = bagIntersect(a, b)
+    inter.toDouble / math.max(n, m).toDouble
+  }
+
+  /** Ratcliff-Obershelp ("gestalt pattern matching", the algorithm behind
+    * Python difflib.SequenceMatcher.ratio): 2·M/(|a|+|b|) where M is the
+    * total length of the matched blocks found by recursively taking the
+    * longest common substring and recursing on the unmatched left and
+    * right remainders. Tie-break pinned to difflib's: among maximal
+    * blocks, the one starting earliest in `a`, then earliest in `b`
+    * (no junk/autojunk heuristics — the pure recursive definition).
+    * Iterative worklist + one-row common-suffix DP in the shared scratch;
+    * O(|a|·|b|) per segment, O(min(|a|,|b|)) segments worst-case. All
+    * iteration over code points; edges: byte-equal → 1.0, one side
+    * empty → 0.0 (difflib itself yields these values). */
+  def ratcliffObershelp(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    s.dp = ensure(s.dp, m + 1)
+    s.roStack = ensureCopy(s.roStack, 4)
+    s.roStack(0) = 0; s.roStack(1) = n; s.roStack(2) = 0; s.roStack(3) = m
+    var top = 4
+    var matched = 0
+    while (top > 0) {
+      top -= 4
+      val al = s.roStack(top); val ah = s.roStack(top + 1)
+      val bl = s.roStack(top + 2); val bh = s.roStack(top + 3)
+      if (al < ah && bl < bh) {
+        // Longest common substring of a[al,ah) × b[bl,bh). The DP row
+        // holds common-suffix lengths ending at (i, j); scanning i asc
+        // (outer), j asc (inner) and improving only on STRICTLY longer
+        // matches makes the first maximal block the earliest-in-a, then
+        // earliest-in-b one — difflib's tie-break.
+        var bestLen = 0; var bestI = 0; var bestJ = 0
+        var j = bl
+        while (j < bh) { s.dp(j - bl) = 0; j += 1 }
+        var i = al
+        while (i < ah) {
+          val ca = s.aCp(i)
+          var prev = 0 // up-left cell (row[j-1] of the previous i)
+          j = bl
+          while (j < bh) {
+            val cur = s.dp(j - bl)
+            val v = if (ca == s.bCp(j)) prev + 1 else 0
+            s.dp(j - bl) = v
+            if (v > bestLen) { bestLen = v; bestI = i - v + 1; bestJ = j - v + 1 }
+            prev = cur
+            j += 1
+          }
+          i += 1
+        }
+        if (bestLen > 0) {
+          matched += bestLen
+          s.roStack = ensureCopy(s.roStack, top + 8)
+          s.roStack(top) = al; s.roStack(top + 1) = bestI
+          s.roStack(top + 2) = bl; s.roStack(top + 3) = bestJ
+          s.roStack(top + 4) = bestI + bestLen; s.roStack(top + 5) = ah
+          s.roStack(top + 6) = bestJ + bestLen; s.roStack(top + 7) = bh
+          top += 8
+        }
+      }
+    }
+    2.0 * matched.toDouble / (n + m).toDouble
+  }
+
   // ------------------------------------------------------- String conveniences
 
   def levenshtein(a: String, b: String): Double =
@@ -1168,4 +1259,8 @@ object StrSimKernels {
     lcsstr(UTF8String.fromString(a), UTF8String.fromString(b))
   def affineGap(a: String, b: String): Double =
     affineGap(UTF8String.fromString(a), UTF8String.fromString(b))
+  def bag(a: String, b: String): Double =
+    bag(UTF8String.fromString(a), UTF8String.fromString(b))
+  def ratcliffObershelp(a: String, b: String): Double =
+    ratcliffObershelp(UTF8String.fromString(a), UTF8String.fromString(b))
 }

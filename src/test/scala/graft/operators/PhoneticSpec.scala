@@ -39,6 +39,52 @@ class PhoneticSpec extends SparkFunSuite {
     assert(r.isNullAt(0))
   }
 
+  // ------------------------------------------------------- Refined Soundex
+
+  /** Hand-derived per the pinned table (A0 B1 C3 D6 E0 F2 G4 H0 I0 J4 K3
+    * L7 M8 N8 O0 P1 Q5 R9 S3 T6 U0 V2 W0 X5 Y0 Z5; adjacent-duplicate
+    * collapse; first letter + ALL digits, no pad, no cap). */
+  private val refinedVectors = Seq(
+    // T6 E0 S3 T6 I0 N8 G4 — the Commons-Codec worked example
+    "TESTING" -> "T6036084",
+    // B1 O0 B1 — vowel keeps the two Bs apart
+    "BOB" -> "B101",
+    // A0 S3 H0 C3 R9 A0 F2 T6 — H codes 0 and merges with neighboring vowels
+    "Ashcraft" -> "A03039026",
+    "Ashcroft" -> "A03039026",                       // same bucket, the point
+    // D6 O0 G4 G4 S3 → the GG run collapses, landing on dogs' exact key
+    "doggs" -> "D6043",
+    "dogs" -> "D6043",
+    // L7 E0 E0 → EE collapses to one 0
+    "Lee" -> "L70",
+    "o'Brien-87" -> "O01908",                        // stripping + O0 B1 R9 I0 E0 N8
+    "testing" -> "T6036084",                         // case-insensitive
+    "" -> "", "123" -> "", "  " -> "")
+
+  test("refinedSoundexKey matches hand-derived vectors; finer than classic") {
+    import spark.implicits._
+    val got = refinedVectors.map(_._1).toDF("name")
+      .select(col("name"), Phonetic.refinedSoundexKey(col("name")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    refinedVectors.foreach { case (name, want) =>
+      assert(got(name) == want, s"refined_soundex($name)")
+    }
+    // refinement property: classic lumps B,F,P,V into one class (Abby and
+    // Avey both key A100); refined splits BP from FV (A010 vs A020)
+    val pair = Seq("Abby", "Avey").toDF("name")
+      .select(Phonetic.soundexKey(col("name")).as("c"),
+        Phonetic.refinedSoundexKey(col("name")).as("r"))
+      .collect()
+    assert(pair(0).getString(0) == pair(1).getString(0),  // classic merges
+      s"classic ${pair(0).getString(0)} vs ${pair(1).getString(0)}")
+    assert(pair(0).getString(1) != pair(1).getString(1),  // refined splits
+      s"refined ${pair(0).getString(1)} vs ${pair(1).getString(1)}")
+    // null propagates
+    val r = Seq[Option[String]](None).toDF("name")
+      .select(Phonetic.refinedSoundexKey(col("name"))).head()
+    assert(r.isNullAt(0))
+  }
+
   // ----------------------------------------------------------------- NYSIIS
 
   /** Hand-derived per the PINNED rules on TextKernels.nysiis (step-by-step
