@@ -556,6 +556,27 @@ object SparkEntry {
       .select(col("ka"), col("kb"),
         ratcliff_obershelp_sim(col("na"), col("nb")).as("sim"))),
 
+    // Partial Ratcliff-Obershelp (thefuzz partial_ratio, exhaustive
+    // best-window variant): max gestalt ratio of the shorter string vs
+    // every same-length window of the longer. Oracle = the q_ratcliff_sim
+    // recursion with one extra root dimension (the window offset) carried
+    // through the CTE and a max over offsets at the end.
+    "q_partial_ratcliff" -> ((s, dir) => partPairs(s, dir)
+      .where(col("ka") % 41 === 0 && col("kb") % 26 === 0)
+      .select(col("ka"), col("kb"),
+        partial_ratcliff_sim(col("na"), col("nb")).as("sim"))),
+
+    // Bag distance + its boolean face at the q_lev_capped k=4: the TIER-0
+    // admission filter of the edit pre-filter stack (bag distance
+    // lower-bounds Levenshtein at one sorted-merge, no DP — rejections
+    // are sound, so the banded DP only runs on bag survivors; wired into
+    // Linkage.scoreWithPrefilter). Oracle reuses the relational bag with
+    // the max-length-minus-intersection identity.
+    "q_bag_within" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        bag_dist(col("na"), col("nb")).as("d"),
+        bag_within(col("na"), col("nb"), 4).as("w4"))),
+
     // banded capped-Levenshtein pre-filter tier (O(k·n) Ukkonen DP, never
     // the full quadratic): exact distance when ≤ k, else k+1, plus the
     // boolean face. The 100 TB shape: levenshtein_within(…, k) prunes
@@ -3051,6 +3072,110 @@ object SparkEntry {
          |FROM pairs p
          |LEFT JOIN (SELECT ka, kb, sum(mlen) AS tot FROM seg GROUP BY ka, kb) m
          |  ON p.ka = m.ka AND p.kb = m.kb""".stripMargin,
+    // Partial Ratcliff-Obershelp: the same gestalt recursion with the
+    // window OFFSET as an extra root dimension. sides picks the pattern
+    // (shorter, ties → na) and text (longer); wins enumerates every
+    // same-length window; seg replays the recursion per (pair, off);
+    // offmass scores each window (pattern = window short-circuits to full
+    // mass, mirroring the kernel's byte-equal early path inside
+    // roMatchMass's caller); the final ratio is max(mass)/patlen — the
+    // kernel's pinned best.toDouble / sLen.toDouble (IEEE-equal to the
+    // per-window 2M/(S+S)).
+    "q_partial_ratcliff" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |  AND a.p_partkey % 41 = 0 AND b.p_partkey % 26 = 0
+         |), sides AS (
+         |  SELECT ka, kb, na, nb,
+         |    CASE WHEN length(na) <= length(nb) THEN na ELSE nb END AS pat,
+         |    CASE WHEN length(na) <= length(nb) THEN nb ELSE na END AS txt
+         |  FROM pairs
+         |), wins AS (
+         |  SELECT ka, kb, off, pat, substr(txt, off, length(pat)) AS win
+         |  FROM (
+         |    SELECT ka, kb, pat, txt,
+         |      CAST(unnest(range(1, length(txt) - length(pat) + 2)) AS INT) AS off
+         |    FROM sides WHERE length(pat) > 0
+         |  ) q0
+         |), seg(ka, kb, off, sid, sa, sb, mlen) AS (
+         |  SELECT ka, kb, off, CAST(1 AS BIGINT), pat, win, 0
+         |  FROM wins WHERE pat <> win
+         |  UNION ALL
+         |  SELECT ka, kb, off,
+         |    sid * 3 + part,
+         |    CASE part WHEN 0 THEN substr(sa, 1, i - 1)
+         |              WHEN 1 THEN substr(sa, i + l) ELSE '' END,
+         |    CASE part WHEN 0 THEN substr(sb, 1, j - 1)
+         |              WHEN 1 THEN substr(sb, j + l) ELSE '' END,
+         |    CASE part WHEN 2 THEN l ELSE 0 END
+         |  FROM (
+         |    SELECT ka, kb, off, sid, sa, sb, l, i, j,
+         |      row_number() OVER (PARTITION BY ka, kb, off, sid
+         |                         ORDER BY l DESC, i ASC, j ASC) AS rn
+         |    FROM (
+         |      SELECT ka, kb, off, sid, sa, sb, l, i,
+         |        position(substr(sa, i, l) IN sb) AS j
+         |      FROM (
+         |        SELECT ka, kb, off, sid, sa, sb, i,
+         |          CAST(unnest(range(1, length(sa) - i + 2)) AS INT) AS l
+         |        FROM (
+         |          SELECT ka, kb, off, sid, sa, sb,
+         |            CAST(unnest(range(1, length(sa) + 1)) AS INT) AS i
+         |          FROM seg WHERE length(sa) > 0 AND length(sb) > 0
+         |        ) q1
+         |      ) q2
+         |    ) c
+         |    WHERE j > 0
+         |  ) best
+         |  CROSS JOIN (VALUES (0), (1), (2)) p(part)
+         |  WHERE rn = 1
+         |), offmass AS (
+         |  SELECT w.ka, w.kb, w.off, length(w.pat) AS plen,
+         |    CASE WHEN w.pat = w.win THEN length(w.pat)
+         |         ELSE coalesce(m.tot, 0) END AS mass
+         |  FROM wins w
+         |  LEFT JOIN (SELECT ka, kb, off, sum(mlen) AS tot
+         |             FROM seg GROUP BY ka, kb, off) m
+         |    ON w.ka = m.ka AND w.kb = m.kb AND w.off = m.off
+         |), bestmass AS (
+         |  SELECT ka, kb, max(mass) AS best, max(plen) AS plen
+         |  FROM offmass GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb,
+         |  CASE WHEN p.na = p.nb THEN CAST(1.0 AS DOUBLE)
+         |       WHEN length(p.na) = 0 OR length(p.nb) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(b.best AS DOUBLE) / CAST(b.plen AS DOUBLE)
+         |  END AS sim
+         |FROM pairs p
+         |JOIN bestmass b ON p.ka = b.ka AND p.kb = b.kb""".stripMargin,
+    // bag distance (integer face) + bag_within at k=4: same relational
+    // bag; bagdist = max(|a|,|b|) − Σmin (the Bartolini collapse the
+    // kernel uses), byte-equal pairs short-circuit to 0/true.
+    "q_bag_within" ->
+      s"""WITH pairs AS (
+         |  SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |         a.p_name AS na, b.p_name AS nb
+         |  $partPairsSql
+         |), exploded AS (
+         |  SELECT ka, kb, unnest(string_split(na, '')) AS ch, 1 AS ac, 0 AS bc FROM pairs
+         |  UNION ALL
+         |  SELECT ka, kb, unnest(string_split(nb, '')) AS ch, 0 AS ac, 1 AS bc FROM pairs
+         |), counts AS (
+         |  SELECT ka, kb, ch, sum(ac) AS ca, sum(cb) AS cb
+         |  FROM (SELECT ka, kb, ch, ac, bc AS cb FROM exploded) GROUP BY ka, kb, ch
+         |), sums AS (
+         |  SELECT ka, kb, sum(least(ca, cb)) AS inter FROM counts GROUP BY ka, kb
+         |)
+         |SELECT p.ka, p.kb,
+         |  CAST(CASE WHEN p.na = p.nb THEN 0
+         |            ELSE greatest(length(p.na), length(p.nb)) - s.inter
+         |       END AS INT) AS d,
+         |  CASE WHEN p.na = p.nb THEN TRUE
+         |       ELSE (greatest(length(p.na), length(p.nb)) - s.inter) <= 4
+         |  END AS w4
+         |FROM pairs p JOIN sums s ON p.ka = s.ka AND p.kb = s.kb""".stripMargin,
     "q_lev_capped" ->
       s"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
          |  least(levenshtein(a.c_name, b.c_name), 4) AS dist_c,

@@ -274,6 +274,22 @@ case class RatcliffObershelpSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Partial Ratcliff-Obershelp — thefuzz's `partial_ratio` pinned to the
+  * exhaustive best-window definition ([[StrSimKernels.partialRatcliff]]):
+  * max gestalt ratio between the shorter string and any same-length
+  * code-point window of the longer. The containment-style member of the
+  * gestalt family — 1.0 whenever the shorter string appears verbatim
+  * inside the longer. */
+case class PartialRatcliffSim(left: Expression, right: Expression)
+  extends StrSimExpression {
+  override def prettyName: String = "partial_ratcliff_sim"
+  override protected def kernelMethod: String = "partialRatcliff"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.partialRatcliff(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Tversky index over code-point bags with compile-time weights α (a-only
   * mass) and β (b-only mass) — [[StrSimKernels.tversky]]. α and β must be
   * foldable non-negative finite literals so codegen bakes them into the
@@ -353,6 +369,60 @@ case class LevenshteinCapped(left: Expression, right: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.strsim.StrSimKernels.levenshteinCapped($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Bag distance over code-point multisets ([[StrSimKernels.bagDist]]):
+  * max(|a|,|b|) − Σmin — the integer face of [[BagSim]]. Lower-bounds
+  * Levenshtein distance at sorted-merge cost (no DP). */
+case class BagDist(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bag_dist"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrSimKernels.bagDist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.strsim.StrSimKernels.bagDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `true` iff the bag distance is ≤ k — the boolean face of [[BagDist]]
+  * and the TIER-0 admission filter of the edit pre-filter stack: since
+  * bag distance lower-bounds Levenshtein distance, `NOT bag_within(k)`
+  * refutes `levenshtein_within(k)` at sorted-merge cost, so the banded
+  * DP (tier 1) only runs on bag survivors. */
+case class BagWithin(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with Serializable {
+  require(k >= 0, s"bag_within requires k >= 0, got $k")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bag_within"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrSimKernels.bagDist(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]) <= k
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"(graft.strsim.StrSimKernels.bagDist($a, $b) <= $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

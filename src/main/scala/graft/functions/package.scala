@@ -133,6 +133,15 @@ package object functions {
   def ratcliff_obershelp_sim(a: String, b: String): Column =
     ratcliff_obershelp_sim(col(a), col(b))
 
+  /** Partial Ratcliff-Obershelp (thefuzz's partial_ratio, exhaustive
+    * best-window variant): max gestalt ratio between the shorter string
+    * and any same-length code-point window of the longer — 1.0 on
+    * verbatim containment ("ibm" in "ibm corporation"). */
+  def partial_ratcliff_sim(a: Column, b: Column): Column =
+    wrap(PartialRatcliffSim(expr(a), expr(b)))
+  def partial_ratcliff_sim(a: String, b: String): Column =
+    partial_ratcliff_sim(col(a), col(b))
+
   /** Token-level Jaccard over distinct whitespace tokens. */
   def token_jaccard_sim(a: Column, b: Column): Column =
     wrap(tokenJaccardExpr(expr(a), expr(b)))
@@ -257,6 +266,19 @@ package object functions {
   /** `true` iff code-point Levenshtein distance ≤ k (banded kernel). */
   def levenshtein_within(a: Column, b: Column, k: Int): Column =
     wrap(LevenshteinWithin(expr(a), expr(b), k))
+
+  /** Bag distance (integer face of [[bag_sim]]): max(|a|,|b|) − Σmin over
+    * code-point multisets — a Levenshtein lower bound at sorted-merge
+    * cost. */
+  def bag_dist(a: Column, b: Column): Column = wrap(BagDist(expr(a), expr(b)))
+  def bag_dist(a: String, b: String): Column = bag_dist(col(a), col(b))
+
+  /** `true` iff bag distance ≤ k — the tier-0 admission filter in front
+    * of [[levenshtein_within]] (same k): bag distance lower-bounds edit
+    * distance, so a bag rejection is a sound Levenshtein rejection and
+    * the banded DP only runs on bag survivors. */
+  def bag_within(a: Column, b: Column, k: Int): Column =
+    wrap(BagWithin(expr(a), expr(b), k))
 
   /** 64-bit SimHash over whitespace tokens (near-dup signature). */
   def simhash64(c: Column): Column = wrap(SimHash64(expr(c)))
@@ -416,6 +438,7 @@ package object functions {
     "affine_gap_sim" -> (es => AffineGapSim(es(0), es(1))),
     "bag_sim" -> (es => BagSim(es(0), es(1))),
     "ratcliff_obershelp_sim" -> (es => RatcliffObershelpSim(es(0), es(1))),
+    "partial_ratcliff_sim" -> (es => PartialRatcliffSim(es(0), es(1))),
     // alpha/beta must be foldable non-negative numeric literals:
     //   tversky_sim(a, b, 0.25, 0.75)
     "tversky_sim" -> (es => TverskySim(es(0), es(1),
@@ -433,6 +456,9 @@ package object functions {
       litInt(es(2), "levenshtein_capped", "k"))),
     "levenshtein_within" -> (es => LevenshteinWithin(es(0), es(1),
       litInt(es(2), "levenshtein_within", "k"))),
+    "bag_dist" -> (es => BagDist(es(0), es(1))),
+    "bag_within" -> (es => BagWithin(es(0), es(1),
+      litInt(es(2), "bag_within", "k"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "repetition_counters" -> (es => RepetitionCounters(es(0))),
     "simhash60_sha" -> (es => SimHashSha60(es(0))),

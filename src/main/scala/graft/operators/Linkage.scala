@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{jaro_winkler_sim, levenshtein_within, sorensen_dice_sim}
+import graft.functions.{bag_within, jaro_winkler_sim, levenshtein_within, sorensen_dice_sim}
 
 /** Record-linkage pipeline stages (north rule: blocking → pairwise scoring
   * → transitive clustering over Common-Crawl-style pages).
@@ -224,18 +224,24 @@ object Linkage {
         when(col("__dice") >= 0.85, lit(1L)).otherwise(lit(0L)).as("g2"))
   }
 
-  /** Stage 4 (pre-filtered) — [[score]] with the banded Ukkonen kernel as
-    * a cheap admission filter: `levenshtein_within(k)` costs
-    * O((2k+1)·min(n,m)) per pair with early exit and rejects a candidate
-    * long before the O(n·m) Jaro scan + the Dice sort would run, so only
-    * survivors pay the composite projection. Semantics: the output IS
-    * [[score]] restricted to pairs within edit distance `maxDist` — a
-    * lossy-by-contract pre-filter (pick maxDist from the name-length
-    * distribution so true matches survive; the q_match_pairs_prefiltered
-    * oracle applies the identical cut). Physically the filter sits BELOW
-    * the scoring projection in the same whole-stage-codegen stage
+  /** Stage 4 (pre-filtered) — [[score]] behind a TWO-tier admission
+    * filter at the same `maxDist`:
+    *   tier 0 `bag_within(k)` — bag distance lower-bounds Levenshtein
+    *     distance, so a bag rejection is a sound edit rejection at one
+    *     sorted-bag-merge cost (no DP at all);
+    *   tier 1 `levenshtein_within(k)` — the banded Ukkonen kernel,
+    *     O((2k+1)·min(n,m)) with early exit, runs only on bag survivors.
+    * Only tier-1 survivors pay the O(n·m) Jaro scan + the Dice sort of
+    * the composite projection. Semantics: the output IS [[score]]
+    * restricted to pairs within edit distance `maxDist` — tier 0 never
+    * changes the result (BagRatcliffSpec pins the superset property; the
+    * q_match_pairs_prefiltered oracle applies only the edit cut), the
+    * stack as a whole is lossy-by-contract (pick maxDist from the
+    * name-length distribution so true matches survive). Physically both
+    * tiers sit BELOW the scoring projection in the same
+    * whole-stage-codegen stage, short-circuit-ordered tier 0 first
     * (PipelinePlanSpec asserts the plan order), so pruned pairs never
-    * evaluate a kernel beyond the band. */
+    * evaluate a kernel beyond their rejection tier. */
   def scoreWithPrefilter(pairs: DataFrame, extracted: DataFrame,
       maxDist: Int): DataFrame = {
     val names = extracted.select(col("url"), col("name_norm"))
@@ -244,7 +250,8 @@ object Linkage {
         .withColumnRenamed("name_norm", "name_a"), "url_a")
       .join(names.withColumnRenamed("url", "url_b")
         .withColumnRenamed("name_norm", "name_b"), "url_b")
-      .where(levenshtein_within(col("name_a"), col("name_b"), maxDist))
+      .where(bag_within(col("name_a"), col("name_b"), maxDist) &&
+        levenshtein_within(col("name_a"), col("name_b"), maxDist))
       .select(col("url_a"), col("url_b"),
         jaro_winkler_sim(col("name_a"), col("name_b")).as("jw"),
         sorensen_dice_sim(col("name_a"), col("name_b")).as("dice"))

@@ -1171,8 +1171,18 @@ object StrSimKernels {
     val n = decode(a, s.aCp)
     val m = decode(b, s.bCp)
     s.dp = ensure(s.dp, m + 1)
+    val matched = roMatchMass(s.aCp, 0, n, s.bCp, 0, m, s)
+    2.0 * matched.toDouble / (n + m).toDouble
+  }
+
+  /** The Ratcliff-Obershelp recursion over x[xl,xh) × y[yl,yh) (already
+    * decoded code points): total matched-block mass M. x plays difflib's
+    * "a" role (ties go to the block starting earliest in x, then earliest
+    * in y). Caller must have ensured `s.dp` to at least (yh − yl) + 1. */
+  private def roMatchMass(x: Array[Int], xl0: Int, xh0: Int,
+      y: Array[Int], yl0: Int, yh0: Int, s: Scratch): Int = {
     s.roStack = ensureCopy(s.roStack, 4)
-    s.roStack(0) = 0; s.roStack(1) = n; s.roStack(2) = 0; s.roStack(3) = m
+    s.roStack(0) = xl0; s.roStack(1) = xh0; s.roStack(2) = yl0; s.roStack(3) = yh0
     var top = 4
     var matched = 0
     while (top > 0) {
@@ -1180,22 +1190,22 @@ object StrSimKernels {
       val al = s.roStack(top); val ah = s.roStack(top + 1)
       val bl = s.roStack(top + 2); val bh = s.roStack(top + 3)
       if (al < ah && bl < bh) {
-        // Longest common substring of a[al,ah) × b[bl,bh). The DP row
+        // Longest common substring of x[al,ah) × y[bl,bh). The DP row
         // holds common-suffix lengths ending at (i, j); scanning i asc
         // (outer), j asc (inner) and improving only on STRICTLY longer
-        // matches makes the first maximal block the earliest-in-a, then
-        // earliest-in-b one — difflib's tie-break.
+        // matches makes the first maximal block the earliest-in-x, then
+        // earliest-in-y one — difflib's tie-break.
         var bestLen = 0; var bestI = 0; var bestJ = 0
         var j = bl
         while (j < bh) { s.dp(j - bl) = 0; j += 1 }
         var i = al
         while (i < ah) {
-          val ca = s.aCp(i)
+          val ca = x(i)
           var prev = 0 // up-left cell (row[j-1] of the previous i)
           j = bl
           while (j < bh) {
             val cur = s.dp(j - bl)
-            val v = if (ca == s.bCp(j)) prev + 1 else 0
+            val v = if (ca == y(j)) prev + 1 else 0
             s.dp(j - bl) = v
             if (v > bestLen) { bestLen = v; bestI = i - v + 1; bestJ = j - v + 1 }
             prev = cur
@@ -1214,7 +1224,59 @@ object StrSimKernels {
         }
       }
     }
-    2.0 * matched.toDouble / (n + m).toDouble
+    matched
+  }
+
+  /** Partial Ratcliff-Obershelp — thefuzz/fuzzywuzzy's `partial_ratio`
+    * pinned to its NAIVE definition: the best gestalt ratio between the
+    * SHORTER string and any contiguous same-length code-point window of
+    * the longer,
+    *   max over off ∈ [0, L−S] of ratio(short, long[off, off+S)).
+    * (thefuzz heuristically restricts offsets to matching-block
+    * alignments; the exhaustive sweep is the variant a relational oracle
+    * can replay and it upper-bounds the heuristic.) Each window ratio is
+    * 2·M/(S+S), which IEEE-equals M/S (both divisions round the same real
+    * quotient), so the kernel returns `bestM.toDouble / S.toDouble` —
+    * pinned for the oracle. The shorter side plays the pattern ("a") role
+    * regardless of argument order; equal lengths keep `a` as pattern (the
+    * single window degenerates to [[ratcliffObershelp]](a, b)). Early
+    * exit once a window contains the whole pattern (ratio 1.0, e.g. the
+    * abbreviation/containment case this scorer exists for). Edges:
+    * byte-equal → 1.0, one side empty → 0.0. */
+  def partialRatcliff(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val na = decode(a, s.aCp)
+    val nb = decode(b, s.bCp)
+    val aIsPattern = na <= nb
+    val sLen = if (aIsPattern) na else nb
+    val lLen = if (aIsPattern) nb else na
+    s.dp = ensure(s.dp, sLen + 1)
+    var best = 0
+    var off = 0
+    while (off <= lLen - sLen && best < sLen) {
+      val m =
+        if (aIsPattern) roMatchMass(s.aCp, 0, na, s.bCp, off, off + sLen, s)
+        else roMatchMass(s.bCp, 0, nb, s.aCp, off, off + sLen, s)
+      if (m > best) best = m
+      off += 1
+    }
+    best.toDouble / sLen.toDouble
+  }
+
+  /** Bag DISTANCE (Bartolini-Ciaccia-Patella): max(|a−b|, |b−a|) =
+    * max(|a|,|b|) − Σmin over code-point multisets — the integer face of
+    * [[bag]]. A lower bound on Levenshtein distance, computable with one
+    * sorted-bag merge (no DP): `bag_dist(a,b) > k` refutes
+    * `levenshtein distance ≤ k` without running the banded DP, making
+    * `bag_within` the tier-0 admission filter in front of
+    * `levenshtein_within` (tier 1) and full scoring (tier 2). */
+  def bagDist(a: UTF8String, b: UTF8String): Int = {
+    if (a.equals(b)) return 0
+    val (n, m, inter) = bagIntersect(a, b)
+    math.max(n, m) - inter
   }
 
   // ------------------------------------------------------- String conveniences
@@ -1261,6 +1323,10 @@ object StrSimKernels {
     affineGap(UTF8String.fromString(a), UTF8String.fromString(b))
   def bag(a: String, b: String): Double =
     bag(UTF8String.fromString(a), UTF8String.fromString(b))
+  def bagDist(a: String, b: String): Int =
+    bagDist(UTF8String.fromString(a), UTF8String.fromString(b))
   def ratcliffObershelp(a: String, b: String): Double =
     ratcliffObershelp(UTF8String.fromString(a), UTF8String.fromString(b))
+  def partialRatcliff(a: String, b: String): Double =
+    partialRatcliff(UTF8String.fromString(a), UTF8String.fromString(b))
 }

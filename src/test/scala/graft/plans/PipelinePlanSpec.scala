@@ -86,6 +86,12 @@ class PipelinePlanSpec extends SparkFunSuite {
     assert(s.contains("jaro_winkler_sim") && s.contains("levenshtein_within"), s)
     assert(s.indexOf("jaro_winkler_sim") < s.indexOf("levenshtein_within"),
       s"prefilter is not below the composite projection:\n$s")
+    // tier 0: the bag filter is present and short-circuit-ordered BEFORE
+    // the banded DP inside the same conjunction (And evaluates left
+    // first, so a bag rejection never runs levenshtein_within)
+    assert(s.contains("bag_within"), s"tier-0 bag filter missing:\n$s")
+    assert(s.indexOf("bag_within") < s.indexOf("levenshtein_within"),
+      s"bag tier is not ahead of the banded DP:\n$s")
     // wherever the prefilter is evaluated (plain Filter or pushed into a
     // join condition), nothing BELOW it evaluates a composite kernel.
     // collect() stops at AQE query-stage boundaries, so flatten manually.

@@ -150,6 +150,110 @@ class BagRatcliffSpec extends SparkFunSuite {
     }
   }
 
+  /** Naive partial ratio: explicit window loop over Vector slices with the
+    * brute-force RO reference per window. */
+  private def partialRef(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val xa = cps(a); val xb = cps(b)
+    val (pat, txt) =
+      if (xa.length <= xb.length) (xa, xb) else (xb, xa)
+    def str(cp: Array[Int]): String = cp.flatMap(Character.toChars).mkString
+    (0 to txt.length - pat.length).map { off =>
+      roRef(str(pat), str(txt.slice(off, off + pat.length)))
+    }.max
+  }
+
+  /** Naive bag distance: max(|a−b|, |b−a|) from count maps. */
+  private def bagDistRef(a: String, b: String): Int = {
+    if (a == b) return 0
+    val ca = cps(a).groupBy(identity).map { case (k, v) => k -> v.length }
+    val cb = cps(b).groupBy(identity).map { case (k, v) => k -> v.length }
+    val aOnly = ca.map { case (k, v) => math.max(0, v - cb.getOrElse(k, 0)) }.sum
+    val bOnly = cb.map { case (k, v) => math.max(0, v - ca.getOrElse(k, 0)) }.sum
+    math.max(aOnly, bOnly)
+  }
+
+  test("partial/bagDist: exhaustive over |sigma|=3 up to length 5") {
+    val sigma = "abc"
+    var acc = Vector("")
+    var frontier = Vector("")
+    for (_ <- 1 to 5) {
+      frontier = frontier.flatMap(s => sigma.map(c => s + c))
+      acc ++= frontier
+    }
+    for (a <- acc; b <- acc) {
+      assert(StrSimKernels.partialRatcliff(a, b) == partialRef(a, b),
+        s"partial a='$a' b='$b'")
+      assert(StrSimKernels.bagDist(a, b) == bagDistRef(a, b),
+        s"bagDist a='$a' b='$b'")
+    }
+  }
+
+  test("partial/bagDist: random Unicode incl. supplementary plane vs references") {
+    val rng = new scala.util.Random(41)
+    val pool = "abcdeZ 中é🙂".codePoints().toArray
+    def randStr(n: Int): String =
+      (0 until n).map(_ =>
+        new String(Character.toChars(pool(rng.nextInt(pool.length))))).mkString
+    for (_ <- 0 until 2000) {
+      val a = randStr(rng.nextInt(14))
+      val b = randStr(rng.nextInt(20))
+      assert(StrSimKernels.partialRatcliff(a, b) == partialRef(a, b),
+        s"partial a='$a' b='$b'")
+      assert(StrSimKernels.bagDist(a, b) == bagDistRef(a, b),
+        s"bagDist a='$a' b='$b'")
+    }
+  }
+
+  test("partial ratio: containment, dominance, and pinned vectors") {
+    // verbatim containment → 1.0 (the scorer's reason to exist)
+    assert(StrSimKernels.partialRatcliff("ibm", "ibm corporation") == 1.0)
+    assert(StrSimKernels.partialRatcliff("ibm corporation", "ibm") == 1.0)
+    // partial ≥ plain RO when lengths are equal (single window IS RO) and
+    // in general partial(a,b) ≥ ro over any window incl. a best-aligned one
+    val rng = new scala.util.Random(43)
+    val pool = "abcdef".toCharArray
+    def randStr(n: Int): String =
+      (0 until n).map(_ => pool(rng.nextInt(pool.length))).mkString
+    for (_ <- 0 until 1000) {
+      val a = randStr(1 + rng.nextInt(8))
+      val b = randStr(1 + rng.nextInt(12))
+      val p = StrSimKernels.partialRatcliff(a, b)
+      assert(p >= 0.0 && p <= 1.0)
+      if (a.length == b.length)
+        assert(p == StrSimKernels.ratcliffObershelp(a, b),
+          s"equal-length partial != ro a='$a' b='$b'")
+    }
+    // thefuzz's canonical demo: similar strings with a long tail
+    assert(StrSimKernels.partialRatcliff(
+      "fuzzy wuzzy", "fuzzy wuzzy was a bear") == 1.0)
+    // edges
+    assert(StrSimKernels.partialRatcliff("", "") == 1.0)
+    assert(StrSimKernels.partialRatcliff("x", "") == 0.0)
+    assert(StrSimKernels.partialRatcliff("", "x") == 0.0)
+  }
+
+  test("bag tier-0 soundness: bag_dist lower-bounds levenshtein distance") {
+    val rng = new scala.util.Random(47)
+    val pool = "abcde".toCharArray
+    def randStr(n: Int): String =
+      (0 until n).map(_ => pool(rng.nextInt(pool.length))).mkString
+    for (_ <- 0 until 3000) {
+      val a = randStr(rng.nextInt(12))
+      val b = randStr(rng.nextInt(12))
+      val bd = StrSimKernels.bagDist(a, b)
+      for (k <- 0 to 6) {
+        val levWithin = StrSimKernels.levenshteinCapped(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b), k) <= k
+        // superset property: every edit-admitted pair is bag-admitted
+        if (levWithin) assert(bd <= k,
+          s"bag tier rejected an edit-admitted pair a='$a' b='$b' k=$k")
+      }
+    }
+  }
+
   test("ratcliff: deep recursion (alternating blocks) exercises worklist growth") {
     // 64 interleaved 1-char blocks force ~64 segments through the stack —
     // regression for ensureCopy on the worklist array
