@@ -1475,6 +1475,33 @@ object SparkEntry {
           graft.operators.WebText.hostOf(col("url_norm")).as("host"))
     }),
 
+    // Unicode text standardization (the pre-blocking stage): NFC
+    // canonicalization, accent strip, and the pinned match-normalization
+    // chain, over a fixture mixing composed/decomposed forms, case,
+    // accents, punctuation runs, and non-Latin code points. Oracle =
+    // DuckDB's independent ICU twins (nfc_normalize / strip_accents) +
+    // the identical lower/regexp/trim chain — cross-library agreement,
+    // not self-replay.
+    "q_normalize_text" -> ((s, dir) => {
+      // frag(1) is DECOMPOSED (e + U+0301) — NFC must compose it
+      val frag = Seq("José", "élise", "MÜLLER", "o'brien", "Ĉapek",
+        "ñoño-中")
+      val sep = Seq("  ", " … ", ", ")
+      val suf = Seq(" (Gmbh)", "", " & SONS.", " ß")
+      def pick(xs: Seq[String], k: Column): Column =
+        element_at(array(xs.map(lit): _*),
+          (pmod(k, lit(xs.size)) + 1).cast("int"))
+      val id = col("doc_id")
+      val raw = concat(lit("  "), pick(frag, id * 3 + 1), pick(sep, id),
+        pick(frag, id * 5 + 2), pick(suf, id))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(id, raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          unicode_norm(col("raw"), "NFC").as("nfc"),
+          strip_accents(col("raw")).as("stripped"),
+          normalize_match(col("raw")).as("norm"))
+    }),
+
     // host-level aggregate stats (domain-filtering inputs); all-integer
     // aggregates + one exact division keep it hash-grade
     "q_host_stats" -> ((s, dir) => graft.operators.WebText.hostStats(
@@ -4816,6 +4843,31 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // text standardization: DuckDB's ICU nfc_normalize / strip_accents are
+    // INDEPENDENT implementations of the same pinned semantics (NFD → drop
+    // marks → NFC ≡ ICU transliterator on this palette) — cross-library
+    // agreement, not replay. frag[2] is decomposed e + U+0301.
+    "q_normalize_text" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    '  ' || list_extract(['José', 'e' || chr(769) || 'lise', 'MÜLLER',
+        |                          'o''brien', 'Ĉapek', 'ñoño-中'],
+        |                         CAST((doc_id*3+1) % 6 AS INT) + 1)
+        |        || list_extract(['  ', ' … ', ', '],
+        |                        CAST(doc_id % 3 AS INT) + 1)
+        |        || list_extract(['José', 'e' || chr(769) || 'lise', 'MÜLLER',
+        |                         'o''brien', 'Ĉapek', 'ñoño-中'],
+        |                        CAST((doc_id*5+2) % 6 AS INT) + 1)
+        |        || list_extract([' (Gmbh)', '', ' & SONS.', ' ß'],
+        |                        CAST(doc_id % 4 AS INT) + 1) AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id, raw,
+        |  nfc_normalize(raw) AS nfc,
+        |  strip_accents(raw) AS stripped,
+        |  trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
+        |       '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm
+        |FROM f""".stripMargin,
     // url normalization: DuckDB re-applies the identical pattern strings
     // (regexp_replace needs the explicit 'g' flag — Spark's is global)
     "q_url_normalize" ->

@@ -184,3 +184,38 @@ case class MinKGramHash(child: Expression, k: Int) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Unicode normalization to a plan-time form (NFC / NFD / NFKC / NFKD) —
+  * the canonicalization stage in front of any byte-comparing operator:
+  * two visually identical names with different code-point sequences
+  * (é vs e+◌́) must produce the same block keys, signatures, and kernel
+  * scores. `form` is baked into codegen as a static Form reference. */
+case class UnicodeNorm(child: Expression, form: String)
+  extends TextHashExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unicode_norm form must be one of NFC/NFD/NFKC/NFKD, got '$form'")
+  override def prettyName: String = "unicode_norm"
+  override def dataType: DataType = StringType
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.unicodeNorm(v.asInstanceOf[UTF8String], f)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.strsim.TextKernels.unicodeNorm($c, java.text.Normalizer.Form.$form)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Accent strip ([[graft.strsim.TextKernels.stripAccents]]): NFD, drop
+  * combining marks, NFC — matches DuckDB/ICU `strip_accents` on the Latin
+  * palette; non-decomposable letters (ł ø ß æ) are kept. */
+case class StripAccents(child: Expression) extends TextHashExpression {
+  override def prettyName: String = "strip_accents"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.stripAccents(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.strsim.TextKernels.stripAccents($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

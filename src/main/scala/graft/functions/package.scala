@@ -289,6 +289,37 @@ package object functions {
   /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
   def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
 
+  /** Unicode normalization to a plan-time form (NFC/NFD/NFKC/NFKD) — run
+    * it FIRST in any linkage pipeline: every downstream kernel, key, and
+    * signature compares raw code points, so é (composed) and e+◌́
+    * (decomposed) only match after canonicalization. */
+  def unicode_norm(c: Column, form: String): Column =
+    wrap(UnicodeNorm(expr(c), form))
+
+  /** Accent strip (NFD → drop combining marks → NFC): Müller → Muller.
+    * Matches DuckDB/ICU strip_accents on the Latin palette;
+    * non-decomposable letters (ł ø ß æ) are kept. */
+  def strip_accents(c: Column): Column = wrap(StripAccents(expr(c)))
+  def strip_accents(c: String): Column = strip_accents(col(c))
+
+  /** Pinned match-normalization chain for name/title fields — the
+    * standard pre-blocking standardization stage:
+    * NFC → strip accents → lowercase → non-alphanumeric runs (anything
+    * outside \p{L}\p{Nd}) to one space → trim. One Project, fully inside
+    * whole-stage codegen; composed from [[unicode_norm]],
+    * [[strip_accents]], and stock Catalyst string expressions so the
+    * Column surface and SQL registration share one definition. */
+  def normalize_match(c: Column): Column = wrap(normalizeMatchExpr(expr(c)))
+  def normalize_match(c: String): Column = normalize_match(col(c))
+
+  private def normalizeMatchExpr(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower,
+      RegExpReplace, StringTrim}
+    new StringTrim(RegExpReplace(
+      Lower(StripAccents(UnicodeNorm(e, "NFC"))),
+      Literal("[^\\p{L}\\p{Nd}]+"), Literal(" ")))
+  }
+
   /** NYSIIS phonetic key (pinned variant; see TextKernels.nysiis). */
   def nysiis_key(c: Column): Column = wrap(NysiisKey(expr(c)))
   def nysiis_key(c: String): Column = nysiis_key(col(c))
@@ -496,6 +527,11 @@ package object functions {
     "mra_codex" -> (es => MraCodex(es(0))),
     "mra_similarity" -> (es => MraSimilarity(es(0), es(1))),
     "mra_match" -> (es => MraMatch(es(0), es(1))),
+    // form must be a foldable string literal: unicode_norm(name, 'NFC')
+    "unicode_norm" -> (es => UnicodeNorm(es(0),
+      litStr(es(1), "unicode_norm", "form"))),
+    "strip_accents" -> (es => StripAccents(es(0))),
+    "normalize_match" -> (es => normalizeMatchExpr(es(0))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

@@ -600,4 +600,63 @@ object TextKernels {
   }
 
   def metaphone(s: String): String = metaphone(UTF8String.fromString(s)).toString
+
+  // ------------------------------------------------ Unicode normalization
+
+  /** Unicode-normalize to `form` (java.text.Normalizer) — the
+    * canonicalization step in front of any byte-comparing stage: two
+    * visually identical names with different code-point sequences
+    * (é vs e+◌́) must produce the SAME block keys, signatures, and
+    * similarity scores, and every downstream kernel compares raw code
+    * points. Fast path: the isNormalized probe skips the rebuild for
+    * already-normal input (all-ASCII always is), so the common web-corpus
+    * row costs one linear scan. */
+  def unicodeNorm(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
+  /** Accent strip: NFD-decompose, drop combining marks (general categories
+    * Mn/Mc/Me, code-point iteration so supplementary-plane marks strip
+    * too), NFC-recompose. Matches DuckDB's ICU `strip_accents` across the
+    * Latin palette (spec-pinned); characters with no canonical
+    * decomposition (ł ø ß æ) are KEPT — accent stripping is not
+    * transliteration. Pinned fast path: input whose NFD form contains no
+    * marks returns the ORIGINAL bytes unchanged (no recomposition pass —
+    * mark-free singleton decompositions like U+2126 Ω or composable
+    * Hangul jamo are left as-is; compose them explicitly with
+    * `unicode_norm(c, "NFC")` first if that matters). */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    @inline def isMark(cp: Int): Boolean = {
+      val t = Character.getType(cp)
+      t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+    }
+    var i = 0
+    var hasMark = false
+    while (i < nfd.length && !hasMark) {
+      val cp = nfd.codePointAt(i)
+      hasMark = isMark(cp)
+      i += Character.charCount(cp)
+    }
+    if (!hasMark) return s
+    val sb = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (!isMark(cp)) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  def unicodeNorm(s: String, form: String): String =
+    unicodeNorm(UTF8String.fromString(s),
+      java.text.Normalizer.Form.valueOf(form)).toString
+  def stripAccents(s: String): String =
+    stripAccents(UTF8String.fromString(s)).toString
 }
