@@ -825,6 +825,23 @@ object SparkEntry {
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
     }),
 
+    // Token blocking (schema-agnostic baseline) → candidate pairs through
+    // the full 3-tier skew policy: normalize_match standardizes the text,
+    // every ≥3-char token becomes a block key, bucketCap=10 forces the
+    // Zipfian color tokens through the SALTED grid (lossless — the oracle
+    // is tier-blind), hardCap high enough that nothing drops at either SF.
+    "q_token_blocking" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("id"),
+          normalize_match(col("p_name")).as("nm"))
+      val keys = graft.operators.Linkage.tokenBlockKeys(recs, "id", "nm",
+        minLen = 3)
+      graft.operators.Linkage.candidatePairs(keys, bucketCap = 10,
+          hardCap = 100000, saltGroups = 8)
+        .select(col("url_a").as("ka"), col("url_b").as("kb"))
+    }),
+
     // Meta-blocking (Papadakis TKDE'14): blocking graph over a redundant
     // 3-family block collection (segment:nation ∪ phone-prefix ∪ a
     // conditional nation key, so per-record block counts VARY), CBS +
@@ -4843,6 +4860,22 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // token blocking: tier-blind oracle (the salted grid is lossless and
+    // hardCap never bites at gate scale) — distinct pairs sharing any
+    // >=3-char token of the normalized name
+    "q_token_blocking" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |    trim(regexp_replace(lower(strip_accents(nfc_normalize(p_name))),
+        |         '[^\p{L}\p{Nd}]+', ' ', 'g')) AS nm
+        |  FROM part WHERE p_partkey % 20 = 0
+        |), toks AS (
+        |  SELECT DISTINCT id, tok FROM (
+        |    SELECT id, unnest(string_split(nm, ' ')) AS tok FROM recs
+        |  ) WHERE length(tok) >= 3
+        |)
+        |SELECT DISTINCT a.id AS ka, b.id AS kb
+        |FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id""".stripMargin,
     // text standardization: DuckDB's ICU nfc_normalize / strip_accents are
     // INDEPENDENT implementations of the same pinned semantics (NFD → drop
     // marks → NFC ≡ ICU transliterator on this palette) — cross-library

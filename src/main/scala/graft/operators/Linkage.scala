@@ -340,6 +340,34 @@ object Linkage {
     sufs.join(sized, "suffix").select(col("id"), col("suffix"))
   }
 
+  /** Token blocking (the schema-agnostic ER baseline — Papadakis et al.):
+    * every DISTINCT whitespace token of `textCol` that is at least
+    * `minLen` characters long becomes a block key. The highest-recall /
+    * lowest-precision member of the blocking family: two records block
+    * together iff they share ANY qualifying token, so it catches matches
+    * every structured key misses, at the cost of Zipfian token buckets —
+    * which is exactly what the downstream caps exist for: feed the keys
+    * to [[candidatePairs]] (3-tier salted/dropped skew policy) or to
+    * [[MetaBlocking.blockingGraph]]/[[MetaBlocking.blockFilter]] for
+    * weight-based pruning. Callers normalize `textCol` first
+    * (`functions.normalize_match`) so case/accent/punctuation variants
+    * share tokens.
+    *
+    * Plan shape: one codegen projection exploding tokens + one distinct
+    * (multiplicity carries no blocking signal — a record is in a token's
+    * block once). Output: (key = "tok:<token>", url = idCol), the
+    * [[candidatePairs]] input schema. */
+  def tokenBlockKeys(records: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 2): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    records
+      .select(col(idCol).as("url"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(length(col("tok")) >= minLen)
+      .select(concat(lit("tok:"), col("tok")).as("key"), col("url"))
+      .distinct()
+  }
+
   /** Distributed global rank over (sortKeyCol, idCol) order WITHOUT a
     * single-partition window: range partition, rank within partition, add
     * broadcast per-partition offsets (a P-row exclusive prefix sum — the

@@ -54,6 +54,30 @@ class BlockingSpec extends SparkFunSuite {
 
   // ------------------------------------------------------- two-corpus linkage
 
+  test("tokenBlockKeys emits one key per distinct qualifying token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red shiny red box"),   // duplicate token -> one key
+      (2L, "big red ball"),
+      (3L, "  a of in  "),         // all < minLen -> no keys
+      (4L, ""),                    // empty -> no keys
+      (5L, "ball")
+    ).toDF("id", "nm")
+    val keys = Linkage.tokenBlockKeys(df, "id", "nm", minLen = 3)
+      .as[(String, Long)].collect().toSet
+    assert(keys == Set(
+      ("tok:red", 1L), ("tok:shiny", 1L), ("tok:box", 1L),
+      ("tok:big", 2L), ("tok:red", 2L), ("tok:ball", 2L),
+      ("tok:ball", 5L)))
+    // feeding candidatePairs yields exactly the shared-token pairs
+    val pairs = Linkage.candidatePairs(
+        Linkage.tokenBlockKeys(df, "id", "nm", minLen = 3)
+          .select(col("key"), col("url")),
+        bucketCap = 1, hardCap = 100, saltGroups = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 5L)))
+  }
+
   test("crossCandidatePairs equals the naive A-B key join under the cap") {
     import spark.implicits._
     val lk = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("id", "key")
