@@ -825,6 +825,29 @@ object SparkEntry {
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
     }),
 
+    // b-bit MinHash (Li-König): pack the low 8 bits of each of 16
+    // sha-family lanes into 2 longs (8× smaller signature — 8× less
+    // shuffle IO at corpus scale), then score same-lang doc pairs with
+    // the agreeing-lane count and the unbiased Jaccard estimate
+    // (f − 2⁻⁸)/(1 − 2⁻⁸). Oracle re-derives every lane from sha hex,
+    // takes the low byte from the last two hex chars, and replays the
+    // estimator with the identical IEEE ops.
+    "q_bbit_minhash" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+      val base = d.select(col("doc_id").as("id"), col("lang"),
+        sort_array(array_distinct(
+          graft.operators.TextAnalysis.tokens(col("text")))).as("toks"))
+        .where(size(col("toks")) > 0)
+      val sigs = base.select(col("id"), col("lang"),
+        bbit_sig(minhash_sig(col("toks"), 16, "sha256"), 8).as("pk"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("ia"), col("b.id").as("ib"),
+          bbit_match_count(col("a.pk"), col("b.pk"), 8).as("m"),
+          bbit_jaccard_est(col("a.pk"), col("b.pk"), 8).as("est"))
+    }),
+
     // Token blocking (schema-agnostic baseline) → candidate pairs through
     // the full 3-tier skew policy: normalize_match standardizes the text,
     // every ≥3-char token becomes a block key, bucketCap=10 forces the
@@ -4860,6 +4883,37 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // b-bit minhash: lanes from sha hex (shaLaneAggs), low byte = last two
+    // hex chars, match count via a list lambda, estimator replayed with
+    // the same op order (m/16 first, then the corrected ratio)
+    "q_bbit_minhash" ->
+      s"""WITH base AS (
+        |  SELECT doc_id AS id, lang,
+        |    list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS tk
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), fbase AS (
+        |  SELECT * FROM base WHERE len(tk) > 0
+        |), sh AS (
+        |  SELECT id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])
+        |    ELSE tk END) AS sh
+        |  FROM fbase
+        |), mins AS (
+        |  SELECT id, ${shaLaneAggs(16)} FROM sh GROUP BY id
+        |), lanes AS (
+        |  SELECT id, [((strpos('0123456789abcdef', substr(h0, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h0, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h1, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h1, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h2, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h2, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h3, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h3, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h4, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h4, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h5, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h5, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h6, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h6, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h7, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h7, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h8, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h8, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h9, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h9, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h10, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h10, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h11, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h11, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h12, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h12, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h13, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h13, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h14, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h14, 64, 1)) - 1)), ((strpos('0123456789abcdef', substr(h15, 63, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h15, 64, 1)) - 1))] AS lv
+        |  FROM mins
+        |), pairs AS (
+        |  SELECT xa.id AS ia, xb.id AS ib, la.lv AS la, lb.lv AS lb
+        |  FROM fbase xa JOIN fbase xb ON xa.lang = xb.lang AND xa.id < xb.id
+        |  JOIN lanes la ON la.id = xa.id
+        |  JOIN lanes lb ON lb.id = xb.id
+        |)
+        |SELECT ia, ib,
+        |  CAST(len(list_filter(range(1, 17), i -> la[i] = lb[i])) AS INT) AS m,
+        |  (CAST(len(list_filter(range(1, 17), i -> la[i] = lb[i])) AS DOUBLE) / CAST(16 AS DOUBLE)
+        |     - 0.00390625) / (1.0 - 0.00390625) AS est
+        |FROM pairs""".stripMargin,
     // token blocking: tier-blind oracle (the salted grid is lossless and
     // hardCap never bites at gate scale) — distinct pairs sharing any
     // >=3-char token of the normalized name

@@ -333,6 +333,101 @@ object MinHashKernels {
     }
     new GenericArrayData(out)
   }
+
+  // --------------------------------------------------------- b-bit MinHash
+
+  /** b must divide 64 (lanes never straddle words) and be a whole number
+    * of hex chars (so the sha-family lane parses from digest chars).
+    * b-bit minhash (Li & König 2010) keeps only the low b bits per lane:
+    * signature storage — and therefore every downstream shuffle byte —
+    * shrinks 64/b ×, at the cost of a 2^-b accidental-collision rate the
+    * estimator corrects for. */
+  private[graft] def requireB(b: Int): Unit =
+    require(b == 4 || b == 8 || b == 16 || b == 32,
+      s"b-bit minhash requires b in {4, 8, 16, 32}, got $b")
+
+  private def requirePackable(k: Int, b: Int): Unit = {
+    val lanesPerWord = 64 / b
+    require(k % lanesPerWord == 0,
+      s"b-bit packing needs numHashes ($k) divisible by ${lanesPerWord} (= 64/b) lanes per word")
+  }
+
+  /** Pack the low b bits of each xxhash64-family lane, lane i at bits
+    * [(i mod 64/b)·b, …) of word i/(64/b). */
+  def bbitPackXx(sig: ArrayData, b: Int): ArrayData = {
+    val k = sig.numElements()
+    requirePackable(k, b)
+    val lanesPerWord = 64 / b
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    val words = new Array[Long](k / lanesPerWord)
+    var i = 0
+    while (i < k) {
+      val v = sig.getLong(i) & mask
+      words(i / lanesPerWord) |= v << ((i % lanesPerWord) * b)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Pack the low b bits of each sha256-family lane — the low b bits of
+    * the 256-bit digest, i.e. the integer value of the LAST b/4 hex
+    * chars (what `strpos`-arithmetic re-derives in the DuckDB oracle). */
+  def bbitPackSha(sig: ArrayData, b: Int): ArrayData = {
+    val k = sig.numElements()
+    requirePackable(k, b)
+    val lanesPerWord = 64 / b
+    val words = new Array[Long](k / lanesPerWord)
+    var i = 0
+    while (i < k) {
+      val h = sig.getUTF8String(i)
+      val nb = h.numBytes
+      var v = 0L
+      var j = nb - b / 4
+      while (j < nb) {
+        val c = h.getByte(j)
+        val d = if (c >= '0' && c <= '9') c - '0' else c - 'a' + 10
+        v = (v << 4) | d.toLong
+        j += 1
+      }
+      words(i / lanesPerWord) |= v << ((i % lanesPerWord) * b)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Count of agreeing b-bit lanes between two packed signatures. */
+  def bbitMatchCount(pa: ArrayData, pb: ArrayData, b: Int): Int = {
+    val n = pa.numElements()
+    require(n == pb.numElements(),
+      s"packed signatures differ in length: $n vs ${pb.numElements()}")
+    val lanesPerWord = 64 / b
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    var cnt = 0
+    var w = 0
+    while (w < n) {
+      val x = pa.getLong(w) ^ pb.getLong(w)
+      var l = 0
+      while (l < lanesPerWord) {
+        if (((x >>> (l * b)) & mask) == 0L) cnt += 1
+        l += 1
+      }
+      w += 1
+    }
+    cnt
+  }
+
+  /** Li-König unbiased Jaccard estimate from packed b-bit signatures:
+    * (f − c) / (1 − c) with f = matching-lane fraction and c = 2^-b the
+    * accidental-collision rate. Pinned IEEE order: f = matches/k first,
+    * then the corrected ratio — the oracle replays the identical ops.
+    * NOT clamped: small-sample estimates below c come out negative by
+    * design (thresholding is the caller's decision). */
+  def bbitJaccardEst(pa: ArrayData, pb: ArrayData, b: Int): Double = {
+    val k = pa.numElements() * (64 / b)
+    val f = bbitMatchCount(pa, pb, b).toDouble / k.toDouble
+    val c = 1.0 / (1L << b).toDouble
+    (f - c) / (1.0 - c)
+  }
 }
 
 /** Base for the fused MinHash signature expressions: unary, deterministic,
@@ -435,4 +530,86 @@ case class MinHashSigOph(child: Expression, family: String)
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** b-bit MinHash packing ([[MinHashKernels.bbitPackXx]] /
+  * [[MinHashKernels.bbitPackSha]], Li & König 2010): keep only the low b
+  * bits of every lane, packed 64/b lanes per long — shrinking the
+  * signature (and every shuffle that moves it) 64/b ×. Accepts either
+  * hash family by input type: array<long> (xxhash64 lanes) or
+  * array<string> (sha256 hex lanes — low b bits of the digest). Null
+  * signature (token-less document) stays null. */
+case class BBitSig(child: Expression, b: Int)
+    extends UnaryExpression with Serializable {
+  MinHashKernels.requireB(b)
+  override def prettyName: String = "bbit_sig"
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long> or array<string> (a minhash signature), got ${t.catalogString}")
+  }
+  // lazy: child.dataType is only legal after analysis resolves the child
+  private lazy val kernelMethod = child.dataType match {
+    case ArrayType(StringType, _) => "bbitPackSha"
+    case _ => "bbitPackXx"
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    if (kernelMethod == "bbitPackSha")
+      MinHashKernels.bbitPackSha(v.asInstanceOf[ArrayData], b)
+    else MinHashKernels.bbitPackXx(v.asInstanceOf[ArrayData], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.MinHashKernels.$kernelMethod($v, $b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shared base for the packed-b-bit-signature comparators. */
+abstract class BBitCompareExpression
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  def b: Int
+  MinHashKernels.requireB(b)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long> packed signatures, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+}
+
+/** Count of agreeing b-bit lanes between two packed signatures. */
+case class BBitMatchCount(left: Expression, right: Expression, b: Int)
+    extends BBitCompareExpression {
+  override def prettyName: String = "bbit_match_count"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    MinHashKernels.bbitMatchCount(
+      x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.functions.MinHashKernels.bbitMatchCount($x, $y, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Li-König unbiased Jaccard estimate from packed b-bit signatures:
+  * (f − 2^-b) / (1 − 2^-b); not clamped (see the kernel doc). */
+case class BBitJaccardEst(left: Expression, right: Expression, b: Int)
+    extends BBitCompareExpression {
+  override def prettyName: String = "bbit_jaccard_est"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    MinHashKernels.bbitJaccardEst(
+      x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.functions.MinHashKernels.bbitJaccardEst($x, $y, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -289,6 +289,23 @@ package object functions {
   /** Min rolling-hash fingerprint over byte k-grams (w-shingling). */
   def min_kgram_hash(c: Column, k: Int): Column = wrap(MinKGramHash(expr(c), k))
 
+  /** b-bit MinHash packing (Li & König 2010): keep the low b bits of each
+    * signature lane, packed 64/b lanes per long — the signature (and every
+    * shuffle that moves it) shrinks 64/b ×. Input: a [[minhash_sig]] /
+    * [[minhash_sig_oph]] array (either hash family; picked by input type).
+    * b ∈ {4, 8, 16, 32}; lane count must fill whole words. */
+  def bbit_sig(sig: Column, b: Int): Column = wrap(BBitSig(expr(sig), b))
+
+  /** Count of agreeing b-bit lanes between two [[bbit_sig]] outputs. */
+  def bbit_match_count(a: Column, bCol: Column, b: Int): Column =
+    wrap(BBitMatchCount(expr(a), expr(bCol), b))
+
+  /** Li-König unbiased Jaccard estimate from packed b-bit signatures:
+    * (f − 2^-b)/(1 − 2^-b) with f the agreeing-lane fraction. Unclamped —
+    * below-chance samples estimate negative by design. */
+  def bbit_jaccard_est(a: Column, bCol: Column, b: Int): Column =
+    wrap(BBitJaccardEst(expr(a), expr(bCol), b))
+
   /** Unicode normalization to a plan-time form (NFC/NFD/NFKC/NFKD) — run
     * it FIRST in any linkage pipeline: every downstream kernel, key, and
     * signature compares raw code points, so é (composed) and e+◌́
@@ -527,6 +544,12 @@ package object functions {
     "mra_codex" -> (es => MraCodex(es(0))),
     "mra_similarity" -> (es => MraSimilarity(es(0), es(1))),
     "mra_match" -> (es => MraMatch(es(0), es(1))),
+    // b must be a foldable literal in {4,8,16,32}: bbit_sig(sig, 8)
+    "bbit_sig" -> (es => BBitSig(es(0), litInt(es(1), "bbit_sig", "b"))),
+    "bbit_match_count" -> (es => BBitMatchCount(es(0), es(1),
+      litInt(es(2), "bbit_match_count", "b"))),
+    "bbit_jaccard_est" -> (es => BBitJaccardEst(es(0), es(1),
+      litInt(es(2), "bbit_jaccard_est", "b"))),
     // form must be a foldable string literal: unicode_norm(name, 'NFC')
     "unicode_norm" -> (es => UnicodeNorm(es(0),
       litStr(es(1), "unicode_norm", "form"))),
