@@ -1142,6 +1142,37 @@ object SparkEntry {
     // distributions — the richer evidence model production ER uses. The
     // oracle unrolls the multi-level EM (per-level CASE products +
     // per-(field, level) ordered folds).
+    // Splink-style comparator levels (Comparators): the gamma-building
+    // library in front of fitLevels — banded string/numeric/date/exact
+    // comparisons with the null-as-missing guard. Every 97th left name is
+    // nulled to prove the NULL gamma face (a bare when/otherwise chain
+    // would score missing as disagreement). Dates are synthesized
+    // deterministically from the keys.
+    "q_fs_comparators" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val a = c.select(col("c_custkey").as("ka"),
+        when(col("c_custkey") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("na"),
+        col("c_acctbal").as("aa"), col("c_mktsegment").as("sa"),
+        col("c_nationkey").as("nk"))
+      val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+        col("c_acctbal").as("ab"), col("c_mktsegment").as("sb"),
+        col("c_nationkey").as("nk"))
+      val epoch = to_date(lit("1995-01-01"))
+      val da = date_add(epoch, pmod(col("ka") * 7, lit(365)).cast("int"))
+      val db = date_add(epoch, pmod(col("kb") * 7, lit(365)).cast("int"))
+      a.join(b, "nk").where(col("ka") < col("kb"))
+        .select(col("ka"), col("kb"),
+          graft.operators.Comparators.stringLevels(col("na"), col("nb"), 0.95)
+            .as("g_name"),
+          graft.operators.Comparators.numericPctLevels(col("aa"), col("ab"),
+            Seq(0.05, 0.25)).as("g_bal"),
+          graft.operators.Comparators.exactLevels(col("sa"), col("sb"))
+            .as("g_seg"),
+          graft.operators.Comparators.dateLevels(da, db, Seq(7, 60))
+            .as("g_date"))
+    }),
+
     "q_fellegi_sunter_levels" -> ((s, dir) => {
       val pairs = fsLevelPairs(s, dir)
       val model = graft.operators.FellegiSunter.fitLevels(pairs,
@@ -4883,6 +4914,43 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // comparator levels: plain CASE replays — jaro_winkler_similarity is
+    // gate-proven bit-identical on ASCII names; the pct bands replay the
+    // pinned abs/greatest/product op order; dates collapse to integer
+    // day-number arithmetic
+    "q_fs_comparators" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS ka,
+        |    CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_name END AS na,
+        |    c_acctbal AS aa, c_mktsegment AS sa, c_nationkey AS nk
+        |  FROM customer
+        |), b AS (
+        |  SELECT c_custkey AS kb, c_name AS nb, c_acctbal AS ab,
+        |         c_mktsegment AS sb, c_nationkey AS nk
+        |  FROM customer
+        |), p AS (
+        |  SELECT ka, kb, na, nb, aa, ab, sa, sb,
+        |         CAST(ka * 7 % 365 AS BIGINT) AS dda,
+        |         CAST(kb * 7 % 365 AS BIGINT) AS ddb
+        |  FROM a JOIN b USING (nk) WHERE ka < kb
+        |)
+        |SELECT ka, kb,
+        |  CASE WHEN na IS NULL OR nb IS NULL THEN NULL
+        |       WHEN na = nb THEN 2
+        |       WHEN jaro_winkler_similarity(na, nb) >= 0.95 THEN 1
+        |       ELSE 0 END AS g_name,
+        |  CASE WHEN aa IS NULL OR ab IS NULL THEN NULL
+        |       WHEN aa = ab THEN 3
+        |       WHEN abs(aa - ab) <= 0.05 * greatest(abs(aa), abs(ab)) THEN 2
+        |       WHEN abs(aa - ab) <= 0.25 * greatest(abs(aa), abs(ab)) THEN 1
+        |       ELSE 0 END AS g_bal,
+        |  CASE WHEN sa IS NULL OR sb IS NULL THEN NULL
+        |       WHEN sa = sb THEN 1 ELSE 0 END AS g_seg,
+        |  CASE WHEN dda = ddb THEN 3
+        |       WHEN abs(dda - ddb) <= 7 THEN 2
+        |       WHEN abs(dda - ddb) <= 60 THEN 1
+        |       ELSE 0 END AS g_date
+        |FROM p""".stripMargin,
     // b-bit minhash: lanes from sha hex (shaLaneAggs), low byte = last two
     // hex chars, match count via a list lambda, estimator replayed with
     // the same op order (m/16 first, then the corrected ratio)

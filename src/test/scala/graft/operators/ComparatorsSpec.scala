@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Splink-style comparator-level builders: pinned level assignments, the
+  * null-as-missing guard, band validation, and integration with the FS
+  * level fit. */
+class ComparatorsSpec extends SparkFunSuite {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    df.select(c).collect().toSeq.map(r => if (r.isNullAt(0)) null else r.get(0))
+
+  test("stringLevels: exact / fuzzy / disagree / missing") {
+    val df = Seq(
+      ("phillips", "phillips"), // exact -> 2
+      ("phillips", "philips"),  // jw 0.955 >= 0.9 -> 1
+      ("phillips", "zzz"),      // 0
+      (null, "phillips")        // missing -> null
+    ).toDF("a", "b")
+    assert(one(Comparators.stringLevels(col("a"), col("b"), 0.9), df)
+      == Seq(2L, 1L, 0L, null))
+  }
+
+  test("phoneticLevels: exact / soundex / disagree") {
+    val df = Seq(
+      ("robert", "robert"), // 2
+      ("robert", "rupert"), // same soundex R163 -> 1
+      ("robert", "smith"),  // 0
+      ("robert", null)      // null
+    ).toDF("a", "b")
+    assert(one(Comparators.phoneticLevels(col("a"), col("b")), df)
+      == Seq(2L, 1L, 0L, null))
+  }
+
+  test("numericAbsLevels / numericPctLevels band assignment") {
+    val df = Seq(
+      (100.0, 100.0),  // exact -> top
+      (100.0, 104.0),  // abs 4 <= 5; pct 4 <= 0.05*104
+      (100.0, 120.0),  // abs 20 <= 25; pct 20 <= 0.25*120
+      (100.0, 200.0),  // 0; pct: 100 > 0.25*200 -> 0
+      (0.0, 0.0)       // exact even at zero scale
+    ).toDF("a", "b")
+    assert(one(Comparators.numericAbsLevels(col("a"), col("b"), Seq(5.0, 25.0)), df)
+      == Seq(3L, 2L, 1L, 0L, 3L))
+    assert(one(Comparators.numericPctLevels(col("a"), col("b"), Seq(0.05, 0.25)), df)
+      == Seq(3L, 2L, 1L, 0L, 3L))
+  }
+
+  test("dateLevels bands on datediff") {
+    val df = Seq(
+      ("2020-01-10", "2020-01-10"), // 3
+      ("2020-01-10", "2020-01-03"), // 7 days -> 2
+      ("2020-01-10", "2020-03-01"), // 51 days -> 1
+      ("2020-01-10", "2021-01-10")  // 0
+    ).toDF("a", "b").select(to_date(col("a")).as("a"), to_date(col("b")).as("b"))
+    assert(one(Comparators.dateLevels(col("a"), col("b"), Seq(7, 60)), df)
+      == Seq(3L, 2L, 1L, 0L))
+  }
+
+  test("bands must be positive and strictly increasing") {
+    intercept[IllegalArgumentException] {
+      Comparators.numericAbsLevels(col("a"), col("b"), Seq(5.0, 5.0))
+    }
+    intercept[IllegalArgumentException] {
+      Comparators.numericPctLevels(col("a"), col("b"), Seq(0.25, 0.05))
+    }
+    intercept[IllegalArgumentException] {
+      Comparators.numericAbsLevels(col("a"), col("b"), Nil)
+    }
+  }
+
+  test("comparator gammas feed fitLevels after the explicit null policy") {
+    val rng = new scala.util.Random(71)
+    val rows = (1 to 400).map { i =>
+      val name = s"name${i % 40}"
+      val near = if (i % 3 == 0) name else s"name${(i + 1) % 40}"
+      (i.toLong, name, near, (i % 50) * 10.0, ((i + i % 7) % 50) * 10.0)
+    }
+    val pairs = rows.toDF("id", "na", "nb", "aa", "ab")
+      .select(col("id"),
+        Comparators.stringLevels(col("na"), col("nb"), 0.9).as("g0"),
+        Comparators.numericPctLevels(col("aa"), col("ab"), Seq(0.1)).as("g1"))
+    // complete-case: comparator gammas are non-null here, fit succeeds
+    val model = FellegiSunter.fitLevels(pairs, Seq("g0", "g1"), Seq(3, 3))
+    assert(model.lambda > 0.0 && model.lambda < 1.0)
+    // a null gamma makes fit fail LOUDLY, naming the column
+    val withNull = pairs.union(
+      Seq((0L, null.asInstanceOf[java.lang.Long], 0L))
+        .toDF("id", "g0", "g1"))
+    val e = intercept[Exception] {
+      FellegiSunter.fitLevels(withNull, Seq("g0", "g1"), Seq(3, 3))
+    }
+    assert(e.getMessage.contains("g0"), e.getMessage)
+  }
+}
