@@ -865,6 +865,44 @@ object SparkEntry {
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
     }),
 
+    // Center clustering (Hassanzadeh-Miller VLDB'09): similarity-ordered
+    // star clustering — strongest pairs seed clusters, members attach to
+    // CENTERS only (never chains). Parallel rounds ≡ the pinned
+    // sequential scan (CenterClusteringSpec); the oracle replays the
+    // rounds as a full-state recursive CTE with a 48-round cap
+    // (prototyped ≥ 3× the observed fixed point at both SFs).
+    "q_center_clusters" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 3 === 0)
+      val a = c.select(col("c_custkey").as("ia"), col("c_name").as("na"),
+        col("c_nationkey").as("nk"))
+      val b = c.select(col("c_custkey").as("ib"), col("c_name").as("nb"),
+        col("c_nationkey").as("nk"))
+      val edges = a.join(b, "nk").where(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          levenshtein_sim(col("na"), col("nb")).as("s"))
+        .where(col("s") >= 0.88)
+      graft.operators.CenterClustering.centers(edges, "ia", "ib", "s")
+    }),
+
+    // Merge-center over the same edge frame: clusters merge wherever any
+    // record is θ-similar to another cluster's CENTER (pinned order-free
+    // variant — deterministic under any partitioning; merges still need
+    // direct evidence against a center, unlike full transitive closure).
+    "q_merge_center" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 3 === 0)
+      val a = c.select(col("c_custkey").as("ia"), col("c_name").as("na"),
+        col("c_nationkey").as("nk"))
+      val b = c.select(col("c_custkey").as("ib"), col("c_name").as("nb"),
+        col("c_nationkey").as("nk"))
+      val edges = a.join(b, "nk").where(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          levenshtein_sim(col("na"), col("nb")).as("s"))
+        .where(col("s") >= 0.88)
+      graft.operators.CenterClustering.mergeCenters(edges, "ia", "ib", "s")
+    }),
+
     // Meta-blocking (Papadakis TKDE'14): blocking graph over a redundant
     // 3-family block collection (segment:nation ∪ phone-prefix ∪ a
     // conditional nation key, so per-record block counts VARY), CBS +
@@ -4914,6 +4952,166 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // center clustering: full-state round replay — st carries every
+    // node's (round, center-or-null) and each iteration recomputes alive
+    // edges / per-node top edge / fires from the previous round's state;
+    // 48 rounds ≥ 3× the observed fixed point at both SFs (state is
+    // stable after the fixed point, so the cap only costs idle rounds)
+    "q_center_clusters" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.c_custkey AS ia, b.c_custkey AS ib, CASE WHEN a.c_name = b.c_name THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(1.0 AS DOUBLE) - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) /
+        |            CAST(greatest(length(a.c_name), length(b.c_name)) AS DOUBLE) END AS s
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
+        |), edges AS MATERIALIZED (
+        |  SELECT ia AS la, ib AS lb, s FROM pr WHERE s >= CAST(0.88 AS DOUBLE)
+        |), nodes AS (
+        |  SELECT DISTINCT id FROM (SELECT la AS id FROM edges UNION ALL SELECT lb FROM edges) q
+        |), st(r, id, ctr) AS (
+        |  SELECT 0, id, CAST(NULL AS BIGINT) FROM nodes
+        |  UNION ALL
+        |  SELECT z.r + 1, z.id, z.ctr FROM (
+        |    SELECT a.r, a.id, a.ctr FROM st a WHERE a.ctr IS NOT NULL
+        |    UNION ALL
+        |    SELECT u.r, u.id, f.ctr
+        |    FROM (SELECT r, id FROM st WHERE ctr IS NULL) u
+        |    LEFT JOIN (SELECT x AS id, y AS ctr FROM (SELECT x, y, ycen, ela, elb,
+        |       row_number() OVER (PARTITION BY x ORDER BY s DESC, ela, elb) AS rn
+        |      FROM (SELECT al.la AS x, al.lb AS y, al.s, al.la AS ela, al.lb AS elb,
+        |        (al.cb IS NOT NULL AND al.cb = al.lb) AS ycen
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.ca IS NULL
+        |      UNION ALL
+        |      SELECT al.lb, al.la, al.s, al.la, al.lb,
+        |        (al.ca IS NOT NULL AND al.ca = al.la)
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.cb IS NULL) q0) t1 WHERE rn = 1 AND ycen
+        |      UNION ALL
+        |      SELECT CASE part WHEN 0 THEN ela ELSE elb END AS id, ela AS ctr
+        |      FROM (
+        |        SELECT ela, elb FROM (SELECT x, y, ycen, ela, elb,
+        |       row_number() OVER (PARTITION BY x ORDER BY s DESC, ela, elb) AS rn
+        |      FROM (SELECT al.la AS x, al.lb AS y, al.s, al.la AS ela, al.lb AS elb,
+        |        (al.cb IS NOT NULL AND al.cb = al.lb) AS ycen
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.ca IS NULL
+        |      UNION ALL
+        |      SELECT al.lb, al.la, al.s, al.la, al.lb,
+        |        (al.ca IS NOT NULL AND al.ca = al.la)
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.cb IS NULL) q0) t2 WHERE rn = 1 AND NOT ycen
+        |        GROUP BY ela, elb HAVING count(*) = 2
+        |      ) seeds CROSS JOIN (VALUES (0), (1)) p(part)) f ON f.id = u.id
+        |  ) z
+        |  WHERE z.r < 48
+        |)
+        |SELECT id, COALESCE(ctr, id) AS center_id FROM st WHERE r = 48""".stripMargin,
+    // merge-center: the same round replay, then 32-round min-label
+    // propagation over assignment edges + every edge touching a center
+    // (measured merge-graph diameter 12 at sf0.1 — 32 is a 2.5× margin;
+    // label state is stable after convergence, idle rounds are cheap)
+    "q_merge_center" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.c_custkey AS ia, b.c_custkey AS ib, CASE WHEN a.c_name = b.c_name THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(1.0 AS DOUBLE) - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) /
+        |            CAST(greatest(length(a.c_name), length(b.c_name)) AS DOUBLE) END AS s
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
+        |), edges AS MATERIALIZED (
+        |  SELECT ia AS la, ib AS lb, s FROM pr WHERE s >= CAST(0.88 AS DOUBLE)
+        |), nodes AS (
+        |  SELECT DISTINCT id FROM (SELECT la AS id FROM edges UNION ALL SELECT lb FROM edges) q
+        |), st(r, id, ctr) AS (
+        |  SELECT 0, id, CAST(NULL AS BIGINT) FROM nodes
+        |  UNION ALL
+        |  SELECT z.r + 1, z.id, z.ctr FROM (
+        |    SELECT a.r, a.id, a.ctr FROM st a WHERE a.ctr IS NOT NULL
+        |    UNION ALL
+        |    SELECT u.r, u.id, f.ctr
+        |    FROM (SELECT r, id FROM st WHERE ctr IS NULL) u
+        |    LEFT JOIN (SELECT x AS id, y AS ctr FROM (SELECT x, y, ycen, ela, elb,
+        |       row_number() OVER (PARTITION BY x ORDER BY s DESC, ela, elb) AS rn
+        |      FROM (SELECT al.la AS x, al.lb AS y, al.s, al.la AS ela, al.lb AS elb,
+        |        (al.cb IS NOT NULL AND al.cb = al.lb) AS ycen
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.ca IS NULL
+        |      UNION ALL
+        |      SELECT al.lb, al.la, al.s, al.la, al.lb,
+        |        (al.ca IS NOT NULL AND al.ca = al.la)
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.cb IS NULL) q0) t1 WHERE rn = 1 AND ycen
+        |      UNION ALL
+        |      SELECT CASE part WHEN 0 THEN ela ELSE elb END AS id, ela AS ctr
+        |      FROM (
+        |        SELECT ela, elb FROM (SELECT x, y, ycen, ela, elb,
+        |       row_number() OVER (PARTITION BY x ORDER BY s DESC, ela, elb) AS rn
+        |      FROM (SELECT al.la AS x, al.lb AS y, al.s, al.la AS ela, al.lb AS elb,
+        |        (al.cb IS NOT NULL AND al.cb = al.lb) AS ycen
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.ca IS NULL
+        |      UNION ALL
+        |      SELECT al.lb, al.la, al.s, al.la, al.lb,
+        |        (al.ca IS NOT NULL AND al.ca = al.la)
+        |      FROM (SELECT e.la, e.lb, e.s, a.ctr AS ca, b.ctr AS cb
+        |      FROM edges e JOIN st a ON a.id = e.la JOIN st b ON b.id = e.lb
+        |      WHERE NOT (a.ctr IS NOT NULL AND a.ctr <> e.la)
+        |        AND NOT (b.ctr IS NOT NULL AND b.ctr <> e.lb)
+        |        AND NOT (a.ctr IS NOT NULL AND a.ctr = e.la AND b.ctr IS NOT NULL AND b.ctr = e.lb)) al WHERE al.cb IS NULL) q0) t2 WHERE rn = 1 AND NOT ycen
+        |        GROUP BY ela, elb HAVING count(*) = 2
+        |      ) seeds CROSS JOIN (VALUES (0), (1)) p(part)) f ON f.id = u.id
+        |  ) z
+        |  WHERE z.r < 48
+        |), fin AS MATERIALIZED (
+        |  SELECT id, COALESCE(ctr, id) AS c FROM st WHERE r = 48
+        |), ctrs AS MATERIALIZED (
+        |  SELECT id FROM fin WHERE id = c
+        |), gpairs AS MATERIALIZED (
+        |  SELECT id AS u, c AS v FROM fin WHERE id <> c
+        |  UNION
+        |  SELECT e.la, e.lb FROM edges e JOIN ctrs x ON e.la = x.id
+        |  UNION
+        |  SELECT e.la, e.lb FROM edges e JOIN ctrs x ON e.lb = x.id
+        |), gedges AS MATERIALIZED (
+        |  SELECT u, v FROM gpairs UNION SELECT v, u FROM gpairs
+        |), lbl(rr, id, c) AS (
+        |  SELECT 0, u, u FROM (SELECT DISTINCT u FROM gedges) g
+        |  UNION ALL
+        |  SELECT z.rr + 1, z.id, z.c FROM (
+        |    SELECT rr, id, min(c) AS c FROM (
+        |      SELECT l.rr, l.id, l.c FROM lbl l
+        |      UNION ALL
+        |      SELECT l.rr, e.u AS id, l.c FROM lbl l JOIN gedges e ON e.v = l.id
+        |    ) q GROUP BY rr, id
+        |  ) z WHERE z.rr < 32
+        |), comp AS (
+        |  SELECT id, min(c) AS cluster_id FROM lbl WHERE rr = 32 GROUP BY id
+        |)
+        |SELECT f.id, COALESCE(c2.cluster_id, f.id) AS cluster_id
+        |FROM fin f LEFT JOIN comp c2 ON c2.id = f.id""".stripMargin,
     // comparator levels: plain CASE replays — jaro_winkler_similarity is
     // gate-proven bit-identical on ASCII names; the pct bands replay the
     // pinned abs/greatest/product op order; dates collapse to integer
