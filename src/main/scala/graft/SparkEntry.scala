@@ -865,6 +865,21 @@ object SparkEntry {
         .select(col("url_a").as("ka"), col("url_b").as("kb"))
     }),
 
+    // Blocking-scheme profile: the capacity-planning aggregate a 100 TB
+    // job runs before committing to a key scheme — block counts, hottest
+    // block, and the EXACT candidate-pair volume each skew tier would
+    // generate at the given caps (decimal(38,0) pair sums). Runs over the
+    // token-blocking keys so the Zipfian tiers are actually populated.
+    "q_blocking_profile" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"),
+          normalize_match(col("p_name")).as("nm"))
+      val keys = graft.operators.Linkage.tokenBlockKeys(recs, "id", "nm",
+        minLen = 3)
+      graft.operators.Linkage.blockingProfile(keys, bucketCap = 100,
+        hardCap = 1200)
+    }),
+
     // Center clustering (Hassanzadeh-Miller VLDB'09): similarity-ordered
     // star clustering — strongest pairs seed clusters, members attach to
     // CENTERS only (never chains). Parallel rounds ≡ the pinned
@@ -4952,6 +4967,34 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // blocking profile: direct aggregate replay with HUGEINT-exact pair
+    // sums (cast to match the decimal(38,0) face)
+    "q_blocking_profile" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |    trim(regexp_replace(lower(strip_accents(nfc_normalize(p_name))),
+        |         '[^\p{L}\p{Nd}]+', ' ', 'g')) AS nm
+        |  FROM part
+        |), toks AS (
+        |  SELECT DISTINCT id, tok FROM (
+        |    SELECT id, unnest(string_split(nm, ' ')) AS tok FROM recs
+        |  ) WHERE length(tok) >= 3
+        |), sized AS (
+        |  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |)
+        |SELECT count(*) AS n_blocks,
+        |  CAST(sum(n) AS BIGINT) AS n_assignments,
+        |  max(n) AS max_block,
+        |  CAST(sum(CASE WHEN n <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_cold,
+        |  CAST(sum(CASE WHEN n > 100 AND n <= 1200 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_salted,
+        |  CAST(sum(CASE WHEN n > 1200 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_dropped,
+        |  CAST(sum(CASE WHEN n <= 100 THEN n * (n - 1) ELSE 0 END) / 2
+        |       AS DECIMAL(38, 0)) AS pairs_cold,
+        |  CAST(sum(CASE WHEN n > 100 AND n <= 1200 THEN n * (n - 1) ELSE 0 END) / 2
+        |       AS DECIMAL(38, 0)) AS pairs_salted,
+        |  CAST(sum(CASE WHEN n > 1200 THEN n * (n - 1) ELSE 0 END) / 2
+        |       AS DECIMAL(38, 0)) AS pairs_dropped
+        |FROM sized""".stripMargin,
     // center clustering: full-state round replay — st carries every
     // node's (round, center-or-null) and each iteration recomputes alive
     // edges / per-node top edge / fires from the previous round's state;

@@ -368,6 +368,37 @@ object Linkage {
       .distinct()
   }
 
+  /** Blocking-scheme profile — the capacity-planning pass a 100 TB linkage
+    * job runs BEFORE committing to a key scheme: how many blocks, how hot
+    * is the hottest, and exactly how many candidate pairs each tier of
+    * [[candidatePairs]]' skew policy would generate at the given caps
+    * (cold ≤ bucketCap < salted ≤ hardCap < dropped). Pair counts are
+    * Σ n(n−1)/2 per block in decimal(38,0) — integer-exact far past the
+    * 2^63 pair counts a Zipfian web key can hit, the
+    * [[adjustedRandStats]] overflow lesson applied. One map-side-combined
+    * sizing groupBy + one global aggregate; input is the
+    * [[candidatePairs]] key schema (key, url). */
+  def blockingProfile(keys: DataFrame, bucketCap: Int = 200,
+      hardCap: Int = 100000): DataFrame = {
+    val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val pairs2 = col("n").cast("decimal(38,0)") *
+      (col("n") - 1).cast("decimal(38,0)")
+    sized.agg(
+      count(lit(1)).as("n_blocks"),
+      sum(col("n")).as("n_assignments"),
+      max(col("n")).as("max_block"),
+      sum(when(col("n") <= bucketCap, 1L).otherwise(0L)).as("blocks_cold"),
+      sum(when(col("n") > bucketCap && col("n") <= hardCap, 1L)
+        .otherwise(0L)).as("blocks_salted"),
+      sum(when(col("n") > hardCap, 1L).otherwise(0L)).as("blocks_dropped"),
+      (sum(when(col("n") <= bucketCap, pairs2).otherwise(lit(0)))
+        / lit(2)).cast("decimal(38,0)").as("pairs_cold"),
+      (sum(when(col("n") > bucketCap && col("n") <= hardCap, pairs2)
+        .otherwise(lit(0))) / lit(2)).cast("decimal(38,0)").as("pairs_salted"),
+      (sum(when(col("n") > hardCap, pairs2).otherwise(lit(0)))
+        / lit(2)).cast("decimal(38,0)").as("pairs_dropped"))
+  }
+
   /** Distributed global rank over (sortKeyCol, idCol) order WITHOUT a
     * single-partition window: range partition, rank within partition, add
     * broadcast per-partition offsets (a P-row exclusive prefix sum — the

@@ -78,6 +78,27 @@ class BlockingSpec extends SparkFunSuite {
     assert(pairs == Set((1L, 2L), (2L, 5L)))
   }
 
+  test("blockingProfile tiers and exact pair sums on a hand case") {
+    import spark.implicits._
+    // blocks: a=2 (cold), b=4 (salted at cap 3), c=6 (dropped at hard 5)
+    val keys = (
+      (1 to 2).map(i => ("a", i.toLong)) ++
+      (1 to 4).map(i => ("b", i.toLong)) ++
+      (1 to 6).map(i => ("c", i.toLong))
+    ).toDF("key", "url")
+    val row = Linkage.blockingProfile(keys, bucketCap = 3, hardCap = 5)
+      .collect()(0)
+    assert(row.getAs[Long]("n_blocks") == 3L)
+    assert(row.getAs[Long]("n_assignments") == 12L)
+    assert(row.getAs[Long]("max_block") == 6L)
+    assert(row.getAs[Long]("blocks_cold") == 1L)
+    assert(row.getAs[Long]("blocks_salted") == 1L)
+    assert(row.getAs[Long]("blocks_dropped") == 1L)
+    assert(row.getAs[java.math.BigDecimal]("pairs_cold").longValueExact == 1L)
+    assert(row.getAs[java.math.BigDecimal]("pairs_salted").longValueExact == 6L)
+    assert(row.getAs[java.math.BigDecimal]("pairs_dropped").longValueExact == 15L)
+  }
+
   test("crossCandidatePairs equals the naive A-B key join under the cap") {
     import spark.implicits._
     val lk = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("id", "key")
