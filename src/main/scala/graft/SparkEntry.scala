@@ -880,6 +880,33 @@ object SparkEntry {
         hardCap = 1200)
     }),
 
+    // Group linkage (On-Koudas-Srivastava ICDE'07): similarity between
+    // GROUPS of records = normalized greedy 1:1 matched weight,
+    // sim = Σ matched s / (|A| + |B| − |M|). Groups = nationkey over two
+    // disjoint customer subsets; candidates = same-segment pairs at
+    // JW ≥ 0.97. Oracle replays the greedy rounds with (ga, gb) carried
+    // through every window and folds matched weights in (rl, rr) order.
+    "q_group_linkage" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val left = c.where(col("c_custkey") % 4 === 0)
+        .select(col("c_nationkey").cast("long").as("gid"),
+          col("c_custkey").as("rid"))
+      val right = c.where(col("c_custkey") % 4 === 1)
+        .select(col("c_nationkey").cast("long").as("gid"),
+          col("c_custkey").as("rid"))
+      val a = c.where(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("id_l"), col("c_name").as("na"),
+          col("c_mktsegment").as("seg"))
+      val b = c.where(col("c_custkey") % 4 === 1)
+        .select(col("c_custkey").as("id_r"), col("c_name").as("nb"),
+          col("c_mktsegment").as("seg"))
+      val scored = a.join(b, "seg")
+        .select(col("id_l"), col("id_r"),
+          jaro_winkler_sim(col("na"), col("nb")).as("score"))
+        .where(col("score") >= 0.97)
+      graft.operators.Linkage.groupLinkage(left, right, scored)
+    }),
+
     // Center clustering (Hassanzadeh-Miller VLDB'09): similarity-ordered
     // star clustering — strongest pairs seed clusters, members attach to
     // CENTERS only (never chains). Parallel rounds ≡ the pinned
@@ -4967,6 +4994,51 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // group linkage: greedy rounds with the group-pair dimension carried
+    // through every window (the q_greedy_matches recursion, scoped), then
+    // ordered matched-weight folds and the normalization formula
+    "q_group_linkage" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT CAST(a.c_nationkey AS BIGINT) AS ga,
+        |         CAST(b.c_nationkey AS BIGINT) AS gb,
+        |         a.c_custkey AS rl, b.c_custkey AS rr,
+        |         jaro_winkler_similarity(a.c_name, b.c_name) AS s
+        |  FROM customer a JOIN customer b ON a.c_mktsegment = b.c_mktsegment
+        |  WHERE a.c_custkey % 4 = 0 AND b.c_custkey % 4 = 1
+        |    AND jaro_winkler_similarity(a.c_name, b.c_name) >= CAST(0.97 AS DOUBLE)
+        |), st(rnd, ga, gb, rl, rr, s, acc) AS (
+        |  SELECT 0, ga, gb, rl, rr, s, FALSE FROM cand
+        |  UNION ALL
+        |  SELECT rnd + 1, ga, gb, rl, rr, s, acc FROM (
+        |    SELECT rnd, ga, gb, rl, rr, s, acc,
+        |      max(CASE WHEN acc THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY ga, gb, rl) AS dead_l,
+        |      max(CASE WHEN acc THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY ga, gb, rr) AS dead_r
+        |    FROM (
+        |      SELECT rnd, ga, gb, rl, rr, s,
+        |        (row_number() OVER (PARTITION BY ga, gb, rl
+        |           ORDER BY s DESC, rr) = 1
+        |         AND row_number() OVER (PARTITION BY ga, gb, rr
+        |           ORDER BY s DESC, rl) = 1) AS acc
+        |      FROM st WHERE NOT acc
+        |    ) s0
+        |  ) s1
+        |  WHERE acc OR (dead_l = 0 AND dead_r = 0)
+        |), m AS (
+        |  SELECT ga, gb, count(*) AS n_matched,
+        |    list_reduce(list(s ORDER BY rl, rr), (x, y) -> x + y) AS matched_sum
+        |  FROM st WHERE acc GROUP BY ga, gb
+        |), szl AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS ga, count(*) AS n_l
+        |  FROM customer WHERE c_custkey % 4 = 0 GROUP BY 1
+        |), szr AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS gb, count(*) AS n_r
+        |  FROM customer WHERE c_custkey % 4 = 1 GROUP BY 1
+        |)
+        |SELECT m.ga, m.gb, szl.n_l, szr.n_r, m.n_matched, m.matched_sum,
+        |  m.matched_sum / CAST(szl.n_l + szr.n_r - m.n_matched AS DOUBLE) AS sim
+        |FROM m JOIN szl ON m.ga = szl.ga JOIN szr ON m.gb = szr.gb""".stripMargin,
     // blocking profile: direct aggregate replay with HUGEINT-exact pair
     // sums (cast to match the decimal(38,0) face)
     "q_blocking_profile" ->

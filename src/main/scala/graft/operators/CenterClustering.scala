@@ -57,7 +57,7 @@ object CenterClustering {
     * RDD drops the origin stats back to defaults, so every round plans
     * with O(1)-size statistics. The Row round-trip is irrelevant here:
     * these are state frames (≤ edges rows), not the corpus. */
-  private def materialize(df: DataFrame): DataFrame = {
+  private[operators] def materialize(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }

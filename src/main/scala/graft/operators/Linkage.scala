@@ -805,6 +805,91 @@ object Linkage {
     matched
   }
 
+  /** Group linkage (On, Koudas, Srivastava, Velegrakis — "Group Linkage",
+    * ICDE 2007): similarity between two GROUPS of records (households,
+    * author publication sets, product listings) = the normalized weight
+    * of a one-to-one matching between their members,
+    *
+    *   sim(A, B) = Σ_{(a,b) ∈ M} s(a, b) / (|A| + |B| − |M|)
+    *
+    * — Jaccard with a fractional intersection: the matched mass replaces
+    * |A ∩ B|. The paper's exact form uses the MAXIMUM bipartite matching;
+    * this implementation pins the GREEDY matching (the paper's own
+    * scalable approximation, ≥ 1/2 the optimal weight), computed per
+    * group pair with [[greedyMatches]]' locally-dominant rounds on
+    * (ga, gb)-scoped keys — parallel ≡ sequential per group pair, all
+    * group pairs progress concurrently.
+    *
+    * @param left    (gidCol, ridCol) group membership, side A
+    * @param right   (gidCol, ridCol) group membership, side B
+    * @param scored  (leftIdCol, rightIdCol, scoreCol) member-pair scores —
+    *                the CANDIDATE set (a record pair absent here
+    *                contributes nothing and cannot match); pre-threshold
+    *                it so scores are meaningful
+    * @return one row per group pair with ≥ 1 candidate:
+    *         (ga, gb, n_l, n_r, n_matched, matched_sum, sim).
+    *         `matched_sum` is an ORDERED left fold over the
+    *         (rl, rr)-sorted matched list — partition-independent, so the
+    *         frame is hash-reproducible. */
+  def groupLinkage(left: DataFrame, right: DataFrame, scored: DataFrame,
+      gidCol: String = "gid", ridCol: String = "rid",
+      leftIdCol: String = "id_l", rightIdCol: String = "id_r",
+      scoreCol: String = "score", maxIter: Int = 1000): DataFrame = {
+    val l = left.select(col(gidCol).as("ga"), col(ridCol).as("rl"))
+    val r = right.select(col(gidCol).as("gb"), col(ridCol).as("rr"))
+    val cand = scored.select(col(leftIdCol).as("rl"),
+        col(rightIdCol).as("rr"), col(scoreCol).cast("double").as("s"))
+      .join(l, "rl").join(r, "rr")
+      .select(col("ga"), col("gb"), col("rl"), col("rr"), col("s"))
+
+    // greedy 1:1 rounds, scoped per (ga, gb): accept edges that are the
+    // best surviving edge of BOTH endpoints within their group pair
+    // (score DESC, opposite-rid ASC tie-break — greedyMatches' contract),
+    // then drop every edge touching an accepted endpoint. materialize()
+    // (CenterClustering's) truncates lineage AND resets carried stats so
+    // rounds don't compound plan statistics.
+    var cur = CenterClustering.materialize(cand)
+    var matched = cand.limit(0)
+    var iter = 0
+    var drained = cur.isEmpty
+    while (!drained && iter < maxIter) {
+      val best = cur
+        .withColumn("rn_l", row_number().over(
+          W.partitionBy(col("ga"), col("gb"), col("rl"))
+            .orderBy(col("s").desc, col("rr"))))
+        .withColumn("rn_r", row_number().over(
+          W.partitionBy(col("ga"), col("gb"), col("rr"))
+            .orderBy(col("s").desc, col("rl"))))
+        .where(col("rn_l") === 1 && col("rn_r") === 1)
+        .select(col("ga"), col("gb"), col("rl"), col("rr"), col("s"))
+      val bestCk = CenterClustering.materialize(best)
+      matched = CenterClustering.materialize(matched.union(bestCk))
+      cur = CenterClustering.materialize(cur
+        .join(bestCk.select(col("ga"), col("gb"), col("rl")),
+          Seq("ga", "gb", "rl"), "left_anti")
+        .join(bestCk.select(col("ga"), col("gb"), col("rr")),
+          Seq("ga", "gb", "rr"), "left_anti"))
+      drained = cur.isEmpty
+      iter += 1
+    }
+    require(drained, s"groupLinkage did not drain in $maxIter rounds")
+
+    val sizesL = l.groupBy(col("ga")).agg(count(lit(1)).as("n_l"))
+    val sizesR = r.groupBy(col("gb")).agg(count(lit(1)).as("n_r"))
+    val perPair = matched.groupBy(col("ga"), col("gb")).agg(
+      count(lit(1)).as("n_matched"),
+      aggregate(
+        array_sort(collect_list(struct(col("rl"), col("rr"), col("s")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("matched_sum"))
+    perPair.join(sizesL, "ga").join(sizesR, "gb")
+      .select(col("ga"), col("gb"), col("n_l"), col("n_r"),
+        col("n_matched"), col("matched_sum"),
+        (col("matched_sum") /
+          (col("n_l") + col("n_r") - col("n_matched")).cast("double"))
+          .as("sim"))
+  }
+
   /** Blocking quality metrics, the standard pair before committing a
     * blocking scheme at scale: REDUCTION RATIO (how much of the n(n−1)/2
     * all-pairs space blocking pruned) and PAIRS COMPLETENESS (what fraction
