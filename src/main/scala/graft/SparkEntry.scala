@@ -1653,6 +1653,29 @@ object SparkEntry {
           normalize_match(col("raw")).as("norm"))
     }),
 
+    // Fingerprint keys (OpenRefine's fingerprint + ngram-fingerprint
+    // keyers): normalize → sorted distinct tokens (word order /
+    // duplication collapse) and normalize → distinct sorted 2-grams
+    // (within-token typos collapse), over the same composed/decomposed
+    // accent fixture as q_normalize_text.
+    "q_fingerprint_keys" -> ((s, dir) => {
+      val frag = Seq("José", "élise", "MÜLLER", "o'brien", "Ĉapek",
+        "ñoño-中")
+      val sep = Seq("  ", " … ", ", ")
+      val suf = Seq(" (Gmbh)", "", " & SONS.", " ß")
+      def pick(xs: Seq[String], k: Column): Column =
+        element_at(array(xs.map(lit): _*),
+          (pmod(k, lit(xs.size)) + 1).cast("int"))
+      val id = col("doc_id")
+      val raw = concat(lit("  "), pick(frag, id * 3 + 1), pick(sep, id),
+        pick(frag, id * 5 + 2), pick(suf, id))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(id, raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          fingerprint_key(col("raw")).as("fp"),
+          ngram_fingerprint_key(col("raw"), 2).as("fp2"))
+    }),
+
     // host-level aggregate stats (domain-filtering inputs); all-integer
     // aggregates + one exact division keep it hash-grade
     "q_host_stats" -> ((s, dir) => graft.operators.WebText.hostStats(
@@ -5336,6 +5359,39 @@ object SparkEntry {
         |  trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
         |       '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm
         |FROM f""".stripMargin,
+    // fingerprint keys: the normalize chain + list ops; the kernel's
+    // whole-string short-circuit for len <= n replays as a CASE
+    "q_fingerprint_keys" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    '  ' || list_extract(['José', 'e' || chr(769) || 'lise', 'MÜLLER',
+        |                          'o''brien', 'Ĉapek', 'ñoño-中'],
+        |                         CAST((doc_id*3+1) % 6 AS INT) + 1)
+        |        || list_extract(['  ', ' … ', ', '],
+        |                        CAST(doc_id % 3 AS INT) + 1)
+        |        || list_extract(['José', 'e' || chr(769) || 'lise', 'MÜLLER',
+        |                         'o''brien', 'Ĉapek', 'ñoño-中'],
+        |                        CAST((doc_id*5+2) % 6 AS INT) + 1)
+        |        || list_extract([' (Gmbh)', '', ' & SONS.', ' ß'],
+        |                        CAST(doc_id % 4 AS INT) + 1) AS raw
+        |  FROM documents
+        |), nm AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
+        |         '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm
+        |  FROM f
+        |), g AS (
+        |  SELECT doc_id, raw, norm, replace(norm, ' ', '') AS squeezed
+        |  FROM nm
+        |)
+        |SELECT doc_id, raw,
+        |  array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ') AS fp,
+        |  CASE WHEN length(squeezed) <= 2 THEN squeezed
+        |       ELSE array_to_string(list_sort(list_distinct(
+        |              list_transform(range(1, length(squeezed)),
+        |                             i -> substr(squeezed, CAST(i AS INT), 2)))), '')
+        |  END AS fp2
+        |FROM g""".stripMargin,
     // url normalization: DuckDB re-applies the identical pattern strings
     // (regexp_replace needs the explicit 'g' flag — Spark's is global)
     "q_url_normalize" ->

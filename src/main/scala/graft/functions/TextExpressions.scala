@@ -219,3 +219,22 @@ case class StripAccents(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** N-gram fingerprint core ([[graft.strsim.TextKernels.ngramFingerprint]]):
+  * distinct code-point n-grams in binary order, concatenated. Compose
+  * under [[graft.functions.normalize_match]] via
+  * `graft.functions.ngram_fingerprint_key`, which also strips spaces —
+  * the OpenRefine ngram-fingerprint keyer. */
+case class NgramFingerprint(child: Expression, n: Int)
+  extends TextHashExpression {
+  require(n >= 1 && n <= 8, s"ngram_fingerprint requires n in 1..8, got $n")
+  override def prettyName: String = "ngram_fingerprint"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.ngramFingerprint(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.strsim.TextKernels.ngramFingerprint($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

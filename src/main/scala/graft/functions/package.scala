@@ -337,6 +337,35 @@ package object functions {
       Literal("[^\\p{L}\\p{Nd}]+"), Literal(" ")))
   }
 
+  /** Fingerprint blocking key (OpenRefine's fingerprint keyer — the
+    * method-of-first-resort for messy name/title clustering): the
+    * [[normalize_match]] chain, then DISTINCT whitespace tokens sorted
+    * and space-joined — word order, duplication, case, accents, and
+    * punctuation all collapse. One catalyst definition for Column + SQL. */
+  def fingerprint_key(c: Column): Column = wrap(fingerprintExpr(expr(c)))
+  def fingerprint_key(c: String): Column = fingerprint_key(col(c))
+
+  private def fingerprintExpr(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct,
+      ArrayJoin, ArraySort, Literal, StringSplit}
+    new ArrayJoin(new ArraySort(ArrayDistinct(
+      new StringSplit(normalizeMatchExpr(e), Literal(" ")))), Literal(" "))
+  }
+
+  /** N-gram fingerprint key (OpenRefine's ngram-fingerprint keyer): the
+    * [[normalize_match]] chain with spaces removed, then distinct
+    * code-point n-grams in binary order, concatenated — catches
+    * within-token typos and concatenation variants `fingerprint_key`'s
+    * token sort cannot. n ∈ 1..8. */
+  def ngram_fingerprint_key(c: Column, n: Int): Column =
+    wrap(ngramFingerprintExpr(expr(c), n))
+
+  private def ngramFingerprintExpr(e: Expression, n: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    NgramFingerprint(
+      RegExpReplace(normalizeMatchExpr(e), Literal(" "), Literal("")), n)
+  }
+
   /** NYSIIS phonetic key (pinned variant; see TextKernels.nysiis). */
   def nysiis_key(c: Column): Column = wrap(NysiisKey(expr(c)))
   def nysiis_key(c: String): Column = nysiis_key(col(c))
@@ -555,6 +584,10 @@ package object functions {
       litStr(es(1), "unicode_norm", "form"))),
     "strip_accents" -> (es => StripAccents(es(0))),
     "normalize_match" -> (es => normalizeMatchExpr(es(0))),
+    "fingerprint_key" -> (es => fingerprintExpr(es(0))),
+    // n must be a foldable literal in 1..8: ngram_fingerprint_key(name, 2)
+    "ngram_fingerprint_key" -> (es => ngramFingerprintExpr(es(0),
+      litInt(es(1), "ngram_fingerprint_key", "n"))),
   )
 
   /** Register all kernels with the session's FunctionRegistry for SQL use. */

@@ -659,4 +659,31 @@ object TextKernels {
       java.text.Normalizer.Form.valueOf(form)).toString
   def stripAccents(s: String): String =
     stripAccents(UTF8String.fromString(s)).toString
+
+  /** N-gram fingerprint core (OpenRefine's ngram-fingerprint keyer, the
+    * clustering method practitioners reach for first): the DISTINCT
+    * code-point n-grams of `s`, sorted in BINARY (UTF-8 byte) order —
+    * the same order DuckDB/ICU binary collation sorts strings, so the
+    * oracle replays the sort exactly — concatenated. Caller normalizes
+    * first ([[graft.functions.normalize_match]]) and strips spaces; this
+    * kernel only shingles/dedups/sorts/joins. Strings shorter than n
+    * code points fingerprint to themselves (one whole-string gram). */
+  def ngramFingerprint(s: UTF8String, n: Int): UTF8String = {
+    require(n >= 1 && n <= 8, s"ngram fingerprint requires n in 1..8, got $n")
+    val nc = s.numChars()
+    if (nc <= n) return s
+    val grams = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + n <= nc) {
+      grams.add(s.substring(i, i + n))
+      i += 1
+    }
+    val it = grams.iterator()
+    val sb = new java.lang.StringBuilder(grams.size * n)
+    while (it.hasNext) sb.append(it.next().toString)
+    UTF8String.fromString(sb.toString)
+  }
+
+  def ngramFingerprint(s: String, n: Int): String =
+    ngramFingerprint(UTF8String.fromString(s), n).toString
 }

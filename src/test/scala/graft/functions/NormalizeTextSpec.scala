@@ -94,6 +94,42 @@ class NormalizeTextSpec extends SparkFunSuite {
       e2.getMessage.contains("literal"), e2.getMessage)
   }
 
+  test("fingerprint_key collapses order/dup/case/accents; ngram variant") {
+    import graft.functions.{fingerprint_key, ngram_fingerprint_key}
+    val df = Seq(
+      "Müller  & Söhne GmbH",
+      "gmbh SOHNE muller",          // same fingerprint as above
+      "sohne muller gmbh sohne",    // duplicate token collapses
+      "ab",                         // shorter than n=3 -> itself
+      "",
+      null.asInstanceOf[String]
+    ).toDF("x")
+    val got = df.select(fingerprint_key(col("x")),
+        ngram_fingerprint_key(col("x"), 3))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got(0)._1 == "gmbh muller sohne")
+    assert(got(1)._1 == "gmbh muller sohne")
+    assert(got(2)._1 == "gmbh muller sohne")
+    // note: unlike fp, the ngram variant is NOT word-order-invariant —
+    // token boundaries contribute different grams after the space strip
+    assert(got(3) == ("ab", "ab"))
+    assert(got(4) == ("", ""))
+    assert(got(5) == (null, null))
+    // kernel-level: grams distinct, binary-sorted, concatenated
+    assert(graft.strsim.TextKernels.ngramFingerprint("banana", 2)
+      == "anbana") // grams {ba, an, na} -> an ba na
+    // SQL paths agree
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("fp_in")
+    val sqlGot = spark.sql(
+      """SELECT fingerprint_key(x), ngram_fingerprint_key(x, 3)
+        |FROM fp_in""".stripMargin)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    assert(sqlGot.toSeq == got.toSeq)
+  }
+
   test("chain agrees between kernel-composed and column-composed paths") {
     val rng = new scala.util.Random(53)
     val pool = "aA éÉ́ zZ-ß.…中 "
