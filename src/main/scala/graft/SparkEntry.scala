@@ -880,6 +880,23 @@ object SparkEntry {
         hardCap = 1200)
     }),
 
+    // Cluster repair from review decisions (the write-back half of the
+    // uncertainty-sampling loop): deterministic 8-record clusters, must
+    // edges merging adjacent clusters at every 40th key, cannot edges
+    // evicting the larger side inside every 16th cluster; min-id relabel.
+    "q_cluster_repair" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        (col("c_custkey") - pmod(col("c_custkey"), lit(8))).as("cluster_id"))
+      val must = c.where(pmod(col("c_custkey"), lit(40)) === 0)
+        .select(col("c_custkey").as("id_a"),
+          (col("c_custkey") + 8).as("id_b"))
+      val cannot = c.where(pmod(col("c_custkey"), lit(16)) === 0)
+        .select(col("c_custkey").as("id_a"),
+          (col("c_custkey") + 1).as("id_b"))
+      graft.operators.Linkage.clusterRepair(asg, must, cannot)
+    }),
+
     // Group linkage (On-Koudas-Srivastava ICDE'07): similarity between
     // GROUPS of records = normalized greedy 1:1 matched weight,
     // sim = Σ matched s / (|A| + |B| − |M|). Groups = nationkey over two
@@ -5017,6 +5034,54 @@ object SparkEntry {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS lang_id
         |FROM m""".stripMargin,
+    // cluster repair: walk-closure merge over star + must edges, CASE
+    // eviction of the larger side of violated cannot pairs, min relabel.
+    // Note: must/cannot endpoints may name keys absent from the
+    // assignment (k+8 / k+1 past the max custkey) — absent ids can't
+    // violate or merge anything that exists, matching the operator's
+    // join semantics.
+    "q_cluster_repair" ->
+      """WITH RECURSIVE asg AS (
+        |  SELECT c_custkey AS id, c_custkey - (c_custkey % 8) AS c
+        |  FROM customer
+        |), must AS (
+        |  SELECT c_custkey AS la, c_custkey + 8 AS lb FROM customer
+        |  WHERE c_custkey % 40 = 0
+        |), cannot AS (
+        |  SELECT c_custkey AS la, c_custkey + 1 AS lb FROM customer
+        |  WHERE c_custkey % 16 = 0
+        |), star AS (
+        |  SELECT id AS la, c AS lb FROM asg WHERE id <> c
+        |), gpairs AS (
+        |  SELECT la, lb FROM star UNION SELECT la, lb FROM must
+        |), gedges AS MATERIALIZED (
+        |  SELECT la AS u, lb AS v FROM gpairs
+        |  UNION SELECT lb, la FROM gpairs
+        |), walk(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM gedges) g
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN gedges e ON w.r = e.u
+        |), comp AS MATERIALIZED (
+        |  SELECT id, min(r) AS m FROM walk GROUP BY id
+        |), merged AS MATERIALIZED (
+        |  SELECT a.id, COALESCE(c2.m, a.id) AS m
+        |  FROM asg a LEFT JOIN comp c2 ON c2.id = a.id
+        |), evicted AS MATERIALIZED (
+        |  SELECT DISTINCT cn.lb AS id
+        |  FROM cannot cn
+        |  JOIN merged x ON x.id = cn.la
+        |  JOIN merged y ON y.id = cn.lb
+        |  WHERE x.m = y.m
+        |), survivors AS (
+        |  SELECT m2.id, m2.m FROM merged m2
+        |  WHERE m2.id NOT IN (SELECT id FROM evicted)
+        |), roots AS (
+        |  SELECT m, min(id) AS r FROM survivors GROUP BY m
+        |)
+        |SELECT s2.id, r2.r AS cluster_id
+        |FROM survivors s2 JOIN roots r2 ON s2.m = r2.m
+        |UNION ALL
+        |SELECT id, id AS cluster_id FROM evicted""".stripMargin,
     // group linkage: greedy rounds with the group-pair dimension carried
     // through every window (the q_greedy_matches recursion, scoped), then
     // ordered matched-weight folds and the normalization formula

@@ -1235,4 +1235,85 @@ object Linkage {
       .select(col("old_id"), col("new_id"), col("n"), col("n_old"),
         col("n_new"), col("kind"))
   }
+
+  /** Cluster repair from reviewer decisions — the write-back half of the
+    * human-in-the-loop workflow ([[FellegiSunter.uncertaintySample]]
+    * produces the review queue; this applies its verdicts to an existing
+    * assignment without re-running the whole pipeline). Pinned,
+    * order-free semantics:
+    *
+    *  1. MUST-LINK: clusters merge transitively — connected components
+    *     over the assignment's star edges (id → cluster_id) plus the
+    *     must edges ([[ConnectedComponents]] min-id roots).
+    *  2. CANNOT-LINK: for every cannot pair whose endpoints land in the
+    *     same merged cluster, the LARGER id is EVICTED to a singleton.
+    *     One pass suffices and is order-free: eviction targets are a
+    *     pure function of the merged assignment (every violated pair
+    *     loses its max side; a singleton cannot violate anything).
+    *  3. Survivors relabel to the min surviving id of their cluster
+    *     (evictions can remove a cluster's old root).
+    *
+    *  A pair present in BOTH constraint sets fails loudly — that is a
+    *  data bug upstream, not a tie to break silently. Cannot-links that
+    *  would contradict must-links TRANSITIVELY (a≡b merged via must,
+    *  a≢b via cannot) also fail loudly: silently evicting one side of an
+    *  explicit must-link lies to the reviewer.
+    *
+    * Shapes: the audited CC plan over (corpus star edges + review-sized
+    * must edges), two review-sized joins for the cannot check, one
+    * min-per-cluster groupBy + join-back for the relabel. */
+  def clusterRepair(assignment: DataFrame, mustLink: DataFrame,
+      cannotLink: DataFrame, idCol: String = "id",
+      clusterCol: String = "cluster_id",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val asg = assignment.select(col(idCol).as("__id"),
+      col(clusterCol).as("__c"))
+    val must = mustLink.select(least(col(aCol), col(bCol)).as("la"),
+      greatest(col(aCol), col(bCol)).as("lb")).where(col("la") =!= col("lb"))
+      .distinct()
+    val cannot = cannotLink.select(least(col(aCol), col(bCol)).as("la"),
+      greatest(col(aCol), col(bCol)).as("lb")).where(col("la") =!= col("lb"))
+      .distinct()
+    require(must.join(cannot, Seq("la", "lb"), "left_semi").isEmpty,
+      "clusterRepair: the same pair appears in mustLink AND cannotLink")
+
+    // 1. merge: CC over star edges + must edges (min-id roots); ids not
+    // touched by any edge keep their own component implicitly
+    val starEdges = asg.where(col("__id") =!= col("__c"))
+      .select(col("__id").as("la"), col("__c").as("lb"))
+    val comp = ConnectedComponents.run(starEdges.union(must))
+      .withColumnRenamed("component", "__m")
+    val merged = asg.join(comp.withColumnRenamed("id", "__id"),
+        Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__m"), col("__id")).as("__m"))
+
+    // explicit-contradiction guard: a cannot pair merged by MUST edges
+    // alone (not by the pre-existing assignment) is reviewer self-
+    // contradiction — check against CC over must edges only
+    val mustComp = ConnectedComponents.run(must)
+      .withColumnRenamed("component", "__mc")
+    val mustSide = mustComp.withColumnRenamed("id", "la")
+      .withColumnRenamed("__mc", "mca")
+    val mustSideB = mustComp.withColumnRenamed("id", "lb")
+      .withColumnRenamed("__mc", "mcb")
+    require(cannot.join(mustSide, Seq("la"), "left")
+      .join(mustSideB, Seq("lb"), "left")
+      .where(col("mca").isNotNull && col("mca") === col("mcb")).isEmpty,
+      "clusterRepair: a cannotLink pair is transitively must-linked")
+
+    // 2. evict the larger side of every violated cannot pair
+    val ma = merged.select(col("__id").as("la"), col("__m").as("ma"))
+    val mb = merged.select(col("__id").as("lb"), col("__m").as("mb"))
+    val evicted = cannot.join(ma, "la").join(mb, "lb")
+      .where(col("ma") === col("mb"))
+      .select(col("lb").as("__id")).distinct()
+
+    // 3. relabel survivors to the min surviving id per merged cluster
+    val survivors = merged.join(evicted, Seq("__id"), "left_anti")
+    val roots = survivors.groupBy(col("__m")).agg(min(col("__id")).as("__r"))
+    survivors.join(roots, "__m")
+      .select(col("__id").as(idCol), col("__r").as(clusterCol))
+      .union(evicted.select(col("__id").as(idCol),
+        col("__id").as(clusterCol)))
+  }
 }
