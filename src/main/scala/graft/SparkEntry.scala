@@ -66,6 +66,25 @@ object SparkEntry {
       .select(col("ka"), col("kb"), col("na"), col("nb"))
   }
 
+  /** Scored two-corpus linkage pairs + suffix-equality truth for the ROC
+    * gates (same derivation as q_threshold_sweep's inputs). */
+  private def rocInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("bk"))
+    val supp = s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_nationkey").as("bk"))
+    val scored = graft.operators.Linkage.linkTables(cust, supp, "id",
+      "name", "bk", theta = 1.0, bucketPairCap = 1000000L)
+    val labeled = cust
+      .select(col("id").as("id_l"), substring(col("name"), -9, 9).as("__sfx"))
+      .join(supp.select(col("id").as("id_r"),
+        substring(col("name"), -9, 9).as("__sfx")), "__sfx")
+      .select(col("id_l"), col("id_r"))
+    (scored, labeled)
+  }
+
   /** Comparison-vector frame for the Fellegi-Sunter gate: nationkey-blocked
     * customer pairs with three 0/1 agreement fields. */
   private val fsGammas = Seq("g0", "g1", "g2")
@@ -1109,6 +1128,52 @@ object SparkEntry {
         Seq(1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9))
     }),
 
+    // ROC operating curve of the two-corpus linkage scorer vs
+    // suffix-equality truth: one row per distinct score (cumulative
+    // tp/fp, exact tpr/fpr divisions). The cumulative counts use the
+    // distributed range-partition + broadcast-offset prefix sum — no
+    // corpus-sized single-partition window (PipelinePlanSpec-checked
+    // discipline), while the oracle can afford the plain window.
+    "q_roc_curve" -> ((s, dir) => {
+      val (scored, labeled) = rocInputs(s, dir)
+      graft.operators.Evaluation.rocCurve(scored, labeled)
+    }),
+
+    // Exact Mann-Whitney AUC (half-credit ties) of the same scorer, in
+    // all-integer decimal(38,0) arithmetic with ONE final division —
+    // bit-reproducible by the oracle's HUGEINT fold.
+    "q_roc_auc" -> ((s, dir) => {
+      val (scored, labeled) = rocInputs(s, dir)
+      graft.operators.Evaluation.auc(
+        graft.operators.Evaluation.rocCurve(scored, labeled))
+    }),
+
+    // Pay-as-you-go (progressive) recall curve: sorted-neighborhood
+    // pairs consumed in (window-distance, rank) order, recall banked at
+    // four pair budgets — the curve that justifies early-stopping a
+    // 10^12-pair progressive-ER job. Rank assignment is the distributed
+    // globalRanked discipline; the per-budget counts are one exploded
+    // map-side-combined pass (thresholdSweep-shaped).
+    "q_progressive_recall" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("nk"))
+      val pairs = graft.operators.Linkage.sortedNeighborhoodPairs(
+        c, "id", "name", window = 4)
+      val ranked = graft.operators.Evaluation.progressiveRank(pairs,
+        col("rank_b") - col("rank_a"),
+        col("rank_a") * 1048576L + col("rank_b"))
+      val labeled = c.select(col("id").as("id_a"), col("nk"),
+          substring(col("name"), -2, 2).as("__s2"))
+        .join(c.select(col("id").as("id_b"), col("nk"),
+          substring(col("name"), -2, 2).as("__s2")), Seq("nk", "__s2"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Evaluation.progressiveCurve(
+        ranked.select(col("id_a"), col("id_b"), col("rank")), labeled,
+        Seq(500L, 2000L, 8000L, 50000L))
+    }),
+
     // Symmetric best match over the two-corpus linkage: keep (l, r) only
     // when each is the other's top-scoring candidate (ties broken by the
     // opposite id) — the one-to-one post-filter for A-vs-B linkage.
@@ -1268,6 +1333,85 @@ object SparkEntry {
             .as("g_seg"),
           graft.operators.Comparators.dateLevels(da, db, Seq(7, 60))
             .as("g_date"))
+    }),
+
+    // Geographic comparison levels (Splink's distance-in-km shape):
+    // deterministic synthetic coordinates from integer key arithmetic
+    // plus binary-exact fractions (0.25/0.5 quarters — no decimal
+    // rounding ambiguity), haversine-banded at 100 km / 2000 km. The
+    // gate hashes LEVELS (integers), which are robust to sub-ULP libm
+    // drift between engines everywhere except exactly AT a band
+    // boundary — the synthetic coordinates keep distances far from both.
+    "q_comparator_geo" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      def lat(k: Column, nk: Column): Column =
+        (nk * 11 % 120 - 60).cast("double") + (k % 5).cast("double") * 0.25
+      def lon(k: Column, nk: Column): Column =
+        (k * 13 % 300 - 150).cast("double") + (nk % 4).cast("double") * 0.5
+      val a = c.select(col("c_custkey").as("ka"),
+        lat(col("c_custkey"), col("c_nationkey")).as("lat_a"),
+        lon(col("c_custkey"), col("c_nationkey")).as("lon_a"),
+        (col("c_custkey") % 20).as("gk"))
+      val b = c.select(col("c_custkey").as("kb"),
+        lat(col("c_custkey"), col("c_nationkey")).as("lat_b"),
+        lon(col("c_custkey"), col("c_nationkey")).as("lon_b"),
+        (col("c_custkey") % 20).as("gk"))
+      a.join(b, "gk").where(col("ka") < col("kb"))
+        .select(col("ka"), col("kb"),
+          graft.operators.Comparators.geoKmLevels(col("lat_a"), col("lon_a"),
+            col("lat_b"), col("lon_b"), Seq(100.0, 2000.0)).as("g_geo"))
+    }),
+
+    // Multi-value (array) comparison levels: part-name token arrays,
+    // leveled by the count of DISTINCT shared tokens (Splink's
+    // array-intersection shape for emails/aliases). The oracle counts
+    // the same distinct-token intersection relationally.
+    "q_comparator_array" -> ((s, dir) => partPairs(s, dir)
+      .select(col("ka"), col("kb"),
+        graft.operators.Comparators.arrayIntersectLevels(
+          split(col("na"), " "), split(col("nb"), " "),
+          Seq(1, 2, 3)).as("g_arr"))),
+
+    // Temporal record linkage: same-user/same-type event pairs scored by
+    // Jaro-Winkler over props, decayed RATIONALLY by timestamp distance
+    // (sim / (1 + Δt/τ), τ = 7 days) — pure field arithmetic, so the
+    // decayed score is bit-exact across engines where an exponential
+    // decay would inherit libm exp() drift (the log-free rational-idf
+    // lesson applied to time).
+    "q_temporal_decay" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val a = e.select(col("event_id").as("ka"), col("props").as("pa"),
+        col("ts").as("ta"), col("user_id").as("u"), col("event_type").as("t"))
+      val b = e.select(col("event_id").as("kb"), col("props").as("pb"),
+        col("ts").as("tb"), col("user_id").as("u"), col("event_type").as("t"))
+      a.join(b, Seq("u", "t")).where(col("ka") < col("kb"))
+        .select(col("ka"), col("kb"),
+          graft.operators.Comparators.temporalDecay(
+            jaro_winkler_sim(col("pa"), col("pb")), col("ta"), col("tb"),
+            604800.0).as("decayed"))
+    }),
+
+    // Deterministic decision-rule cascade: ordered named rules, first
+    // match wins, with (rule, rule_rank) provenance — the rule-based
+    // pre-pass a production linkage runs before probabilistic scoring.
+    // One when-chain projection; the oracle replays the identical CASE.
+    "q_rule_cascade" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+        col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
+        col("c_nationkey").as("nk"))
+      val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+        col("c_mktsegment").as("sb"), col("c_acctbal").as("ab"),
+        col("c_nationkey").as("nk"))
+      val pairs = a.join(b, "nk").where(col("ka") < col("kb"))
+      val jw = jaro_winkler_sim(col("na"), col("nb"))
+      graft.operators.Linkage.ruleCascade(pairs, Seq(
+          "name_sfx3" -> (substring(col("na"), -3, 3) ===
+            substring(col("nb"), -3, 3)),
+          "jw_segment" -> (jw >= 0.97 && col("sa") === col("sb")),
+          "jw_bal" -> (jw >= 0.95 &&
+            floor(col("aa") / 1000.0) === floor(col("ab") / 1000.0))))
+        .select(col("ka"), col("kb"), col("rule"), col("rule_rank"))
     }),
 
     "q_fellegi_sunter_levels" -> ((s, dir) => {
@@ -1962,6 +2106,20 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       k = 3, dim = 64, bucketCap = 1, saltGroups = 8)),
 
+    // Recall@k of the LSH tier against the exact baseline — the ANN
+    // acceptance metric, computed per query (missed queries appear with
+    // recall 0.0, keeping the macro average honest). One equi-join over
+    // the two (k·n)-row top-k frames; the oracle composes the LSH and
+    // brute-force derivations and replays the same join.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.recallAtK(
+        graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding",
+          k = 3, dim = 64),
+        graft.operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          k = 3))
+    }),
+
     // IVF coarse-quantizer ANN (second scale path). Driven with iters=0 +
     // sha256 sample order so the centroid set (first 16 sample vectors,
     // normalized) is SQL-derivable: index assignment, probe fan-out, and
@@ -2527,6 +2685,22 @@ object SparkEntry {
        |FROM cand c JOIN base x ON c.batch_id = x.id JOIN base y ON c.corpus_id = y.id
        |WHERE $jac >= 0.5""".stripMargin
   }
+
+  /** Exact cosine top-3 (the q_ann_bruteforce oracle, factored so
+    * q_ann_recall can compose it with the LSH derivation). */
+  private val oracleSqlBruteForce: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT vec_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM pairs
+      |)
+      |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin
 
   private def annLshOracle: String = {
     val planes = graft.operators.Similarity.hyperplanes(64, 4, 6, 42L)
@@ -3177,6 +3351,21 @@ object SparkEntry {
     // (the 2000-bucket cut in annLshOracle never bites at gate SFs, so
     // the oracle is the uncapped candidate set either way)
     "q_ann_lsh_salted" -> annLshOracle,
+    // recall@k: the LSH and brute-force derivations composed as derived
+    // tables (nested CTEs), then the same per-query left-join fold.
+    "q_ann_recall" ->
+      s"""WITH lsh AS (SELECT * FROM ($annLshOracle) x),
+        |exact AS (SELECT * FROM (${oracleSqlBruteForce}) y),
+        |j AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM exact e LEFT JOIN lsh l
+        |    ON e.vec_id = l.vec_id AND e.neighbor_id = l.neighbor_id
+        |)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM j GROUP BY vec_id""".stripMargin,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_indexed" -> annIvfOracle,
     "q_stream_matches" -> streamOracle("<>"),
@@ -4003,6 +4192,121 @@ object SparkEntry {
         |    CAST(2.0 AS DOUBLE) * "precision" * recall / ("precision" + recall)
         |  ELSE CAST(0.0 AS DOUBLE) END AS f1
         |FROM pr""".stripMargin,
+    // ROC curve: same flagged-score derivation as q_threshold_sweep, one
+    // cell per distinct score, cumulative tp/fp by a descending-score
+    // window (the oracle can afford the single-partition window the
+    // Spark side replaces with range partition + broadcast offsets).
+    "q_roc_curve" ->
+      s"""WITH $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), labeled AS (
+        |  SELECT DISTINCT c.c_custkey AS id_l, s.s_suppkey AS id_r
+        |  FROM customer c JOIN supplier s
+        |    ON right(c.c_name, 9) = right(s.s_name, 9)
+        |), flag AS (
+        |  SELECT b.score, CASE WHEN l.id_l IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM base b LEFT JOIN labeled l
+        |    ON b.id_l = l.id_l AND b.id_r = l.id_r
+        |), cells AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS t
+        |  FROM flag GROUP BY score
+        |), cum AS (
+        |  SELECT score, n, t,
+        |    CAST(sum(t) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT)
+        |      - CAST(sum(t) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+        |  FROM cells
+        |), tot AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS p,
+        |         CAST(count(*) - sum(t) AS BIGINT) AS nn
+        |  FROM flag
+        |)
+        |SELECT c.score, c.n, c.t, c.tp, c.fp,
+        |  CASE WHEN tot.p > 0 THEN
+        |    CAST(c.tp AS DOUBLE) / CAST(tot.p AS DOUBLE) END AS tpr,
+        |  CASE WHEN tot.nn > 0 THEN
+        |    CAST(c.fp AS DOUBLE) / CAST(tot.nn AS DOUBLE) END AS fpr
+        |FROM cum c, tot""".stripMargin,
+    // Exact AUC: the Mann-Whitney fold over the same score cells, all
+    // integer (HUGEINT mirrors decimal(38,0)), one final division.
+    "q_roc_auc" ->
+      s"""WITH $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), labeled AS (
+        |  SELECT DISTINCT c.c_custkey AS id_l, s.s_suppkey AS id_r
+        |  FROM customer c JOIN supplier s
+        |    ON right(c.c_name, 9) = right(s.s_name, 9)
+        |), flag AS (
+        |  SELECT b.score, CASE WHEN l.id_l IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM base b LEFT JOIN labeled l
+        |    ON b.id_l = l.id_l AND b.id_r = l.id_r
+        |), cells AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS t
+        |  FROM flag GROUP BY score
+        |), cum AS (
+        |  SELECT score, n, t,
+        |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT)
+        |      - CAST(sum(t) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+        |  FROM cells
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_scores,
+        |    CAST(sum(t) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - t) AS BIGINT) AS n_neg,
+        |    sum(CAST(t AS HUGEINT) * CAST(fp AS HUGEINT)) AS tfp,
+        |    sum(CAST(t AS HUGEINT) * CAST(n - t AS HUGEINT)) AS ties
+        |  FROM cum
+        |)
+        |SELECT n_scores, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(2 * (CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) - tfp)
+        |         + ties AS DOUBLE)
+        |    / CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT)
+        |           AS DOUBLE) END AS auc
+        |FROM agg""".stripMargin,
+    // Progressive recall: ranked sorted-neighborhood pairs consumed in
+    // (window distance, left rank) order; per-budget counts replayed.
+    "q_progressive_recall" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+        |  FROM customer
+        |), prs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.rnk AS ra, b.rnk AS rb
+        |  FROM ranked a JOIN ranked b
+        |    ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3
+        |), ord AS (
+        |  SELECT id_a, id_b, CAST(row_number() OVER (
+        |    ORDER BY rb - ra, ra * 1048576 + rb) AS BIGINT) AS rnk
+        |  FROM prs
+        |), labeled AS (
+        |  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |       AND right(a.c_name, 2) = right(b.c_name, 2)
+        |       AND a.c_custkey < b.c_custkey
+        |), flag AS (
+        |  SELECT o.rnk, CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM ord o LEFT JOIN labeled l
+        |    ON o.id_a = l.id_a AND o.id_b = l.id_b
+        |), budgets AS (
+        |  SELECT CAST(unnest([500, 2000, 8000, 50000]) AS BIGINT) AS budget
+        |), per AS (
+        |  SELECT bu.budget,
+        |    CAST(count(f.rnk) AS BIGINT) AS n_consumed,
+        |    CAST(COALESCE(sum(f.t), 0) AS BIGINT) AS tp
+        |  FROM budgets bu LEFT JOIN flag f ON f.rnk <= bu.budget
+        |  GROUP BY bu.budget
+        |), ntrue AS (SELECT count(*) AS n FROM labeled)
+        |SELECT p.budget, p.n_consumed, p.tp,
+        |  CASE WHEN ntrue.n > 0 THEN
+        |    CAST(p.tp AS DOUBLE) / CAST(ntrue.n AS DOUBLE) END AS recall
+        |FROM per p, ntrue""".stripMargin,
     "q_best_match" ->
       s"""WITH $linkTablesCtes,
         |base AS (
@@ -5352,6 +5656,89 @@ object SparkEntry {
         |       WHEN abs(dda - ddb) <= 60 THEN 1
         |       ELSE 0 END AS g_date
         |FROM p""".stripMargin,
+    // Geo levels: identical integer-arithmetic coordinates, identical
+    // haversine op order (Δ/2 before sin, R·2·asin(√h) with R inlined).
+    // Only the integer LEVELS are hashed — sub-ULP libm drift between
+    // engines cannot flip a band unless a distance sits exactly on
+    // 100/2000 km, which the synthetic grid avoids.
+    "q_comparator_geo" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(c_nationkey * 11 % 120 - 60 AS DOUBLE)
+        |      + CAST(c_custkey % 5 AS DOUBLE) * 0.25 AS lat,
+        |    CAST(c_custkey * 13 % 300 - 150 AS DOUBLE)
+        |      + CAST(c_nationkey % 4 AS DOUBLE) * 0.5 AS lon,
+        |    c_custkey % 20 AS gk
+        |  FROM customer
+        |), p AS (
+        |  SELECT a.k AS ka, b.k AS kb, a.lat AS la, a.lon AS loa,
+        |         b.lat AS lb, b.lon AS lob
+        |  FROM c a JOIN c b ON a.gk = b.gk AND a.k < b.k
+        |), h AS (
+        |  SELECT ka, kb, la, loa, lb, lob,
+        |    CAST(6371.0088 AS DOUBLE) * (CAST(2.0 AS DOUBLE) * asin(sqrt(
+        |      sin(radians(lb - la) / 2.0) * sin(radians(lb - la) / 2.0)
+        |      + cos(radians(la)) * cos(radians(lb))
+        |        * (sin(radians(lob - loa) / 2.0) * sin(radians(lob - loa) / 2.0))
+        |    ))) AS d
+        |  FROM p
+        |)
+        |SELECT ka, kb,
+        |  CASE WHEN la = lb AND loa = lob THEN 3
+        |       WHEN d <= 100.0 THEN 2
+        |       WHEN d <= 2000.0 THEN 1
+        |       ELSE 0 END AS g_geo
+        |FROM h""".stripMargin,
+    // Array-intersect levels: DuckDB list_intersect is distinct-by-spec,
+    // mirroring array_distinct(array_intersect(...)).
+    "q_comparator_array" ->
+      """SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+        |  CASE WHEN len(list_intersect(string_split(a.p_name, ' '),
+        |                               string_split(b.p_name, ' '))) >= 3 THEN 3
+        |       WHEN len(list_intersect(string_split(a.p_name, ' '),
+        |                               string_split(b.p_name, ' '))) >= 2 THEN 2
+        |       WHEN len(list_intersect(string_split(a.p_name, ' '),
+        |                               string_split(b.p_name, ' '))) >= 1 THEN 1
+        |       ELSE 0 END AS g_arr
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey""".stripMargin,
+    // Temporal decay: epoch_us (exact long microseconds, matching
+    // unix_micros), rational decay with the identical operand order; the
+    // jw CASE wrapper pins the both-empty edge.
+    "q_temporal_decay" ->
+      """SELECT a.event_id AS ka, b.event_id AS kb,
+        |  (CASE WHEN a.props = b.props THEN 1.0
+        |        ELSE jaro_winkler_similarity(a.props, b.props) END)
+        |  / (CAST(1.0 AS DOUBLE)
+        |     + CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS DOUBLE)
+        |       / CAST(604800000000.0 AS DOUBLE)) AS decayed
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |     AND a.event_id < b.event_id""".stripMargin,
+    // Rule cascade: the identical first-match-wins CASE chain, names
+    // derived from the rank.
+    "q_rule_cascade" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb, a.c_name AS na,
+        |         b.c_name AS nb, a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+        |         a.c_acctbal AS aa, b.c_acctbal AS ab
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |), r AS (
+        |  SELECT ka, kb,
+        |    CASE WHEN right(na, 3) = right(nb, 3) THEN 1
+        |         WHEN jaro_winkler_similarity(na, nb) >= 0.97
+        |              AND sa = sb THEN 2
+        |         WHEN jaro_winkler_similarity(na, nb) >= 0.95
+        |              AND floor(aa / 1000.0) = floor(ab / 1000.0) THEN 3
+        |    END AS rule_rank
+        |  FROM p
+        |)
+        |SELECT ka, kb,
+        |  CASE rule_rank WHEN 1 THEN 'name_sfx3' WHEN 2 THEN 'jw_segment'
+        |       WHEN 3 THEN 'jw_bal' END AS rule,
+        |  rule_rank
+        |FROM r WHERE rule_rank IS NOT NULL""".stripMargin,
     // b-bit minhash: lanes from sha hex (shaLaneAggs), low byte = last two
     // hex chars, match count via a list lambda, estimator replayed with
     // the same op order (m/16 first, then the corrected ratio)
@@ -5654,19 +6041,7 @@ object SparkEntry {
         |)
         |SELECT ia, ib, jaccard FROM p
         |WHERE jaccard >= CAST(0.95 AS DOUBLE)""".stripMargin,
-    "q_ann_bruteforce" ->
-      """WITH pairs AS (
-        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |), ranked AS (
-        |  SELECT vec_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM pairs
-        |)
-        |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_bruteforce" -> oracleSqlBruteForce,
     // mutual kNN: the same ranked CTE joined to itself with the roles
     // swapped; cos is fold-order-identical in both directions so the
     // equi-join needs no tolerance.

@@ -92,4 +92,90 @@ object Comparators {
   def dateLevels(a: Column, b: Column, dayBands: Seq[Int]): Column =
     bandedLevels(a, b, abs(datediff(a, b)).cast("double"),
       dayBands.map(_.toDouble))
+
+  /** Great-circle (haversine) distance in km between two (lat, lon)
+    * degree pairs — the scalar under [[geoKmLevels]], exposed for
+    * scoring. Pinned operand order (Δ halved before sin, lat cosines
+    * multiplied left-to-right, R·2·asin(√·) with R = 6371.0088 km, the
+    * IUGG mean radius) so an oracle replaying the identical IEEE ops
+    * reproduces it. */
+  def haversineKm(latA: Column, lonA: Column,
+      latB: Column, lonB: Column): Column = {
+    val dLat = radians(latB - latA) / 2.0
+    val dLon = radians(lonB - lonA) / 2.0
+    val h = sin(dLat) * sin(dLat) +
+      cos(radians(latA)) * cos(radians(latB)) * (sin(dLon) * sin(dLon))
+    lit(6371.0088) * (lit(2.0) * asin(sqrt(h)))
+  }
+
+  /** Arity kmBands.size + 2 geographic comparison (Splink's
+    * distance-in-km levels): top = identical coordinates, then one level
+    * per widening haversine-distance band (d ≤ kmBandᵢ), 0 = outside all
+    * bands. NULL on ANY of the four coordinates → NULL gamma. `kmBands`
+    * strictly increasing, in km. Band thresholds should sit far from
+    * plausible exact distances — levels are integers, so the gamma is
+    * robust to sub-ULP libm drift between engines except exactly AT a
+    * boundary. */
+  def geoKmLevels(latA: Column, lonA: Column, latB: Column, lonB: Column,
+      kmBands: Seq[Double]): Column = {
+    require(kmBands.nonEmpty, "at least one band required")
+    require(kmBands.forall(_ > 0) && kmBands == kmBands.sorted &&
+      kmBands.distinct == kmBands,
+      s"kmBands must be positive and strictly increasing, got $kmBands")
+    val top = kmBands.size + 1
+    val d = haversineKm(latA, lonA, latB, lonB)
+    val exact = when(latA === latB && lonA === lonB, top.toLong)
+    val chain = kmBands.zipWithIndex.foldLeft(exact) { case (acc, (w, i)) =>
+      acc.when(d <= w, (top - 1 - i).toLong)
+    }
+    when(latA.isNull || lonA.isNull || latB.isNull || lonB.isNull,
+      lit(null).cast("long")).otherwise(chain.otherwise(0L))
+  }
+
+  /** Arity countBands.size + 1 multi-value comparison (Splink's
+    * array-intersection levels — emails, phone numbers, aliases): level
+    * by the count of DISTINCT shared elements, top level at
+    * ≥ countBands.last shared, …, 0 at fewer than countBands.head.
+    * NULL array on either side → NULL gamma (an EMPTY array is evidence
+    * of disagreement, an absent one is no evidence — the distinction
+    * [[FellegiSunter]] missing-data handling relies on). `countBands`
+    * strictly increasing positive ints. */
+  def arrayIntersectLevels(a: Column, b: Column,
+      countBands: Seq[Int]): Column = {
+    require(countBands.nonEmpty, "at least one band required")
+    require(countBands.forall(_ > 0) && countBands == countBands.sorted &&
+      countBands.distinct == countBands,
+      s"countBands must be positive and strictly increasing, got $countBands")
+    val shared = size(array_distinct(array_intersect(a, b)))
+    // ascending fold wraps each lower band OUTSIDE-in, so the final chain
+    // tests the HIGHEST band first — the strongest satisfied level wins
+    val chain = countBands.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (c, i)) => when(shared >= c, (i + 1).toLong).otherwise(acc)
+    }
+    guarded(a, b)(chain)
+  }
+
+  /** Time-decayed similarity — temporal record linkage's core move
+    * (Li-Dong-Maurino-Srivastava): agreement evidence fades as the two
+    * records' timestamps drift apart. RATIONAL decay
+    * `sim / (1 + Δt/τ)` rather than exponential — pure field arithmetic
+    * (one subtraction, one division, one multiply), so it is bit-exact
+    * across engines where exp() is libm-dependent, and it keeps the
+    * whole scoring projection inside whole-stage codegen. Δt is taken in
+    * MICROSECONDS (unix_micros — exact longs; second-granularity
+    * epoch functions truncate sub-second components differently across
+    * engines) and divided by τ·10⁶, so the ratio is one exact-operand
+    * double division. τ is the half-weight scale: at Δt = τ the
+    * similarity is halved (decay(τ) = 1/2), at 3τ quartered. NULL
+    * timestamp on either side → NULL (no temporal evidence ≠ maximal
+    * decay). */
+  def temporalDecay(sim: Column, tsA: Column, tsB: Column,
+      tauSeconds: Double): Column = {
+    require(tauSeconds > 0, s"tauSeconds must be > 0, got $tauSeconds")
+    // cast covers TIMESTAMP_NTZ inputs (identity under the pinned UTC
+    // session timezone; unix_micros itself accepts only TIMESTAMP)
+    val dt = abs(unix_micros(tsA.cast("timestamp")) -
+      unix_micros(tsB.cast("timestamp"))).cast("double")
+    sim / (lit(1.0) + dt / lit(tauSeconds * 1e6))
+  }
 }

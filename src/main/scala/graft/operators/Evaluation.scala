@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-style evaluation of pairwise match scores — the ROC view of
+  * a linkage scorer (complementing the θ-driven confusion counts of
+  * [[Linkage.thresholdSweep]] and the model-driven μ/λ calibration of
+  * [[FellegiSunter.calibrate]]) plus the pay-as-you-go recall curve of a
+  * PROGRESSIVE pair generator.
+  *
+  * Everything here is label-driven: `labeled` carries the true pairs
+  * (id_a, id_b) and the scored/ordered pair frame is the classifier
+  * output under evaluation. All counts are integer-exact (decimal(38,0)
+  * where products of corpus-sized counts can pass 2^63 — the
+  * [[Linkage.blockingQuality]] overflow lesson applied); every ratio is
+  * one exact integer→double division, so the DuckDB oracle reproduces
+  * each value bit-for-bit.
+  *
+  * Scale design: NO single-partition window over anything corpus-sized.
+  * Cumulative counts use the [[Linkage.globalRanked]] discipline — range
+  * partition on the order key, per-partition running sums, and a P-row
+  * broadcast exclusive-prefix frame (the only unpartitioned window runs
+  * over ≤ P planner-metadata rows). */
+object Evaluation {
+
+  private val dec = "decimal(38,0)"
+
+  /** ROC operating curve of a pairwise scorer: one row per DISTINCT score
+    * s (descending), counting the prediction "match ⇔ score ≥ s".
+    *
+    * Semantics: the population is exactly the scored pair set (standard
+    * classifier ROC — pairs the blocker never generated are out of frame;
+    * [[Linkage.blockingQuality]] / [[Linkage.thresholdSweep]]'s `fn`
+    * carry that ceiling). A scored pair is positive iff it appears in
+    * `labeled` (dedup'd). Output per score s:
+    *  - `n`, `t` — pairs / true pairs AT this exact score;
+    *  - `tp`, `fp` — cumulative true/false positives at threshold s
+    *    (score ≥ s);
+    *  - `tpr` = tp / P, `fpr` = fp / N (NULL when the denominator is 0 —
+    *    no positives/negatives is "no evidence", not a rate).
+    *
+    * Plan shape: one left join to flag labels, one map-side-combinable
+    * groupBy(score) to score-level cells, then the distributed prefix
+    * sum: `repartitionByRange(score DESC)` + per-partition running sums +
+    * broadcast P-row offsets. The score-level frame is
+    * |distinct scores|-sized — already far below the pair count — and
+    * nothing above it is windowed. */
+  def rocCurve(scored: DataFrame, labeled: DataFrame,
+      aCol: String = "id_l", bCol: String = "id_r",
+      scoreCol: String = "score", partitions: Int = 0): DataFrame = {
+    val spark = scored.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val flagged = scored.select(col(aCol), col(bCol), col(scoreCol))
+      .join(labeled.select(col(aCol), col(bCol), lit(1L).as("__t"))
+        .distinct(), Seq(aCol, bCol), "left")
+      .select(col(scoreCol).as("score"),
+        coalesce(col("__t"), lit(0L)).as("__t"))
+    val perScore = flagged.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("__t")).as("t"))
+    // distributed cumulative (descending score): range partition + local
+    // running sums + broadcast per-partition exclusive offsets
+    val parts = perScore.repartitionByRange(p, col("score").desc)
+      .sortWithinPartitions(col("score").desc)
+      .withColumn("__pid", spark_partition_id())
+    val counts = parts.groupBy(col("__pid"))
+      .agg(sum(col("n")).as("__pn"), sum(col("t")).as("__pt"))
+    val offsets = counts
+      .withColumn("__on", coalesce(sum(col("__pn")).over(
+        W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ot", coalesce(sum(col("__pt")).over(
+        W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__on"), col("__ot"))
+    val totals = flagged.agg(sum(col("__t")).as("__P"),
+      (count(lit(1)) - sum(col("__t"))).as("__N"))
+    parts.join(broadcast(offsets), "__pid")
+      .withColumn("__cn", col("__on") + sum(col("n")).over(
+        W.partitionBy("__pid").orderBy(col("score").desc)))
+      .withColumn("tp", col("__ot") + sum(col("t")).over(
+        W.partitionBy("__pid").orderBy(col("score").desc)))
+      .withColumn("fp", col("__cn") - col("tp"))
+      .crossJoin(broadcast(totals))
+      .select(col("score"), col("n"), col("t"), col("tp"), col("fp"),
+        when(col("__P") > 0,
+          col("tp").cast("double") / col("__P").cast("double")).as("tpr"),
+        when(col("__N") > 0,
+          col("fp").cast("double") / col("__N").cast("double")).as("fpr"))
+  }
+
+  /** Exact area under the ROC curve from a [[rocCurve]] frame — the
+    * Mann-Whitney formulation, not a trapezoid walk: over all
+    * (positive, negative) pair combinations, a concordantly-ordered pair
+    * scores 1, a tie scores 1/2, so
+    *
+    *   AUC = [ 2·Σₛ t(s)·(N − fp(s)) + Σₛ t(s)·(n(s) − t(s)) ] / (2·P·N)
+    *
+    * where fp(s) already counts every negative with score ≥ s (the
+    * cumulative column), making N − fp(s) the negatives STRICTLY below s.
+    * Doubling both sides keeps the whole numerator in exact integer
+    * arithmetic (decimal(38,0) — t·N products overflow long at corpus
+    * scale); the single division to double is the only rounding step, so
+    * the oracle matches bit-for-bit. One aggregate over the score-level
+    * frame; no window, no collect. Output: 1 row
+    * (n_scores, n_pos, n_neg, auc — NULL when either class is empty). */
+  def auc(roc: DataFrame): DataFrame = {
+    val t = col("t").cast(dec)
+    val f = (col("n") - col("t")).cast(dec)
+    roc.agg(
+        count(lit(1)).as("n_scores"),
+        sum(col("t")).as("n_pos"),
+        sum(col("n") - col("t")).as("n_neg"),
+        sum(t * col("fp").cast(dec)).as("__tfp"), // Σ t(s)·fp(s)
+        sum(t).cast(dec).as("__p"),
+        sum(f).cast(dec).as("__n"),
+        sum(t * f).as("__ties"))
+      // Σ t(s)·(N − fp(s)) = P·N − Σ t(s)·fp(s)
+      .select(col("n_scores"), col("n_pos"), col("n_neg"),
+        when(col("__p") > 0 && col("__n") > 0,
+          ((lit(2).cast(dec) * (col("__p") * col("__n") - col("__tfp")) +
+            col("__ties")).cast("double")) /
+            ((lit(2).cast(dec) * col("__p") * col("__n")).cast("double")))
+          .as("auc"))
+  }
+
+  /** Pay-as-you-go recall curve of a PROGRESSIVE pair generator
+    * (Whang-Marmaros-Garcia-Molina "pay-as-you-go ER"): the pairs arrive
+    * in a quality-likelihood order (`rankCol`, 1-based, globally unique —
+    * e.g. sorted-neighborhood pairs ordered by window distance via
+    * [[progressiveRank]]), and each budget B asks "after comparing only
+    * the first B pairs, how much recall is already banked?" — the curve
+    * that justifies stopping a 10^12-pair job early.
+    *
+    * One pass, [[Linkage.thresholdSweep]]-shaped: each consumed pair fans
+    * out to the budgets it falls under (|budgets| small), partial
+    * aggregation folds map-side, recall = tp / |labeled| (NULL when no
+    * labels). Budgets with no consumed pairs still emit a row. */
+  def progressiveCurve(pairs: DataFrame, labeled: DataFrame,
+      budgets: Seq[Long], rankCol: String = "rank",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(budgets.nonEmpty, "progressiveCurve needs at least one budget")
+    require(budgets.forall(_ >= 1) && budgets == budgets.sorted &&
+      budgets.distinct == budgets,
+      s"budgets must be >= 1, strictly increasing, got $budgets")
+    val budgetArr = array(budgets.map(lit(_)): _*)
+    val flagged = pairs.select(col(aCol), col(bCol), col(rankCol).as("__r"))
+      .join(labeled.select(col(aCol), col(bCol), lit(1L).as("__t"))
+        .distinct(), Seq(aCol, bCol), "left")
+      .select(col("__r"), coalesce(col("__t"), lit(0L)).as("__t"))
+    val per = flagged
+      .select(col("__r"), col("__t"), explode(budgetArr).as("budget"))
+      .where(col("__r") <= col("budget"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_consumed"), sum(col("__t")).as("tp"))
+    val allBudgets = pairs.sparkSession.range(1)
+      .select(explode(budgetArr).as("budget"))
+    val nTrue = labeled.select(col(aCol), col(bCol)).distinct()
+      .agg(count(lit(1)).as("__ntrue"))
+    allBudgets.join(per, Seq("budget"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("budget"),
+        coalesce(col("n_consumed"), lit(0L)).as("n_consumed"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        when(col("__ntrue") > 0,
+          coalesce(col("tp"), lit(0L)).cast("double") /
+            col("__ntrue").cast("double")).as("recall"))
+  }
+
+  /** Assign the global 1-based emission rank that makes a pair frame
+    * progressive: pairs are ordered by (`orderCol` ASC, `tieCol` ASC) —
+    * e.g. sorted-neighborhood window distance then left rank — where
+    * `tieCol` must be unique per row (it pins the rank, making the curve
+    * deterministic and partitioning-independent). Distributed via
+    * [[Linkage.globalRanked]] (range partition + broadcast offsets — no
+    * corpus-sized window). Output: input columns + `rank`. */
+  def progressiveRank(pairs: DataFrame, orderCol: Column,
+      tieCol: Column, partitions: Int = 0): DataFrame = {
+    val keyed = pairs
+      .withColumn("__ord", orderCol.cast("double"))
+      .withColumn("__tie", tieCol.cast("long"))
+    val ranked = Linkage.globalRanked(
+        keyed.select(col("__tie"), col("__ord")), "__tie", "__ord",
+        partitions)
+      .select(col("__tie"), col("__rnk").as("rank"))
+    keyed.join(ranked, "__tie").drop("__ord", "__tie")
+  }
+}

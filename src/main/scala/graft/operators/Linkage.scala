@@ -1201,6 +1201,42 @@ object Linkage {
         col("precision"), col("recall"), col("f1"))
   }
 
+  /** Deterministic decision-rule cascade — the rule-based half of a
+    * production linkage (the NHS-number-then-demographics pattern):
+    * an ORDERED list of named match rules is evaluated per candidate
+    * pair and the FIRST rule that fires decides the pair, carrying its
+    * name and 1-based rank as provenance. Pairs no rule accepts are
+    * dropped (they fall through to the probabilistic scorer — this is
+    * the deterministic pre-pass, not the whole decision).
+    *
+    * The cascade compiles to ONE when-chain projection (first-match-wins
+    * is exactly WHEN's evaluation order), so however many rules are
+    * stacked, the pass stays a single whole-stage-codegen map over the
+    * pair frame — no per-rule scan, no shuffle, and Catalyst pushes the
+    * chain below any later join the caller adds. Rule predicates are
+    * arbitrary Columns over the pair frame (kernel similarities,
+    * [[Comparators]] levels, phonetic keys — anything codegen'd).
+    *
+    * @param rules (name, predicate), strongest/cheapest first; names
+    *              must be unique and non-empty.
+    * @return the input columns + (rule, rule_rank) for accepted pairs. */
+  def ruleCascade(pairs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleCascade needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size &&
+      rules.forall(_._1.nonEmpty),
+      s"rule names must be unique and non-empty, got ${rules.map(_._1)}")
+    val rank = rules.zipWithIndex.reverse.foldLeft(lit(null).cast("long")) {
+      case (acc, ((_, pred), i)) => when(pred, lit(i + 1L)).otherwise(acc)
+    }
+    val name = rules.zipWithIndex.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((n, _), i)) => when(col("rule_rank") === (i + 1L), lit(n))
+        .otherwise(acc)
+    }
+    pairs.withColumn("rule_rank", rank)
+      .where(col("rule_rank").isNotNull)
+      .withColumn("rule", name)
+  }
+
   /** Cluster-generation diff — the audit an incremental-ER deployment
     * runs after every re-clustering: each (old cluster, new cluster)
     * overlap cell with both marginal sizes and a classification:

@@ -86,6 +86,30 @@ object Similarity {
         col("rank_ab"), col("rank_ba"))
   }
 
+  /** Per-query recall of an approximate top-k frame against the exact
+    * one — the acceptance metric every ANN tier ships with (an LSH/IVF
+    * configuration is only "done" with its recall@k measured, not
+    * assumed). Both inputs are (vec_id, neighbor_id, rank, cos) frames
+    * ([[bruteForceTopK]] for `exact`; [[lshTopK]]/[[ivfTopK]] for
+    * `approx`). Per exact-side query: `n_exact` ground-truth neighbors,
+    * `n_hit` of them recovered by the approximate frame, recall =
+    * n_hit / n_exact. Queries the approximate tier missed entirely still
+    * appear (recall 0.0) — silently dropping them would inflate the
+    * macro average. One equi-join on (vec_id, neighbor_id) over two
+    * (k·n)-row frames + one map-side-combinable groupBy; the vectors
+    * themselves are never touched. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = approx.select(col("vec_id"), col("neighbor_id"),
+      lit(1L).as("__hit"))
+    exact.select(col("vec_id"), col("neighbor_id"))
+      .join(hit, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Deterministic random hyperplanes: `bands` bands × `planesPerBand`
     * planes, components from splitmix64 mapped to [-1, 1). Public because
     * they are plan-time constants: the driver oracle inlines them as SQL
