@@ -1223,6 +1223,50 @@ object SparkEntry {
       graft.operators.Linkage.bCubedStats(assigned)
     }),
 
+    // Cluster-LEVEL metrics (Menestrina et al.): exact-match cluster
+    // precision/recall/F1 plus unit-cost Generalized Merge Distance —
+    // whole-cluster counts over the same contingency the pairwise/B³
+    // gates weight by records. All-integer folds + exact divisions.
+    "q_cluster_metrics" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.Evaluation.clusterMetrics(
+        c.select(col("c_custkey").as("id"),
+          concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+            .as("cluster_id"),
+          substring(col("c_name"), 16, 3).as("truth_id")))
+    }),
+
+    // Cluster-size histogram: the run-over-run dedup dashboard (fattening
+    // tail = over-merge, singleton collapse = under-match). Two sizing
+    // groupBys; fractions are exact divisions against the broadcast
+    // total.
+    "q_cluster_profile" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.Evaluation.clusterSizeProfile(
+        c.select(col("c_custkey").as("id"),
+          concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+            .as("cluster_id")))
+    }),
+
+    // Pairs-completeness / reduction sweep over candidate caps: the
+    // PC/RR curve read off BEFORE committing to a bucket cap — per cap,
+    // exact pair slots (decimal(38,0)) and how many labeled true pairs
+    // the cold tier would still cover (a truth pair survives iff its
+    // SMALLEST shared block fits). No pair set is materialized.
+    "q_blocking_sweep" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val keys = c.select(col("c_custkey").as("url"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("key"))
+      val a = c.select(col("c_custkey").as("url_a"),
+        substring(col("c_name"), 16, 3).as("sfx"))
+      val b = c.select(col("c_custkey").as("url_b"),
+        substring(col("c_name"), 16, 3).as("sfx"))
+      val truePairs = a.join(b, "sfx").where(col("url_a") < col("url_b"))
+        .select(col("url_a"), col("url_b"))
+      graft.operators.Linkage.blockingQualitySweep(keys, truePairs,
+        Seq(5L, 15L, 60L, 1000L))
+    }),
+
     // Fellegi-Sunter probabilistic linkage: EM fits per-field m/u and the
     // match prior λ from UNLABELED comparison-vector pattern counts
     // (γ = name-JW ≥ 0.95, segment equal, acctbal-bracket equal over the
@@ -4377,6 +4421,115 @@ object SparkEntry {
         |SELECT 'cluster' AS side, g AS gid, n_g, sum_ni2 FROM sp
         |UNION ALL
         |SELECT 'truth' AS side, t AS gid, n_g, sum_ni2 FROM st""".stripMargin,
+    // cluster-level metrics: the same contingency cells, whole-cluster
+    // exact-match counts + unit-cost GMD (splits to the common
+    // refinement, merges up to the truth).
+    "q_cluster_metrics" ->
+      """WITH j AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g,
+        |         substring(c_name, 16, 3) AS t
+        |  FROM customer
+        |), ni AS (
+        |  SELECT g, t, count(*) AS n FROM j GROUP BY g, t
+        |), sp AS (
+        |  SELECT g, sum(n) AS np, count(*) AS kp FROM ni GROUP BY g
+        |), st AS (
+        |  SELECT t, sum(n) AS nt, count(*) AS kt FROM ni GROUP BY t
+        |), ex AS (
+        |  SELECT count(*) AS n_exact
+        |  FROM ni JOIN sp USING (g) JOIN st USING (t)
+        |  WHERE ni.n = sp.np AND ni.n = st.nt
+        |), ap AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pred,
+        |         CAST(sum(kp - 1) AS BIGINT) AS gmd_splits,
+        |         CAST(sum(np) AS BIGINT) AS n_records
+        |  FROM sp
+        |), at2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |         CAST(sum(kt - 1) AS BIGINT) AS gmd_merges
+        |  FROM st
+        |), m AS (
+        |  SELECT ap.n_records, ap.n_pred, at2.n_truth,
+        |    CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |    CASE WHEN ap.n_pred > 0 THEN CAST(ex.n_exact AS DOUBLE)
+        |         / CAST(ap.n_pred AS DOUBLE) END AS cluster_precision,
+        |    CASE WHEN at2.n_truth > 0 THEN CAST(ex.n_exact AS DOUBLE)
+        |         / CAST(at2.n_truth AS DOUBLE) END AS cluster_recall,
+        |    ap.gmd_splits, at2.gmd_merges,
+        |    ap.gmd_splits + at2.gmd_merges AS gmd
+        |  FROM ap, at2, ex
+        |)
+        |SELECT n_records, n_pred, n_truth, n_exact, cluster_precision,
+        |  cluster_recall,
+        |  CASE WHEN n_exact > 0 THEN
+        |    CAST(2.0 AS DOUBLE) * cluster_precision * cluster_recall
+        |    / (cluster_precision + cluster_recall)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS cluster_f1,
+        |  gmd_splits, gmd_merges, gmd
+        |FROM m""".stripMargin,
+    // cluster-size histogram: sizes -> histogram -> exact fractions.
+    "q_cluster_profile" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), sz AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS cluster_size FROM j GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(sum(cluster_size) AS BIGINT) AS total FROM sz
+        |)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_records,
+        |  CAST(cluster_size * count(*) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+        |    AS frac_records
+        |FROM sz, tot GROUP BY cluster_size, tot.total""".stripMargin,
+    // PC/RR sweep: block sizes once, per-cap slot sums (DECIMAL(38,0)),
+    // per-truth-pair min shared-block size, per-cap coverage counts.
+    "q_blocking_sweep" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS url,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS key
+        |  FROM customer
+        |), sized AS (
+        |  SELECT key, count(*) AS n FROM keys GROUP BY key
+        |), tp AS (
+        |  SELECT DISTINCT a.c_custkey AS url_a, b.c_custkey AS url_b
+        |  FROM customer a JOIN customer b
+        |    ON substring(a.c_name, 16, 3) = substring(b.c_name, 16, 3)
+        |       AND a.c_custkey < b.c_custkey
+        |), caps AS (
+        |  SELECT CAST(unnest([5, 15, 60, 1000]) AS BIGINT) AS cap
+        |), slots AS (
+        |  SELECT c.cap, CAST(COALESCE(sum(CASE WHEN s.n <= c.cap
+        |      THEN s.n * (s.n - 1) ELSE 0 END), 0) / 2 AS DECIMAL(38, 0))
+        |    AS pair_slots
+        |  FROM caps c, sized s GROUP BY c.cap
+        |), minn AS (
+        |  SELECT t.url_a, t.url_b, min(s.n) AS mn
+        |  FROM tp t
+        |  JOIN keys ka ON ka.url = t.url_a
+        |  JOIN keys kb ON kb.url = t.url_b AND kb.key = ka.key
+        |  JOIN sized s ON s.key = ka.key
+        |  GROUP BY t.url_a, t.url_b
+        |), cov AS (
+        |  SELECT c.cap, CAST(sum(CASE WHEN m.mn IS NOT NULL AND m.mn <= c.cap
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true_covered
+        |  FROM caps c CROSS JOIN (
+        |    SELECT t.url_a, t.url_b, m0.mn
+        |    FROM tp t LEFT JOIN minn m0
+        |      ON t.url_a = m0.url_a AND t.url_b = m0.url_b) m
+        |  GROUP BY c.cap
+        |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp)
+        |SELECT c.cap, COALESCE(s.pair_slots, CAST(0 AS DECIMAL(38, 0)))
+        |    AS pair_slots,
+        |  nt.n_true, COALESCE(v.n_true_covered, 0) AS n_true_covered,
+        |  CASE WHEN nt.n_true > 0 THEN
+        |    CAST(COALESCE(v.n_true_covered, 0) AS DOUBLE)
+        |    / CAST(nt.n_true AS DOUBLE) END AS pairs_completeness
+        |FROM caps c
+        |LEFT JOIN slots s ON c.cap = s.cap
+        |LEFT JOIN cov v ON c.cap = v.cap
+        |CROSS JOIN nt""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),

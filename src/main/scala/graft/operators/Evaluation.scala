@@ -167,6 +167,84 @@ object Evaluation {
             col("__ntrue").cast("double")).as("recall"))
   }
 
+  /** Cluster-LEVEL evaluation of a predicted partition against a truth
+    * partition (Menestrina-Whang-Garcia-Molina, "Evaluating entity
+    * resolution results", VLDB 2010): where pairwise F1 / B³ weight by
+    * records or pairs, these metrics count whole clusters —
+    *
+    *  - exact-match cluster precision/recall/F1: a predicted cluster
+    *    scores only if its record set EQUALS a truth cluster's
+    *    (a contingency cell whose count is both marginals), the
+    *    strictest cluster criterion;
+    *  - Generalized Merge Distance with unit costs: the minimum number
+    *    of merge+split operations transforming the predicted partition
+    *    into the truth — splits = Σ over predicted clusters of
+    *    (distinct truth classes inside − 1), merges = Σ over truth
+    *    classes of (distinct predicted clusters intersecting − 1); the
+    *    optimal plan always splits to the common refinement then merges.
+    *
+    * All counts are integers; precision/recall are exact divisions (NULL
+    * when the side is empty), f1 = 2·p·r/(p+r) with 0.0 at n_exact = 0.
+    * Only ids carrying BOTH labels participate. Shapes: one contingency
+    * groupBy (map-side combined) + two marginal groupBys over the
+    * cell-sized frame + cell-sized join-backs — the [[Linkage.clusterDiff]]
+    * plan with metric folds on top. Output: 1 row (n_records, n_pred,
+    * n_truth, n_exact, cluster_precision, cluster_recall, cluster_f1,
+    * gmd_splits, gmd_merges, gmd). */
+  def clusterMetrics(assignment: DataFrame, clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val ni = assignment
+      .select(col(clusterCol).as("__c"), col(truthCol).as("__t"))
+      .groupBy(col("__c"), col("__t")).agg(count(lit(1)).as("__n"))
+    val pred = ni.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__np"), count(lit(1)).as("__kp"))
+    val tru = ni.groupBy(col("__t"))
+      .agg(sum(col("__n")).as("__nt"), count(lit(1)).as("__kt"))
+    val exact = ni.join(pred, "__c").join(tru, "__t")
+      .where(col("__n") === col("__np") && col("__n") === col("__nt"))
+      .agg(count(lit(1)).as("n_exact"))
+    val aggP = pred.agg(count(lit(1)).as("n_pred"),
+      sum(col("__kp") - 1).as("gmd_splits"), sum(col("__np")).as("n_records"))
+    val aggT = tru.agg(count(lit(1)).as("n_truth"),
+      sum(col("__kt") - 1).as("gmd_merges"))
+    aggP.crossJoin(broadcast(aggT)).crossJoin(broadcast(exact))
+      .select(col("n_records"), col("n_pred"), col("n_truth"), col("n_exact"),
+        when(col("n_pred") > 0, col("n_exact").cast("double") /
+          col("n_pred").cast("double")).as("cluster_precision"),
+        when(col("n_truth") > 0, col("n_exact").cast("double") /
+          col("n_truth").cast("double")).as("cluster_recall"),
+        col("gmd_splits"), col("gmd_merges"),
+        (col("gmd_splits") + col("gmd_merges")).as("gmd"))
+      .withColumn("cluster_f1", when(col("n_exact") > 0,
+        lit(2.0) * col("cluster_precision") * col("cluster_recall") /
+          (col("cluster_precision") + col("cluster_recall")))
+        .otherwise(lit(0.0)))
+      .select(col("n_records"), col("n_pred"), col("n_truth"), col("n_exact"),
+        col("cluster_precision"), col("cluster_recall"), col("cluster_f1"),
+        col("gmd_splits"), col("gmd_merges"), col("gmd"))
+  }
+
+  /** Cluster-size histogram of an entity partition — the ops dashboard a
+    * dedup deployment watches between runs (a fattening tail is the
+    * early sign of over-merging; a collapse toward singletons of
+    * under-matching). One row per occurring cluster size:
+    * (cluster_size, n_clusters, n_records = size·count, frac_records —
+    * one exact division against the broadcast total). Two
+    * map-side-combinable groupBys (ids → sizes → histogram); the
+    * histogram frame is ≤ max-cluster-size rows. */
+  def clusterSizeProfile(assignment: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val sizes = assignment.select(col(clusterCol).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("cluster_size"))
+    val total = sizes.agg(sum(col("cluster_size")).as("__total"))
+    sizes.groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_records"),
+        ((col("cluster_size") * col("n_clusters")).cast("double") /
+          col("__total").cast("double")).as("frac_records"))
+  }
+
   /** Assign the global 1-based emission rank that makes a pair frame
     * progressive: pairs are ordered by (`orderCol` ASC, `tieCol` ASC) —
     * e.g. sorted-neighborhood window distance then left rank — where

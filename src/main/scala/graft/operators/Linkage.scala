@@ -924,6 +924,70 @@ object Linkage {
           col("n_true_covered").cast("double") / col("n_true").cast("double")))
   }
 
+  /** Pairs-completeness / reduction tradeoff CURVE over candidate bucket
+    * caps — the capacity-planning sweep (Christen's PC/RR analysis) run
+    * BEFORE committing to a cap: for each cap c,
+    *
+    *  - `pair_slots` — Σ n(n−1)/2 over blocks with n ≤ c, in
+    *    decimal(38,0) (the [[blockingProfile]] slot convention: per-block
+    *    pair slots BEFORE cross-key dedup — an upper bound on distinct
+    *    candidates, exact when keys don't overlap);
+    *  - `n_true_covered` / `pairs_completeness` — a labeled true pair
+    *    survives cap c iff its SMALLEST shared block fits (≤ c): exactly
+    *    the pairs [[candidatePairs]]' cold tier would generate, counted
+    *    without materializing any pair set.
+    *
+    * One sizing groupBy over the key frame, two equi-joins landing the
+    * block size on each truth pair's shared keys, one min-fold per truth
+    * pair, then a |caps|-way exploded map-side-combined count (the
+    * [[thresholdSweep]] shape). Truth pairs sharing NO key count as
+    * never covered. Caps with no qualifying block still emit a row.
+    * Output: (cap, pair_slots, n_true, n_true_covered,
+    * pairs_completeness), one row per cap ascending. */
+  def blockingQualitySweep(keys: DataFrame, truePairs: DataFrame,
+      caps: Seq[Long], keyCol: String = "key", idCol: String = "url",
+      aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
+    require(caps.nonEmpty, "blockingQualitySweep needs at least one cap")
+    require(caps.forall(_ >= 1) && caps == caps.sorted &&
+      caps.distinct == caps,
+      s"caps must be >= 1, strictly increasing, got $caps")
+    val spark = keys.sparkSession
+    val capArr = array(caps.map(lit(_)): _*)
+    val dec = "decimal(38,0)"
+    val sizes = keys.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val slots = sizes
+      .select(col("__n"), explode(capArr).as("cap"))
+      .groupBy(col("cap"))
+      .agg(sum(when(col("__n") <= col("cap"),
+        (col("__n").cast(dec) * (col("__n") - 1).cast(dec)) / 2)
+        .otherwise(lit(0))).cast(dec).as("pair_slots"))
+    val ka = keys.select(col(keyCol).as("__k"), col(idCol).as(aCol))
+    val kb = keys.select(col(keyCol).as("__k"), col(idCol).as(bCol))
+    val tp = truePairs.select(col(aCol), col(bCol)).distinct()
+    val minShared = tp
+      .join(ka, aCol).join(kb, Seq("__k", bCol))
+      .join(sizes.withColumnRenamed(keyCol, "__k"), "__k")
+      .groupBy(col(aCol), col(bCol)).agg(min(col("__n")).as("__minn"))
+    val cov = tp.join(minShared, Seq(aCol, bCol), "left")
+      .select(explode(capArr).as("cap"),
+        when(col("__minn").isNotNull && col("__minn") <= col("cap"), 1L)
+          .otherwise(0L).as("__c"))
+      .groupBy(col("cap")).agg(sum(col("__c")).as("n_true_covered"))
+    val nTrue = tp.agg(count(lit(1)).as("n_true"))
+    val allCaps = spark.range(1).select(explode(capArr).as("cap"))
+    allCaps
+      .join(slots, Seq("cap"), "left")
+      .join(cov, Seq("cap"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("cap"),
+        coalesce(col("pair_slots"), lit(0).cast(dec)).as("pair_slots"),
+        col("n_true"),
+        coalesce(col("n_true_covered"), lit(0L)).as("n_true_covered"),
+        when(col("n_true") > 0, coalesce(col("n_true_covered"), lit(0L))
+          .cast("double") / col("n_true").cast("double"))
+          .as("pairs_completeness"))
+  }
+
   /** B-cubed sufficient statistics: for records carrying a predicted
     * cluster id and a reference (truth) partition id, emit one row per
     * predicted cluster and one per truth class — (side, gid, n_g,

@@ -128,6 +128,73 @@ class EvaluationSpec extends SparkFunSuite {
     assert(got == Seq((30L, 1L), (20L, 2L), (40L, 3L), (10L, 4L)))
   }
 
+  // --------------------------------------------------- cluster-level eval
+
+  test("clusterMetrics: exact-match counts and unit-cost GMD") {
+    import spark.implicits._
+    // pred: {1,2},{3,4,5},{6}   truth: {1,2},{3,4},{5,6}
+    val asg = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),
+      (3L, "b", "y"), (4L, "b", "y"), (5L, "b", "z"),
+      (6L, "c", "z"))
+      .toDF("id", "cluster_id", "truth_id")
+    val m = Evaluation.clusterMetrics(asg).head()
+    assert(m.getAs[Long]("n_records") == 6L)
+    assert(m.getAs[Long]("n_pred") == 3L && m.getAs[Long]("n_truth") == 3L)
+    assert(m.getAs[Long]("n_exact") == 1L) // only {1,2}
+    assert(m.getAs[Double]("cluster_precision") == 1.0 / 3.0)
+    assert(m.getAs[Double]("cluster_recall") == 1.0 / 3.0)
+    // splits: a:0, b:1 ({3,4}|{5}), c:0 = 1; merges: x:0, y:0, z:1 = 1
+    assert(m.getAs[Long]("gmd_splits") == 1L)
+    assert(m.getAs[Long]("gmd_merges") == 1L)
+    assert(m.getAs[Long]("gmd") == 2L)
+  }
+
+  test("clusterMetrics: identical partitions -> F1 1.0, GMD 0") {
+    import spark.implicits._
+    val asg = (1L to 30L).map(i => (i, s"c${i % 5}", s"t${i % 5}"))
+      .toDF("id", "cluster_id", "truth_id")
+    val m = Evaluation.clusterMetrics(asg).head()
+    assert(m.getAs[Double]("cluster_f1") == 1.0)
+    assert(m.getAs[Long]("gmd") == 0L)
+  }
+
+  test("clusterSizeProfile histogram with exact record fractions") {
+    import spark.implicits._
+    // sizes: 3,2,2,1 -> hist {3:1, 2:2, 1:1}, total 8
+    val asg = Seq(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "b",
+      6L -> "c", 7L -> "c", 8L -> "d").toDF("id", "cluster_id")
+    val got = Evaluation.clusterSizeProfile(asg)
+      .orderBy("cluster_size")
+      .select("cluster_size", "n_clusters", "n_records", "frac_records")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 0.125), (2L, 2L, 4L, 0.5),
+      (3L, 1L, 3L, 0.375)))
+  }
+
+  test("blockingQualitySweep: slots and completeness per cap") {
+    import spark.implicits._
+    // blocks: k1 = {1,2,3} (n=3), k2 = {4,5} (n=2), k3 = {1,4} (n=2)
+    val keys = Seq(("k1", 1L), ("k1", 2L), ("k1", 3L), ("k2", 4L),
+      ("k2", 5L), ("k3", 1L), ("k3", 4L)).toDF("key", "url")
+    // truth: (1,2) min-shared-block 3; (4,5) min 2; (1,4) min 2;
+    // (2,9) shares nothing
+    val truth = Seq((1L, 2L), (4L, 5L), (1L, 4L), (2L, 9L))
+      .toDF("url_a", "url_b")
+    val got = Linkage.blockingQualitySweep(keys, truth, Seq(1L, 2L, 3L))
+      .orderBy("cap")
+      .select("cap", "pair_slots", "n_true", "n_true_covered")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).longValueExact(),
+        r.getLong(2), r.getLong(3))).toSeq
+    // cap 1: no block fits -> 0 slots, 0 covered
+    // cap 2: k2+k3 fit -> 1+1 slots, covers (4,5) and (1,4)
+    // cap 3: all fit -> 3+1+1 slots, covers 3 of 4
+    assert(got == Seq((1L, 0L, 4L, 0L), (2L, 2L, 4L, 2L), (3L, 5L, 4L, 3L)))
+    val pc = Linkage.blockingQualitySweep(keys, truth, Seq(3L))
+      .select("pairs_completeness").head().getDouble(0)
+    assert(pc == 0.75)
+  }
+
   // -------------------------------------------------------- rule cascade
 
   test("ruleCascade: first matching rule wins, non-matches drop") {
