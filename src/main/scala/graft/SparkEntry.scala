@@ -107,6 +107,29 @@ object SparkEntry {
     a.join(b, "nk").where(col("ka") < col("kb")).select(cols: _*)
   }
 
+  /** Labeled comparison-vector frame for the supervised-weights gates:
+    * the [[fsGammaPairs]] gammas plus a 0/1 label t = last-3-characters
+    * name-suffix equality (the same truth family the blocking gates
+    * use). */
+  private def supervisedPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+      col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
+      col("c_nationkey").as("nk"))
+    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("c_mktsegment").as("sb"), col("c_acctbal").as("ab"),
+      col("c_nationkey").as("nk"))
+    a.join(b, "nk").where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        when(jaro_winkler_sim(col("na"), col("nb")) >= 0.95, 1L)
+          .otherwise(0L).as("g0"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g1"),
+        when(floor(col("aa") / 1000.0) === floor(col("ab") / 1000.0), 1L)
+          .otherwise(0L).as("g2"),
+        when(substring(col("na"), -3, 3) === substring(col("nb"), -3, 3), 1L)
+          .otherwise(0L).as("t"))
+  }
+
   /** Multi-level comparison-vector frame for the FS-levels gate: two
     * 3-level gammas (name JW banded at 0.97/0.93; acctbal-bracket
     * distance 0/1/more) plus one binary gamma (segment equality —
@@ -197,6 +220,79 @@ object SparkEntry {
     * literal the EM touches is CAST to DOUBLE — bare SQL decimals would
     * run the arithmetic in DECIMAL and diverge from the driver fit in the
     * last ulp. */
+  /** Unrolled-GD oracle for [[graft.operators.SupervisedWeights]]: the
+    * same (pattern, label) cells, `iters` chained 1-row weight CTEs, the
+    * gradient sums as ordered list_reduce folds (ORDER BY γ₀..γₖ, t —
+    * exactly the driver's pinned cell order), the softsign link with the
+    * identical operand order. Every arithmetic op is rational, so the
+    * weights — and the literal-folded scoring projection — reproduce the
+    * Scala fit bit-for-bit. */
+  private def supervisedOracleSql(iters: Int, eta: Double,
+      weightsOnly: Boolean): String = {
+    val k = fsGammas.size
+    val gcols = fsGammas.mkString(", ")
+    def fold(expr: String) =
+      s"list_reduce(list($expr ORDER BY $gcols, t), (x, y) -> x + y)"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""pairs AS MATERIALIZED (
+      |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+      |         ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.95
+      |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
+      |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS BIGINT) AS g1,
+      |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+      |         THEN 1 ELSE 0 END AS BIGINT) AS g2,
+      |    CAST(CASE WHEN right(a.c_name, 3) = right(b.c_name, 3)
+      |         THEN 1 ELSE 0 END AS BIGINT) AS t
+      |  $customerPairsSql)""".stripMargin
+    // MATERIALIZED + a strictly LINEAR CTE chain: GD's update needs the
+    // previous weights, so a naive p(i) ← (p(i-1), sums(i)) graph gives
+    // every p(i) two consumers and DuckDB's inliner expands the chain
+    // exponentially (the EM oracle dodged this because its M-step is
+    // closed-form from the sums alone). Instead each e(i) carries the
+    // weights THROUGH the fold (min over identical values — exact), so
+    // every CTE has exactly one consumer.
+    ctes += s"cells AS MATERIALIZED (SELECT $gcols, t, " +
+      s"CAST(count(*) AS DOUBLE) AS n FROM pairs GROUP BY $gcols, t)"
+    ctes += s"tot AS MATERIALIZED (SELECT ${fold("n")} AS tot FROM cells)"
+    ctes += "p0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, " +
+      (0 until k).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ") + ")"
+    val zExpr = "p.b" + (0 until k)
+      .map(j => s" + (CASE WHEN g$j = 1 THEN p.w$j ELSE 0.0 END)").mkString
+    val wcols = "b" +: (0 until k).map(j => s"w$j")
+    for (i <- 1 to iters) {
+      ctes += s"""e$i AS (
+        |  SELECT $gcols, t, n, ${wcols.map(w => s"p.$w").mkString(", ")},
+        |    0.5 + 0.5 * (($zExpr) / (1.0 + abs($zExpr))) AS pp
+        |  FROM cells CROSS JOIN p${i - 1} p)""".stripMargin
+      val sums = Seq(fold("n * (pp - CAST(t AS DOUBLE))") + " AS gb") ++
+        (0 until k).map(j => fold(
+          s"CASE WHEN g$j = 1 THEN n * (pp - CAST(t AS DOUBLE)) ELSE 0.0 END") +
+          s" AS gr$j") ++
+        wcols.map(w => s"min($w) AS $w") // constant per iteration — exact
+      ctes += s"s$i AS (SELECT ${sums.mkString(", ")} FROM e$i)"
+      val upd = Seq(s"s.b - CAST($eta AS DOUBLE) * (s.gb / tot.tot) AS b") ++
+        (0 until k).map(j =>
+          s"s.w$j - CAST($eta AS DOUBLE) * (s.gr$j / tot.tot) AS w$j")
+      ctes += s"p$i AS (SELECT ${upd.mkString(", ")} " +
+        s"FROM s$i s CROSS JOIN tot)"
+    }
+    if (weightsOnly)
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT b AS bias, ${(0 until k)
+        .map(j => s"w$j AS w_${fsGammas(j)}").mkString(", ")}
+         |FROM p$iters""".stripMargin
+    else
+      s"""WITH ${ctes.mkString(",\n")},
+         |sc AS (SELECT ka, kb, $gcols, t, $zExpr AS z
+         |       FROM pairs CROSS JOIN p$iters p),
+         |sp AS (SELECT ka, kb, $gcols, t, z,
+         |       0.5 + 0.5 * (z / (1.0 + abs(z))) AS p FROM sc)
+         |SELECT ka, kb, $gcols, t, z, p,
+         |  CASE WHEN p >= 0.5 THEN 'link' ELSE 'non_link' END AS decision
+         |FROM sp""".stripMargin
+  }
+
   private def fellegiSunterOracleSql(iters: Int,
       withTf: Boolean = false,
       calibrate: Option[(Double, Double)] = None,
@@ -1287,6 +1383,26 @@ object SparkEntry {
     // score+classify with the reloaded model — must hash-match the
     // in-memory q_fellegi_sunter path exactly (parquet doubles are IEEE
     // binary, so the round-trip is bit-exact by construction).
+    // SUPERVISED match-weight learning (the labeled-data complement to
+    // the EM fit): batch gradient descent over the ≤ 2^(k+1) (pattern,
+    // label) sufficient cells with the RATIONAL softsign link — pure
+    // field arithmetic, so the oracle re-runs the ENTIRE 15-step descent
+    // in SQL (chained 1-row weight CTEs + ordered list_reduce gradient
+    // folds) and both the weights and every scored pair are hash-grade.
+    "q_supervised_weights" -> ((s, dir) => {
+      val pairs = supervisedPairs(s, dir)
+      val m = graft.operators.SupervisedWeights.fit(pairs,
+        fsGammas, "t", eta = 0.5, iters = 15)
+      graft.operators.SupervisedWeights.weightsFrame(s, fsGammas, m)
+    }),
+
+    "q_supervised_score" -> ((s, dir) => {
+      val pairs = supervisedPairs(s, dir)
+      val m = graft.operators.SupervisedWeights.fit(pairs,
+        fsGammas, "t", eta = 0.5, iters = 15)
+      graft.operators.SupervisedWeights.score(pairs, fsGammas, m)
+    }),
+
     "q_fellegi_sunter_persisted" -> ((s, dir) => {
       val pairs = fsGammaPairs(s, dir)
       val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
@@ -4533,6 +4649,10 @@ object SparkEntry {
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),
+    "q_supervised_weights" ->
+      supervisedOracleSql(iters = 15, eta = 0.5, weightsOnly = true),
+    "q_supervised_score" ->
+      supervisedOracleSql(iters = 15, eta = 0.5, weightsOnly = false),
     "q_fellegi_sunter_persisted" -> fellegiSunterOracleSql(iters = 15),
     "q_fellegi_sunter_calibrated" ->
       fellegiSunterOracleSql(iters = 15, calibrate = Some((0.08, 0.25))),
