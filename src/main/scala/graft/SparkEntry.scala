@@ -297,7 +297,8 @@ object SparkEntry {
       withTf: Boolean = false,
       calibrate: Option[(Double, Double)] = None,
       uncertainK: Option[Int] = None,
-      missingG2: Boolean = false): String = {
+      missingG2: Boolean = false,
+      histogram: Option[(Int, Int)] = None): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
@@ -417,7 +418,40 @@ object SparkEntry {
          |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
          |      FROM pairs CROSS JOIN p$iters p)
          |ORDER BY margin, ka, kb LIMIT ${uncertainK.get}""".stripMargin
-    else
+    else if (histogram.isDefined) {
+      // match-weight histogram: lr binned by exact power-of-2 literals
+      // (decimal expansions of 2^e are finite, so CAST('…' AS DOUBLE) is
+      // the exact double — no log(), no libm), zero bins included.
+      val (minExp, maxExp) = histogram.get
+      def p2lit(e: Int): String = {
+        val bd = if (e >= 0) BigDecimal(2).pow(e)
+          else BigDecimal(0.5).pow(-e)
+        s"CAST('${bd.underlying.toPlainString}' AS DOUBLE)"
+      }
+      val chain = new StringBuilder(
+        s"CASE WHEN lr >= ${p2lit(maxExp)} THEN $maxExp")
+      for (e <- (minExp until maxExp).reverse)
+        chain.append(s" WHEN lr >= ${p2lit(e)} THEN $e")
+      chain.append(s" ELSE ${minExp - 1} END")
+      s"""WITH ${ctes.mkString(",\n")},
+         |sc AS (SELECT w / v AS lr
+         |       FROM (SELECT $w AS w, $v AS v
+         |             FROM pairs CROSS JOIN p$iters p)),
+         |cnt AS (
+         |  SELECT $chain AS bin_exp, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM sc WHERE lr IS NOT NULL GROUP BY 1
+         |), bins AS (
+         |  SELECT CAST(unnest(range(${minExp - 1}, ${maxExp + 1})) AS BIGINT)
+         |    AS bin_exp
+         |)
+         |SELECT b.bin_exp,
+         |  CASE WHEN b.bin_exp >= $minExp
+         |       THEN power(2.0, CAST(b.bin_exp AS DOUBLE)) END AS lo,
+         |  CASE WHEN b.bin_exp < $maxExp
+         |       THEN power(2.0, CAST(b.bin_exp + 1 AS DOUBLE)) END AS hi,
+         |  COALESCE(c.n_pairs, 0) AS n_pairs
+         |FROM bins b LEFT JOIN cnt c USING (bin_exp)""".stripMargin
+    } else
       s"""WITH ${ctes.mkString(",\n")}
          |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
          |  CASE WHEN w / v >= 0.5 THEN 'link'
@@ -1319,6 +1353,26 @@ object SparkEntry {
       graft.operators.Linkage.bCubedStats(assigned)
     }),
 
+    // Candidate-pair provenance across three key families (nation /
+    // name-suffix-2 / conditional segment): each pair once, with the
+    // SORTED family set that produced it and its co-occurrence count —
+    // the keep-or-retire audit for a blocking scheme. The segment family
+    // is sized to clear the cap at sf0.01 and blow it at sf0.1, so the
+    // per-family cap rule is exercised both ways.
+    "q_pair_provenance" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val f1 = c.select(lit("nk").as("family"),
+        col("c_nationkey").cast("string").as("key"),
+        col("c_custkey").as("url"))
+      val f2 = c.select(lit("sfx2").as("family"),
+        substring(col("c_name"), -2, 2).as("key"), col("c_custkey").as("url"))
+      val f3 = c.where(col("c_custkey") % 2 === 0)
+        .select(lit("seg").as("family"), col("c_mktsegment").as("key"),
+          col("c_custkey").as("url"))
+      graft.operators.Linkage.pairProvenance(f1.union(f2).union(f3),
+        bucketCap = 1000)
+    }),
+
     // Cluster-LEVEL metrics (Menestrina et al.): exact-match cluster
     // precision/recall/F1 plus unit-cost Generalized Merge Distance —
     // whole-cluster counts over the same contingency the pairwise/B³
@@ -1383,6 +1437,18 @@ object SparkEntry {
     // score+classify with the reloaded model — must hash-match the
     // in-memory q_fellegi_sunter path exactly (parquet doubles are IEEE
     // binary, so the round-trip is bit-exact by construction).
+    // Match-weight histogram (the Splink diagnostic chart): EM-fitted
+    // likelihood ratios binned by POWERS OF TWO via exact-literal
+    // comparisons (bin e = ⌊log₂ lr⌋ without ever calling log), zero
+    // bins included, open tails as sentinel bins.
+    "q_match_weight_hist" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      graft.operators.FellegiSunter.matchWeightHistogram(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model),
+        minExp = -10, maxExp = 10)
+    }),
+
     // SUPERVISED match-weight learning (the labeled-data complement to
     // the EM fit): batch gradient descent over the ≤ 2^(k+1) (pattern,
     // label) sufficient cells with the RATIONAL softsign link — pure
@@ -4537,6 +4603,30 @@ object SparkEntry {
         |SELECT 'cluster' AS side, g AS gid, n_g, sum_ni2 FROM sp
         |UNION ALL
         |SELECT 'truth' AS side, t AS gid, n_g, sum_ni2 FROM st""".stripMargin,
+    // pair provenance: same three families, per-(family, key) cap, list
+    // aggregation sorted to match sort_array(collect_set(...)).
+    "q_pair_provenance" ->
+      """WITH k AS (
+        |  SELECT 'nk' AS family, CAST(c_nationkey AS VARCHAR) AS key,
+        |         c_custkey AS url FROM customer
+        |  UNION ALL
+        |  SELECT 'sfx2', right(c_name, 2), c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT 'seg', c_mktsegment, c_custkey FROM customer
+        |  WHERE c_custkey % 2 = 0
+        |), sized AS (
+        |  SELECT family, key FROM (
+        |    SELECT family, key, count(*) AS n FROM k GROUP BY family, key
+        |  ) WHERE n <= 1000
+        |), good AS (
+        |  SELECT k.family, k.key, k.url FROM k JOIN sized USING (family, key)
+        |)
+        |SELECT a.url AS url_a, b.url AS url_b,
+        |  array_to_string(list_sort(list(DISTINCT a.family)), ',') AS families,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM good a JOIN good b
+        |  ON a.family = b.family AND a.key = b.key AND a.url < b.url
+        |GROUP BY a.url, b.url""".stripMargin,
     // cluster-level metrics: the same contingency cells, whole-cluster
     // exact-match counts + unit-cost GMD (splits to the common
     // refinement, merges up to the truth).
@@ -4649,6 +4739,8 @@ object SparkEntry {
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),
+    "q_match_weight_hist" ->
+      fellegiSunterOracleSql(iters = 15, histogram = Some((-10, 10))),
     "q_supervised_weights" ->
       supervisedOracleSql(iters = 15, eta = 0.5, weightsOnly = true),
     "q_supervised_score" ->

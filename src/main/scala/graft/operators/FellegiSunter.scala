@@ -434,6 +434,45 @@ object FellegiSunter {
     * (the clerical-review band) / `non_link` (lr ≤ lowerLr). In production
     * the thresholds are chosen from target false-match/false-non-match
     * rates; here they are caller-supplied. Pure projection. */
+  /** Match-weight histogram — the Splink-style diagnostic view of a
+    * scored pair population: likelihood ratios binned by POWERS OF TWO
+    * (bin e covers [2ᵉ, 2ᵉ⁺¹); Splink's "match weight" axis is log₂(lr),
+    * so bin e IS match weight ⌊w⌋ = e). Binning is a when-chain of exact
+    * comparisons against 2ᵉ literals — every power of two is an exact
+    * double, so no log() enters the plan (a log-based floor would
+    * inherit libm rounding at bin boundaries) and the histogram is
+    * hash-reproducible. Sentinel bins catch the tails: minExp−1 = below
+    * 2^minExp (including lr = 0), maxExp = at or above 2^maxExp. Every
+    * bin emits a row (zero counts included — a gap in the weight
+    * distribution is exactly what the chart must show). One
+    * map-side-combinable groupBy over the scored frame; the bin chain is
+    * a codegen projection. Output: (bin_exp, lo, hi, n_pairs) with
+    * NULL lo/hi on the open tails. */
+  def matchWeightHistogram(scored: DataFrame, lrCol: String = "lr",
+      minExp: Int = -10, maxExp: Int = 10): DataFrame = {
+    require(minExp < maxExp, s"need minExp < maxExp, got $minExp/$maxExp")
+    require(minExp >= -1000 && maxExp <= 1000, "exponents must be sane")
+    def p2(e: Int): Double = math.pow(2.0, e) // exact for |e| <= 1022
+    // descending chain: first matching lower bound wins
+    val bin = (minExp until maxExp).reverse
+      .foldLeft(when(col(lrCol) >= p2(maxExp), lit(maxExp.toLong))) {
+        (acc, e) => acc.when(col(lrCol) >= p2(e), lit(e.toLong))
+      }
+      .otherwise(lit((minExp - 1).toLong))
+    val counts = scored.where(col(lrCol).isNotNull)
+      .select(bin.as("bin_exp"))
+      .groupBy(col("bin_exp")).agg(count(lit(1)).as("n_pairs"))
+    val allBins = scored.sparkSession
+      .range(minExp - 1L, maxExp + 1L).select(col("id").as("bin_exp"))
+    allBins.join(counts, Seq("bin_exp"), "left")
+      .select(col("bin_exp"),
+        when(col("bin_exp") >= minExp,
+          pow(lit(2.0), col("bin_exp").cast("double"))).as("lo"),
+        when(col("bin_exp") < maxExp,
+          pow(lit(2.0), (col("bin_exp") + 1).cast("double"))).as("hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   def classify(scored: DataFrame, upperLr: Double, lowerLr: Double,
       lrCol: String = "lr"): DataFrame = {
     require(lowerLr <= upperLr,

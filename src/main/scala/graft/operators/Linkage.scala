@@ -924,6 +924,38 @@ object Linkage {
           col("n_true_covered").cast("double") / col("n_true").cast("double")))
   }
 
+  /** Candidate-pair PROVENANCE across blocking key families — the audit
+    * answering "which scheme found this pair": given multi-family key
+    * assignments (family, key, url), emit each candidate pair once with
+    * the SORTED set of families that produced it and the number of
+    * (family, key) blocks it co-occurred in. The view that justifies
+    * keeping (or retiring) a blocking family: a family whose pairs are
+    * all co-covered elsewhere is pure cost.
+    *
+    * Per-(family, key) blocks over `bucketCap` are excluded (the cold
+    * tier's own rule — provenance describes the pairs the pipeline would
+    * actually generate); feed hot families through [[candidatePairs]]'
+    * salted tiers separately if their pairs matter. Shapes: one sizing
+    * groupBy + join-back, one equi-self-join per qualifying block, one
+    * pair-keyed groupBy whose collect_set is bounded by the family count
+    * (sorted and comma-joined — a flat string, pinned order,
+    * hash-reproducible and join-friendly downstream). */
+  def pairProvenance(keys: DataFrame, bucketCap: Int = 200,
+      familyCol: String = "family", keyCol: String = "key",
+      idCol: String = "url"): DataFrame = {
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    val sized = keys.groupBy(col(familyCol), col(keyCol))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= bucketCap)
+      .select(col(familyCol), col(keyCol))
+    val good = keys.join(sized, Seq(familyCol, keyCol))
+    val a = good.select(col(familyCol), col(keyCol), col(idCol).as("url_a"))
+    val b = good.select(col(familyCol), col(keyCol), col(idCol).as("url_b"))
+    a.join(b, Seq(familyCol, keyCol)).where(col("url_a") < col("url_b"))
+      .groupBy(col("url_a"), col("url_b"))
+      .agg(array_join(sort_array(collect_set(col(familyCol))), ",")
+        .as("families"), count(lit(1)).as("n_keys"))
+  }
+
   /** Pairs-completeness / reduction tradeoff CURVE over candidate bucket
     * caps — the capacity-planning sweep (Christen's PC/RR analysis) run
     * BEFORE committing to a cap: for each cap c,
