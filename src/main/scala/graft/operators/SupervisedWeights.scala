@@ -58,10 +58,19 @@ object SupervisedWeights {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(eta > 0, s"eta must be > 0, got $eta")
     val k = gammaCols.size
-    val cells = pairs
+    // 2^(k+1) is the largest legitimate cell count; cap the fetch ONE row
+    // above it so a continuous/high-cardinality column passed as a gamma
+    // fails loudly instead of collecting a corpus-sized frame
+    val maxCells = 1 << (k + 1)
+    val fetched = pairs
       .groupBy((gammaCols :+ labelCol).map(col): _*)
       .agg(count(lit(1)).as("__n"))
+      .limit(maxCells + 1)
       .collect()
+    require(fetched.length <= maxCells,
+      s"more than $maxCells (pattern, label) cells — gammas/label must " +
+        "be 0/1 (a non-binary column was passed as a gamma?)")
+    val cells = fetched
       .map { r =>
         val gs = Array.tabulate(k) { j =>
           require(!r.isNullAt(j),

@@ -118,6 +118,16 @@ class SupervisedWeightsSpec extends SparkFunSuite {
     assert(e2.getMessage.contains("0/1"))
   }
 
+  test("a high-cardinality column passed as a gamma fails before collect") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 2, 1L % 2, i % 2))
+      .toDF("g0", "g1", "g2", "t") // g0 continuous: 500 distinct cells
+    val e = intercept[IllegalArgumentException] {
+      SupervisedWeights.fit(df, Seq("g0", "g1", "g2"), "t")
+    }
+    assert(e.getMessage.contains("cells"))
+  }
+
   test("weightsFrame exposes the literal weights") {
     val rows = synth(5, 800)
     val m = SupervisedWeights.fit(toDf(rows), Seq("g0", "g1", "g2"), "t")
