@@ -62,9 +62,13 @@ object Evaluation {
       .agg(count(lit(1)).as("n"), sum(col("__t")).as("t"))
     // distributed cumulative (descending score): range partition + local
     // running sums + broadcast per-partition exclusive offsets
+    // two consumers (offset counts + the cumsum join) — cut the lineage
+    // so the pair scan + label join + score groupBy run ONCE, not twice
+    // (the adaptiveSortedNeighborhoodPairs discipline)
     val parts = perScore.repartitionByRange(p, col("score").desc)
       .sortWithinPartitions(col("score").desc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val counts = parts.groupBy(col("__pid"))
       .agg(sum(col("n")).as("__pn"), sum(col("t")).as("__pt"))
     val offsets = counts
@@ -73,8 +77,10 @@ object Evaluation {
       .withColumn("__ot", coalesce(sum(col("__pt")).over(
         W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__on"), col("__ot"))
-    val totals = flagged.agg(sum(col("__t")).as("__P"),
-      (count(lit(1)) - sum(col("__t"))).as("__N"))
+    // totals from the CELL-sized frame (exact integer sums — identical
+    // to folding the rows, without a second pass over the pair join)
+    val totals = parts.agg(sum(col("t")).as("__P"),
+      (sum(col("n")) - sum(col("t"))).as("__N"))
     parts.join(broadcast(offsets), "__pid")
       .withColumn("__cn", col("__on") + sum(col("n")).over(
         W.partitionBy("__pid").orderBy(col("score").desc)))
