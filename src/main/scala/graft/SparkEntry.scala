@@ -1196,6 +1196,21 @@ object SparkEntry {
           "source" -> "min", "n_chars" -> "max"))
     }),
 
+    // Source-trust survivorship: the prefer:<priorityCol> rule — each
+    // cluster's canonical text comes from its smallest-priority record
+    // (curated beats crawled), ties to the smallest value, null values
+    // never shadowing populated lower-trust ones. One min-combinable
+    // struct aggregate; the oracle replays it as an argmin window.
+    "q_golden_priority" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val records = d.select(col("doc_id").as("id"), col("text"),
+        length(col("source")).as("prio"))
+      val assignment = d.select(col("doc_id").as("id"),
+        (col("doc_id") % 89).as("component"))
+      graft.operators.Canonicalize.goldenRecords(records, assignment, "id",
+        rules = Seq("text" -> "prefer:prio"))
+    }),
+
     // Adjusted Rand Index (Hubert-Arabie): chance-corrected pair-counting
     // agreement between two partitions of the customers (nation vs
     // market segment) — integer sufficient statistics (decimal-folded
@@ -5296,6 +5311,25 @@ object SparkEntry {
         |FROM base b
         |LEFT JOIN longest l ON b.component = l.component
         |LEFT JOIN langmode m ON b.component = m.component""".stripMargin,
+    // prefer: rule — argmin window over (priority, value), null values
+    // excluded, mirroring min(struct(prio, v)) exactly.
+    "q_golden_priority" ->
+      """WITH j AS (
+        |  SELECT doc_id AS id, doc_id % 89 AS component, text,
+        |         CAST(length(source) AS BIGINT) AS prio
+        |  FROM documents
+        |), base AS (
+        |  SELECT component, min(id) AS id,
+        |         CAST(count(*) AS BIGINT) AS n_members
+        |  FROM j GROUP BY component
+        |), pref AS (
+        |  SELECT component, text FROM (
+        |    SELECT component, text, row_number() OVER (
+        |      PARTITION BY component ORDER BY prio, text) AS rn
+        |    FROM j WHERE text IS NOT NULL) WHERE rn = 1
+        |)
+        |SELECT b.component, b.id, b.n_members, p.text
+        |FROM base b LEFT JOIN pref p ON b.component = p.component""".stripMargin,
     // Adjusted Rand Index: contingency pair sums in HUGEINT (the s2_*
     // terms carry 2·ΣC(·,2), all even → // 2 exact), the cleared-fraction
     // formula, one CASTed double division.

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   *    (cluster×value counts, then a min-struct fold) — never a window,
   *    never a collect.
   *  - `min` / `max`: plain null-ignoring extrema.
+  *  - `prefer:<priorityCol>`: SOURCE-TRUST survivorship — the value from
+  *    the record with the smallest `<priorityCol>` (the MDM "source
+  *    priority" rule: a curated feed outranks a crawled one); ties
+  *    within a priority break to the smallest value. One
+  *    min-combinable struct aggregate `min(struct(priority, value))`,
+  *    null values excluded so an empty high-trust field never shadows a
+  *    populated lower-trust one. The priority column itself must be
+  *    non-null (struct ordering would sort a NULL priority FIRST —
+  *    i.e. silently most-trusted); map unknown sources to an explicit
+  *    sentinel rank before calling.
   *
   * The canonical id is always `min(idCol)` (matching the min-node-id root
   * convention of [[ConnectedComponents]]), and `n_members` counts the
@@ -47,10 +57,12 @@ object Canonicalize {
   def goldenRecords(records: DataFrame, assignment: DataFrame,
       idCol: String, clusterCol: String = "component",
       rules: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val bad = rules.collect { case (c, r) if !ValidRules(r) => s"$c:$r" }
+    val bad = rules.collect {
+      case (c, r) if !ValidRules(r) && !r.startsWith("prefer:") => s"$c:$r"
+    }
     require(bad.isEmpty,
       s"unknown survivorship rule(s) ${bad.mkString(", ")} — " +
-        s"valid: ${ValidRules.mkString("|")}")
+        s"valid: ${ValidRules.mkString("|")}|prefer:<priorityCol>")
 
     val joined = records.join(assignment.select(col(idCol), col(clusterCol)),
       idCol)
@@ -66,6 +78,11 @@ object Canonicalize {
           case (c, "longest") => longestAgg(c)
           case (c, "min")     => min(col(c)).as(c)
           case (c, "max")     => max(col(c)).as(c)
+          case (c, r) if r.startsWith("prefer:") =>
+            val pc = r.stripPrefix("prefer:")
+            min(when(col(c).isNotNull,
+              struct(col(pc).as("p"), col(c).as("v"))))
+              .getField("v").as(c)
         }
     val base = joined.groupBy(col(clusterCol))
       .agg(min(col(idCol)).as(idCol), aggCols: _*)

@@ -69,6 +69,24 @@ class CanonicalizeSpec extends SparkFunSuite {
     assert(r1 == r2)
   }
 
+  test("prefer: rule takes the smallest-priority value, null-safe") {
+    import spark.implicits._
+    val recs = Seq(
+      // cluster 1: curated (prio 1) has NULL value -> crawl (2) survives
+      (1L, null.asInstanceOf[String], 1L),
+      (2L, "crawl-name", 2L),
+      // cluster 2: priority tie -> smallest value; prio 1 beats longer
+      (10L, "zzz", 1L), (11L, "aaa", 1L), (12L, "much-longer-name", 2L))
+      .toDF("id", "name", "prio")
+    val asg = Seq(1L -> 100L, 2L -> 100L, 10L -> 200L, 11L -> 200L,
+      12L -> 200L).toDF("id", "component")
+    val g = Canonicalize.goldenRecords(recs, asg, "id",
+        rules = Seq("name" -> "prefer:prio"))
+      .orderBy("component").collect()
+    assert(g(0).getAs[String]("name") == "crawl-name")
+    assert(g(1).getAs[String]("name") == "aaa")
+  }
+
   test("unknown rule raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       Canonicalize.goldenRecords(records, assignment, "id",
