@@ -298,7 +298,8 @@ object SparkEntry {
       calibrate: Option[(Double, Double)] = None,
       uncertainK: Option[Int] = None,
       missingG2: Boolean = false,
-      histogram: Option[(Int, Int)] = None): String = {
+      histogram: Option[(Int, Int)] = None,
+      waterfall: Boolean = false): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
@@ -351,7 +352,20 @@ object SparkEntry {
       ctes += s"p$i AS (SELECT ${upd.mkString(", ")} FROM s$i CROSS JOIN tot)"
     }
     val (w, v) = wv("p", nullAware = missingG2)
-    if (withTf) {
+    if (waterfall) {
+      // per-field Bayes factors + prior odds: ONE division per fitted
+      // ratio over the EM-derived parameters — the identical IEEE
+      // operation the Scala side folds on the driver.
+      val bfs = (0 until k).map(j =>
+        s"""CASE WHEN g$j IS NULL THEN 1.0
+           |       WHEN g$j = 1 THEN p.m$j / p.u$j
+           |       ELSE (1.0 - p.m$j) / (1.0 - p.u$j) END AS bf_g$j""".stripMargin)
+        .mkString(",\n  ")
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT ka, kb, $gcols, p.lam / (1.0 - p.lam) AS prior_odds,
+         |  $bfs
+         |FROM pairs CROSS JOIN p$iters p""".stripMargin
+    } else if (withTf) {
       // value frequencies + the Winkler adjustment: lr * (u1 / tf) on
       // g1-agreeing pairs; everything stays DOUBLE end-to-end
       ctes += """tf AS (
@@ -459,6 +473,38 @@ object SparkEntry {
          |       ELSE 'possible' END AS decision
          |FROM (SELECT ka, kb, $gcols, $w AS w, $v AS v
          |      FROM pairs CROSS JOIN p$iters p)""".stripMargin
+  }
+
+  /** q_fs_estimate_u re-derivation: the sha256 sample fraction (rate
+    * 0.25 = exact binary literal, seed 11), all C(s,2) sample pairs,
+    * the three fsGamma comparisons, and per-field integer counts with
+    * ONE final division each. */
+  private def fsEstimateUOracle: String = {
+    val nibbles = shaPrefix32()
+    def uRow(g: String) =
+      s"""SELECT '$g' AS field, count($g) AS n_obs,
+         |  CAST(COALESCE(sum($g), 0) AS BIGINT) AS n_agree,
+         |  CAST(sum($g) AS DOUBLE) / CAST(count($g) AS DOUBLE) AS u
+         |FROM pairs""".stripMargin
+    s"""WITH h AS (
+       |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       |         sha256(CAST(c_custkey AS VARCHAR) || ':11') AS hx
+       |  FROM customer
+       |), samp AS (
+       |  SELECT * FROM h
+       |  WHERE CAST($nibbles AS DOUBLE) / 4294967296.0 < CAST('0.25' AS DOUBLE)
+       |), pairs AS (
+       |  SELECT
+       |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+       |         ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.95
+       |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
+       |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+       |         THEN 1 ELSE 0 END AS BIGINT) AS g1,
+       |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+       |         THEN 1 ELSE 0 END AS BIGINT) AS g2
+       |  FROM samp a JOIN samp b ON a.c_custkey < b.c_custkey
+       |)
+       |${uRow("g0")} UNION ALL ${uRow("g1")} UNION ALL ${uRow("g2")}""".stripMargin
   }
 
   /** Shared CTE chain of the two-corpus linkage oracle (customer vs
@@ -1446,6 +1492,40 @@ object SparkEntry {
       graft.operators.FellegiSunter.classify(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model),
         upperLr = 0.5, lowerLr = 0.1)
+    }),
+
+    // Splink-style waterfall: per-pair, per-field Bayes-factor
+    // decomposition of the fitted likelihood ratio (prior odds × one
+    // factor per comparison — the explain-this-match chart). The oracle
+    // re-runs the full 15-iteration EM and performs the SAME single
+    // division per fitted ratio, so every factor is hash-grade.
+    "q_fs_waterfall" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      graft.operators.FellegiSunter.waterfall(pairs, fsGammas, model)
+    }),
+
+    // Direct u-estimation from hash-sampled RANDOM pairs (Splink's
+    // estimate_u_using_random_sampling): u_j = agreement rate among
+    // pairs drawn without blocking — blocked pairs over-represent
+    // agreement, which is exactly what u must not measure. The sample is
+    // the replayable sha256 fraction (rate 0.25, seed 11), the pair set
+    // all C(s,2) sample pairs, and each u an integer-count ratio with
+    // one final division, so the oracle reproduces it bit-for-bit.
+    "q_fs_estimate_u" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val rp = graft.operators.FellegiSunter.randomPairs(
+        c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal")),
+        "c_custkey", rate = 0.25, seed = 11L)
+      val pairs = rp.select(
+        when(jaro_winkler_sim(col("c_name_a"), col("c_name_b")) >= 0.95, 1L)
+          .otherwise(0L).as("g0"),
+        when(col("c_mktsegment_a") === col("c_mktsegment_b"), 1L)
+          .otherwise(0L).as("g1"),
+        when(floor(col("c_acctbal_a") / 1000.0) ===
+          floor(col("c_acctbal_b") / 1000.0), 1L).otherwise(0L).as("g2"))
+      graft.operators.FellegiSunter.estimateUFrame(s, pairs, fsGammas)
     }),
 
     // Fit-once/score-many seam: fit, PERSIST the model (parquet), reload,
@@ -4752,6 +4832,8 @@ object SparkEntry {
         |LEFT JOIN cov v ON c.cap = v.cap
         |CROSS JOIN nt""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
+    "q_fs_waterfall" -> fellegiSunterOracleSql(iters = 15, waterfall = true),
+    "q_fs_estimate_u" -> fsEstimateUOracle,
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),
     "q_match_weight_hist" ->

@@ -142,6 +142,38 @@ object FellegiSunter {
       when(w === lit(0.0), lit(Double.NaN)).otherwise(lit(Double.PositiveInfinity)))
       .otherwise(w / v)
 
+  /** Per-pair, per-field match-weight decomposition — the data behind
+    * Splink's "waterfall chart", the explain-this-match view a clerical
+    * reviewer reads before trusting a link: `prior_odds` = λ/(1−λ)
+    * plus, per gamma column, the Bayes factor `bf_<col>` that field
+    * contributes to the likelihood ratio — m_j/u_j on agreement,
+    * (1−m_j)/(1−u_j) on disagreement, and exactly 1.0 when the gamma is
+    * NULL (an unobserved comparison carries no evidence, matching
+    * [[score]]'s missing-data treatment). By construction
+    * lr = prior_odds · Π_j bf_j, factor for factor.
+    *
+    * Every ratio is folded to a literal ONCE on the driver (a single
+    * IEEE division over the fitted parameters — the same operands an
+    * oracle that re-derives m/u divides, so the output is
+    * hash-reproducible), making the stage a pure codegen projection:
+    * zero per-row divisions, zero shuffle, scale cost = one pass over
+    * the pairs. A u_j of exactly 0.0 (perfectly separating evidence)
+    * folds to bf = +∞ on agreement, mirroring [[score]]'s lr semantics;
+    * m_j = 1.0 symmetrically sends the disagreement factor to 0.0. */
+  def waterfall(pairs: DataFrame, gammaCols: Seq[String],
+      model: Model): DataFrame = {
+    require(gammaCols.size == model.m.size,
+      s"model has ${model.m.size} fields, gammaCols has ${gammaCols.size}")
+    val bfCols = gammaCols.indices.map { j =>
+      when(col(gammaCols(j)).isNull, lit(1.0))
+        .when(col(gammaCols(j)) === 1, lit(model.m(j) / model.u(j)))
+        .otherwise(lit((1.0 - model.m(j)) / (1.0 - model.u(j))))
+        .as(s"bf_${gammaCols(j)}")
+    }
+    pairs.select(pairs.columns.map(col).toSeq ++
+      (lit(model.lambda / (1.0 - model.lambda)).as("prior_odds") +: bfCols): _*)
+  }
+
   /** Multi-level model (Splink-style comparison levels): field j takes
     * γ_j ∈ {0 … L_j−1} (0 = disagreement, higher = stronger agreement by
     * convention) with full per-level distributions m(j)(l) = P(γ_j = l |
@@ -501,5 +533,77 @@ object FellegiSunter {
       .withColumn("margin", abs(col(posteriorCol) - lit(0.5)))
       .orderBy(col("margin").asc +: tieCols.map(col(_).asc): _*)
       .limit(k)
+  }
+
+  /** Deterministic random-pair sampler for [[estimateU]] (the shape of
+    * Splink's `estimate_u_using_random_sampling`): hash-sample records
+    * at `rate` by the corpus-wide sha256 fraction ([[Sampling]]'s
+    * partition-independent, replayable family — adding data later never
+    * changes which existing records are sampled), then form all C(s,2)
+    * unordered pairs of the sample. Every input column comes back
+    * twice, suffixed `_a`/`_b`, with `idCol_a < idCol_b`.
+    *
+    * Quadratic IN THE SAMPLE by construction — that is the point: size
+    * `rate` so the sample is model-sized regardless of corpus size
+    * (10^12 records × rate 10⁻⁸ → 10⁴ records → ≤ 10⁸ pairs, constant
+    * as the corpus grows). The self-join is a cartesian over two
+    * sample-sized scans; the corpus is touched exactly once, by the
+    * sampling filter, which is a pure projection predicate. */
+  def randomPairs(records: DataFrame, idCol: String, rate: Double,
+      seed: Long = 0L): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
+    require(records.columns.contains(idCol), s"no column $idCol")
+    val s = records.where(Sampling.hashFraction(col(idCol), seed) < rate)
+    val a = s.toDF(s.columns.map(_ + "_a").toIndexedSeq: _*)
+    val b = s.toDF(s.columns.map(_ + "_b").toIndexedSeq: _*)
+    a.crossJoin(b).where(col(idCol + "_a") < col(idCol + "_b"))
+  }
+
+  /** Shared aggregate of [[estimateU]]/[[estimateUFrame]]: per gamma
+    * column, (non-null observations, agreement count, agreement rate).
+    * ONE map-side-combinable pass collapsing the pair frame to a single
+    * row — the collect is 2k values, model-sized. Each u_j is an
+    * integer count over an integer count with ONE final division, so
+    * the double is bit-reproducible by any engine replaying the same
+    * counts (the driver oracle does). */
+  private def uCounts(pairs: DataFrame,
+      gammaCols: Seq[String]): IndexedSeq[(String, Long, Long, Double)] = {
+    require(gammaCols.nonEmpty, "need at least one gamma column")
+    val aggs = gammaCols.flatMap { g =>
+      Seq(count(when(col(g).isNotNull, lit(1))).as(s"__n_$g"),
+        sum(when(col(g) === 1, lit(1L)).otherwise(lit(0L))).as(s"__a_$g"))
+    }
+    val r = pairs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    gammaCols.indices.map { j =>
+      val n = r.getAs[Number](2 * j).longValue()
+      require(n > 0, s"no non-null observations for ${gammaCols(j)} — " +
+        "raise the sampling rate")
+      val a = if (r.isNullAt(2 * j + 1)) 0L
+        else r.getAs[Number](2 * j + 1).longValue()
+      (gammaCols(j), n, a, a.toDouble / n.toDouble)
+    }.toIndexedSeq
+  }
+
+  /** Direct u-probability estimation (Splink's
+    * `estimate_u_using_random_sampling`): over effectively-random record
+    * pairs the match prevalence is ≈ |matches|/C(n,2) → 0 at corpus
+    * scale, so the per-field agreement rate among sampled pairs IS
+    * u_j = P(γ_j = 1 | non-match) to within sampling error — no EM, no
+    * labels, no blocking bias (blocked pairs over-represent agreement,
+    * which is exactly what u must not measure). Complements [[fit]]:
+    * estimate u here cheaply on [[randomPairs]] output, then let EM (or
+    * labeled data) pin down m and λ on the blocked pairs. NULL gammas
+    * are excluded per-column (missing comparisons carry no evidence),
+    * matching [[score]]'s null treatment. */
+  def estimateU(pairs: DataFrame, gammaCols: Seq[String]): IndexedSeq[Double] =
+    uCounts(pairs, gammaCols).map(_._4)
+
+  /** [[estimateU]] rendered as one row per field
+    * (field, n_obs, n_agree, u) — the report/persistence surface the
+    * driver gate hash-checks. */
+  def estimateUFrame(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame, gammaCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    uCounts(pairs, gammaCols).toDF("field", "n_obs", "n_agree", "u")
   }
 }

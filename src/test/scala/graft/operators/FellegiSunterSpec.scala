@@ -244,4 +244,69 @@ class FellegiSunterSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](
       FellegiSunter.score(planted, gs, FellegiSunter.Model(0.5, IndexedSeq(0.9), IndexedSeq(0.1))))
   }
+
+  test("waterfall: prior_odds times per-field factors reproduces lr exactly on every pair") {
+    val model = FellegiSunter.fit(planted, gs, iters = 15)
+    val scored = FellegiSunter.score(planted, gs, model)
+    val wf = FellegiSunter.waterfall(scored, gs, model)
+    val rows = wf.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rebuilt = gs.foldLeft(r.getAs[Double]("prior_odds")) { (acc, g) =>
+        acc * r.getAs[Double](s"bf_$g")
+      }
+      val lr = r.getAs[Double]("lr")
+      // same factors, possibly different multiply order -> tiny tolerance
+      assert(math.abs(rebuilt - lr) <= 1e-12 * math.max(1.0, lr.abs),
+        s"lr=$lr rebuilt=$rebuilt at $r")
+    }
+    // null gamma -> factor exactly 1.0
+    val withNull = planted.withColumn("g1",
+      when(col("id") % 3 === 0, col("g1")))
+    val wfn = FellegiSunter.waterfall(withNull, gs, model)
+    assert(wfn.where(col("g1").isNull && col("bf_g1") =!= 1.0).count() == 0)
+    intercept[IllegalArgumentException](
+      FellegiSunter.waterfall(planted, gs,
+        FellegiSunter.Model(0.5, IndexedSeq(0.9), IndexedSeq(0.1))))
+  }
+
+  test("randomPairs: deterministic hash sample, all C(s,2) pairs, id_a < id_b") {
+    import spark.implicits._
+    val recs = (1 to 200).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val rp = FellegiSunter.randomPairs(recs, "id", rate = 0.3, seed = 5L)
+    val got = rp.collect()
+    val sampled = got.flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).distinct.sorted
+    val s = sampled.length
+    assert(got.length == s * (s - 1) / 2, s"expected C($s,2), got ${got.length}")
+    assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(got.forall(r => r.getAs[String]("name_a") ==
+      s"name${r.getAs[Long]("id_a")}"))
+    // partition-independent replay
+    val again = FellegiSunter.randomPairs(recs.repartition(13), "id", 0.3, 5L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).sorted
+    assert(again.toSeq ==
+      got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).sorted.toSeq)
+    intercept[IllegalArgumentException](
+      FellegiSunter.randomPairs(recs, "id", rate = 0.0))
+  }
+
+  test("estimateU: per-field agreement rate, nulls excluded, exact count ratio") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 0L, Some(1L)), (1L, 1L, Some(0L)), (0L, 1L, None),
+      (1L, 0L, Some(1L)), (0L, 0L, Some(0L))
+    ).toDF("g0", "g1", "g2")
+    val u = FellegiSunter.estimateU(pairs, Seq("g0", "g1", "g2"))
+    assert(u == IndexedSeq(3.0 / 5.0, 2.0 / 5.0, 2.0 / 4.0))
+    val frame = FellegiSunter.estimateUFrame(spark, pairs, Seq("g2")).collect()
+    assert(frame.length == 1)
+    assert(frame(0).getAs[String]("field") == "g2" &&
+      frame(0).getAs[Long]("n_obs") == 4L &&
+      frame(0).getAs[Long]("n_agree") == 2L &&
+      frame(0).getAs[Double]("u") == 0.5)
+    // all-null column raises loudly instead of dividing by zero
+    val allNull = pairs.withColumn("g3", lit(null).cast("long"))
+    intercept[IllegalArgumentException](
+      FellegiSunter.estimateU(allNull, Seq("g3")))
+  }
 }
