@@ -5659,7 +5659,9 @@ object SparkEntry {
         |  END AS fowlkes_mallows,
         |  CASE WHEN v > 0 THEN
         |    sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(v AS DOUBLE)
-        |  END AS talburt_wang
+        |  END AS talburt_wang,
+        |  v - ca AS gmd_splits, v - cb AS gmd_merges,
+        |  2 * v - ca - cb AS gmd
         |FROM cells, sa, sb""".stripMargin,
     // Canopies: loose/tight pair CTEs, the SAME recursive greedy-MIS
     // rounds as q_pivot_clusters over the TIGHT graph, then removal-rank

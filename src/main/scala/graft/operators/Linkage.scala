@@ -1187,7 +1187,18 @@ object Linkage {
     * replaying the same integer inputs reproduces the doubles bit-exactly).
     * rand_index is null when n < 2 (no pairs to count); fowlkes_mallows
     * is null when either side has no intra-cluster pair (precision or
-    * recall undefined); talburt_wang is null only on an empty input. */
+    * recall undefined); talburt_wang is null only on an empty input.
+    *
+    * Also emits the unit-cost Generalized Merge Distance (Menestrina,
+    * Whang & Garcia-Molina, VLDB 2010) — the EDIT distance between the
+    * two partitions: transforming clusters→truth takes exactly
+    * `gmd_splits` = V − |A| splits (each cluster spanning k truth cells
+    * needs k−1 splits; Σ(k−1) = V − |A|) followed by
+    * `gmd_merges` = V − |B| merges (the V fragments then assemble into
+    * the |B| truth clusters), so `gmd` = 2V − |A| − |B|, all integer —
+    * 0 iff the partitions are identical. Unlike pair-counting metrics
+    * GMD is linear in clusters, not pairs, so it never saturates on a
+    * singleton-heavy corpus. */
   def partitionAgreementStats(assignments: DataFrame,
       clusterCol: String = "cluster_id",
       truthCol: String = "truth_id"): DataFrame = {
@@ -1220,7 +1231,10 @@ object Linkage {
               (col("s2_b") / 2).cast("double"))).as("fowlkes_mallows"),
         when(col("v") > 0,
           sqrt(col("ca").cast("double") * col("cb").cast("double")) /
-            col("v").cast("double")).as("talburt_wang"))
+            col("v").cast("double")).as("talburt_wang"),
+        (col("v") - col("ca")).as("gmd_splits"),
+        (col("v") - col("cb")).as("gmd_merges"),
+        (lit(2L) * col("v") - col("ca") - col("cb")).as("gmd"))
   }
 
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true

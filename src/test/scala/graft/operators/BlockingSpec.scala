@@ -212,6 +212,8 @@ class BlockingSpec extends SparkFunSuite {
     // (A,y)=1, (B,y)=2 → tp = 1+0+1 = 2, tp+fp = C(3,2)+C(2,2) = 4,
     // tp+fn = C(2,2)+C(3,2) = 4, C(5,2) = 10 → fp = fn = 2, tn = 4,
     // Rand = 6/10, FM = 2/sqrt(16) = 0.5, TW = sqrt(2·2)/3 = 2/3.
+    // GMD: split A into {1,2}{3} (1 split), merge {3} into {4,5}
+    // (1 merge) → splits = V−|A| = 1, merges = V−|B| = 1, gmd = 2.
     val asg = Seq(
       (1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y"),
       (4L, "B", "y"), (5L, "B", "y"))
@@ -224,12 +226,21 @@ class BlockingSpec extends SparkFunSuite {
     assert(r.getDouble(8) == 0.6)
     assert(r.getDouble(9) == 0.5)
     assert(r.getDouble(10) == 2.0 / 3.0)
-    // identical partitions → all three indexes 1.0
+    assert(r.getAs[Long]("gmd_splits") == 1L &&
+      r.getAs[Long]("gmd_merges") == 1L && r.getAs[Long]("gmd") == 2L)
+    // identical partitions → all three indexes 1.0, edit distance 0
     val perfect = Seq((1L, "A", "x"), (2L, "A", "x"), (3L, "B", "y"))
       .toDF("id", "cluster_id", "truth_id")
     val p = Linkage.partitionAgreementStats(perfect).collect().head
     assert(p.getDouble(8) == 1.0 && p.getDouble(9) == 1.0 &&
       p.getDouble(10) == 1.0)
+    assert(p.getAs[Long]("gmd") == 0L)
+    // pure refinement (clusters split truth): only merges, no splits
+    val refined = Seq((1L, "A", "x"), (2L, "B", "x"), (3L, "C", "y"))
+      .toDF("id", "cluster_id", "truth_id")
+    val rf = Linkage.partitionAgreementStats(refined).collect().head
+    assert(rf.getAs[Long]("gmd_splits") == 0L &&
+      rf.getAs[Long]("gmd_merges") == 1L && rf.getAs[Long]("gmd") == 1L)
     // all singletons both sides: no intra pairs → FM null, Rand = 1
     // (every pair truly negative), TW = sqrt(n·n)/n = 1
     val triv = Seq((1L, "A", "x"), (2L, "B", "y"))
