@@ -1242,6 +1242,30 @@ object SparkEntry {
           "source" -> "min", "n_chars" -> "max"))
     }),
 
+    // Incremental golden-record maintenance: previous canonical frame
+    // built WITHOUT the batch (doc_id % 64 == 0 held out), then
+    // goldenRecordsIncremental folds the batch in by recomputing only
+    // the 1-in-4 touched clusters (component = doc_id/16) and keeping
+    // the other golden rows verbatim. Hash-checked against a FULL
+    // re-derivation over the whole corpus: incremental is a cost
+    // refactoring, not new semantics.
+    "q_golden_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val records = d.select(col("doc_id").as("id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      def asgOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").as("id"),
+          floor(col("doc_id") / 16).cast("long").as("component"))
+      val rules = Seq("text" -> "longest", "lang" -> "mode",
+        "source" -> "min", "n_chars" -> "max")
+      val oldDocs = d.where(pmod(col("doc_id"), lit(64)) =!= 0)
+      val prev = graft.operators.Canonicalize.goldenRecords(
+        records.where(pmod(col("id"), lit(64)) =!= 0), asgOf(oldDocs), "id",
+        rules = rules)
+      graft.operators.Canonicalize.goldenRecordsIncremental(prev,
+        asgOf(oldDocs), asgOf(d), records, "id", rules = rules)
+    }),
+
     // Source-trust survivorship: the prefer:<priorityCol> rule — each
     // cluster's canonical text comes from its smallest-priority record
     // (curated beats crawled), ties to the smallest value, null values
@@ -5367,6 +5391,38 @@ object SparkEntry {
     "q_golden_records" ->
       """WITH j AS (
         |  SELECT doc_id AS id, doc_id % 89 AS component, text, lang,
+        |         source, n_chars
+        |  FROM documents
+        |), base AS (
+        |  SELECT component, min(id) AS id, count(*) AS n_members,
+        |         min(source) AS source, max(n_chars) AS n_chars
+        |  FROM j GROUP BY component
+        |), longest AS (
+        |  SELECT component, text FROM (
+        |    SELECT component, text, row_number() OVER (
+        |      PARTITION BY component
+        |      ORDER BY length(text) DESC, text) AS rn
+        |    FROM j WHERE text IS NOT NULL) WHERE rn = 1
+        |), langcnt AS (
+        |  SELECT component, lang, count(*) AS cnt FROM j
+        |  WHERE lang IS NOT NULL GROUP BY component, lang
+        |), langmode AS (
+        |  SELECT component, lang FROM (
+        |    SELECT component, lang, row_number() OVER (
+        |      PARTITION BY component ORDER BY cnt DESC, lang) AS rn
+        |    FROM langcnt) WHERE rn = 1
+        |)
+        |SELECT b.component, b.id, b.n_members, l.text, m.lang, b.source,
+        |       b.n_chars
+        |FROM base b
+        |LEFT JOIN longest l ON b.component = l.component
+        |LEFT JOIN langmode m ON b.component = m.component""".stripMargin,
+    // incremental ≡ full: the oracle re-derives golden records over the
+    // WHOLE corpus at component = doc_id // 16 — same CTE shape as
+    // q_golden_records.
+    "q_golden_incremental" ->
+      """WITH j AS (
+        |  SELECT doc_id AS id, doc_id // 16 AS component, text, lang,
         |         source, n_chars
         |  FROM documents
         |), base AS (

@@ -100,4 +100,75 @@ object Canonicalize {
       acc.join(m, Seq(clusterCol), "left")
     }
   }
+
+  /** Incremental golden-record maintenance — the continuous-crawl seam
+    * that completes the incremental chain ([[Dedup.bandIndex]] makes
+    * candidate generation incremental, [[ConnectedComponents.addEdges]]
+    * makes clustering incremental; this makes the LAST stage
+    * incremental): given the previous canonical frame and the old/new
+    * cluster assignments, recompute ONLY the clusters whose membership
+    * changed and keep every other golden row verbatim.
+    *
+    * Dirty-set derivation (handles new records, moves, merges, splits,
+    * AND deletions in one shape): an id whose (id → cluster) mapping
+    * changed — including appearing or disappearing — marks its OLD
+    * cluster stale; every surviving member of a stale old cluster drags
+    * its NEW cluster into the recompute set (a cluster that lost a
+    * member must be rebuilt even though its remaining members never
+    * moved). No cascade beyond that one hop is possible: recomputation
+    * reads each dirty cluster's FULL membership from the new
+    * assignment, so it is exact regardless of how many ids arrived.
+    *
+    * Equivalence contract (spec-pinned and gate-checked): if
+    * `previousGolden` == `goldenRecords(oldRecords, oldAssignment, …)`
+    * with the SAME rules, the result is bit-identical to
+    * `goldenRecords(records, newAssignment, …)` — incremental is a cost
+    * refactoring, not new semantics. Cluster ids must be stable for
+    * untouched components (the min-member-id convention of
+    * [[ConnectedComponents]] guarantees this).
+    *
+    * Scale shape: change detection is ONE id-keyed full-outer join of
+    * the two assignments (both sides shuffle on the id they are already
+    * keyed by); everything downstream — the two semi-joins, the anti-
+    * join, and the [[goldenRecords]] recompute — is proportional to the
+    * records of TOUCHED clusters, not the corpus. A daily batch over a
+    * 10^12-record corpus costs the batch's neighborhood, not a full
+    * canonicalization.
+    *
+    * @param previousGolden output of [[goldenRecords]] on the old state
+    *                       (same `rules`, same `clusterCol`/`idCol`)
+    * @param oldAssignment  (idCol, clusterCol) the previous frame was
+    *                       built from
+    * @param newAssignment  (idCol, clusterCol) after folding the batch in
+    * @param records        CURRENT records (must cover every id in
+    *                       `newAssignment`; deleted ids simply absent)
+    */
+  def goldenRecordsIncremental(previousGolden: DataFrame,
+      oldAssignment: DataFrame, newAssignment: DataFrame,
+      records: DataFrame, idCol: String, clusterCol: String = "component",
+      rules: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val oldA = oldAssignment.select(col(idCol).as("__id"),
+      col(clusterCol).as("__oc"))
+    val newA = newAssignment.select(col(idCol).as("__id"),
+      col(clusterCol).as("__nc"))
+    val changed = oldA.join(newA, Seq("__id"), "full_outer")
+      .where(col("__oc").isNull || col("__nc").isNull ||
+        col("__oc") =!= col("__nc"))
+    val staleOld = changed.where(col("__oc").isNotNull)
+      .select(col("__oc")).distinct()
+    // new clusters to rebuild: those holding a changed id, plus those
+    // holding any surviving member of a stale old cluster
+    val dirtyNew = changed.where(col("__nc").isNotNull)
+      .select(col("__nc").as("__c"))
+      .union(oldA.join(staleOld, Seq("__oc"), "left_semi")
+        .join(newA, Seq("__id")).select(col("__nc").as("__c")))
+      .distinct()
+    val dropKeys = staleOld.select(col("__oc").as(clusterCol))
+      .union(dirtyNew.select(col("__c").as(clusterCol))).distinct()
+    val kept = previousGolden.join(dropKeys, Seq(clusterCol), "left_anti")
+    val dirtyAsg = newAssignment.join(
+      dirtyNew.select(col("__c").as(clusterCol)), Seq(clusterCol),
+      "left_semi")
+    kept.unionByName(goldenRecords(records, dirtyAsg, idCol, clusterCol, rules))
+  }
 }

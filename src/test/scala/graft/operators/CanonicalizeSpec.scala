@@ -94,4 +94,63 @@ class CanonicalizeSpec extends SparkFunSuite {
     }
     assert(e.getMessage.contains("name:median"))
   }
+
+  test("incremental == full re-run across new ids, merges, splits, and deletions") {
+    val rules = Seq("name" -> "longest", "seg" -> "mode", "bal" -> "max")
+    def full(recs: org.apache.spark.sql.DataFrame,
+        asg: org.apache.spark.sql.DataFrame) =
+      Canonicalize.goldenRecords(recs, asg, "id", rules = rules)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("component").collect().map(_.toSeq).toSeq
+
+    // old state: clusters 10 = {1,2,3}, 20 = {4,5}, 30 = {7}, 40 = {8,9}
+    val oldRecs = Seq(
+      (1L, "anne", "AUTO", Some(5.0)), (2L, "annie", "AUTO", None),
+      (3L, "annia", "BIKE", Some(3.0)), (4L, null, "CARS", Some(9.0)),
+      (5L, null, "BIKE", Some(7.0)), (7L, "solo", "SOLO", Some(1.0)),
+      (8L, "left", "PAIR", Some(2.0)), (9L, "right", "PAIR", Some(4.0)))
+      .toDF("id", "name", "seg", "bal")
+    val oldAsg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (7L, 30L), (8L, 40L), (9L, 40L)).toDF("id", "component")
+    val prev = full(oldRecs, oldAsg)
+
+    // new state, exercising every transition at once:
+    //  - new id 11 joins cluster 10 (grow)
+    //  - clusters 20 and 30 merge into 20 (merge)
+    //  - cluster 40 splits: 9 moves out to new singleton 90 (split)
+    //  - id 3 deleted from the corpus (delete)
+    //  - NO change to nothing... cluster 10 changes, so add untouched
+    //    cluster 50 = {12,13} present in both states verbatim
+    val oldRecs2 = oldRecs.union(
+      Seq((12L, "calm", "SAME", Some(6.0)), (13L, "calmer", "SAME", None))
+        .toDF("id", "name", "seg", "bal"))
+    val oldAsg2 = oldAsg.union(Seq((12L, 50L), (13L, 50L)).toDF("id", "component"))
+    val prev2 = full(oldRecs2, oldAsg2)
+    val newRecs = oldRecs2.where($"id" =!= 3L).union(
+      Seq((11L, "annabelle", "AUTO", Some(8.0)))
+        .toDF("id", "name", "seg", "bal"))
+    val newAsg = Seq((1L, 10L), (2L, 10L), (11L, 10L),
+      (4L, 20L), (5L, 20L), (7L, 20L),
+      (8L, 40L), (9L, 90L), (12L, 50L), (13L, 50L)).toDF("id", "component")
+
+    val inc = Canonicalize.goldenRecordsIncremental(prev2, oldAsg2, newAsg,
+      newRecs, "id", rules = rules)
+    assert(sortedRows(inc) == sortedRows(full(newRecs, newAsg)))
+    // the untouched cluster must come from the KEPT path, not recompute:
+    // feed a poisoned previousGolden and check the poison survives only
+    // for cluster 50
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val poisoned = prev2.withColumn("name",
+      when(col("component") === 50L, lit("POISON")).otherwise(col("name")))
+    val incP = Canonicalize.goldenRecordsIncremental(poisoned, oldAsg2,
+      newAsg, newRecs, "id", rules = rules)
+    val p50 = incP.where(col("component") === 50L).collect()
+    assert(p50.length == 1 && p50(0).getAs[String]("name") == "POISON")
+    assert(incP.where(col("component") =!= 50L && col("name") === "POISON")
+      .count() == 0)
+    // no-op batch: identical assignments → previousGolden verbatim
+    val noop = Canonicalize.goldenRecordsIncremental(prev2, oldAsg2, oldAsg2,
+      oldRecs2, "id", rules = rules)
+    assert(sortedRows(noop) == sortedRows(prev2))
+  }
 }
