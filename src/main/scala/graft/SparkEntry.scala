@@ -1875,6 +1875,35 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
+    // Weakest-link review queue: for every cluster of the
+    // q_connected_components world, the lowest-scoring intra-cluster
+    // edge (argmin with pinned ties) plus the intra-edge count — the
+    // first split a reviewer probes when transitive chaining is
+    // suspected. Oracle: the same recursive-CTE CC plus an argmin
+    // window over the scored edges.
+    "q_weakest_links" -> ((s, dir) => {
+      val scored = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka"), col("kb"),
+          levenshtein_sim(col("na"), col("nb")).as("score"))
+      val asg = graft.operators.ConnectedComponents.run(
+        scored.select(col("ka"), col("kb")))
+      graft.operators.Linkage.weakestLinks(scored, asg, "id",
+        clusterCol = "component")
+    }),
+
+    // Evidence-based prior: λ estimated from a deterministic
+    // high-precision rule (name-suffix equality, assumed recall 0.8) —
+    // rule pairs are COUNTED via one groupBy (Σ C(g,2), decimal-exact),
+    // never materialized, then λ = pairs / (recall · C(n,2)) with
+    // pinned division order.
+    "q_fs_estimate_lambda" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.FellegiSunter.estimateLambdaFrame(s, c,
+        substring(col("c_name"), 16, 3), recall = 0.8)
+    }),
+
     // Dynamic blocking (hierarchical key extension): over-cap blocks
     // split by the next key part instead of being dropped/salted. cap=100
     // makes the settle depth DATA-DEPENDENT: at sf0.01 segment:nation
@@ -5560,6 +5589,62 @@ object SparkEntry {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
         |)
         |SELECT id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+    // same recursive CC walk + an argmin window over the scored edges;
+    // every scored edge is intra-cluster by construction (CC ran on
+    // exactly these edges), which the join re-proves rather than assumes.
+    "q_weakest_links" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |    ${levSimSql("a.c_name", "b.c_name")} AS s
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), edges AS (
+        |  SELECT ka AS u, kb AS v FROM pairs
+        |  UNION ALL SELECT kb, ka FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT u AS id FROM edges
+        |), walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM walk GROUP BY id
+        |), intra AS (
+        |  SELECT ca.component AS component, p.ka, p.kb, p.s
+        |  FROM pairs p
+        |  JOIN comp ca ON p.ka = ca.id
+        |  JOIN comp cb ON p.kb = cb.id
+        |  WHERE ca.component = cb.component
+        |), agg AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM intra GROUP BY component
+        |), weak AS (
+        |  SELECT component, ka AS weak_ia, kb AS weak_ib, s AS weak_score
+        |  FROM (SELECT component, ka, kb, s, row_number() OVER (
+        |          PARTITION BY component ORDER BY s, ka, kb) AS rn
+        |        FROM intra) WHERE rn = 1
+        |)
+        |SELECT a.component, a.n_edges, w.weak_ia, w.weak_ib, w.weak_score
+        |FROM agg a JOIN weak w ON a.component = w.component""".stripMargin,
+    // rule pair count Σ C(g,2) over the suffix key, then the pinned
+    // λ division: pairs / (recall · (n·(n−1)/2)).
+    "q_fs_estimate_lambda" ->
+      """WITH g AS (
+        |  SELECT substring(c_name, 16, 3) AS k, CAST(count(*) AS HUGEINT) AS n
+        |  FROM customer WHERE substring(c_name, 16, 3) IS NOT NULL
+        |  GROUP BY 1
+        |), np AS (
+        |  SELECT CAST(COALESCE(sum(n * (n - 1)), 0) // 2 AS BIGINT)
+        |    AS n_rule_pairs FROM g
+        |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM customer)
+        |SELECT n_records, n_rule_pairs, CAST('0.8' AS DOUBLE) AS recall,
+        |  CAST(n_rule_pairs AS DOUBLE) /
+        |    (CAST('0.8' AS DOUBLE) *
+        |     (CAST(n_records AS DOUBLE) * CAST(n_records - 1 AS DOUBLE) / 2.0))
+        |    AS lambda_est
+        |FROM nt, np""".stripMargin,
     // Dynamic blocking: three sizing CTEs (one per depth), coarsest
     // fitting depth wins, never-fitting records excluded.
     "q_dynamic_block" ->

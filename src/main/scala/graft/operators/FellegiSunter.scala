@@ -606,4 +606,41 @@ object FellegiSunter {
     import spark.implicits._
     uCounts(pairs, gammaCols).toDF("field", "n_obs", "n_agree", "u")
   }
+
+  /** Prior (λ) estimation from a deterministic rule (the shape of
+    * Splink's `estimate_probability_two_random_records_match`): a
+    * high-precision rule key links n_rule_pairs = Σ_g C(|g|, 2) pairs
+    * (records sharing a non-null key value); if the rule catches
+    * `recall` of all true matches, λ ≈ n_rule_pairs / (recall · C(n,2)).
+    * EM can then start from (or hold fixed) an evidence-based prior
+    * instead of the symmetric 0.5 — on corpora where matches are
+    * ~10⁻⁹ of pairs, the difference decides whether EM converges to the
+    * match/non-match split at all.
+    *
+    * The rule pair count comes from ONE map-side-combinable groupBy over
+    * the key — the pairs are COUNTED (decimal-exact, overflow-safe past
+    * 3e9-record groups), never materialized, so the estimate costs two
+    * aggregate passes regardless of how hot the rule key is. Output is
+    * one row (n_records, n_rule_pairs, recall, lambda_est) with the
+    * division-order pinned (count / (recall · (n·(n−1)/2))) so a
+    * replaying oracle reproduces the double bit-for-bit. */
+  def estimateLambdaFrame(spark: org.apache.spark.sql.SparkSession,
+      records: DataFrame, ruleKey: Column, recall: Double): DataFrame = {
+    require(recall > 0.0 && recall <= 1.0,
+      s"recall must be in (0,1], got $recall")
+    val dec = "decimal(38,0)"
+    val n = records.count()
+    require(n >= 2, s"need at least 2 records, got $n")
+    val np = records.select(ruleKey.as("__k")).where(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__g"))
+      .agg(coalesce(sum(col("__g").cast(dec) * (col("__g").cast(dec) - 1)),
+        lit(0).cast(dec)).as("__p2"))
+      .select((col("__p2") / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val lambda = np.toDouble /
+      (recall * (n.toDouble * (n - 1).toDouble / 2.0))
+    import spark.implicits._
+    Seq((n, np, recall, lambda))
+      .toDF("n_records", "n_rule_pairs", "recall", "lambda_est")
+  }
 }

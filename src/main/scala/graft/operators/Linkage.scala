@@ -1237,6 +1237,42 @@ object Linkage {
         (lit(2L) * col("v") - col("ca") - col("cb")).as("gmd"))
   }
 
+  /** Weakest intra-cluster match edge per entity cluster — the
+    * chain-break review queue: transitive clustering merges a~b~c even
+    * when a~c never scored, so if a cluster is over-merged the culprit
+    * is usually its lowest-scoring edge; this ranks WHERE to look
+    * (complementing [[ClusterRepair]], which applies the reviewer's
+    * verdicts once they've looked). One row per cluster with ≥ 1
+    * intra-cluster edge: (clusterCol, n_edges, weak_ia, weak_ib,
+    * weak_score) — the argmin edge, ties pinned to the smallest
+    * (ia, ib), so the queue is deterministic and
+    * partitioning-independent.
+    *
+    * Scale shape: two id-keyed equi-joins hang the cluster id on each
+    * edge endpoint, then ONE min-combinable struct aggregate — no
+    * window, no pair rematerialization; cost ∝ scored edges. */
+  def weakestLinks(scored: DataFrame, assignment: DataFrame,
+      idCol: String, clusterCol: String = "component",
+      iaCol: String = "ka", ibCol: String = "kb",
+      scoreCol: String = "score"): DataFrame = {
+    val a1 = assignment.select(col(idCol).as("__wia"),
+      col(clusterCol).as("__wca"))
+    val a2 = assignment.select(col(idCol).as("__wib"),
+      col(clusterCol).as("__wcb"))
+    scored.select(col(iaCol).as("__wia"), col(ibCol).as("__wib"),
+        col(scoreCol).as("__ws"))
+      .join(a1, "__wia").join(a2, "__wib")
+      .where(col("__wca") === col("__wcb"))
+      .groupBy(col("__wca"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(struct(col("__ws").as("s"), col("__wia").as("a"),
+          col("__wib").as("b"))).as("__w"))
+      .select(col("__wca").as(clusterCol), col("n_edges"),
+        col("__w").getField("a").as("weak_ia"),
+        col("__w").getField("b").as("weak_ib"),
+        col("__w").getField("s").as("weak_score"))
+  }
+
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
     * pairs, both restricted to candidate pairs (= pairs sharing a blocking
     * key, per BASELINE.json:2,14). */

@@ -257,6 +257,29 @@ class BlockingSpec extends SparkFunSuite {
     assert(a2 == b2)
   }
 
+  test("weakestLinks: argmin intra-cluster edge per cluster, pinned ties, cross edges dropped") {
+    import spark.implicits._
+    // cluster A = {1,2,3} chained 1-2 (0.9), 2-3 (0.6); cluster B = {4,5}
+    // edge 0.8; a cross edge 3-4 (0.1) must not count anywhere; a tie in
+    // B' = {6,7,8}: edges (6,7) and (6,8) both 0.5 → (6,7) wins.
+    val scored = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.6), (4L, 5L, 0.8), (3L, 4L, 0.1),
+      (6L, 7L, 0.5), (6L, 8L, 0.5))
+      .toDF("ka", "kb", "score")
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 6L), (8L, 6L)).toDF("id", "component")
+    val got = Linkage.weakestLinks(scored, asg, "id")
+      .orderBy("component").collect()
+    assert(got.length == 3)
+    assert(got(0).toSeq == Seq(1L, 2L, 2L, 3L, 0.6))
+    assert(got(1).toSeq == Seq(4L, 1L, 4L, 5L, 0.8))
+    assert(got(2).toSeq == Seq(6L, 2L, 6L, 7L, 0.5))
+    // partitioning-independent
+    val again = Linkage.weakestLinks(scored.repartition(5), asg.repartition(3),
+      "id").orderBy("component").collect().map(_.toSeq).toSeq
+    assert(again == got.map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------------------- cluster diff
 
   test("clusterDiff classifies stable / merge / split / reshuffle cells") {

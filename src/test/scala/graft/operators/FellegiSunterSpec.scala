@@ -309,4 +309,25 @@ class FellegiSunterSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](
       FellegiSunter.estimateU(allNull, Seq("g3")))
   }
+
+  test("estimateLambdaFrame: rule pairs counted per key, null keys out, pinned division") {
+    import spark.implicits._
+    // keys: a×3 (3 pairs), b×2 (1 pair), one null → 4 rule pairs over
+    // n = 6 records; recall 0.5 → λ = 4 / (0.5 · 15)
+    val recs = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("b"),
+      None).toDF("k")
+    val got = FellegiSunter.estimateLambdaFrame(spark, recs, col("k"), 0.5)
+      .collect().head
+    assert(got.getAs[Long]("n_records") == 6L)
+    assert(got.getAs[Long]("n_rule_pairs") == 4L)
+    assert(got.getAs[Double]("lambda_est") == 4.0 / (0.5 * (6.0 * 5.0 / 2.0)))
+    // no key collisions at all → λ = 0, not an error
+    val uniq = Seq("x", "y", "z").toDF("k")
+    assert(FellegiSunter.estimateLambdaFrame(spark, uniq, col("k"), 1.0)
+      .collect().head.getAs[Double]("lambda_est") == 0.0)
+    intercept[IllegalArgumentException](
+      FellegiSunter.estimateLambdaFrame(spark, recs, col("k"), 0.0))
+    intercept[IllegalArgumentException](
+      FellegiSunter.estimateLambdaFrame(spark, Seq("x").toDF("k"), col("k"), 1.0))
+  }
 }
