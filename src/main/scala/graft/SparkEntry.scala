@@ -299,7 +299,8 @@ object SparkEntry {
       uncertainK: Option[Int] = None,
       missingG2: Boolean = false,
       histogram: Option[(Int, Int)] = None,
-      waterfall: Boolean = false): String = {
+      waterfall: Boolean = false,
+      patternTable: Boolean = false): String = {
     val k = fsGammas.size
     val gcols = fsGammas.mkString(", ")
     def fold(expr: String) =
@@ -352,7 +353,16 @@ object SparkEntry {
       ctes += s"p$i AS (SELECT ${upd.mkString(", ")} FROM s$i CROSS JOIN tot)"
     }
     val (w, v) = wv("p", nullAware = missingG2)
-    if (waterfall) {
+    if (patternTable) {
+      // pattern counts re-scored: the pats CTE already holds n as an
+      // exact DOUBLE count; cast back to BIGINT and apply the same
+      // scoring projection.
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT $gcols, CAST(n AS BIGINT) AS n_pairs,
+         |  w / (w + v) AS posterior, w / v AS lr
+         |FROM (SELECT $gcols, n, $w AS w, $v AS v
+         |      FROM pats CROSS JOIN p$iters p)""".stripMargin
+    } else if (waterfall) {
       // per-field Bayes factors + prior odds: ONE division per fitted
       // ratio over the EM-derived parameters — the identical IEEE
       // operation the Scala side folds on the driver.
@@ -1516,6 +1526,15 @@ object SparkEntry {
       graft.operators.FellegiSunter.classify(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model),
         upperLr = 0.5, lowerLr = 0.1)
+    }),
+
+    // Pattern audit table: the whole pair corpus collapsed to its ≤ 2^k
+    // comparison patterns, each with its count and fitted posterior/lr —
+    // the model-sanity view read before trusting per-pair scores.
+    "q_fs_pattern_table" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      graft.operators.FellegiSunter.patternTable(pairs, fsGammas, model)
     }),
 
     // Splink-style waterfall: per-pair, per-field Bayes-factor
@@ -4886,6 +4905,8 @@ object SparkEntry {
         |CROSS JOIN nt""".stripMargin,
     "q_fellegi_sunter" -> fellegiSunterOracleSql(iters = 15),
     "q_fs_waterfall" -> fellegiSunterOracleSql(iters = 15, waterfall = true),
+    "q_fs_pattern_table" ->
+      fellegiSunterOracleSql(iters = 15, patternTable = true),
     "q_fs_estimate_u" -> fsEstimateUOracle,
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),

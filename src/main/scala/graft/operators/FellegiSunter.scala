@@ -174,6 +174,20 @@ object FellegiSunter {
       (lit(model.lambda / (1.0 - model.lambda)).as("prior_odds") +: bfCols): _*)
   }
 
+  /** Pattern summary table — the model-audit view a reviewer reads
+    * BEFORE trusting per-pair scores: one row per observed comparison
+    * pattern with its pair count and fitted posterior / likelihood
+    * ratio. Every decision the model can make is visible in ≤ 2^k rows
+    * (NULL gammas group like any other level and score evidence-free,
+    * matching [[score]]). ONE map-side-combinable groupBy collapses the
+    * pair corpus to the pattern counts; scoring them is the same
+    * literal-folded projection as [[score]] over a model-sized frame —
+    * auditing the model costs (amortized) nothing at any corpus size. */
+  def patternTable(pairs: DataFrame, gammaCols: Seq[String],
+      model: Model): DataFrame =
+    score(pairs.groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs")), gammaCols, model)
+
   /** Multi-level model (Splink-style comparison levels): field j takes
     * γ_j ∈ {0 … L_j−1} (0 = disagreement, higher = stronger agreement by
     * convention) with full per-level distributions m(j)(l) = P(γ_j = l |

@@ -310,6 +310,24 @@ class FellegiSunterSpec extends SparkFunSuite {
       FellegiSunter.estimateU(allNull, Seq("g3")))
   }
 
+  test("patternTable: one row per pattern, counts sum to pairs, scores match score()") {
+    val model = FellegiSunter.fit(planted, gs, iters = 15)
+    val pt = FellegiSunter.patternTable(planted, gs, model).collect()
+    assert(pt.length <= 8 && pt.nonEmpty)
+    assert(pt.map(_.getAs[Long]("n_pairs")).sum == planted.count())
+    // each pattern row scores identically to a pair with those gammas
+    val scored = FellegiSunter.score(planted, gs, model)
+      .select(col("g0"), col("g1"), col("g2"), col("posterior"), col("lr"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    pt.foreach { r =>
+      val k = (r.getAs[Long]("g0"), r.getAs[Long]("g1"), r.getAs[Long]("g2"))
+      assert(scored(k) ==
+        (r.getAs[Double]("posterior"), r.getAs[Double]("lr")), s"at $k")
+    }
+  }
+
   test("estimateLambdaFrame: rule pairs counted per key, null keys out, pinned division") {
     import spark.implicits._
     // keys: a×3 (3 pairs), b×2 (1 pair), one null → 4 rule pairs over
