@@ -1252,6 +1252,24 @@ object SparkEntry {
           "source" -> "min", "n_chars" -> "max"))
     }),
 
+    // Survivorship provenance: for each canonical field, the smallest
+    // member id whose value equals the chosen one — the MDM lineage
+    // audit a consumer asks of a golden record ("where did this name
+    // come from?"). Per-attribute (cluster, value) argmin joins; the
+    // oracle replays each as a grouped min + equality join.
+    "q_golden_provenance" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val records = d.select(col("doc_id").as("id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val assignment = d.select(col("doc_id").as("id"),
+        (col("doc_id") % 89).as("component"))
+      val golden = graft.operators.Canonicalize.goldenRecords(records,
+        assignment, "id", rules = Seq("text" -> "longest", "lang" -> "mode",
+          "source" -> "min", "n_chars" -> "max"))
+      graft.operators.Canonicalize.goldenProvenance(records, assignment,
+        golden, "id", cols = Seq("text", "lang", "source", "n_chars"))
+    }),
+
     // Incremental golden-record maintenance: previous canonical frame
     // built WITHOUT the batch (doc_id % 64 == 0 held out), then
     // goldenRecordsIncremental folds the batch in by recomputing only
@@ -5467,6 +5485,56 @@ object SparkEntry {
         |FROM base b
         |LEFT JOIN longest l ON b.component = l.component
         |LEFT JOIN langmode m ON b.component = m.component""".stripMargin,
+    // golden records + per-field (cluster, value) argmin source joins.
+    "q_golden_provenance" ->
+      """WITH j AS (
+        |  SELECT doc_id AS id, doc_id % 89 AS component, text, lang,
+        |         source, n_chars
+        |  FROM documents
+        |), base AS (
+        |  SELECT component, min(id) AS id, count(*) AS n_members,
+        |         min(source) AS source, max(n_chars) AS n_chars
+        |  FROM j GROUP BY component
+        |), longest AS (
+        |  SELECT component, text FROM (
+        |    SELECT component, text, row_number() OVER (
+        |      PARTITION BY component
+        |      ORDER BY length(text) DESC, text) AS rn
+        |    FROM j WHERE text IS NOT NULL) WHERE rn = 1
+        |), langcnt AS (
+        |  SELECT component, lang, count(*) AS cnt FROM j
+        |  WHERE lang IS NOT NULL GROUP BY component, lang
+        |), langmode AS (
+        |  SELECT component, lang FROM (
+        |    SELECT component, lang, row_number() OVER (
+        |      PARTITION BY component ORDER BY cnt DESC, lang) AS rn
+        |    FROM langcnt) WHERE rn = 1
+        |), g AS (
+        |  SELECT b.component, b.id, b.n_members, l.text, m.lang, b.source,
+        |         b.n_chars
+        |  FROM base b
+        |  LEFT JOIN longest l ON b.component = l.component
+        |  LEFT JOIN langmode m ON b.component = m.component
+        |), st AS (
+        |  SELECT component, text AS v, min(id) AS text_src FROM j
+        |  WHERE text IS NOT NULL GROUP BY component, text
+        |), sl AS (
+        |  SELECT component, lang AS v, min(id) AS lang_src FROM j
+        |  WHERE lang IS NOT NULL GROUP BY component, lang
+        |), ss AS (
+        |  SELECT component, source AS v, min(id) AS source_src FROM j
+        |  WHERE source IS NOT NULL GROUP BY component, source
+        |), sn AS (
+        |  SELECT component, n_chars AS v, min(id) AS n_chars_src FROM j
+        |  WHERE n_chars IS NOT NULL GROUP BY component, n_chars
+        |)
+        |SELECT g.*, st.text_src, sl.lang_src, ss.source_src, sn.n_chars_src
+        |FROM g
+        |LEFT JOIN st ON g.component = st.component AND g.text = st.v
+        |LEFT JOIN sl ON g.component = sl.component AND g.lang = sl.v
+        |LEFT JOIN ss ON g.component = ss.component AND g.source = ss.v
+        |LEFT JOIN sn ON g.component = sn.component AND g.n_chars = sn.v"""
+        .stripMargin,
     // incremental ≡ full: the oracle re-derives golden records over the
     // WHOLE corpus at component = doc_id // 16 — same CTE shape as
     // q_golden_records.

@@ -101,6 +101,37 @@ object Canonicalize {
     }
   }
 
+  /** Field-level survivorship provenance (the MDM lineage view): for
+    * each golden column, WHICH record supplied the canonical value —
+    * defined uniformly as the smallest record id in the cluster whose
+    * column equals the chosen value. Rule-agnostic by design: it audits
+    * the golden frame AS PRODUCED (whatever rule produced it), so it
+    * works unchanged for longest/mode/min/max/prefer and stays
+    * deterministic and order-insensitive. Output = `golden` plus one
+    * `<col>_src` id per requested attribute (NULL when the canonical
+    * value is NULL — nothing supplied it).
+    *
+    * Scale shape: per attribute, one map-side-combinable
+    * (cluster, value) → min(id) aggregate over member records and one
+    * equi-join against the cluster-count-sized golden frame; nothing
+    * touches pairs, and a hot cluster costs its row count. */
+  def goldenProvenance(records: DataFrame, assignment: DataFrame,
+      golden: DataFrame, idCol: String, clusterCol: String = "component",
+      cols: Seq[String] = Seq.empty): DataFrame = {
+    require(cols.nonEmpty, "need at least one attribute column")
+    val joined = records.join(
+      assignment.select(col(idCol), col(clusterCol)), idCol)
+    cols.foldLeft(golden) { (acc, c) =>
+      val srcs = joined.where(col(c).isNotNull)
+        .groupBy(col(clusterCol).as("__pc"), col(c).as("__pv"))
+        .agg(min(col(idCol)).as(s"${c}_src"))
+      acc.join(srcs,
+          acc(clusterCol) === srcs("__pc") && acc(c) === srcs("__pv"),
+          "left")
+        .drop("__pc", "__pv")
+    }
+  }
+
   /** Incremental golden-record maintenance — the continuous-crawl seam
     * that completes the incremental chain ([[Dedup.bandIndex]] makes
     * candidate generation incremental, [[ConnectedComponents.addEdges]]

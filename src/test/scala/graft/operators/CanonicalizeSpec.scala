@@ -95,6 +95,34 @@ class CanonicalizeSpec extends SparkFunSuite {
     assert(e.getMessage.contains("name:median"))
   }
 
+  test("goldenProvenance: smallest id supplying each canonical value, null-safe") {
+    import org.apache.spark.sql.functions.col
+    val golden = Canonicalize.goldenRecords(records, assignment, "id",
+      rules = Seq("name" -> "longest", "seg" -> "mode", "bal" -> "max"))
+    val got = Canonicalize.goldenProvenance(records, assignment, golden,
+      "id", cols = Seq("name", "seg", "bal")).orderBy("component").collect()
+    assert(got.length == 2)
+    // cluster 10: name "annia" supplied by 3; seg AUTO first carried by 1;
+    // bal 5.0 by 1
+    val r10 = got(0)
+    assert(r10.getAs[Long]("name_src") == 3L)
+    assert(r10.getAs[Long]("seg_src") == 1L)
+    assert(r10.getAs[Long]("bal_src") == 1L)
+    // cluster 20: name canonical is NULL → no source; seg BIKE from 5
+    val r20 = got(1)
+    assert(r20.isNullAt(r20.fieldIndex("name_src")))
+    assert(r20.getAs[Long]("seg_src") == 5L)
+    assert(r20.getAs[Long]("bal_src") == 4L)
+    // partitioning-independent
+    val again = Canonicalize.goldenProvenance(records.repartition(7),
+      assignment.coalesce(1), golden, "id", cols = Seq("name"))
+      .orderBy("component").select(col("name_src")).collect().toSeq
+    assert(again.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))) ==
+      Seq(Some(3L), None))
+    intercept[IllegalArgumentException](
+      Canonicalize.goldenProvenance(records, assignment, golden, "id"))
+  }
+
   test("incremental == full re-run across new ids, merges, splits, and deletions") {
     val rules = Seq("name" -> "longest", "seg" -> "mode", "bal" -> "max")
     def full(recs: org.apache.spark.sql.DataFrame,
