@@ -1270,6 +1270,34 @@ object SparkEntry {
         golden, "id", cols = Seq("text", "lang", "source", "n_chars"))
     }),
 
+    // Stable entity ids across runs: previous run's entity map at
+    // doc_id % 97, this run's clustering at doc_id % 89 — heavy
+    // merge/split churn with near-universal overlap ties, so both
+    // deterministic tie-breaks (smallest entity, then smallest cluster)
+    // and the one-carry-per-entity rule are all load-bearing. Windows
+    // carry top-1 filters (InferWindowGroupLimit); everything else is
+    // map-side-combinable groupBys + key joins.
+    "q_entity_ids" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val prev = d.select(col("doc_id").as("id"),
+        concat(lit("e"), (col("doc_id") % 97).cast("string")).as("entity_id"))
+      val cur = d.select(col("doc_id").as("id"),
+        (col("doc_id") % 89).as("component"))
+      graft.operators.EntityIds.stabilize(prev, cur, "id")
+    }),
+
+    // Leakage-safe split: hash over the CLUSTER id so near-duplicates
+    // can never straddle train/test; doc_id % 4 == 0 rows are left
+    // unassigned to exercise the disjoint singleton-key fallback.
+    "q_split_cluster" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val asg = d.where(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), (col("doc_id") % 89).as("component"))
+      graft.operators.Sampling.splitByCluster(d, "doc_id", asg,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split_name"))
+    }),
+
     // Incremental golden-record maintenance: previous canonical frame
     // built WITHOUT the batch (doc_id % 64 == 0 held out), then
     // goldenRecordsIncremental folds the batch in by recomputing only
@@ -3372,6 +3400,30 @@ object SparkEntry {
     s"""WITH h AS (
        |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':42') AS hx
        |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, CAST($nibbles AS DOUBLE) / 4294967296.0 AS frac FROM h
+       |)
+       |SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split_name
+       |FROM v""".stripMargin
+  }
+
+  /** Cluster-keyed split re-derivation: the splitAssign sha fraction over
+    * the cluster key (or the "s:"-prefixed singleton fallback for rows
+    * outside the assignment). */
+  private def splitByClusterOracle: String = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val nibbles = shaPrefix32()
+    val cases = weights.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN frac < CAST('$cut' AS DOUBLE) THEN '$name'"
+    }.mkString(" ")
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 <> 0 THEN CAST(doc_id % 89 AS VARCHAR)
+       |         ELSE 's:' || CAST(doc_id AS VARCHAR) END AS key
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, sha256(key || ':42') AS hx FROM k
        |), v AS (
        |  SELECT doc_id, CAST($nibbles AS DOUBLE) / 4294967296.0 AS frac FROM h
        |)
@@ -5535,6 +5587,43 @@ object SparkEntry {
         |LEFT JOIN ss ON g.component = ss.component AND g.source = ss.v
         |LEFT JOIN sn ON g.component = sn.component AND g.n_chars = sn.v"""
         .stripMargin,
+    // id-carry re-derivation: overlap counts → per-cluster argmax
+    // (ties: entity asc) → per-entity winner (ties: cluster asc) →
+    // carried / minted ids.
+    "q_entity_ids" ->
+      """WITH prev AS (
+        |  SELECT doc_id AS id, 'e' || CAST(doc_id % 97 AS VARCHAR) AS prev_e
+        |  FROM documents
+        |), cur AS (
+        |  SELECT doc_id AS id, doc_id % 89 AS component FROM documents
+        |), sizes AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |         min(id) AS min_id
+        |  FROM cur GROUP BY component
+        |), ov AS (
+        |  SELECT component, prev_e, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM cur JOIN prev USING (id) GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT component, prev_e, n_overlap FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY component ORDER BY n_overlap DESC, prev_e) AS rn
+        |    FROM ov) WHERE rn = 1
+        |), win AS (
+        |  SELECT component, TRUE AS carried FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY prev_e ORDER BY n_overlap DESC, component) AS rn
+        |    FROM cand) WHERE rn = 1
+        |)
+        |SELECT s.component,
+        |  CASE WHEN w.carried THEN c.prev_e
+        |       ELSE 'new:' || CAST(s.min_id AS VARCHAR) END AS entity_id,
+        |  s.n_members,
+        |  CAST(coalesce(c.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  coalesce(w.carried, FALSE) = FALSE AS is_new
+        |FROM sizes s
+        |LEFT JOIN cand c USING (component)
+        |LEFT JOIN win w USING (component)""".stripMargin,
+    "q_split_cluster" -> splitByClusterOracle,
     // incremental ≡ full: the oracle re-derives golden records over the
     // WHOLE corpus at component = doc_id // 16 — same CTE shape as
     // q_golden_records.

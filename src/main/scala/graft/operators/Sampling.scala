@@ -42,13 +42,46 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_._2 >= 0))
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${weights.map(_._2).sum}")
-    val frac = hashFraction(col(idCol), seed)
+    df.withColumn("split_name", splitLabel(hashFraction(col(idCol), seed), weights))
+  }
+
+  /** Cumulative-interval split label shared by [[splitAssign]] and
+    * [[splitByCluster]]. */
+  private def splitLabel(frac: Column, weights: Seq[(String, Double)]): Column = {
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail
-    val label = weights.init.zip(cuts.init)
+    weights.init.zip(cuts.init)
       .foldRight(lit(weights.last._1): Column) { case (((name, _), cut), rest) =>
         when(frac < cut, name).otherwise(rest)
       }
-    df.withColumn("split_name", label)
+  }
+
+  /** Leakage-safe (cluster-aware) split assignment: like [[splitAssign]],
+    * but the hash is taken over the row's CLUSTER id, so every member of
+    * a duplicate/entity cluster lands in the same split. Splitting a
+    * deduplicated web corpus by row id leaks: a near-duplicate of a test
+    * document sits in train and the eval is contaminated — the split unit
+    * must be the entity, not the record. Rows absent from `assignment`
+    * (never clustered) hash over a disjoint `"s:" + id` singleton key, so
+    * they split independently without colliding with cluster keys.
+    *
+    * Scale shape: one id-equi-join against the assignment (broadcast-able
+    * when the assignment is the small side) + the same pure hash
+    * projection as [[splitAssign]] — no extra shuffle, subset-stable
+    * (a cluster's split never changes as the corpus grows, unless its
+    * cluster id itself changes — pair with [[EntityIds.stabilize]] to
+    * keep ids, and therefore splits, stable across runs). */
+  def splitByCluster(df: DataFrame, idCol: String, assignment: DataFrame,
+      weights: Seq[(String, Double)], clusterCol: String = "component",
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
+    val asg = assignment.select(col(idCol), col(clusterCol).as("__cluster"))
+    val key = coalesce(col("__cluster").cast("string"),
+      concat(lit("s:"), col(idCol).cast("string")))
+    df.join(asg, Seq(idCol), "left")
+      .withColumn("split_name", splitLabel(hashFraction(key, seed), weights))
+      .drop("__cluster")
   }
 
   /** Per-stratum quota sample: keeps at most `quota` rows per distinct

@@ -36,6 +36,33 @@ class SamplingSpec extends SparkFunSuite {
     }
   }
 
+  test("splitByCluster: cluster members share a split; singletons still split") {
+    val ids = (1L to 900L).toDF("id")
+    val asg = (1L to 600L).map(i => (i, i % 50)).toDF("id", "component")
+    val got = Sampling.splitByCluster(ids, "id", asg, weights)
+      .select("id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every member of a cluster lands in the same split (leakage-safe)
+    (0L until 50L).foreach { c =>
+      val members = (1L to 600L).filter(_ % 50 == c).map(got)
+      assert(members.distinct.size == 1, s"cluster $c split across ${members.distinct}")
+    }
+    // unassigned rows are assigned too, deterministically
+    assert((601L to 900L).forall(got.contains))
+    val again = Sampling.splitByCluster(ids.repartition(7), "id",
+      asg.coalesce(1), weights).select("id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == again)
+    // growing the corpus never reassigns existing clusters or singletons
+    val grown = Sampling.splitByCluster((1L to 1200L).toDF("id"), "id", asg,
+      weights).select("id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (k, v) => grown(k) == v })
+    intercept[IllegalArgumentException] {
+      Sampling.splitByCluster(ids, "id", asg, Seq("a" -> 0.3, "b" -> 0.3))
+    }
+  }
+
   test("stratifiedSample: quota per stratum, deterministic, hash-ordered") {
     val docs = (1L to 500L).map(i => (i, s"lang${i % 3}", s"s${i % 2}"))
       .toDF("id", "lang", "source")
