@@ -1298,6 +1298,26 @@ object SparkEntry {
         .select(col("doc_id"), col("split_name"))
     }),
 
+    // Pre-linkage column profiling (the Splink profile_columns step):
+    // completeness / cardinality / dominant value per candidate field,
+    // from one (value -> count) groupBy per column + a 1-row fold;
+    // source is null-poisoned so the null accounting is load-bearing.
+    "q_profile_columns" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select(
+        col("lang"),
+        when(col("source") === "src0", lit(null)).otherwise(col("source"))
+          .as("source_n"),
+        col("n_chars").cast("string").as("nc"))
+      graft.operators.Profiling.profileColumns(d,
+        Seq("lang", "source_n", "nc"))
+    }),
+
+    // Top-k value frequencies per column (ties -> smallest value);
+    // the rank window is bounded map-side by InferWindowGroupLimit.
+    "q_top_values" -> ((s, dir) => graft.operators.Profiling.topValues(
+      s.read.parquet(s"$dir/documents.parquet"),
+      Seq("lang", "source"), k = 4)),
+
     // Incremental golden-record maintenance: previous canonical frame
     // built WITHOUT the batch (doc_id % 64 == 0 held out), then
     // goldenRecordsIncremental folds the batch in by recomputing only
@@ -3429,6 +3449,42 @@ object SparkEntry {
        |)
        |SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split_name
        |FROM v""".stripMargin
+  }
+
+  /** Column-profile re-derivation: per column, the (value → count) table,
+    * the integer stat fold over it, and the argmax-by-(count desc, value
+    * asc) top value. */
+  private def profileColumnsOracle: String = {
+    val cols = Seq("lang", "source_n", "nc")
+    val per = cols.map { c =>
+      s"""vc_$c AS (
+         |  SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY $c
+         |), st_$c AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |         CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)
+         |           AS BIGINT) AS n_null,
+         |         CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+         |           AS n_distinct
+         |  FROM vc_$c
+         |), tp_$c AS (
+         |  SELECT v AS top_value, cnt AS top_count FROM (
+         |    SELECT v, cnt, row_number() OVER (ORDER BY cnt DESC, v ASC) AS rn
+         |    FROM vc_$c WHERE v IS NOT NULL) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = cols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, n_null, n_distinct, top_value,
+         |  CAST(coalesce(top_count, 0) AS BIGINT) AS top_count
+         |FROM st_$c LEFT JOIN tp_$c ON TRUE""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CASE WHEN source = 'src0' THEN NULL ELSE source END AS source_n,
+       |    CAST(n_chars AS VARCHAR) AS nc
+       |  FROM documents
+       |),
+       |$per
+       |$sel""".stripMargin
   }
 
   /** Mixture-sample re-derivation: the same 32-bit sha fraction as
@@ -5624,6 +5680,21 @@ object SparkEntry {
         |LEFT JOIN cand c USING (component)
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
+    "q_profile_columns" -> profileColumnsOracle,
+    // top-k frequencies: per-column count desc / value asc rank ≤ 4.
+    "q_top_values" ->
+      """WITH vc AS (
+        |  SELECT 'lang' AS col_name, lang AS value,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source', source, CAST(count(*) AS BIGINT)
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source
+        |)
+        |SELECT col_name, value, cnt, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rank
+        |  FROM vc) WHERE rank <= 4""".stripMargin,
     // incremental ≡ full: the oracle re-derives golden records over the
     // WHOLE corpus at component = doc_id // 16 — same CTE shape as
     // q_golden_records.
