@@ -1298,6 +1298,32 @@ object SparkEntry {
         .select(col("doc_id"), col("split_name"))
     }),
 
+    // Greedy budgeted blocking-scheme selection: four candidate key
+    // families over customer, labeled truth from the name-suffix join,
+    // budget = n²/20 total pairs — sized so the seg family (n²/10) is
+    // never affordable and the greedy order + budget eligibility are
+    // both load-bearing at sf0.01 AND sf0.1. The oracle replays all
+    // three greedy steps as unrolled argmax CTEs (the EM/GD pattern).
+    "q_blocking_selection" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val id = col("c_custkey")
+      val keyed = c.select(lit("seg").as("family"), id.as("id"),
+          col("c_mktsegment").as("key"))
+        .unionAll(c.select(lit("nat").as("family"), id.as("id"),
+          col("c_nationkey").cast("string").as("key")))
+        .unionAll(c.select(lit("segnat").as("family"), id.as("id"),
+          concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("key")))
+        .unionAll(c.select(lit("bal").as("family"), id.as("id"),
+          floor(col("c_acctbal") / 1000.0).cast("string").as("key")))
+      val a = c.select(id.as("pa"), substring(col("c_name"), 16, 3).as("sfx"))
+      val b = c.select(id.as("pb"), substring(col("c_name"), 16, 3).as("sfx"))
+      val truth = a.join(b, "sfx").where(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      val n = c.count()
+      graft.operators.BlockingSelection.greedySelection(keyed, truth,
+        BigDecimal(n * n / 20), maxSchemes = 3)
+    }),
+
     // Pre-linkage column profiling (the Splink profile_columns step):
     // completeness / cardinality / dominant value per candidate field,
     // from one (value -> count) groupBy per column + a 1-row fold;
@@ -5681,6 +5707,88 @@ object SparkEntry {
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
     "q_profile_columns" -> profileColumnsOracle,
+    // unrolled 3-step budgeted greedy: per step, argmax marginal
+    // coverage (count desc, family asc) among families whose volume
+    // still fits; an empty step NULL-propagates into later steps,
+    // matching the operator's stop rule.
+    "q_blocking_selection" ->
+      """WITH keys AS (
+        |  SELECT 'seg' AS family, c_custkey AS id, c_mktsegment AS key
+        |  FROM customer
+        |  UNION ALL SELECT 'nat', c_custkey, CAST(c_nationkey AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL SELECT 'segnat', c_custkey,
+        |    c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL SELECT 'bal', c_custkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS VARCHAR)
+        |  FROM customer
+        |), truth AS (
+        |  SELECT DISTINCT a.c_custkey AS pa, b.c_custkey AS pb
+        |  FROM customer a JOIN customer b
+        |    ON substr(a.c_name, 16, 3) = substr(b.c_name, 16, 3)
+        |   AND a.c_custkey < b.c_custkey
+        |), tt AS (SELECT CAST(count(*) AS BIGINT) AS total_truth FROM truth),
+        |bud AS (
+        |  SELECT CAST(CAST(count(*) AS BIGINT) * count(*) / 20
+        |    AS DECIMAL(38,0)) AS b FROM customer
+        |), vol AS (
+        |  SELECT family, CAST(sum(n * (n - 1)) / 2 AS DECIMAL(38,0)) AS volume
+        |  FROM (SELECT family, key, CAST(count(*) AS BIGINT) AS n
+        |        FROM keys GROUP BY 1, 2) GROUP BY family
+        |), cov AS (
+        |  SELECT DISTINCT k1.family, t.pa, t.pb
+        |  FROM truth t
+        |  JOIN keys k1 ON k1.id = t.pa
+        |  JOIN keys k2 ON k2.family = k1.family AND k2.key = k1.key
+        |              AND k2.id = t.pb
+        |), m1 AS (
+        |  SELECT family, CAST(count(*) AS BIGINT) AS cnt FROM cov GROUP BY family
+        |), p1 AS (
+        |  SELECT v.family, v.volume, m.cnt FROM vol v JOIN m1 m USING (family)
+        |  CROSS JOIN bud WHERE v.volume <= bud.b
+        |  ORDER BY m.cnt DESC, v.family LIMIT 1
+        |), c1 AS (SELECT pa, pb FROM cov JOIN p1 USING (family)),
+        |m2 AS (
+        |  SELECT c.family, CAST(count(*) AS BIGINT) AS cnt FROM cov c
+        |  LEFT JOIN c1 ON c.pa = c1.pa AND c.pb = c1.pb
+        |  WHERE c1.pa IS NULL AND c.family <> (SELECT family FROM p1)
+        |  GROUP BY c.family
+        |), p2 AS (
+        |  SELECT v.family, v.volume, m.cnt FROM vol v JOIN m2 m USING (family)
+        |  CROSS JOIN bud WHERE v.volume + (SELECT volume FROM p1) <= bud.b
+        |  ORDER BY m.cnt DESC, v.family LIMIT 1
+        |), c2 AS (
+        |  SELECT pa, pb FROM c1
+        |  UNION SELECT pa, pb FROM cov JOIN p2 USING (family)
+        |), m3 AS (
+        |  SELECT c.family, CAST(count(*) AS BIGINT) AS cnt FROM cov c
+        |  LEFT JOIN c2 ON c.pa = c2.pa AND c.pb = c2.pb
+        |  WHERE c2.pa IS NULL
+        |    AND c.family NOT IN (SELECT family FROM p1
+        |                         UNION SELECT family FROM p2)
+        |  GROUP BY c.family
+        |), p3 AS (
+        |  SELECT v.family, v.volume, m.cnt FROM vol v JOIN m3 m USING (family)
+        |  CROSS JOIN bud
+        |  WHERE v.volume + (SELECT volume FROM p1) + (SELECT volume FROM p2)
+        |        <= bud.b
+        |  ORDER BY m.cnt DESC, v.family LIMIT 1
+        |)
+        |SELECT 1 AS step, family, cnt AS marginal_covered,
+        |  cnt AS cumulative_covered, volume,
+        |  volume AS cumulative_volume,
+        |  (SELECT total_truth FROM tt) AS total_truth FROM p1
+        |UNION ALL
+        |SELECT 2, family, cnt, cnt + (SELECT cnt FROM p1), volume,
+        |  CAST(volume + (SELECT volume FROM p1) AS DECIMAL(38,0)),
+        |  (SELECT total_truth FROM tt) FROM p2
+        |UNION ALL
+        |SELECT 3, family, cnt,
+        |  cnt + (SELECT cnt FROM p1) + (SELECT cnt FROM p2), volume,
+        |  CAST(volume + (SELECT volume FROM p1) + (SELECT volume FROM p2)
+        |    AS DECIMAL(38,0)),
+        |  (SELECT total_truth FROM tt) FROM p3""".stripMargin,
     // top-k frequencies: per-column count desc / value asc rank ≤ 4.
     "q_top_values" ->
       """WITH vc AS (
