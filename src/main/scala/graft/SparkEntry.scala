@@ -1663,6 +1663,14 @@ object SparkEntry {
       graft.operators.FellegiSunter.estimateUFrame(s, pairs, fsGammas)
     }),
 
+    // m from pairwise labels (estimateU's dual): agreement rates among
+    // the t = 1 labeled matches of the supervised fixture — with
+    // q_fs_estimate_u and q_fs_estimate_lambda this completes the
+    // EM-free supervised Model(λ, m, u) path.
+    "q_fs_estimate_m" -> ((s, dir) =>
+      graft.operators.FellegiSunter.estimateMFrame(s,
+        supervisedPairs(s, dir).where(col("t") === 1), fsGammas)),
+
     // Fit-once/score-many seam: fit, PERSIST the model (parquet), reload,
     // score+classify with the reloaded model — must hash-match the
     // in-memory q_fellegi_sunter path exactly (parquet doubles are IEEE
@@ -5060,6 +5068,30 @@ object SparkEntry {
     "q_fs_pattern_table" ->
       fellegiSunterOracleSql(iters = 15, patternTable = true),
     "q_fs_estimate_u" -> fsEstimateUOracle,
+    // m from labeled matches: per-field integer agreement counts over
+    // the t = 1 pairs, one final division each.
+    "q_fs_estimate_m" -> {
+      val sel = fsGammas.map { g =>
+        s"""SELECT '$g' AS field, CAST(count(*) AS BIGINT) AS n_obs,
+           |  CAST(sum($g) AS BIGINT) AS n_agree,
+           |  CAST(sum($g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+           |FROM mt""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pairs AS (
+         |  SELECT
+         |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+         |         ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.95
+         |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
+         |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+         |         THEN 1 ELSE 0 END AS BIGINT) AS g1,
+         |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+         |         THEN 1 ELSE 0 END AS BIGINT) AS g2,
+         |    CAST(CASE WHEN right(a.c_name, 3) = right(b.c_name, 3)
+         |         THEN 1 ELSE 0 END AS BIGINT) AS t
+         |  $customerPairsSql
+         |), mt AS (SELECT g0, g1, g2 FROM pairs WHERE t = 1)
+         |$sel""".stripMargin
+    },
     "q_fs_uncertain" -> fellegiSunterOracleSql(iters = 15, uncertainK = Some(100)),
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),
     "q_match_weight_hist" ->

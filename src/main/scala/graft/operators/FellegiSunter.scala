@@ -621,6 +621,31 @@ object FellegiSunter {
     uCounts(pairs, gammaCols).toDF("field", "n_obs", "n_agree", "u")
   }
 
+  /** Direct m-probability estimation (Splink's
+    * `estimate_m_from_pairwise_labels`): among pairs LABELED as true
+    * matches — from a clerical review queue, a gold set, or a
+    * high-precision deterministic rule — the per-field agreement rate IS
+    * m_j = P(γ_j = 1 | match). The dual of [[estimateU]] (u from
+    * unlabeled random pairs ≈ all non-matches); with
+    * [[estimateLambdaFrame]] the three estimators yield a complete
+    * EM-free supervised [[Model]](λ, m, u) — the production path when
+    * labels exist, with [[fit]]'s EM reserved for the unlabeled case.
+    * Same ONE map-side-combinable pass and integer-count ratios as
+    * [[estimateU]] (one final division each), so the doubles are
+    * bit-reproducible by a replaying oracle. NULL gammas are excluded
+    * per-column, matching [[score]]'s null treatment. */
+  def estimateM(labeledMatches: DataFrame,
+      gammaCols: Seq[String]): IndexedSeq[Double] =
+    uCounts(labeledMatches, gammaCols).map(_._4)
+
+  /** [[estimateM]] rendered as one row per field
+    * (field, n_obs, n_agree, m) — the report/persistence surface. */
+  def estimateMFrame(spark: org.apache.spark.sql.SparkSession,
+      labeledMatches: DataFrame, gammaCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    uCounts(labeledMatches, gammaCols).toDF("field", "n_obs", "n_agree", "m")
+  }
+
   /** Prior (λ) estimation from a deterministic rule (the shape of
     * Splink's `estimate_probability_two_random_records_match`): a
     * high-precision rule key links n_rule_pairs = Σ_g C(|g|, 2) pairs

@@ -310,6 +310,27 @@ class FellegiSunterSpec extends SparkFunSuite {
       FellegiSunter.estimateU(allNull, Seq("g3")))
   }
 
+  test("estimateM: agreement rates among labeled matches; supervised Model composes") {
+    import spark.implicits._
+    val matches = Seq(
+      (1L, 1L, Some(1L)), (1L, 0L, Some(1L)), (1L, 1L, None), (0L, 1L, Some(0L))
+    ).toDF("g0", "g1", "g2")
+    val m = FellegiSunter.estimateM(matches, Seq("g0", "g1", "g2"))
+    assert(m == IndexedSeq(3.0 / 4.0, 3.0 / 4.0, 2.0 / 3.0))
+    val frame = FellegiSunter.estimateMFrame(spark, matches, Seq("g0")).collect()
+    assert(frame(0).getAs[String]("field") == "g0" &&
+      frame(0).getAs[Long]("n_obs") == 4L &&
+      frame(0).getAs[Long]("n_agree") == 3L &&
+      frame(0).getAs[Double]("m") == 0.75)
+    // the EM-free supervised path: Model(λ, m, u) from the 3 estimators
+    // scores like any fitted model
+    val u = IndexedSeq(0.2, 0.3, 0.4)
+    val model = FellegiSunter.Model(0.01, m, u)
+    val scored = FellegiSunter.score(matches.na.fill(0L),
+      Seq("g0", "g1", "g2"), model)
+    assert(scored.columns.contains("posterior") && scored.count() == 4)
+  }
+
   test("patternTable: one row per pattern, counts sum to pairs, scores match score()") {
     val model = FellegiSunter.fit(planted, gs, iters = 15)
     val pt = FellegiSunter.patternTable(planted, gs, model).collect()
