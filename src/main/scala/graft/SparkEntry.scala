@@ -299,6 +299,7 @@ object SparkEntry {
       uncertainK: Option[Int] = None,
       missingG2: Boolean = false,
       histogram: Option[(Int, Int)] = None,
+      drift: Option[(Int, Int)] = None,
       waterfall: Boolean = false,
       patternTable: Boolean = false): String = {
     val k = fsGammas.size
@@ -475,6 +476,56 @@ object SparkEntry {
          |       THEN power(2.0, CAST(b.bin_exp + 1 AS DOUBLE)) END AS hi,
          |  COALESCE(c.n_pairs, 0) AS n_pairs
          |FROM bins b LEFT JOIN cnt c USING (bin_exp)""".stripMargin
+    } else if (drift.isDefined) {
+      // score-drift table: the histogram bin chain applied to two
+      // ka-parity subsets under ONE fitted model, then exact shares and
+      // the pinned-order share ratio per bin.
+      val (minExp, maxExp) = drift.get
+      def p2lit(e: Int): String = {
+        val bd = if (e >= 0) BigDecimal(2).pow(e)
+          else BigDecimal(0.5).pow(-e)
+        s"CAST('${bd.underlying.toPlainString}' AS DOUBLE)"
+      }
+      val chain = new StringBuilder(
+        s"CASE WHEN lr >= ${p2lit(maxExp)} THEN $maxExp")
+      for (e <- (minExp until maxExp).reverse)
+        chain.append(s" WHEN lr >= ${p2lit(e)} THEN $e")
+      chain.append(s" ELSE ${minExp - 1} END")
+      s"""WITH ${ctes.mkString(",\n")},
+         |sc AS (SELECT ka, w / v AS lr
+         |       FROM (SELECT ka, $w AS w, $v AS v
+         |             FROM pairs CROSS JOIN p$iters p)),
+         |ca AS (SELECT $chain AS bin_exp, CAST(count(*) AS BIGINT) AS n_a
+         |       FROM sc WHERE lr IS NOT NULL AND ka % 2 = 0 GROUP BY 1),
+         |cb AS (SELECT $chain AS bin_exp, CAST(count(*) AS BIGINT) AS n_b
+         |       FROM sc WHERE lr IS NOT NULL AND ka % 2 <> 0 GROUP BY 1),
+         |ta AS (SELECT CAST(count(*) AS BIGINT) AS tot_a FROM sc
+         |       WHERE lr IS NOT NULL AND ka % 2 = 0),
+         |tb AS (SELECT CAST(count(*) AS BIGINT) AS tot_b FROM sc
+         |       WHERE lr IS NOT NULL AND ka % 2 <> 0),
+         |bins AS (
+         |  SELECT CAST(unnest(range(${minExp - 1}, ${maxExp + 1})) AS BIGINT)
+         |    AS bin_exp
+         |), j AS (
+         |  SELECT b.bin_exp,
+         |    CASE WHEN b.bin_exp >= $minExp
+         |         THEN power(2.0, CAST(b.bin_exp AS DOUBLE)) END AS lo,
+         |    CASE WHEN b.bin_exp < $maxExp
+         |         THEN power(2.0, CAST(b.bin_exp + 1 AS DOUBLE)) END AS hi,
+         |    COALESCE(a.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+         |    ta.tot_a, tb.tot_b
+         |  FROM bins b
+         |  LEFT JOIN ca a USING (bin_exp) LEFT JOIN cb c USING (bin_exp)
+         |  CROSS JOIN ta CROSS JOIN tb
+         |)
+         |SELECT bin_exp, lo, hi, n_a, n_b,
+         |  CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+         |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |       THEN (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+         |            / (CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+         |       END AS share_ratio
+         |FROM j""".stripMargin
     } else
       s"""WITH ${ctes.mkString(",\n")}
          |SELECT ka, kb, $gcols, w / (w + v) AS posterior, w / v AS lr,
@@ -1685,6 +1736,21 @@ object SparkEntry {
       graft.operators.FellegiSunter.matchWeightHistogram(
         graft.operators.FellegiSunter.score(pairs, fsGammas, model),
         minExp = -10, maxExp = 10)
+    }),
+
+    // Score-distribution drift between two "runs" (ka-parity halves of
+    // the scored pairs under ONE fitted model): per bin, counts, exact
+    // shares, and the pinned-order share ratio — the monitoring table a
+    // PSI/KL alarm reads run-over-run.
+    "q_score_drift" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val model = graft.operators.FellegiSunter.fit(pairs, fsGammas, iters = 15)
+      val scored = graft.operators.FellegiSunter.score(pairs, fsGammas, model)
+      graft.operators.FellegiSunter.histogramDrift(
+        graft.operators.FellegiSunter.matchWeightHistogram(
+          scored.where(col("ka") % 2 === 0), minExp = -10, maxExp = 10),
+        graft.operators.FellegiSunter.matchWeightHistogram(
+          scored.where(col("ka") % 2 =!= 0), minExp = -10, maxExp = 10))
     }),
 
     // SUPERVISED match-weight learning (the labeled-data complement to
@@ -5096,6 +5162,8 @@ object SparkEntry {
     "q_fs_missing" -> fellegiSunterOracleSql(iters = 15, missingG2 = true),
     "q_match_weight_hist" ->
       fellegiSunterOracleSql(iters = 15, histogram = Some((-10, 10))),
+    "q_score_drift" ->
+      fellegiSunterOracleSql(iters = 15, drift = Some((-10, 10))),
     "q_supervised_weights" ->
       supervisedOracleSql(iters = 15, eta = 0.5, weightsOnly = true),
     "q_supervised_score" ->

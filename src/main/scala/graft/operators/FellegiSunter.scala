@@ -519,6 +519,33 @@ object FellegiSunter {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
 
+  /** Run-over-run score-distribution drift: two [[matchWeightHistogram]]
+    * frames (built with the SAME exponent range) joined bin-by-bin, with
+    * counts, exact shares (count / total, ONE division each), and the
+    * per-bin share ratio (one more division; NULL when either bin is
+    * empty — no evidence, not infinity) — the monitoring table a PSI/KL
+    * alarm reads between yesterday's and today's linkage run. A shifted
+    * ratio on the high-lr bins means the match population moved (new
+    * corpus slice, degraded comparator, changed blocking); the log-free
+    * power-of-two bins make the comparison bit-stable across engines and
+    * runs. Model-sized throughout (one row per bin); the distributed
+    * work already happened inside the two histograms. */
+  def histogramDrift(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val a = histA.select(col("bin_exp"), col("lo"), col("hi"),
+      col("n_pairs").as("n_a"))
+    val b = histB.select(col("bin_exp"), col("n_pairs").as("n_b"))
+    val ta = histA.agg(sum(col("n_pairs")).as("tot_a"))
+    val tb = histB.agg(sum(col("n_pairs")).as("tot_b"))
+    val shareA = col("n_a").cast("double") / col("tot_a").cast("double")
+    val shareB = col("n_b").cast("double") / col("tot_b").cast("double")
+    a.join(b, Seq("bin_exp"))
+      .crossJoin(ta).crossJoin(tb)
+      .select(col("bin_exp"), col("lo"), col("hi"), col("n_a"), col("n_b"),
+        shareA.as("share_a"), shareB.as("share_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, shareA / shareB)
+          .as("share_ratio"))
+  }
+
   def classify(scored: DataFrame, upperLr: Double, lowerLr: Double,
       lrCol: String = "lr"): DataFrame = {
     require(lowerLr <= upperLr,

@@ -51,6 +51,28 @@ class EntityIdsSpec extends SparkFunSuite {
     assert(got.values.map(_._1).toSeq.distinct.size == got.size)
   }
 
+  test("chained runs: stable membership keeps ids stable through churned labels") {
+    import org.apache.spark.sql.functions.col
+    // run 0 entity map; runs 1..3 relabel the SAME clusters with new
+    // anonymous component ids each time (what CC re-runs do)
+    val members = Map(100L -> Seq(1L, 2L, 3L), 200L -> Seq(4L, 5L))
+    var prev = members.toSeq.flatMap { case (e, ids) =>
+      ids.map(i => i -> s"e$e")
+    }.toDF("id", "entity_id")
+    (1 to 3).foreach { run =>
+      val cur = members.toSeq.flatMap { case (e, ids) =>
+        ids.map(i => i -> (e * 10 + run)) // fresh anonymous label each run
+      }.toDF("id", "component")
+      val st = EntityIds.stabilize(prev, cur, "id")
+      val got = st.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(100L * 10 + run) == "e100" && got(200L * 10 + run) == "e200",
+        s"run $run churned ids: $got")
+      // feed forward: records carry their (stable) entity into the next run
+      prev = cur.join(st.select(col("component"), col("entity_id")), "component")
+        .select(col("id"), col("entity_id"))
+    }
+  }
+
   test("partitioning-independent") {
     val prev = (1L to 200L).map(i => i -> s"e${i % 7}")
     val cur = (1L to 220L).map(i => i -> (i % 13))

@@ -331,6 +331,30 @@ class FellegiSunterSpec extends SparkFunSuite {
     assert(scored.columns.contains("posterior") && scored.count() == 4)
   }
 
+  test("histogramDrift: bin-joined counts, exact shares, null ratio on empty bins") {
+    import spark.implicits._
+    val a = Seq(0.5, 0.5, 3.0, 3.0, 3.0, 300.0).toDF("lr")
+    val b = Seq(0.5, 3.0, 3.0, 5000.0).toDF("lr")
+    val drift = FellegiSunter.histogramDrift(
+      FellegiSunter.matchWeightHistogram(a, minExp = -2, maxExp = 4),
+      FellegiSunter.matchWeightHistogram(b, minExp = -2, maxExp = 4))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(drift.size == 8) // bins -3..4 (both open tails included)
+    val bin1 = drift(1L) // lr in [2,4): 3 in a, 2 in b
+    assert(bin1.getAs[Long]("n_a") == 3L && bin1.getAs[Long]("n_b") == 2L)
+    assert(bin1.getAs[Double]("share_a") == 0.5 &&
+      bin1.getAs[Double]("share_b") == 0.5)
+    assert(bin1.getAs[Double]("share_ratio") == 1.0)
+    // 300 lands in a's open upper tail; 5000 in b's — ratio defined there
+    val tail = drift(4L)
+    assert(tail.getAs[Long]("n_a") == 1L && tail.getAs[Long]("n_b") == 1L &&
+      tail.getAs[Double]("share_ratio") == (1.0 / 6.0) / (1.0 / 4.0))
+    // bin empty on one side → NULL ratio, zero count, zero share
+    val empty = drift(2L) // lr in [4,8): none in either
+    assert(empty.getAs[Long]("n_a") == 0L &&
+      empty.isNullAt(empty.fieldIndex("share_ratio")))
+  }
+
   test("patternTable: one row per pattern, counts sum to pairs, scores match score()") {
     val model = FellegiSunter.fit(planted, gs, iters = 15)
     val pt = FellegiSunter.patternTable(planted, gs, model).collect()
