@@ -2078,6 +2078,54 @@ object SparkEntry {
         clusterCol = "component")
     }),
 
+    // Splink-style graph QA, node level: per-record degree in the
+    // verified match graph. The assignment (segment:nation) is COARSER
+    // than the edge generator's blocking (nation), so name-similarity
+    // edges crossing segments are cross-cluster and must be excluded —
+    // the intra-cluster filter is load-bearing, and edgeless records
+    // surface with degree 0 rather than vanishing.
+    "q_node_degrees" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.nodeDegrees(asg, edges)
+    }),
+    // Cluster level of the same graph: integer sufficient statistics
+    // (n_nodes, n_edges, max_degree) + density and Freeman degree
+    // centralisation as pinned-order double ratios (NULL below their
+    // n-floors). Edgeless clusters are rows, not absences.
+    "q_graph_metrics" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.graphMetrics(asg, edges)
+    }),
+    // Unlinkables curve (Splink's unlinkables_chart for a candidate-pair
+    // world): per θ, the share of RECORDS with no incident scored pair
+    // ≥ θ. The 0.86 candidate floor leaves many customers with no pair
+    // at all (best = NULL), so the no-evidence path is live at both sf.
+    "q_unlinkables" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val recs = c.select(col("c_custkey").as("url"))
+      val scored = customerPairs(s, dir)
+        .where(col("na") =!= col("nb"))
+        .select(col("ka").as("url_a"), col("kb").as("url_b"),
+          jaro_winkler_sim(col("na"), col("nb")).as("score"))
+        .where(col("score") >= 0.86)
+      graft.operators.Linkage.unlinkables(recs, scored,
+        Seq(0.86, 0.90, 0.94, 0.97, 0.99))
+    }),
+
     // Evidence-based prior: λ estimated from a deterministic
     // high-precision rule (name-suffix equality, assumed recall 0.8) —
     // rule pairs are COUNTED via one groupBy (Σ C(g,2), decimal-exact),
@@ -6085,6 +6133,108 @@ object SparkEntry {
         |)
         |SELECT a.component, a.n_edges, w.weak_ia, w.weak_ib, w.weak_score
         |FROM agg a JOIN weak w ON a.component = w.component""".stripMargin,
+    // graph QA: normalize edges (least/greatest + distinct), keep only
+    // same-cluster edges, degree = endpoint-exploded count, edgeless
+    // records coalesce to 0.
+    "q_node_degrees" ->
+      s"""WITH pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e.u, e.v FROM e
+        |  JOIN asg au ON e.u = au.id
+        |  JOIN asg av ON e.v = av.id
+        |  WHERE au.g = av.g
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS id FROM intra UNION ALL SELECT v FROM intra)
+        |  GROUP BY id
+        |)
+        |SELECT asg.id, asg.g AS cluster_id,
+        |  CAST(coalesce(deg.d, 0) AS BIGINT) AS degree
+        |FROM asg LEFT JOIN deg ON asg.id = deg.id""".stripMargin,
+    // same graph, cluster level: Σdeg = 2E folds per cluster; density
+    // and centralisation mirror the Scala's pinned all-double order.
+    "q_graph_metrics" ->
+      s"""WITH pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e.u, e.v FROM e
+        |  JOIN asg au ON e.u = au.id
+        |  JOIN asg av ON e.v = av.id
+        |  WHERE au.g = av.g
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS id FROM intra UNION ALL SELECT v FROM intra)
+        |  GROUP BY id
+        |), cm AS (
+        |  SELECT asg.g, CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS gsum,
+        |         CAST(max(coalesce(deg.d, 0)) AS BIGINT) AS max_degree
+        |  FROM asg LEFT JOIN deg ON asg.id = deg.id
+        |  GROUP BY asg.g
+        |)
+        |SELECT g AS cluster_id, n_nodes,
+        |  CAST(gsum / 2 AS BIGINT) AS n_edges, max_degree,
+        |  CASE WHEN n_nodes >= 2 THEN CAST(gsum AS DOUBLE) /
+        |    (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+        |  END AS density,
+        |  CASE WHEN n_nodes >= 3 THEN
+        |    (CAST(n_nodes AS DOUBLE) * CAST(max_degree AS DOUBLE)
+        |      - CAST(gsum AS DOUBLE)) /
+        |    (CAST(n_nodes - 1 AS DOUBLE) * CAST(n_nodes - 2 AS DOUBLE))
+        |  END AS centralisation
+        |FROM cm""".stripMargin,
+    // unlinkables: per-record best incident score (NULL when no pair),
+    // θ fan-out, strict < at the boundary, exact count division.
+    "q_unlinkables" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |    jaro_winkler_similarity(a.c_name, b.c_name) AS s
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.86
+        |), best AS (
+        |  SELECT id, max(s) AS b
+        |  FROM (SELECT ka AS id, s FROM pairs
+        |        UNION ALL SELECT kb, s FROM pairs)
+        |  GROUP BY id
+        |), th AS (
+        |  SELECT CAST(t AS DOUBLE) AS theta
+        |  FROM (VALUES (0.86), (0.90), (0.94), (0.97), (0.99)) v(t)
+        |), j AS (
+        |  SELECT best.b, th.theta
+        |  FROM customer c LEFT JOIN best ON c.c_custkey = best.id
+        |  CROSS JOIN th
+        |)
+        |SELECT theta, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(count(CASE WHEN b IS NULL OR b < theta THEN 1 END)
+        |    AS BIGINT) AS n_unlinkable,
+        |  CAST(count(CASE WHEN b IS NULL OR b < theta THEN 1 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_unlinkable
+        |FROM j GROUP BY theta""".stripMargin,
     // rule pair count Σ C(g,2) over the suffix key, then the pinned
     // λ division: pairs / (recall · (n·(n−1)/2)).
     "q_fs_estimate_lambda" ->

@@ -269,4 +269,115 @@ object Evaluation {
       .select(col("__tie"), col("__rnk").as("rank"))
     keyed.join(ranked, "__tie").drop("__ord", "__tie")
   }
+
+  /** Canonical intra-cluster edge set shared by [[nodeDegrees]] and
+    * [[graphMetrics]]: edges are normalized to (u < v), self-loops and
+    * duplicates (either direction) removed, and ONLY edges whose two
+    * endpoints sit in the same cluster survive — an edge that crosses
+    * clusters (possible when `assignment` was produced by a different
+    * run or a manual override split a component) contributes to neither
+    * side's metrics rather than silently corrupting one. Columns:
+    * (__gu, __gv, __gc). */
+  private def intraClusterEdges(assignment: DataFrame, edges: DataFrame,
+      idCol: String, clusterCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("__gu"),
+        greatest(col(aCol), col(bCol)).as("__gv"))
+      .where(col("__gu") =!= col("__gv"))
+      .distinct()
+    val au = assignment.select(col(idCol).as("__gu"),
+      col(clusterCol).as("__gcu"))
+    val av = assignment.select(col(idCol).as("__gv"),
+      col(clusterCol).as("__gcv"))
+    e.join(au, "__gu").join(av, "__gv")
+      .where(col("__gcu") === col("__gcv"))
+      .select(col("__gu"), col("__gv"), col("__gcu").as("__gc"))
+  }
+
+  /** Per-record degree in the verified match graph — Splink's node-level
+    * `compute_graph_metrics` output. A record's degree counts its
+    * DISTINCT same-cluster match partners (edges are direction- and
+    * duplicate-normalized, self-loops dropped, cross-cluster edges
+    * excluded — see [[intraClusterEdges]]); records no edge touches
+    * (singletons, or members only connected by excluded edges) appear
+    * with degree 0, because "this record matched nothing" is exactly the
+    * row a review queue wants. Low degree inside a big cluster marks a
+    * record held in only by transitivity — the first candidates to
+    * re-examine when a cluster looks over-merged.
+    *
+    * Shapes: edge normalization is one edge-sized distinct; degrees are
+    * one map-side-combinable groupBy over the exploded endpoints; the
+    * final left join keys on the record id. Nothing pair-quadratic,
+    * nothing windowed. Output: (id, cluster_id, degree). */
+  def nodeDegrees(assignment: DataFrame, edges: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
+    val e = intraClusterEdges(assignment, edges, idCol, clusterCol,
+      aCol, bCol)
+    val deg = e.select(col("__gu").as("__gid"))
+      .unionAll(e.select(col("__gv").as("__gid")))
+      .groupBy(col("__gid")).agg(count(lit(1)).as("__gdeg"))
+    assignment.select(col(idCol), col(clusterCol))
+      .join(deg, col(idCol) === col("__gid"), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("__gdeg"), lit(0L)).as("degree"))
+  }
+
+  /** Per-cluster graph metrics over the verified match edges — Splink's
+    * cluster-level `compute_graph_metrics`: size, edge count, density
+    * and Freeman degree centralisation. Reading: a large cluster with
+    * density near the 2/n spanning-tree floor is held together by a
+    * chain of single links (over-merge suspect — [[Linkage
+    * .weakestLinks]] names the link to cut); centralisation near 1 is a
+    * hub-and-spoke cluster whose hub record deserves a clerical look
+    * (one bad golden-ish record gluing strangers together); density 1 is
+    * a clique — every pair independently verified.
+    *
+    * Definitions (n = n_nodes, E = n_edges, deg over [[nodeDegrees]]'
+    * intra-cluster graph):
+    *  - `density` = 2E / (n(n−1)), NULL when n < 2 (a singleton has no
+    *    pair slots — no evidence, not 0);
+    *  - `centralisation` = Σᵢ(max_deg − degᵢ) / ((n−1)(n−2)) — Freeman's
+    *    normalization, NULL when n < 3 (the star denominator vanishes).
+    *
+    * The gate face keeps the integer sufficient statistics (n_nodes,
+    * n_edges, max_degree) as longs; the two ratios are computed in
+    * pinned all-double order — numerator and denominator each a product
+    * of exact long→double casts, one divide — so an oracle mirroring the
+    * formula reproduces them bit-for-bit (and n(n−1) can never overflow
+    * a long on a 10^12-member pathological cluster, the
+    * [[Linkage.blockingQuality]] lesson). Σ(max−deg) folds as
+    * n·max − Σdeg without a second pass.
+    *
+    * Shapes: one edge-sized distinct, one endpoint-explode groupBy for
+    * degrees, one cluster groupBy each for node counts and degree
+    * aggregates, one cluster-count-sized join. Clusters are rows even
+    * when no edge survived (n_edges 0 — an assignment imported without
+    * its evidence shows up instead of vanishing). Output: (cluster_id,
+    * n_nodes, n_edges, max_degree, density, centralisation). */
+  def graphMetrics(assignment: DataFrame, edges: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
+    val deg = nodeDegrees(assignment, edges, idCol, clusterCol, aCol, bCol)
+    val n = col("n_nodes").cast("double")
+    deg.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("degree")).as("__gsum"),
+        max(col("degree")).as("max_degree"))
+      .select(col(clusterCol), col("n_nodes"),
+        // every intra-cluster edge contributes exactly 2 to __gsum
+        (col("__gsum") / lit(2)).cast("long").as("n_edges"),
+        col("max_degree"), col("__gsum"))
+      .withColumn("density", when(col("n_nodes") >= 2,
+        col("__gsum").cast("double") / (n * (col("n_nodes") - 1)
+          .cast("double"))))
+      .withColumn("centralisation", when(col("n_nodes") >= 3,
+        (n * col("max_degree").cast("double") -
+          col("__gsum").cast("double")) /
+        ((col("n_nodes") - 1).cast("double") *
+          (col("n_nodes") - 2).cast("double"))))
+      .select(col(clusterCol), col("n_nodes"), col("n_edges"),
+        col("max_degree"), col("density"), col("centralisation"))
+  }
 }

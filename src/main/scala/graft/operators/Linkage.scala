@@ -1347,6 +1347,51 @@ object Linkage {
         col("precision"), col("recall"), col("f1"))
   }
 
+  /** Unlinkables analysis — Splink's `unlinkables_chart` recast for a
+    * candidate-pair world: for each threshold θ, how many RECORDS have no
+    * scored pair at or above θ touching them at all. A record is
+    * unlinkable at θ when its best incident score is below θ — or when
+    * blocking never produced a pair for it (best = no evidence), which
+    * counts at EVERY θ. This is the per-record complement of
+    * [[thresholdSweep]]'s per-pair view: the sweep says how the pair
+    * decisions trade off, this says what fraction of the corpus a θ
+    * choice strands with zero matches — the curve read off before
+    * promising "every registry row links to the crawl".
+    *
+    * Shapes: one endpoint-explode + map-side-combinable max per record
+    * (pair-sized in, record-sized out), one left join onto the record
+    * frame, then the [[thresholdSweep]] explode discipline — each record
+    * fans out to all |θ| literals and partial aggregation folds to |θ|
+    * groups map-side. No window, nothing quadratic; every θ row is
+    * present by construction (each record contributes to each θ group).
+    *
+    * All counts are longs; `frac_unlinkable` is one exact long→double
+    * division. `records` must carry distinct ids (it is the corpus
+    * frame, not the pair frame). Output: (theta, n_records,
+    * n_unlinkable, frac_unlinkable), one row per θ. */
+  def unlinkables(records: DataFrame, scored: DataFrame,
+      thetas: Seq[Double], idCol: String = "url",
+      aCol: String = "url_a", bCol: String = "url_b",
+      scoreCol: String = "score"): DataFrame = {
+    require(thetas.nonEmpty, "unlinkables needs at least one threshold")
+    val thetaArr = array(thetas.map(lit(_)): _*)
+    val best = scored.select(col(aCol).as("__uid"), col(scoreCol).as("__us"))
+      .unionAll(scored.select(col(bCol).as("__uid"),
+        col(scoreCol).as("__us")))
+      .groupBy(col("__uid")).agg(max(col("__us")).as("__ubest"))
+    records.select(col(idCol).as("__uid"))
+      .join(best, Seq("__uid"), "left")
+      .select(col("__ubest"), explode(thetaArr).as("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_records"),
+        count(when(col("__ubest").isNull || col("__ubest") < col("theta"),
+          lit(1))).as("n_unlinkable"))
+      .withColumn("frac_unlinkable",
+        col("n_unlinkable").cast("double") / col("n_records").cast("double"))
+      .select(col("theta"), col("n_records"), col("n_unlinkable"),
+        col("frac_unlinkable"))
+  }
+
   /** Deterministic decision-rule cascade — the rule-based half of a
     * production linkage (the NHS-number-then-demographics pattern):
     * an ORDERED list of named match rules is evaluated per candidate
