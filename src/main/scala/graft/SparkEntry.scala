@@ -2110,6 +2110,21 @@ object SparkEntry {
         .select(col("ka").as("url_a"), col("kb").as("url_b"))
       graft.operators.Evaluation.graphMetrics(asg, edges)
     }),
+    // Edge level of the same graph: is_bridge per normalized intra
+    // edge (removal disconnects the cluster) — per-cluster iterative
+    // Tarjan distributed over groups; the fixture graph has real cycles
+    // at both sf, so both flag values are load-bearing.
+    "q_bridge_edges" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.bridgeEdges(asg, edges)
+    }),
     // Unlinkables curve (Splink's unlinkables_chart for a candidate-pair
     // world): per θ, the share of RECORDS with no incident scored pair
     // ≥ θ. The 0.86 candidate floor leaves many customers with no pair
@@ -6206,6 +6221,40 @@ object SparkEntry {
         |    (CAST(n_nodes - 1 AS DOUBLE) * CAST(n_nodes - 2 AS DOUBLE))
         |  END AS centralisation
         |FROM cm""".stripMargin,
+    // bridges: per excluded edge, a recursive reachability walk over the
+    // remaining intra edges; the edge is a bridge iff its far endpoint
+    // never appears in its own walk.
+    "q_bridge_edges" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e.u, e.v, au.g FROM e
+        |  JOIN asg au ON e.u = au.id
+        |  JOIN asg av ON e.v = av.id
+        |  WHERE au.g = av.g
+        |), walk(xu, xv, node) AS (
+        |  SELECT u, v, u FROM intra
+        |  UNION
+        |  SELECT w.xu, w.xv,
+        |    CASE WHEN ee.u = w.node THEN ee.v ELSE ee.u END
+        |  FROM walk w JOIN intra ee ON (ee.u = w.node OR ee.v = w.node)
+        |  WHERE NOT (ee.u = w.xu AND ee.v = w.xv)
+        |)
+        |SELECT i.g AS cluster_id, i.u AS url_a, i.v AS url_b,
+        |  (r.node IS NULL) AS is_bridge
+        |FROM intra i LEFT JOIN walk r
+        |  ON r.xu = i.u AND r.xv = i.v AND r.node = i.v""".stripMargin,
     // unlinkables: per-record best incident score (NULL when no pair),
     // θ fan-out, strict < at the boundary, exact count division.
     "q_unlinkables" ->

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.expressions.{Window => W}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 /** Classifier-style evaluation of pairwise match scores — the ROC view of
   * a linkage scorer (complementing the θ-driven confusion counts of
@@ -379,5 +380,157 @@ object Evaluation {
           (col("n_nodes") - 2).cast("double"))))
       .select(col(clusterCol), col("n_nodes"), col("n_edges"),
         col("max_degree"), col("density"), col("centralisation"))
+  }
+
+  /** Bridge flags over the verified match graph — Splink's `is_bridge`
+    * edge metric: an intra-cluster edge is a bridge when removing it
+    * disconnects its cluster. Bridges are the single points of failure
+    * of an entity — each one is ONE pairwise decision holding two
+    * otherwise-unrelated record groups together, so the bridge list IS
+    * the clerical-review queue for over-merge suspects (where
+    * [[Linkage.weakestLinks]] ranks by score, this ranks by structure;
+    * an isolated verified pair is a bridge by definition — cutting it
+    * splits the 2-cluster).
+    *
+    * Semantics are over the SIMPLE intra-cluster graph of
+    * [[intraClusterEdges]] (direction/duplicate-normalized, self-loops
+    * and cross-cluster edges out) — duplicate rows of one verified pair
+    * are artifacts, not parallel evidence, so they must not fake a
+    * cycle.
+    *
+    * Scale shape: bridge-finding is inherently whole-component (every
+    * known algorithm walks the component), so the component is the unit
+    * of distribution — groups fan out across executors and each runs
+    * one O(V+E) iterative Tarjan lowlink pass in arrays local to ITS
+    * cluster (the [[graft.operators.Dedup]] lesson applied to graphs:
+    * per-bucket work bounded + observable, never corpus-global).
+    * Clusters with more than `maxClusterEdges` edges emit nothing here
+    * — the group reader stops buffering at the cap, so a monster
+    * cluster costs O(cap) memory, not O(cluster) — and are listed with
+    * exact sizes by [[droppedBridgeClusters]] (same contract as every
+    * capped pair generator in the repo). At real cluster sizes (entity
+    * clusters are people/pages, not the corpus) the default cap is
+    * effectively "never".
+    *
+    * Output: (clusterCol, aCol, bCol, is_bridge) — one row per
+    * normalized intra-cluster edge, original id/cluster types
+    * preserved. */
+  def bridgeEdges(assignment: DataFrame, edges: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b",
+      maxClusterEdges: Int = 1 << 20): DataFrame = {
+    val intra = intraClusterEdges(assignment, edges, idCol, clusterCol,
+      aCol, bCol)
+    val outSchema = StructType(Seq(
+      intra.schema("__gc").copy(name = clusterCol),
+      intra.schema("__gu").copy(name = aCol),
+      intra.schema("__gv").copy(name = bCol),
+      StructField("is_bridge", BooleanType, nullable = false)))
+    intra
+      .groupByKey { r: Row =>
+        val c = r.get(2); if (c == null) "" else c.toString
+      }(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        // buffer at most cap+1 rows: a monster cluster is detected and
+        // skipped without ever materializing past the cap
+        val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+        var over = false
+        while (it.hasNext && !over) {
+          buf += it.next()
+          if (buf.length > maxClusterEdges) over = true
+        }
+        if (over) Iterator.empty
+        else {
+          val m = buf.length
+          val index = new java.util.HashMap[Any, Integer]()
+          def of(x: Any): Int = {
+            var i = index.get(x)
+            if (i == null) { i = index.size(); index.put(x, i) }
+            i
+          }
+          val eu = new Array[Int](m); val ev = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            eu(j) = of(buf(j).get(0)); ev(j) = of(buf(j).get(1)); j += 1
+          }
+          val bridge = simpleBridges(index.size(), eu, ev)
+          buf.iterator.zipWithIndex.map { case (r, k) =>
+            Row(r.get(2), r.get(0), r.get(1), bridge(k))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Companion of [[bridgeEdges]]: the clusters its cap excluded, with
+    * exact intra-edge counts — one map-side-combinable sizing groupBy,
+    * nothing buffered. Empty ⇔ the bridge frame covered every cluster. */
+  def droppedBridgeClusters(assignment: DataFrame, edges: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b",
+      maxClusterEdges: Int = 1 << 20): DataFrame =
+    intraClusterEdges(assignment, edges, idCol, clusterCol, aCol, bCol)
+      .groupBy(col("__gc")).agg(count(lit(1)).as("n_edges"))
+      .where(col("n_edges") > maxClusterEdges)
+      .select(col("__gc").as(clusterCol), col("n_edges"))
+
+  /** Iterative Tarjan lowlink bridge-finding over an int-indexed simple
+    * graph in CSR arrays — explicit stack (a 10^5-node chain would blow
+    * the JVM stack recursively), parent skipped BY EDGE ID (robust even
+    * to parallel edges, though callers pass deduped sets). O(V+E) time
+    * and memory, all primitive arrays. Returns one flag per edge. */
+  private[operators] def simpleBridges(n: Int, eu: Array[Int],
+      ev: Array[Int]): Array[Boolean] = {
+    val m = eu.length
+    val deg = new Array[Int](n)
+    var j = 0
+    while (j < m) { deg(eu(j)) += 1; deg(ev(j)) += 1; j += 1 }
+    val start = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { start(i + 1) = start(i) + deg(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(start, n)
+    val adjN = new Array[Int](2 * m); val adjE = new Array[Int](2 * m)
+    j = 0
+    while (j < m) {
+      adjN(pos(eu(j))) = ev(j); adjE(pos(eu(j))) = j; pos(eu(j)) += 1
+      adjN(pos(ev(j))) = eu(j); adjE(pos(ev(j))) = j; pos(ev(j)) += 1
+      j += 1
+    }
+    val disc = Array.fill(n)(-1); val low = new Array[Int](n)
+    val parentEdge = new Array[Int](n)
+    val stackNode = new Array[Int](n); val stackPtr = new Array[Int](n)
+    val isBridge = new Array[Boolean](m)
+    var timer = 0
+    var root = 0
+    while (root < n) {
+      if (disc(root) == -1) {
+        var top = 0
+        stackNode(0) = root; stackPtr(0) = start(root)
+        parentEdge(root) = -1
+        disc(root) = timer; low(root) = timer; timer += 1
+        while (top >= 0) {
+          val u = stackNode(top)
+          if (stackPtr(top) < start(u + 1)) {
+            val p = stackPtr(top); stackPtr(top) += 1
+            val e = adjE(p); val w = adjN(p)
+            if (e != parentEdge(u)) {
+              if (disc(w) == -1) {
+                disc(w) = timer; low(w) = timer; timer += 1
+                parentEdge(w) = e
+                top += 1; stackNode(top) = w; stackPtr(top) = start(w)
+              } else if (disc(w) < low(u)) low(u) = disc(w)
+            }
+          } else {
+            top -= 1
+            if (top >= 0) {
+              val par = stackNode(top)
+              if (low(u) < low(par)) low(par) = low(u)
+              if (low(u) > disc(par)) isBridge(parentEdge(u)) = true
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    isBridge
   }
 }

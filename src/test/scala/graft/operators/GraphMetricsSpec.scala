@@ -110,4 +110,84 @@ class GraphMetricsSpec extends SparkFunSuite {
       .as[(Double, Long, Long, Double)].head()
     assert(got == ((0.7, 2L, 0L, 0.0)))
   }
+
+  // ------------------------------------------------------- bridge edges
+
+  private def bridgeSet(asgDf: org.apache.spark.sql.DataFrame,
+      edgeDf: org.apache.spark.sql.DataFrame, cap: Int = 1 << 20) =
+    Evaluation.bridgeEdges(asgDf, edgeDf, maxClusterEdges = cap)
+      .where(col("is_bridge"))
+      .select("url_a", "url_b").as[(Long, Long)].collect().toSet
+
+  test("bridgeEdges: chain = all bridges, cycle = none, pendant = one") {
+    val chainAsg = (1L to 4L).map((_, "A")).toDF("id", "cluster_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("url_a", "url_b")
+    assert(bridgeSet(chainAsg, chain) == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    val cyc = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("url_a", "url_b")
+    assert(bridgeSet(chainAsg, cyc) == Set.empty)
+    // cycle 1-2-3 + pendant 3-4: only the pendant is a bridge, and the
+    // full frame still carries every edge with its flag
+    val pend = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("url_a", "url_b")
+    assert(bridgeSet(chainAsg, pend) == Set((3L, 4L)))
+    assert(Evaluation.bridgeEdges(chainAsg, pend).count() == 4L)
+  }
+
+  test("bridgeEdges: duplicates/reversals don't fake a cycle; " +
+      "cross-cluster edges are out; isolated pair is a bridge") {
+    // (1,2) duplicated and reversed stays ONE simple edge → bridge
+    val asg2 = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "cluster_id")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (2L, 3L))
+      .toDF("url_a", "url_b")
+    // cross-cluster (2,3) excluded; both intra pairs are isolated pairs
+    assert(bridgeSet(asg2, e) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("bridgeEdges matches brute-force removal on random graphs") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val asgDf = (1 to n).map(i => (i.toLong, s"c${i % 2}"))
+        .toDF("id", "cluster_id")
+      val raw = Seq.fill(24)((rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+      val cluster = (1 to n).map(i => (i.toLong, i % 2)).toMap
+      val canon = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && cluster(a) == cluster(b) }
+        .distinct
+      // reference: edge is a bridge iff removing it breaks u↝v
+      def reachable(es: Seq[(Long, Long)], from: Long, to: Long): Boolean = {
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+        val seen = scala.collection.mutable.Set(from)
+        val q = scala.collection.mutable.Queue(from)
+        while (q.nonEmpty) {
+          val u = q.dequeue()
+          adj.getOrElse(u, Nil).foreach { w =>
+            if (seen.add(w)) q.enqueue(w)
+          }
+        }
+        seen(to)
+      }
+      val ref = canon.filter { e =>
+        !reachable(canon.filterNot(_ == e), e._1, e._2)
+      }.toSet
+      assert(bridgeSet(asgDf, raw.toDF("url_a", "url_b")) == ref,
+        s"trial $trial")
+    }
+  }
+
+  test("bridgeEdges cap: oversized cluster dropped, observable, bounded") {
+    val asgDf = (1L to 5L).map((_, "A")).toDF("id", "cluster_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("url_a", "url_b")
+    assert(bridgeSet(asgDf, chain, cap = 3) == Set.empty)
+    val dropped = Evaluation.droppedBridgeClusters(asgDf, chain,
+        maxClusterEdges = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(dropped == Seq(("A", 4L)))
+    // at cap ≥ size nothing drops
+    assert(Evaluation.droppedBridgeClusters(asgDf, chain,
+      maxClusterEdges = 4).count() == 0L)
+  }
 }
