@@ -2125,6 +2125,21 @@ object SparkEntry {
         .select(col("ka").as("url_a"), col("kb").as("url_b"))
       graft.operators.Evaluation.bridgeEdges(asg, edges)
     }),
+    // Node level: articulation records (cut vertices) — a record whose
+    // removal splits its cluster, flagged even when none of its edges
+    // is a bridge (the shared-bad-row over-merge culprit); one shared
+    // Tarjan pass with q_bridge_edges' operator.
+    "q_articulation" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.articulationRecords(asg, edges)
+    }),
     // Unlinkables curve (Splink's unlinkables_chart for a candidate-pair
     // world): per θ, the share of RECORDS with no incident scored pair
     // ≥ θ. The 0.86 candidate floor leaves many customers with no pair
@@ -6255,6 +6270,48 @@ object SparkEntry {
         |  (r.node IS NULL) AS is_bridge
         |FROM intra i LEFT JOIN walk r
         |  ON r.xu = i.u AND r.xv = i.v AND r.node = i.v""".stripMargin,
+    // articulation: per edge-incident record x, walk from its smallest
+    // neighbor avoiding x; x cuts iff some neighbor stays unreached.
+    "q_articulation" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e.u, e.v, au.g FROM e
+        |  JOIN asg au ON e.u = au.id
+        |  JOIN asg av ON e.v = av.id
+        |  WHERE au.g = av.g
+        |), nbr AS (
+        |  SELECT u AS x, v AS n FROM intra UNION SELECT v, u FROM intra
+        |), seed AS (
+        |  SELECT x, min(n) AS n0 FROM nbr GROUP BY x
+        |), walkn(x, node) AS (
+        |  SELECT x, n0 FROM seed
+        |  UNION
+        |  SELECT w.x, CASE WHEN ee.u = w.node THEN ee.v ELSE ee.u END
+        |  FROM walkn w JOIN intra ee ON (ee.u = w.node OR ee.v = w.node)
+        |  WHERE ee.u <> w.x AND ee.v <> w.x
+        |), cnt AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS nn FROM nbr GROUP BY x
+        |), rc AS (
+        |  SELECT n.x, CAST(count(*) AS BIGINT) AS nr
+        |  FROM nbr n JOIN walkn w ON w.x = n.x AND w.node = n.n
+        |  GROUP BY n.x
+        |)
+        |SELECT a.g AS cluster_id, cnt.x AS id,
+        |  (coalesce(rc.nr, 0) <> cnt.nn) AS is_articulation
+        |FROM cnt LEFT JOIN rc ON cnt.x = rc.x
+        |JOIN asg a ON cnt.x = a.id""".stripMargin,
     // unlinkables: per-record best incident score (NULL when no pair),
     // θ fan-out, strict < at the boundary, exact count division.
     "q_unlinkables" ->

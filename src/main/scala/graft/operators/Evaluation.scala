@@ -473,13 +473,21 @@ object Evaluation {
       .where(col("n_edges") > maxClusterEdges)
       .select(col("__gc").as(clusterCol), col("n_edges"))
 
-  /** Iterative Tarjan lowlink bridge-finding over an int-indexed simple
-    * graph in CSR arrays — explicit stack (a 10^5-node chain would blow
-    * the JVM stack recursively), parent skipped BY EDGE ID (robust even
-    * to parallel edges, though callers pass deduped sets). O(V+E) time
-    * and memory, all primitive arrays. Returns one flag per edge. */
+  /** Bridge flags only — see [[lowlinkPass]]. */
   private[operators] def simpleBridges(n: Int, eu: Array[Int],
-      ev: Array[Int]): Array[Boolean] = {
+      ev: Array[Int]): Array[Boolean] = lowlinkPass(n, eu, ev)._1
+
+  /** ONE iterative Tarjan lowlink pass over an int-indexed simple graph
+    * in CSR arrays, computing bridges (per edge) AND cut vertices /
+    * articulation points (per node) together — explicit stack (a
+    * 10^5-node chain would blow the JVM stack recursively), parent
+    * skipped BY EDGE ID (robust even to parallel edges, though callers
+    * pass deduped sets). Bridge: tree edge with low(child) > disc(u);
+    * cut: non-root u with a tree child where low(child) ≥ disc(u), or a
+    * root with ≥ 2 tree children. O(V+E) time and memory, all primitive
+    * arrays. */
+  private[operators] def lowlinkPass(n: Int, eu: Array[Int],
+      ev: Array[Int]): (Array[Boolean], Array[Boolean]) = {
     val m = eu.length
     val deg = new Array[Int](n)
     var j = 0
@@ -499,11 +507,13 @@ object Evaluation {
     val parentEdge = new Array[Int](n)
     val stackNode = new Array[Int](n); val stackPtr = new Array[Int](n)
     val isBridge = new Array[Boolean](m)
+    val isCut = new Array[Boolean](n)
     var timer = 0
     var root = 0
     while (root < n) {
       if (disc(root) == -1) {
         var top = 0
+        var rootChildren = 0
         stackNode(0) = root; stackPtr(0) = start(root)
         parentEdge(root) = -1
         disc(root) = timer; low(root) = timer; timer += 1
@@ -516,6 +526,7 @@ object Evaluation {
               if (disc(w) == -1) {
                 disc(w) = timer; low(w) = timer; timer += 1
                 parentEdge(w) = e
+                if (top == 0) rootChildren += 1
                 top += 1; stackNode(top) = w; stackPtr(top) = start(w)
               } else if (disc(w) < low(u)) low(u) = disc(w)
             }
@@ -525,12 +536,83 @@ object Evaluation {
               val par = stackNode(top)
               if (low(u) < low(par)) low(par) = low(u)
               if (low(u) > disc(par)) isBridge(parentEdge(u)) = true
+              // non-root articulation: some tree child can't reach
+              // above par without par
+              if (top > 0 && low(u) >= disc(par)) isCut(par) = true
             }
           }
         }
+        if (rootChildren >= 2) isCut(root) = true
       }
       root += 1
     }
-    isBridge
+    (isBridge, isCut)
+  }
+
+  /** Articulation records (cut vertices) of the verified match graph —
+    * the node-level sibling of [[bridgeEdges]]: a record whose removal
+    * disconnects its cluster. Where a bridge is one fragile DECISION, an
+    * articulation record is one fragile RECORD — the classic over-merge
+    * culprit is a single bad row (a shared placeholder email, a
+    * tokenized-away name) that alone connects two real entities, and it
+    * is exactly a cut vertex even when its incident edges individually
+    * sit in cycles. Complements `centralisation` (which flags hubs only
+    * statistically) with the exact structural test.
+    *
+    * Same distribution contract as [[bridgeEdges]]: per-cluster
+    * iterative Tarjan (ONE shared lowlink pass computes both metrics),
+    * groups buffered only to `maxClusterEdges` (+1 detection row),
+    * oversized clusters emit nothing here and are listed by
+    * [[droppedBridgeClusters]]. Output: one row per record incident to
+    * ≥ 1 intra-cluster edge — an edgeless record can't cut anything —
+    * with its flag: (clusterCol, idCol, is_articulation). */
+  def articulationRecords(assignment: DataFrame, edges: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b",
+      maxClusterEdges: Int = 1 << 20): DataFrame = {
+    val intra = intraClusterEdges(assignment, edges, idCol, clusterCol,
+      aCol, bCol)
+    val outSchema = StructType(Seq(
+      intra.schema("__gc").copy(name = clusterCol),
+      intra.schema("__gu").copy(name = idCol),
+      StructField("is_articulation", BooleanType, nullable = false)))
+    intra
+      .groupByKey { r: Row =>
+        val c = r.get(2); if (c == null) "" else c.toString
+      }(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+        var over = false
+        while (it.hasNext && !over) {
+          buf += it.next()
+          if (buf.length > maxClusterEdges) over = true
+        }
+        if (over) Iterator.empty
+        else {
+          val m = buf.length
+          val index = new java.util.LinkedHashMap[Any, Integer]()
+          def of(x: Any): Int = {
+            var i = index.get(x)
+            if (i == null) { i = index.size(); index.put(x, i) }
+            i
+          }
+          val eu = new Array[Int](m); val ev = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            eu(j) = of(buf(j).get(0)); ev(j) = of(buf(j).get(1)); j += 1
+          }
+          val cut = lowlinkPass(index.size(), eu, ev)._2
+          val cluster = if (m > 0) buf(0).get(2) else null
+          val keys = index.keySet().iterator()
+          new Iterator[Row] {
+            var k = 0
+            def hasNext: Boolean = keys.hasNext
+            def next(): Row = {
+              val id = keys.next(); val r = Row(cluster, id, cut(k))
+              k += 1; r
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
   }
 }

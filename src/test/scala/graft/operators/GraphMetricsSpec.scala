@@ -177,6 +177,69 @@ class GraphMetricsSpec extends SparkFunSuite {
     }
   }
 
+  private def cutSet(asgDf: org.apache.spark.sql.DataFrame,
+      edgeDf: org.apache.spark.sql.DataFrame) =
+    Evaluation.articulationRecords(asgDf, edgeDf)
+      .where(col("is_articulation"))
+      .select("id").as[Long].collect().toSet
+
+  test("articulationRecords: chain/cycle/pendant/shared-node cases") {
+    val asg5 = (1L to 5L).map((_, "A")).toDF("id", "cluster_id")
+    // chain 1-2-3-4: interior nodes cut
+    assert(cutSet(asg5, Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("url_a", "url_b")) == Set(2L, 3L))
+    // cycle: nothing cuts
+    assert(cutSet(asg5, Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("url_a", "url_b")) == Set.empty)
+    // two triangles sharing node 3: a cut vertex with NO bridge edge —
+    // the case degree/bridge views both miss
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L)).toDF("url_a", "url_b")
+    assert(cutSet(asg5, twoTri) == Set(3L))
+    assert(bridgeSet(asg5, twoTri) == Set.empty)
+    // one row per edge-incident record, flag both ways
+    val all = Evaluation.articulationRecords(asg5, twoTri)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(all == Set(("A", 1L, false), ("A", 2L, false), ("A", 3L, true),
+      ("A", 4L, false), ("A", 5L, false)))
+  }
+
+  test("articulationRecords matches brute-force node removal") {
+    val rng = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val asgDf = (1 to n).map(i => (i.toLong, s"c${i % 2}"))
+        .toDF("id", "cluster_id")
+      val raw = Seq.fill(26)((rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+      val cluster = (1 to n).map(i => (i.toLong, i % 2)).toMap
+      val canon = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && cluster(a) == cluster(b) }
+        .distinct
+      def reach(es: Seq[(Long, Long)], from: Long): Set[Long] = {
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+        val seen = scala.collection.mutable.Set(from)
+        val q = scala.collection.mutable.Queue(from)
+        while (q.nonEmpty) {
+          adj.getOrElse(q.dequeue(), Nil)
+            .foreach(w => if (seen.add(w)) q.enqueue(w))
+        }
+        seen.toSet
+      }
+      // x cuts iff its neighbors aren't all mutually reachable without x
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      val ref = nodes.filter { x =>
+        val nbrs = canon.collect {
+          case (a, b) if a == x => b
+          case (a, b) if b == x => a
+        }.distinct
+        val without = canon.filter(e => e._1 != x && e._2 != x)
+        nbrs.size > 1 && !nbrs.tail.forall(reach(without, nbrs.head))
+      }.toSet
+      assert(cutSet(asgDf, raw.toDF("url_a", "url_b")) == ref, s"trial $trial")
+    }
+  }
+
   test("bridgeEdges cap: oversized cluster dropped, observable, bounded") {
     val asgDf = (1L to 5L).map((_, "A")).toDF("id", "cluster_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
