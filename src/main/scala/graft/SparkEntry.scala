@@ -1680,6 +1680,15 @@ object SparkEntry {
       graft.operators.FellegiSunter.patternTable(pairs, fsGammas, model)
     }),
 
+    // Comparison-viewer examples: per observed gamma pattern, the first
+    // k pairs in pinned id order — the concrete-record view next to
+    // q_fs_pattern_table's counts; the ≤ k filter sits directly above
+    // row_number so InferWindowGroupLimit bounds each map task.
+    "q_fs_examples" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      graft.operators.FellegiSunter.patternExamples(pairs, fsGammas, k = 5)
+    }),
+
     // Splink-style waterfall: per-pair, per-field Bayes-factor
     // decomposition of the fitted likelihood ratio (prior odds × one
     // factor per comparison — the explain-this-match chart). The oracle
@@ -5211,6 +5220,23 @@ object SparkEntry {
     "q_fs_waterfall" -> fellegiSunterOracleSql(iters = 15, waterfall = true),
     "q_fs_pattern_table" ->
       fellegiSunterOracleSql(iters = 15, patternTable = true),
+    // comparison-viewer examples: same gammas, per-pattern row_number in
+    // pinned (ka, kb) order, top-5.
+    "q_fs_examples" ->
+      s"""WITH pairs AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         |    CAST(CASE WHEN (CASE WHEN a.c_name = b.c_name THEN 1.0
+         |         ELSE jaro_winkler_similarity(a.c_name, b.c_name) END) >= 0.95
+         |         THEN 1 ELSE 0 END AS BIGINT) AS g0,
+         |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+         |         THEN 1 ELSE 0 END AS BIGINT) AS g1,
+         |    CAST(CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+         |         THEN 1 ELSE 0 END AS BIGINT) AS g2
+         |  $customerPairsSql)
+         |SELECT g0, g1, g2, ka, kb, example_rank FROM (
+         |  SELECT g0, g1, g2, ka, kb, row_number() OVER (
+         |    PARTITION BY g0, g1, g2 ORDER BY ka, kb) AS example_rank
+         |  FROM pairs) WHERE example_rank <= 5""".stripMargin,
     "q_fs_estimate_u" -> fsEstimateUOracle,
     // m from labeled matches: per-field integer agreement counts over
     // the t = 1 pairs, one final division each.

@@ -188,6 +188,31 @@ object FellegiSunter {
     score(pairs.groupBy(gammaCols.map(col): _*)
       .agg(count(lit(1)).as("n_pairs")), gammaCols, model)
 
+  /** Example pairs per comparison pattern — the data behind Splink's
+    * comparison-viewer dashboard: for each observed gamma pattern, the k
+    * first pairs in pinned (idCols) order, ranked. [[patternTable]] says
+    * how often each pattern occurs and what the model concludes from it;
+    * THIS shows a reviewer concrete record pairs that look like it (the
+    * step where "g0=1,g1=0" becomes "same name, different segment — yes,
+    * those are duplicates"). Deterministic: the rank order is the id
+    * columns themselves, so runs, partitionings, and the oracle agree.
+    *
+    * Scale shape: the ≤ k filter sits DIRECTLY above row_number, so
+    * InferWindowGroupLimit inserts a per-pattern top-k limit before the
+    * exchange — each map task forwards at most k rows per pattern it
+    * sees, and the post-shuffle frame is ≤ k·2^|gammas| rows. No
+    * pair-corpus-sized sort anywhere. */
+  def patternExamples(pairs: DataFrame, gammaCols: Seq[String], k: Int,
+      idCols: Seq[String] = Seq("ka", "kb")): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gammaCols.map(col): _*)
+      .orderBy(idCols.map(col(_).asc): _*)
+    pairs.select((gammaCols ++ idCols).map(col): _*)
+      .withColumn("example_rank", row_number().over(w))
+      .where(col("example_rank") <= k)
+  }
+
   /** Multi-level model (Splink-style comparison levels): field j takes
     * γ_j ∈ {0 … L_j−1} (0 = disagreement, higher = stronger agreement by
     * convention) with full per-level distributions m(j)(l) = P(γ_j = l |

@@ -373,6 +373,34 @@ class FellegiSunterSpec extends SparkFunSuite {
     }
   }
 
+  test("patternExamples: k per pattern, pinned order, short patterns kept") {
+    import spark.implicits._
+    // pattern (1,0): pairs (5,6),(1,2),(3,4); pattern (0,0): one pair
+    val pairs = Seq(
+      (5L, 6L, 1L, 0L), (1L, 2L, 1L, 0L), (3L, 4L, 1L, 0L),
+      (9L, 10L, 0L, 0L)).toDF("ka", "kb", "g0", "g1")
+    val got = FellegiSunter.patternExamples(pairs, Seq("g0", "g1"), k = 2)
+      .orderBy("g0", "example_rank")
+      .select("g0", "g1", "ka", "kb", "example_rank")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    // (0,0) has fewer than k pairs — it keeps what it has; (1,0) keeps
+    // the two smallest (ka, kb), ranked in that order
+    assert(got == Seq((0L, 0L, 9L, 10L, 1),
+      (1L, 0L, 1L, 2L, 1), (1L, 0L, 3L, 4L, 2)))
+    intercept[IllegalArgumentException](
+      FellegiSunter.patternExamples(pairs, Seq("g0"), k = 0))
+  }
+
+  test("patternExamples plan bounds hot patterns map-side (WindowGroupLimit)") {
+    import spark.implicits._
+    val pairs = (1L to 400L).map(i => (i, i + 1000L, i % 2, 0L))
+      .toDF("ka", "kb", "g0", "g1").repartition(4)
+    val q = FellegiSunter.patternExamples(pairs, Seq("g0", "g1"), k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial group limit in:\n$plan")
+  }
+
   test("estimateLambdaFrame: rule pairs counted per key, null keys out, pinned division") {
     import spark.implicits._
     // keys: a×3 (3 pairs), b×2 (1 pair), one null → 4 rule pairs over
