@@ -1680,6 +1680,30 @@ object SparkEntry {
       graft.operators.FellegiSunter.patternTable(pairs, fsGammas, model)
     }),
 
+    // Incremental EM refit: pattern counts are ADDITIVE, so the stored
+    // counts of the old corpus (persisted through a real parquet
+    // write→read) unioned with a new batch's counts refit to the SAME
+    // model as a from-scratch fit over all pairs — at per-batch cost.
+    // The oracle is exactly q_fellegi_sunter's unrolled EM.
+    "q_fs_incremental" -> ((s, dir) => {
+      val pairs = fsGammaPairs(s, dir)
+      val old = pairs.where(pmod(col("ka") + col("kb"), lit(3)) =!= 0)
+      val batch = pairs.where(pmod(col("ka") + col("kb"), lit(3)) === 0)
+      val cDir = java.nio.file.Files
+        .createTempDirectory("graft_fs_counts").toString
+      deleteTreeOnExit(cDir)
+      graft.operators.FellegiSunter.patternCounts(old, fsGammas)
+        .write.mode("overwrite").parquet(cDir)
+      val stored = s.read.parquet(cDir)
+      val merged = stored.unionByName(
+        graft.operators.FellegiSunter.patternCounts(batch, fsGammas))
+      val model = graft.operators.FellegiSunter.fitFromCounts(
+        merged, fsGammas, iters = 15)
+      graft.operators.FellegiSunter.classify(
+        graft.operators.FellegiSunter.score(pairs, fsGammas, model),
+        upperLr = 0.5, lowerLr = 0.1)
+    }),
+
     // Comparison-viewer examples: per observed gamma pattern, the first
     // k pairs in pinned id order — the concrete-record view next to
     // q_fs_pattern_table's counts; the ≤ k filter sits directly above
@@ -5220,6 +5244,8 @@ object SparkEntry {
     "q_fs_waterfall" -> fellegiSunterOracleSql(iters = 15, waterfall = true),
     "q_fs_pattern_table" ->
       fellegiSunterOracleSql(iters = 15, patternTable = true),
+    // incremental refit ≡ from-scratch fit (additive counts): same oracle
+    "q_fs_incremental" -> fellegiSunterOracleSql(iters = 15),
     // comparison-viewer examples: same gammas, per-pattern row_number in
     // pinned (ka, kb) order, top-5.
     "q_fs_examples" ->

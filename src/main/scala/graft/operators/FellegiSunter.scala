@@ -42,18 +42,53 @@ object FellegiSunter {
     * u_j = P(γ_j = 1 | non-match). */
   final case class Model(lambda: Double, m: IndexedSeq[Double], u: IndexedSeq[Double])
 
+  /** The model's sufficient statistics as a persistable frame: one row
+    * per observed gamma pattern with its pair count (≤ 2^k rows —
+    * model-sized however large the pair corpus). Pattern counts are
+    * ADDITIVE: the counts of a merged corpus are the pattern-wise sum of
+    * per-batch counts, so persisting this frame and unioning each new
+    * batch's counts into it makes EM refits incremental —
+    * [[fitFromCounts]] over (stored ∪ batch) is bit-identical to a
+    * from-scratch [[fit]] over the merged pair corpus, at per-batch cost
+    * (the same additivity [[Dedup.bandIndex]] exploits for LSH). */
+  def patternCounts(pairs: DataFrame, gammaCols: Seq[String]): DataFrame =
+    pairs.groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** EM fit over the pattern counts of `gammaCols` (integer 0/1 columns of
     * `pairs`). `iters` full EM sweeps from (initLambda, initM, initU). */
   def fit(pairs: DataFrame, gammaCols: Seq[String], iters: Int = 15,
+      initLambda: Double = 0.5, initM: Double = 0.9,
+      initU: Double = 0.1): Model = {
+    // arity/iteration validation must fire before any plan is built (a
+    // bad gamma list would otherwise surface as an AnalysisException
+    // from the groupBy instead of a clear argument error)
+    require(gammaCols.size >= 1 && gammaCols.size <= 16,
+      s"gammaCols must have 1..16 fields (driver EM holds 2^k pattern counts), got ${gammaCols.size}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    fitFromCounts(patternCounts(pairs, gammaCols), gammaCols, "n_pairs",
+      iters, initLambda, initM, initU)
+  }
+
+  /** [[fit]] from a [[patternCounts]]-shaped frame instead of the pair
+    * corpus — the incremental-refit seam: union any number of per-batch
+    * count frames (patterns MAY repeat across them; integer sums
+    * re-collapse first, so the merge structure can't perturb a bit) and
+    * refit without touching historical pairs. Same determinism contract
+    * as [[fit]] — identical counts give identical parameters. */
+  def fitFromCounts(counts: DataFrame, gammaCols: Seq[String],
+      countCol: String = "n_pairs", iters: Int = 15,
       initLambda: Double = 0.5, initM: Double = 0.9,
       initU: Double = 0.1): Model = {
     val k = gammaCols.size
     require(k >= 1 && k <= 16,
       s"gammaCols must have 1..16 fields (driver EM holds 2^k pattern counts), got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // the one distributed pass: pair corpus -> <= 2^k (pattern, count) rows
-    val rows = pairs.groupBy(gammaCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).collect()
+    // the one distributed pass: count frame -> <= 2^k (pattern, count)
+    // rows (collapsing repeated patterns from unioned increments with
+    // integer-exact sums)
+    val rows = counts.groupBy(gammaCols.map(col): _*)
+      .agg(sum(col(countCol)).cast("long").as("__n")).collect()
     import scala.math.Ordering.Implicits._
     val pats: Array[(IndexedSeq[Long], Double)] = rows.map { r =>
       val g = gammaCols.indices.map { i =>

@@ -373,6 +373,22 @@ class FellegiSunterSpec extends SparkFunSuite {
     }
   }
 
+  test("fitFromCounts: unioned per-batch counts refit bit-identically") {
+    val model = FellegiSunter.fit(planted, gs, iters = 15)
+    // three disjoint batches, counts unioned with repeated patterns
+    val parts = (0 to 2).map(i =>
+      FellegiSunter.patternCounts(
+        planted.where(pmod(col("id"), lit(3)) === i), gs))
+    val merged = parts.reduce(_ unionByName _)
+    val inc = FellegiSunter.fitFromCounts(merged, gs, iters = 15)
+    assert(inc == model) // case-class equality over IEEE doubles: bit-exact
+    // and a count frame with a custom count column name works
+    val renamed = FellegiSunter.patternCounts(planted, gs)
+      .withColumnRenamed("n_pairs", "cnt")
+    assert(FellegiSunter.fitFromCounts(renamed, gs, countCol = "cnt",
+      iters = 15) == model)
+  }
+
   test("patternExamples: k per pattern, pinned order, short patterns kept") {
     import spark.implicits._
     // pattern (1,0): pairs (5,6),(1,2),(3,4); pattern (0,0): one pair
