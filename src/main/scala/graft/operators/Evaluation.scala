@@ -441,6 +441,11 @@ object Evaluation {
         }
         if (over) Iterator.empty
         else {
+          // output rows carry their own source row's cluster, so even if
+          // the string group key aliased two distinct cluster values,
+          // nothing mislabels: aliased clusters are vertex-disjoint
+          // subgraphs and bridges of a disjoint union equal the
+          // per-part runs.
           val m = buf.length
           val index = new java.util.HashMap[Any, Integer]()
           def of(x: Any): Int = {
@@ -591,24 +596,35 @@ object Evaluation {
         else {
           val m = buf.length
           val index = new java.util.LinkedHashMap[Any, Integer]()
-          def of(x: Any): Int = {
+          // each node's cluster comes from ITS OWN first edge row (not
+          // the group's first row): the string group key could in
+          // principle alias two distinct cluster values, and a node's
+          // (id → cluster) binding is the one thing intraClusterEdges
+          // guarantees per row. Aliased clusters sharing one Tarjan run
+          // is harmless — they are vertex-disjoint subgraphs, and
+          // bridges/cuts of a disjoint union equal the per-part runs.
+          val clusterOf = new scala.collection.mutable.ArrayBuffer[Any]()
+          def of(x: Any, c: Any): Int = {
             var i = index.get(x)
-            if (i == null) { i = index.size(); index.put(x, i) }
+            if (i == null) {
+              i = index.size(); index.put(x, i); clusterOf += c
+            }
             i
           }
           val eu = new Array[Int](m); val ev = new Array[Int](m)
           var j = 0
           while (j < m) {
-            eu(j) = of(buf(j).get(0)); ev(j) = of(buf(j).get(1)); j += 1
+            val c = buf(j).get(2)
+            eu(j) = of(buf(j).get(0), c); ev(j) = of(buf(j).get(1), c)
+            j += 1
           }
           val cut = lowlinkPass(index.size(), eu, ev)._2
-          val cluster = if (m > 0) buf(0).get(2) else null
           val keys = index.keySet().iterator()
           new Iterator[Row] {
             var k = 0
             def hasNext: Boolean = keys.hasNext
             def next(): Row = {
-              val id = keys.next(); val r = Row(cluster, id, cut(k))
+              val id = keys.next(); val r = Row(clusterOf(k), id, cut(k))
               k += 1; r
             }
           }
