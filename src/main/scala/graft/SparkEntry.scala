@@ -2984,6 +2984,74 @@ object SparkEntry {
             f => (f.cast("double") * lit(16777216.0)).cast("long").cast("string")))
             .as("features_q24"))
     }),
+
+    // Information-theoretic agreement family, gate face: count-of-counts
+    // sufficient statistics (side × group_size → n_groups) over the SAME
+    // predicted/truth partitions as q_muc/q_bcubed/q_partition_agreement.
+    // Entropies depend on the partitions only through these size
+    // multisets; the histogram is ALL-INTEGER (ln is libm-dependent
+    // across engines, so the scalar fold is spec-pinned in sbt, not
+    // hash-gated — the log-free house discipline).
+    "q_info_stats" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val assigned = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey")).as("cluster_id"),
+        substring(col("c_name"), 16, 3).as("truth_id"))
+      graft.operators.Linkage.informationStats(assigned)
+    }),
+
+    // Per-cluster triangle census over the SAME verified graph as
+    // q_graph_metrics/q_bridge_edges: degree-ordered wedge-check
+    // triangle counting (Suri-Vassilvitskii orientation, O(E^1.5)
+    // total), wedges as decimal-exact Σ d(d−1)/2, transitivity = 3T/W
+    // one pinned double division (NULL when wedge-free). The 0.94
+    // fixture graph carries real triangles at both sf, so the closed
+    // and open wedge paths are both load-bearing.
+    "q_transitivity" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.clusterTriangles(asg, edges)
+    }),
+
+    // Date comparators over orders pairs blocked two ways: a same-month
+    // family (exercises the ≤7 and ≤365 day bands) and a YEAR-FREE
+    // {month,day}-multiset family (same-year members are exactly the
+    // day↔month transposed pairs — the level a plain band comparator
+    // would misscore as a months-apart disagreement — and cross-year
+    // members land outside every band, exercising 0). gamma_date =
+    // banded dateLevels, gamma_date_t = dateTransposedLevels with the
+    // swap level between exact and the bands; both pure calendar
+    // arithmetic the oracle replays verbatim.
+    "q_comparator_date" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_orderdate").cast("date").as("d"))
+      val keys = o.select(col("id"), concat(lit("t:"),
+          least(month(col("d")), dayofmonth(col("d"))),
+          lit(":"), greatest(month(col("d")), dayofmonth(col("d"))))
+          .as("bk"))
+        .unionAll(o.select(col("id"), concat(lit("m:"), year(col("d")),
+          lit(":"), month(col("d"))).as("bk")))
+      val pairs = keys.select(col("bk"), col("id").as("ka"))
+        .join(keys.select(col("bk"), col("id").as("kb")), "bk")
+        .where(col("ka") < col("kb"))
+        .select(col("ka"), col("kb")).distinct()
+      pairs
+        .join(o.select(col("id").as("ka"), col("d").as("da")), "ka")
+        .join(o.select(col("id").as("kb"), col("d").as("db")), "kb")
+        .select(col("ka"), col("kb"),
+          graft.operators.Comparators.dateLevels(col("da"), col("db"),
+            Seq(7, 365)).as("gamma_date"),
+          graft.operators.Comparators.dateTransposedLevels(col("da"),
+            col("db"), Seq(7, 365)).as("gamma_date_t"))
+    }),
   )
 
   // ---------- oracle builders for the hash-family-upgraded operators ----------
@@ -7493,5 +7561,108 @@ object SparkEntry {
         |       WHEN magic LIKE '3C68746D%' OR magic LIKE '3C21444F%' THEN 'html'
         |       ELSE 'unknown' END AS kind
         |FROM m""".stripMargin,
+    // information stats: the same contingency/marginal groupBys, then one
+    // count-of-counts groupBy per side — all integers, no logs anywhere.
+    "q_info_stats" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g,
+        |         substring(c_name, 16, 3) AS t
+        |  FROM customer
+        |), ni AS (
+        |  SELECT g, t, CAST(count(*) AS BIGINT) AS sz FROM j GROUP BY g, t
+        |), na AS (
+        |  SELECT g, CAST(sum(sz) AS BIGINT) AS sz FROM ni GROUP BY g
+        |), nb AS (
+        |  SELECT t, CAST(sum(sz) AS BIGINT) AS sz FROM ni GROUP BY t
+        |)
+        |SELECT 'cell' AS side, sz AS group_size,
+        |       CAST(count(*) AS BIGINT) AS n_groups
+        |FROM ni GROUP BY sz
+        |UNION ALL
+        |SELECT 'cluster', sz, CAST(count(*) AS BIGINT) FROM na GROUP BY sz
+        |UNION ALL
+        |SELECT 'truth', sz, CAST(count(*) AS BIGINT) FROM nb GROUP BY sz""".stripMargin,
+    // triangles: u<v<w three-way self-join over the normalized intra
+    // edges (each undirected triangle appears exactly once), wedges as
+    // Σ d(d−1)/2 per cluster, the same pinned 3T/W division.
+    "q_transitivity" ->
+      s"""WITH pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e.u, e.v, au.g FROM e
+        |  JOIN asg au ON e.u = au.id
+        |  JOIN asg av ON e.v = av.id
+        |  WHERE au.g = av.g
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS id FROM intra UNION ALL SELECT v FROM intra)
+        |  GROUP BY id
+        |), nodes AS (
+        |  SELECT DISTINCT id, g
+        |  FROM (SELECT u AS id, g FROM intra UNION ALL SELECT v, g FROM intra)
+        |), wed AS (
+        |  SELECT n.g, CAST(sum(deg.d * (deg.d - 1)) // 2 AS BIGINT) AS w
+        |  FROM nodes n JOIN deg ON n.id = deg.id
+        |  GROUP BY n.g
+        |), tri AS (
+        |  SELECT i1.g, CAST(count(*) AS BIGINT) AS t
+        |  FROM intra i1
+        |  JOIN intra i2 ON i2.u = i1.v
+        |  JOIN intra i3 ON i3.u = i1.u AND i3.v = i2.v
+        |  GROUP BY i1.g
+        |)
+        |SELECT asg.g AS cluster_id,
+        |  CAST(coalesce(tri.t, 0) AS BIGINT) AS n_triangles,
+        |  CAST(coalesce(wed.w, 0) AS BIGINT) AS n_wedges,
+        |  CASE WHEN coalesce(wed.w, 0) > 0 THEN
+        |    (3.0 * CAST(coalesce(tri.t, 0) AS DOUBLE))
+        |      / CAST(wed.w AS DOUBLE)
+        |  END AS transitivity
+        |FROM (SELECT DISTINCT g FROM asg) asg
+        |LEFT JOIN wed ON asg.g = wed.g
+        |LEFT JOIN tri ON asg.g = tri.g""".stripMargin,
+    // date comparators: identical blocking key construction (two
+    // families), identical CASE ladders — exact, transposed
+    // (year equal + month/day swapped), then the day bands.
+    "q_comparator_date" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey % 16 = 0
+        |), k AS (
+        |  SELECT id, 't:'
+        |    || CAST(least(month(d), day(d)) AS VARCHAR) || ':'
+        |    || CAST(greatest(month(d), day(d)) AS VARCHAR) AS bk
+        |  FROM o
+        |  UNION ALL
+        |  SELECT id, 'm:' || CAST(year(d) AS VARCHAR) || ':'
+        |    || CAST(month(d) AS VARCHAR) AS bk
+        |  FROM o
+        |), p AS (
+        |  SELECT DISTINCT a.id AS ka, b.id AS kb
+        |  FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+        |)
+        |SELECT p.ka, p.kb,
+        |  CAST(CASE WHEN oa.d = ob.d THEN 3
+        |       WHEN abs(date_diff('day', ob.d, oa.d)) <= 7 THEN 2
+        |       WHEN abs(date_diff('day', ob.d, oa.d)) <= 365 THEN 1
+        |       ELSE 0 END AS BIGINT) AS gamma_date,
+        |  CAST(CASE WHEN oa.d = ob.d THEN 4
+        |       WHEN year(oa.d) = year(ob.d) AND month(oa.d) = day(ob.d)
+        |            AND day(oa.d) = month(ob.d) THEN 3
+        |       WHEN abs(date_diff('day', ob.d, oa.d)) <= 7 THEN 2
+        |       WHEN abs(date_diff('day', ob.d, oa.d)) <= 365 THEN 1
+        |       ELSE 0 END AS BIGINT) AS gamma_date_t
+        |FROM p JOIN o oa ON p.ka = oa.id JOIN o ob ON p.kb = ob.id""".stripMargin,
   )
 }

@@ -93,6 +93,39 @@ object Comparators {
     bandedLevels(a, b, abs(datediff(a, b)).cast("double"),
       dayBands.map(_.toDouble))
 
+  /** Arity dayBands.size + 3 date comparison with DAY↔MONTH TRANSPOSITION
+    * detection — the Febrl/Splink birth-date comparator: 03/07 and 07/03
+    * are the single most common date-entry error family (US vs ISO field
+    * order), and a plain day-band comparator scores a swapped date as a
+    * months-apart disagreement, destroying the strongest evidence on
+    * exactly the records most likely to be duplicates. Levels: top =
+    * identical date; top−1 = same year AND month(a) = day(b) AND day(a) =
+    * month(b) with the dates NOT identical (a swap only exists when day ≤
+    * 12 on both sides — the equality encodes that for free, no validity
+    * predicate needed); then one level per widening |datediff| band; 0
+    * outside. A transposed pair that ALSO sits inside a day band takes
+    * the transposition level — the stronger specific evidence wins
+    * (March 7 vs July 3 is 118 days apart; the swap explains it, the band
+    * doesn't). NULL on either side → NULL gamma. Pure
+    * year/month/day/datediff arithmetic — stays in codegen and replays
+    * exactly in any engine with calendar extraction. */
+  def dateTransposedLevels(a: Column, b: Column,
+      dayBands: Seq[Int]): Column = {
+    require(dayBands.nonEmpty, "at least one band required")
+    require(dayBands.forall(_ > 0) && dayBands == dayBands.sorted &&
+      dayBands.distinct == dayBands,
+      s"dayBands must be positive and strictly increasing, got $dayBands")
+    val top = dayBands.size + 2
+    val d = abs(datediff(a, b))
+    val exact = when(a === b, top.toLong)
+      .when(year(a) === year(b) && month(a) === dayofmonth(b) &&
+        dayofmonth(a) === month(b), (top - 1).toLong)
+    val chain = dayBands.zipWithIndex.foldLeft(exact) { case (acc, (w, i)) =>
+      acc.when(d <= w, (top - 2 - i).toLong)
+    }
+    guarded(a, b)(chain.otherwise(0L))
+  }
+
   /** Great-circle (haversine) distance in km between two (lat, lon)
     * degree pairs — the scalar under [[geoKmLevels]], exposed for
     * scoring. Pinned operand order (Δ halved before sin, lat cosines

@@ -631,4 +631,95 @@ object Evaluation {
         }
       }(Encoders.row(outSchema))
   }
+
+  /** Per-cluster triangle census over the verified match graph — the
+    * cohesion counterpart of [[graphMetrics]]' density: `transitivity`
+    * = 3·triangles / wedges (the global clustering coefficient,
+    * restricted to the cluster) measures how much of the evidence
+    * CLOSES. Reading: density says how many pairs were verified at all;
+    * transitivity says whether those verifications corroborate each
+    * other — a cluster can be moderately dense yet triangle-free (a
+    * bipartite-ish merge of two record groups, every wedge open), which
+    * is exactly the over-merge shape [[bridgeEdges]] flags edge-by-edge
+    * and this flags in one scalar. Triangle-rich clusters survive any
+    * single clerical reversal; transitivity 0 clusters are one
+    * retraction away from splitting.
+    *
+    * Scale shape: triangle counting NEVER enumerates per-vertex
+    * neighborhood squares blindly — edges are ORIENTED from
+    * lower-(degree, id) to higher-(degree, id) endpoint first (the
+    * MapReduce triangle-counting move of Suri & Vassilvitskii, WWW'11),
+    * so wedge enumeration is Σᵥ C(outdeg(v), 2) = O(E^{3/2}) total
+    * (Chiba-Nishizeki bound) regardless of skew — a hot record with
+    * degree d contributes d oriented IN-edges and only O(√E) out-edges.
+    * The pipeline is three equi-joins and two groupBys: degree join,
+    * oriented-wedge self-join on the source, closing-edge equi-join on
+    * (b, c) — no windows, no per-group buffering, no caps needed (the
+    * orientation IS the skew remedy, unlike the buffered Tarjan passes
+    * which cap). Wedge counts fold as Σ d(d−1)/2 in decimal(38,0)
+    * (the [[Linkage.blockingQuality]] overflow lesson — a degree-3e9
+    * record would overflow a long product).
+    *
+    * Semantics over the SIMPLE intra-cluster graph of
+    * [[intraClusterEdges]] (duplicates/self-loops/cross-cluster edges
+    * out — a duplicated verified pair must not fake a closed triangle).
+    * Every cluster in the assignment is a row (edgeless → 0 triangles,
+    * 0 wedges); `transitivity` = 3T/W as one pinned double division,
+    * NULL when the cluster has no wedge (a lone edge closes nothing —
+    * no evidence, not 0). Output: (clusterCol, n_triangles, n_wedges,
+    * transitivity). */
+  def clusterTriangles(assignment: DataFrame, edges: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val intra = intraClusterEdges(assignment, edges, idCol, clusterCol,
+      aCol, bCol)
+    val deg = intra.select(col("__gu").as("__tid"))
+      .unionAll(intra.select(col("__gv").as("__tid")))
+      .groupBy(col("__tid")).agg(count(lit(1)).as("__tdeg"))
+    // wedges per cluster: each edge-incident node appears once per side
+    // it touches — distinct to once — then Σ d(d−1)/2 over the cluster
+    val wedges = intra.select(col("__gu").as("__tid"), col("__gc"))
+      .unionAll(intra.select(col("__gv").as("__tid"), col("__gc")))
+      .distinct()
+      .join(deg, "__tid")
+      .groupBy(col("__gc"))
+      .agg((sum(col("__tdeg").cast(dec) * (col("__tdeg").cast(dec) - 1))
+        / 2).cast("long").as("n_wedges"))
+    // orient each edge toward the higher (degree, id); u < v already
+    // holds from normalization, so equal degrees keep the u → v order
+    val keep = col("__du") <= col("__dv")
+    val dirE = intra
+      .join(deg.select(col("__tid").as("__gu"), col("__tdeg").as("__du")),
+        "__gu")
+      .join(deg.select(col("__tid").as("__gv"), col("__tdeg").as("__dv")),
+        "__gv")
+      .select(when(keep, col("__gu")).otherwise(col("__gv")).as("__src"),
+        when(keep, col("__gv")).otherwise(col("__gu")).as("__dst"),
+        when(keep, col("__dv")).otherwise(col("__du")).as("__dd"),
+        col("__gc"))
+    // oriented wedges b ← src → c with rank(b) < rank(c); the closing
+    // edge {b, c}, if present, is oriented b → c by rank consistency
+    val x = dirE.select(col("__src"), col("__dst").as("__b"),
+      col("__dd").as("__db"), col("__gc"))
+    val y = dirE.select(col("__src"), col("__dst").as("__c"),
+      col("__dd").as("__dc"))
+    val tri = x.join(y, Seq("__src"))
+      .where(col("__db") < col("__dc") ||
+        (col("__db") === col("__dc") && col("__b") < col("__c")))
+      .join(dirE.select(col("__src").as("__b"), col("__dst").as("__c")),
+        Seq("__b", "__c"))
+      .groupBy(col("__gc")).agg(count(lit(1)).as("n_triangles"))
+    assignment.select(col(clusterCol)).distinct()
+      .join(wedges.withColumnRenamed("__gc", clusterCol), Seq(clusterCol),
+        "left")
+      .join(tri.withColumnRenamed("__gc", clusterCol), Seq(clusterCol),
+        "left")
+      .select(col(clusterCol),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"))
+      .withColumn("transitivity", when(col("n_wedges") > 0,
+        lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double")))
+  }
 }

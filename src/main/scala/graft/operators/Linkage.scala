@@ -1237,6 +1237,112 @@ object Linkage {
         (lit(2L) * col("v") - col("ca") - col("cb")).as("gmd"))
   }
 
+  /** Count-of-counts sufficient statistics for the INFORMATION-THEORETIC
+    * cluster-agreement family (variation of information, NMI, V-measure
+    * — [[informationMetrics]] folds the scalars). Entropies depend on the
+    * partitions only through the MULTISETS of cell/cluster/truth sizes,
+    * and a multiset of sizes compresses to (size, how-many-groups) rows —
+    * at web scale billions of clusters collapse to the handful of
+    * distinct sizes they take, which is what makes the histogram the
+    * right persistence/gate face. Output: one row per
+    * (side ∈ cell|cluster|truth, group_size) with its group count —
+    * ALL-INTEGER (the house gate discipline: ln() is libm-dependent
+    * across engines, so logs never touch a hash-gated face; compare
+    * [[graft.operators.TextAnalysis]]'s log-free idf).
+    *
+    * Shapes: one contingency groupBy, two marginal groupBys over the
+    * cell-sized frame, three count-of-counts groupBys over THOSE (all
+    * map-side combinable) — nothing pair-shaped anywhere. */
+  def informationStats(assignments: DataFrame,
+      clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val ni = assignments.groupBy(col(clusterCol), col(truthCol))
+      .agg(count(lit(1)).as("__ni"))
+    def hist(sized: DataFrame, c: String, side: String): DataFrame =
+      sized.groupBy(col(c).as("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .select(lit(side).as("side"), col("group_size"), col("n_groups"))
+    hist(ni, "__ni", "cell")
+      .unionAll(hist(ni.groupBy(col(clusterCol))
+        .agg(sum(col("__ni")).as("__na")), "__na", "cluster"))
+      .unionAll(hist(ni.groupBy(col(truthCol))
+        .agg(sum(col("__ni")).as("__nb")), "__nb", "truth"))
+  }
+
+  /** Scalar information-theoretic agreement metrics folded from
+    * [[informationStats]] — the third metric family beside pair counting
+    * ([[adjustedRandStats]] / [[partitionAgreementStats]]) and link
+    * editing ([[mucStats]] / GMD): entropy-based scores are the ones
+    * that stay discriminative when cluster sizes are wildly skewed
+    * (pair counts are dominated by the largest cluster's C(n,2); bits
+    * are not). One row:
+    *  - `h_cluster`, `h_truth`, `h_joint` — partition entropies in nats
+    *    (H = ln n − Σ n_g·ln n_g / n, folded over the size histogram);
+    *  - `mi` = H(A) + H(B) − H(A,B), clamped at ≥ 0 (the analytic value
+    *    is non-negative; floating summation may land ulps below);
+    *  - `vi` = 2·H(A,B) − H(A) − H(B) (Meilă 2003), clamped at ≥ 0 —
+    *    the METRIC on partitions: 0 iff identical, triangle inequality
+    *    holds, so drift between runs is comparable across corpora;
+    *  - `nmi` = MI / ((H(A)+H(B))/2) — arithmetic-mean normalization;
+    *  - `homogeneity` = 1 − H(B|A)/H(B), `completeness` = 1 − H(A|B)/H(A),
+    *    `v_measure` = their harmonic mean (Rosenberg & Hirschberg 2007).
+    *  Degenerate normalizers yield NULL, never a fake score (the
+    *  [[graft.operators.Evaluation]] density/centralisation discipline;
+    *  sklearn's 0-or-1 conventions at the same spots are arbitrary):
+    *  `nmi` NULL when H(A)+H(B) = 0, `homogeneity` NULL when H(B) = 0,
+    *  `completeness` NULL when H(A) = 0, `v_measure` NULL when either
+    *  parent is NULL or hom+comp = 0.
+    *
+    * The fold runs as ONE aggregate over the histogram (model-sized —
+    * the scalars are driver-safe but never leave the plan), with Σ
+    * counts decimal-exact and ln() applied only at the final scalar
+    * step. NOT hash-gate-faced (ln is libm-dependent across engines);
+    * spec-pinned in sbt instead, where analytic fixtures are exact. */
+  def informationMetrics(assignments: DataFrame,
+      clusterCol: String = "cluster_id",
+      truthCol: String = "truth_id"): DataFrame = {
+    val st = informationStats(assignments, clusterCol, truthCol)
+    // Σ n_groups·size (= n, identical per side) and Σ n_groups·size·ln(size)
+    // per side; ln(1) = 0 exactly, so singleton mass drops out analytically.
+    val agg = st.groupBy(col("side"))
+      .agg(sum(col("n_groups") * col("group_size")).as("__tot"),
+        sum(col("n_groups").cast("double") *
+          col("group_size").cast("double") *
+          log(col("group_size").cast("double"))).as("__slog"))
+    def side(sideName: String, h: String): DataFrame =
+      agg.where(col("side") === sideName)
+        .select(col("__tot").as(s"__n_$h"), col("__slog").as(s"__s_$h"))
+    val j = side("cell", "ij").crossJoin(broadcast(side("cluster", "a")))
+      .crossJoin(broadcast(side("truth", "b")))
+    val n = col("__n_ij").cast("double")
+    def entropy(slog: Column): Column = log(n) - slog / n
+    val withH = j
+      .withColumn("h_cluster", entropy(col("__s_a")))
+      .withColumn("h_truth", entropy(col("__s_b")))
+      .withColumn("h_joint", entropy(col("__s_ij")))
+      .withColumn("mi", greatest(lit(0.0),
+        col("h_cluster") + col("h_truth") - col("h_joint")))
+      .withColumn("vi", greatest(lit(0.0),
+        lit(2.0) * col("h_joint") - col("h_cluster") - col("h_truth")))
+    withH.select(
+      col("__n_ij").cast("long").as("n"),
+      col("h_cluster"), col("h_truth"), col("h_joint"),
+      col("mi"), col("vi"),
+      when(col("h_cluster") + col("h_truth") > 0,
+        col("mi") / ((col("h_cluster") + col("h_truth")) / 2.0)).as("nmi"),
+      when(col("h_truth") > 0, // 1 − H(B|A)/H(B), H(B|A) = H(AB) − H(A)
+        lit(1.0) - (col("h_joint") - col("h_cluster")) / col("h_truth"))
+        .as("homogeneity"),
+      when(col("h_cluster") > 0,
+        lit(1.0) - (col("h_joint") - col("h_truth")) / col("h_cluster"))
+        .as("completeness"))
+      .withColumn("v_measure",
+        when(col("homogeneity").isNotNull && col("completeness").isNotNull &&
+          col("homogeneity") + col("completeness") > 0,
+          lit(2.0) * col("homogeneity") * col("completeness") /
+            (col("homogeneity") + col("completeness"))))
+  }
+
   /** Weakest intra-cluster match edge per entity cluster — the
     * chain-break review queue: transitive clustering merges a~b~c even
     * when a~c never scored, so if a cluster is over-merged the culprit

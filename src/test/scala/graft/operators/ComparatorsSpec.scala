@@ -62,6 +62,33 @@ class ComparatorsSpec extends SparkFunSuite {
       == Seq(3L, 2L, 1L, 0L))
   }
 
+  test("dateTransposedLevels: exact / swap / bands / year mismatch / null") {
+    val df = Seq(
+      ("2020-01-10", "2020-01-10"), // identical -> 4
+      ("1994-03-07", "1994-07-03"), // day<->month swap, same year -> 3
+      ("1994-07-03", "1994-03-07"), // symmetric -> 3
+      ("2020-01-10", "2020-01-05"), // 5 days -> 2
+      ("1994-03-07", "1995-07-03"), // swapped fields but DIFFERENT year: no swap level, 483 days -> 0
+      ("2020-01-10", "2020-03-01"), // 51 days -> 1
+      ("2020-01-10", "2023-01-10"), // years out -> 0
+      (null, "2020-01-10")          // missing -> null
+    ).toDF("a", "b").select(to_date(col("a")).as("a"), to_date(col("b")).as("b"))
+    assert(one(Comparators.dateTransposedLevels(col("a"), col("b")
+      , Seq(7, 60)), df) == Seq(4L, 3L, 3L, 2L, 0L, 1L, 0L, null))
+  }
+
+  test("dateTransposedLevels: swap outranks an overlapping band; m=d dates can't fake a swap") {
+    // March 4 vs April 3 1994: transposed AND only 30 days apart — the
+    // specific evidence (swap) must win over the ≤60 band
+    val df = Seq(
+      ("1994-03-04", "1994-04-03"),
+      ("1994-05-05", "1994-05-05"), // m = d, identical -> exact, not swap
+      ("1994-05-05", "1994-06-05")  // m = d on a, 31 days -> band
+    ).toDF("a", "b").select(to_date(col("a")).as("a"), to_date(col("b")).as("b"))
+    assert(one(Comparators.dateTransposedLevels(col("a"), col("b"),
+      Seq(7, 60)), df) == Seq(3L, 4L, 1L))
+  }
+
   test("bands must be positive and strictly increasing") {
     intercept[IllegalArgumentException] {
       Comparators.numericAbsLevels(col("a"), col("b"), Seq(5.0, 5.0))

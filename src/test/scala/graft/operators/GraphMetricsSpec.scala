@@ -253,4 +253,69 @@ class GraphMetricsSpec extends SparkFunSuite {
     assert(Evaluation.droppedBridgeClusters(asgDf, chain,
       maxClusterEdges = 4).count() == 0L)
   }
+
+  // ------------------------------------------------------- triangles
+
+  test("clusterTriangles: hand fixture incl. normalization noise") {
+    // A: edges (1,2)(2,3)(3,4)(1,3) → one triangle {1,2,3};
+    // degrees 2,2,3,1 → wedges 1+1+3+0 = 5; B: lone edge → 0 wedges;
+    // C: edgeless singleton → zero row. The shared `edges` frame carries
+    // a duplicate, a reversal, a self-loop, and a cross-cluster edge —
+    // none may fake a wedge or close a triangle.
+    val rows = Evaluation.clusterTriangles(asg, edges)
+      .orderBy("cluster_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 5L &&
+      rows(0).getDouble(3) == 3.0 / 5.0)
+    assert(rows(1).getLong(1) == 0L && rows(1).getLong(2) == 0L &&
+      rows(1).isNullAt(3))
+    assert(rows(2).getLong(1) == 0L && rows(2).getLong(2) == 0L &&
+      rows(2).isNullAt(3))
+  }
+
+  test("clusterTriangles: K4 is fully transitive, a 4-cycle closes nothing") {
+    val asg2 = (1L to 8L).map(i => (i, if (i <= 4) "K" else "S"))
+      .toDF("id", "cluster_id")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("url_a", "url_b")
+    val got = Evaluation.clusterTriangles(asg2, e)
+      .orderBy("cluster_id").collect()
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 12L &&
+      got(0).getDouble(3) == 1.0)
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 4L &&
+      got(1).getDouble(3) == 0.0)
+  }
+
+  test("clusterTriangles matches brute force on random graphs") {
+    val rng = new scala.util.Random(41)
+    for (round <- 0 until 3) {
+      val n = 30
+      val asgSeq = (1 to n).map(i => (i.toLong, s"c${i % 3}"))
+      val cluster = asgSeq.toMap
+      val edgeSeq = Seq.fill(150 + round * 40)(
+        (rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+      val canon = edgeSeq
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && cluster(a) == cluster(b) }
+        .distinct
+      val eset = canon.toSet
+      val refTri = (for {
+        u <- 1L to n; v <- (u + 1) to n; w <- (v + 1) to n
+        if eset((u, v)) && eset((v, w)) && eset((u, w))
+      } yield cluster(u)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val refWed = canon.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .groupBy { case (id, _) => cluster(id) }
+        .view.mapValues(_.map { case (_, d) => d * (d - 1) / 2 }.sum).toMap
+      val got = Evaluation.clusterTriangles(
+          asgSeq.toDF("id", "cluster_id").repartition(5),
+          edgeSeq.toDF("url_a", "url_b").repartition(7))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      for (c <- Seq("c0", "c1", "c2")) {
+        assert(got(c)._1 == refTri.getOrElse(c, 0L), s"triangles $c")
+        assert(got(c)._2 == refWed.getOrElse(c, 0L), s"wedges $c")
+      }
+    }
+  }
 }
