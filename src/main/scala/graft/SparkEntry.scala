@@ -2985,6 +2985,16 @@ object SparkEntry {
             .as("features_q24"))
     }),
 
+    // LSH band planner: every (bands, rows) factoring of numHashes scored
+    // by |b·t^r − 1| (the (1/b)^(1/r) = t balance point, in pinned
+    // multiply-chain arithmetic — no pow/log, so the argmin cannot hang
+    // on libm ulps), then the chosen plan's collision S-curve over a
+    // similarity grid. The oracle re-derives choice AND curve with
+    // recursive multiply accumulators in the same fold order.
+    "q_lsh_plan" -> ((s, dir) =>
+      graft.operators.Dedup.lshBandPlan(s, numHashes = 24, threshold = 0.7,
+        grid = (1 to 19).map(_ * 0.05))),
+
     // Information-theoretic agreement family, gate face: count-of-counts
     // sufficient statistics (side × group_size → n_groups) over the SAME
     // predicted/truth partitions as q_muc/q_bcubed/q_partition_agreement.
@@ -3955,6 +3965,43 @@ object SparkEntry {
       case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
     }
     s"substring($chained || '1111111111', 1, 10)"
+  }
+
+  /** Oracle for q_lsh_plan, generated from the same numHashes/threshold/
+    * grid the Spark call uses. Doubles are emitted with an e0 suffix so
+    * DuckDB's parser produces a DOUBLE directly (no DECIMAL intermediate);
+    * every power is a recursive accumulator multiplying in the identical
+    * left-fold order as Dedup.powChain. */
+  private def lshPlanOracle: String = {
+    val nh = 24
+    val t = 0.7
+    val grid = (1 to 19).map(_ * 0.05)
+    def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains("e") || s.contains("E")) s else s + "e0"
+    }
+    val pairVals = (1 to nh).filter(nh % _ == 0)
+      .map(b => s"($b, ${nh / b})").mkString(", ")
+    val gridVals = grid.map(s => s"(${dbl(s)})").mkString(", ")
+    s"""WITH RECURSIVE pairs(b, r) AS (VALUES $pairVals),
+       |grid(s) AS (VALUES $gridVals),
+       |tp(b, r, i, acc) AS (
+       |  SELECT b, r, 1, ${dbl(t)} FROM pairs
+       |  UNION ALL SELECT b, r, i + 1, acc * ${dbl(t)} FROM tp WHERE i < r
+       |), score AS (
+       |  SELECT b, r, abs(acc * b - 1.0) AS sc FROM tp WHERE i = r
+       |), chosen AS (
+       |  SELECT b, r FROM score ORDER BY sc ASC, r DESC LIMIT 1
+       |), sp(s, r, b, i, acc) AS (
+       |  SELECT g.s, c.r, c.b, 1, g.s FROM grid g, chosen c
+       |  UNION ALL SELECT s, r, b, i + 1, acc * s FROM sp WHERE i < r
+       |), qb(s, r, b, q, j, acc) AS (
+       |  SELECT s, r, b, 1.0 - acc, 1, 1.0 - acc FROM sp WHERE i = r
+       |  UNION ALL SELECT s, r, b, q, j + 1, acc * q FROM qb WHERE j < b
+       |)
+       |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+       |  s, 1.0 - acc AS p_collide
+       |FROM qb WHERE j = b""".stripMargin
   }
 
   private def oracleSqlRaw: Map[String, String] = Map(
@@ -7561,6 +7608,12 @@ object SparkEntry {
         |       WHEN magic LIKE '3C68746D%' OR magic LIKE '3C21444F%' THEN 'html'
         |       ELSE 'unknown' END AS kind
         |FROM m""".stripMargin,
+    // LSH planner: plan table + grid as VALUES generated from the SAME
+    // Scala sequences (one-list discipline; grid doubles emitted in e0
+    // notation so DuckDB parses them as DOUBLE directly — a 17-digit
+    // DECIMAL intermediate could double-round); powers re-derived as
+    // recursive multiply accumulators in the identical left-fold order.
+    "q_lsh_plan" -> lshPlanOracle,
     // information stats: the same contingency/marginal groupBys, then one
     // count-of-counts groupBy per side — all integers, no logs anywhere.
     "q_info_stats" ->

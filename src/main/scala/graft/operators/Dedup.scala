@@ -346,6 +346,70 @@ object Dedup {
       bandIndex(corpus, idCol, textCol, numHashes, bands, bucketCap, hashFamily),
       corpus, batch, idCol, textCol, tau, numHashes, bands, hashFamily)
 
+  /** Pinned-order power by repeated left-fold multiplication — the
+    * planner's only arithmetic primitive. NO pow()/log(): libm powers
+    * are not correctly rounded and differ across engines, but a multiply
+    * chain in a fixed order is IEEE-exact everywhere, so the chosen plan
+    * and the whole S-curve are bit-reproducible by any engine replaying
+    * the same fold (the oracle does, via a recursive accumulator). */
+  private def powChain(base: Double, n: Int): Double = {
+    var acc = base
+    var i = 1
+    while (i < n) { acc *= base; i += 1 }
+    acc
+  }
+
+  /** LSH band-plan selection: every (bands b, rows-per-band r) factoring
+    * of `numHashes`, scored by how close its collision S-curve's balance
+    * point sits to the target Jaccard threshold t. The classic fixed
+    * point is (1/b)^(1/r) = t ⟺ b·t^r = 1, so the score is |b·t^r − 1|
+    * in pinned multiply-chain arithmetic — an argmin over roots/logs
+    * would hang the choice on libm ulps. Ties prefer the larger r (the
+    * steeper curve: fewer sub-threshold false candidates at the same
+    * balance point). Output: one row per factoring,
+    * (bands, rows_per_band, score, chosen). */
+  def lshBandPlans(numHashes: Int, threshold: Double): Seq[(Int, Int, Double, Boolean)] = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val scored = pairs.map { case (b, r) =>
+      (b, r, math.abs(powChain(threshold, r) * b - 1.0))
+    }
+    // argmin score, tie → larger r: unique because r is unique per pair
+    val best = scored.minBy { case (_, r, sc) => (sc, -r) }
+    scored.map { case (b, r, sc) => (b, r, sc, (b, r, sc) == best) }
+  }
+
+  /** The collision S-curve of the CHOSEN plan from [[lshBandPlans]]:
+    * p(s) = 1 − (1 − s^r)^b per grid similarity s — the planner's
+    * user-facing answer to "if I run b bands of r rows, what fraction of
+    * pairs at similarity s become candidates?". Both powers are the
+    * pinned multiply chain of [[powChain]]; the one subtraction each is
+    * exact-operand IEEE, so the curve replays bit-for-bit in any engine
+    * (the gate oracle re-derives plan choice AND curve with recursive
+    * accumulators, never pow()). The frame is driver-built and
+    * model-sized — |divisors| · |grid| rows, independent of any corpus —
+    * which is the FellegiSunter-EM/IVF-fit bounded-driver-work shape:
+    * the planner informs the distributed job, it never touches data.
+    * Output: (bands, rows_per_band, s, p_collide), one row per grid
+    * point. */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int, threshold: Double,
+      grid: Seq[Double]): DataFrame = {
+    require(grid.nonEmpty && grid.forall(s => s > 0 && s < 1),
+      s"grid similarities must be in (0, 1), got $grid")
+    val (b, r, _, _) = lshBandPlans(numHashes, threshold)
+      .find { case (_, _, _, chosen) => chosen }.get
+    val rows = grid.map { s =>
+      val pr = 1.0 - powChain(1.0 - powChain(s, r), b)
+      (b.toLong, r.toLong, s, pr)
+    }
+    import spark.implicits._
+    rows.toDF("bands", "rows_per_band", "s", "p_collide")
+  }
+
   /** C4-style corpus-wide repeated-span removal (Raffel et al. 2020 §2.2
     * drop duplicated spans corpus-wide, keeping ONE occurrence): spans
     * are '\n'-separated nonempty lines; every line keeps only its FIRST

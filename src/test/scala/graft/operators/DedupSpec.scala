@@ -294,4 +294,46 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("lshBandPlans: balance-point argmin, exactly one chosen, all factorings") {
+    val plans = Dedup.lshBandPlans(24, 0.7)
+    assert(plans.map { case (b, r, _, _) => (b, r) } ==
+      Seq((1, 24), (2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2), (24, 1)))
+    assert(plans.count(_._4) == 1)
+    // |6·0.7⁴ − 1| = 0.4406 is the closest balance point for t = 0.7
+    val (b, r, _, _) = plans.find(_._4).get
+    assert((b, r) == ((6, 4)))
+    // scores replay the pinned chain exactly
+    val sc = plans.map { case (pb, pr, s, _) => ((pb, pr), s) }.toMap
+    assert(sc((6, 4)) == math.abs(6.0 * (0.7 * 0.7 * 0.7 * 0.7) - 1.0))
+    assert(sc((24, 1)) == math.abs(24.0 * 0.7 - 1.0))
+  }
+
+  test("lshBandPlan: S-curve is the pinned chain, monotone, edges sane") {
+    val grid = (1 to 19).map(_ * 0.05)
+    val rows = Dedup.lshBandPlan(spark, 24, 0.7, grid)
+      .orderBy("s").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._3) == grid)
+    assert(rows.forall { case (b, r, _, _) => b == 6L && r == 4L })
+    // hand-fold p(s) = 1 − (1 − s⁴)⁶ for a grid point
+    val s0 = 0.5
+    val inner = ((0.5 * 0.5) * 0.5) * 0.5
+    val q = 1.0 - inner
+    val expected = 1.0 - ((((q * q) * q) * q) * q) * q
+    assert(rows.find(_._3 == s0).get._4 == expected)
+    // strictly increasing in s; near-0 at the bottom, near-1 at the top
+    assert(rows.map(_._4).sliding(2).forall { case Seq(a, b) => a < b })
+    assert(rows.head._4 < 1e-4 && rows.last._4 > 0.999)
+  }
+
+  test("lshBandPlan validations") {
+    intercept[IllegalArgumentException] { Dedup.lshBandPlans(0, 0.5) }
+    intercept[IllegalArgumentException] { Dedup.lshBandPlans(16, 1.0) }
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandPlan(spark, 16, 0.5, Seq(0.5, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandPlan(spark, 16, 0.5, Nil)
+    }
+  }
 }
