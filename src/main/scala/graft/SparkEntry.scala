@@ -2985,6 +2985,37 @@ object SparkEntry {
             .as("features_q24"))
     }),
 
+    // Febrl-style deterministic error injection: sha256(id:seed) nibble
+    // ranges drive every choice (duplicate?, op, position, replacement
+    // char), so the labeled-duplicate mint is a pure projection the
+    // oracle replays digit-by-digit. All four ops land at both sf.
+    "q_error_model" -> ((s, dir) =>
+      graft.operators.ErrorModel.corruptedDuplicates(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", dupRate = 0.3, seed = 7L)),
+
+    // The corruptor's use case: per error family, which matcher recovers
+    // the labeled pair — integer counts of within-1-edit and JW ≥ 0.9
+    // survivors per op (sum-of-doubles means would be fold-order-
+    // dependent; counts of threshold survivors are exact, and the JW
+    // doubles themselves are bit-equal across engines, gate-proven by
+    // q_jaro_winkler_sim). Deletions/substitutions stay within 1 edit by
+    // construction; transposes cost 2 edits but survive JW — exactly the
+    // stratification the op column exists for.
+    "q_error_recall" -> ((s, dir) => {
+      val dups = graft.operators.ErrorModel.corruptedDuplicates(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", dupRate = 0.3, seed = 7L)
+      dups.groupBy(col("op")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(levenshtein_within(col("c_name"), col("corrupted"), 1),
+          1L).otherwise(0L)).as("n_within1"),
+        sum(when(jaro_winkler_sim(col("c_name"), col("corrupted")) >= 0.9,
+          1L).otherwise(0L)).as("n_jw90"))
+    }),
+
     // LSH band planner: every (bands, rows) factoring of numHashes scored
     // by |b·t^r − 1| (the (1/b)^(1/r) = t balance point, in pinned
     // multiply-chain arithmetic — no pow/log, so the argmin cannot hang
@@ -4002,6 +4033,86 @@ object SparkEntry {
        |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
        |  s, 1.0 - acc AS p_collide
        |FROM qb WHERE j = b""".stripMargin
+  }
+
+  /** Oracle for q_error_model: every corruption choice re-derived from
+    * the sha256 hex digits (nibble 9 → op, 10-11 → position, 12-13 →
+    * replacement char), the op degradations and 1-based substr surgery
+    * replayed verbatim. */
+  private def errorModelOracle: String =
+    // plain concatenation: stripMargin on a string that INTERPOLATES the
+    // already-stripped CTE block would eat the `||` concat operators at
+    // continuation-line starts (strips one leading `|`)
+    errorModelCtes + "\n" +
+    """SELECT c_custkey AS orig_id,
+      |  CAST(c_custkey AS VARCHAR) || '_dup' AS dup_id,
+      |  c_name, corrupted,
+      |  CASE op WHEN 0 THEN 'delete' WHEN 1 THEN 'substitute'
+      |          WHEN 2 THEN 'transpose' ELSE 'insert' END AS op
+      |FROM g""".stripMargin
+
+  /** q_error_recall: per error family, integer counts of within-1-edit
+    * and JW ≥ 0.9 survivors over the SAME minted duplicates. */
+  private def errorRecallOracle: String =
+    errorModelCtes + "\n" +
+    """SELECT CASE op WHEN 0 THEN 'delete' WHEN 1 THEN 'substitute'
+      |               WHEN 2 THEN 'transpose' ELSE 'insert' END AS op,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN levenshtein(c_name, corrupted) <= 1
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_within1,
+      |  CAST(coalesce(sum(CASE WHEN (CASE WHEN c_name = corrupted
+      |      THEN CAST(1.0 AS DOUBLE)
+      |      ELSE jaro_winkler_similarity(c_name, corrupted) END) >= 0.9
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_jw90
+      |FROM g GROUP BY 1""".stripMargin
+
+  /** Shared corruption CTE chain (sha256 sample → op/pos/char nibbles →
+    * substr surgery) ending in `g(c_custkey, c_name, corrupted, op)`. */
+  private def errorModelCtes: String = {
+    def nib(j: Int) = s"(strpos('0123456789abcdef', substr(hx, $j, 1)) - 1)"
+    val frac32 = shaPrefix32()
+    s"""WITH h AS (
+       |  SELECT c_custkey, c_name,
+       |         sha256(CAST(c_custkey AS VARCHAR) || ':7') AS hx
+       |  FROM customer
+       |), samp AS (
+       |  SELECT * FROM h
+       |  WHERE CAST($frac32 AS DOUBLE) / 4294967296.0 < CAST('0.3' AS DOUBLE)
+       |), d AS (
+       |  SELECT c_custkey, c_name, length(c_name) AS len,
+       |         ${nib(9)} % 4 AS op_raw,
+       |         ${nib(10)} * 16 + ${nib(11)} AS pos_raw,
+       |         (${nib(12)} * 16 + ${nib(13)}) % 26 AS sub_idx
+       |  FROM samp
+       |), e AS (
+       |  SELECT *, CASE WHEN len = 0 THEN 3
+       |                 WHEN op_raw = 2 AND len < 2 THEN 1
+       |                 ELSE op_raw END AS op
+       |  FROM d
+       |), f AS (
+       |  SELECT *,
+       |    pos_raw % (CASE WHEN op = 3 THEN len + 1
+       |                    WHEN op = 2 THEN len - 1 ELSE len END) + 1 AS pos,
+       |    substr('abcdefghijklmnopqrstuvwxyz',
+       |           CAST(sub_idx + 1 AS INT), 1) AS pch
+       |  FROM e
+       |), g AS (
+       |  SELECT c_custkey, c_name,
+       |    CASE op
+       |      WHEN 0 THEN substr(c_name, 1, pos - 1)
+       |                  || substr(c_name, pos + 1, len)
+       |      WHEN 1 THEN substr(c_name, 1, pos - 1) || pch
+       |                  || substr(c_name, pos + 1, len)
+       |      WHEN 2 THEN substr(c_name, 1, pos - 1)
+       |                  || substr(c_name, pos + 1, 1)
+       |                  || substr(c_name, pos, 1)
+       |                  || substr(c_name, pos + 2, len)
+       |      ELSE substr(c_name, 1, pos - 1) || pch
+       |           || substr(c_name, pos, len)
+       |    END AS corrupted,
+       |    op
+       |  FROM f
+       |)""".stripMargin
   }
 
   private def oracleSqlRaw: Map[String, String] = Map(
@@ -7614,6 +7725,8 @@ object SparkEntry {
     // DECIMAL intermediate could double-round); powers re-derived as
     // recursive multiply accumulators in the identical left-fold order.
     "q_lsh_plan" -> lshPlanOracle,
+    "q_error_model" -> errorModelOracle,
+    "q_error_recall" -> errorRecallOracle,
     // information stats: the same contingency/marginal groupBys, then one
     // count-of-counts groupBy per side — all integers, no logs anywhere.
     "q_info_stats" ->
