@@ -1516,6 +1516,27 @@ object SparkEntry {
         graft.operators.Evaluation.rocCurve(scored, labeled))
     }),
 
+    // Precision-recall curve of the same scorer — the operating view that
+    // stays informative under the blocking-candidate class imbalance ROC
+    // flatters (fp moves fpr microscopically but craters precision). Pure
+    // projection over the rocCurve cell frame; precision's denominator is
+    // the cumulative count at s (never 0), recall re-emits tpr.
+    "q_pr_curve" -> ((s, dir) => {
+      val (scored, labeled) = rocInputs(s, dir)
+      graft.operators.Evaluation.prCurve(
+        graft.operators.Evaluation.rocCurve(scored, labeled))
+    }),
+
+    // Average precision (area under the step PR curve): the per-threshold
+    // division is irreducible, so the scalar is a SEQUENTIAL IEEE fold
+    // over the score-DESC cell frame — term order and op order pinned,
+    // replayed by the oracle as an ordered list_reduce left fold.
+    "q_avg_precision" -> ((s, dir) => {
+      val (scored, labeled) = rocInputs(s, dir)
+      graft.operators.Evaluation.averagePrecision(
+        graft.operators.Evaluation.rocCurve(scored, labeled))
+    }),
+
     // Pay-as-you-go (progressive) recall curve: sorted-neighborhood
     // pairs consumed in (window-distance, rank) order, recall banked at
     // four pair budgets — the curve that justifies early-stopping a
@@ -2109,6 +2130,34 @@ object SparkEntry {
         scored.select(col("ka"), col("kb")))
       graft.operators.Linkage.weakestLinks(scored, asg, "id",
         clusterCol = "component")
+    }),
+
+    // Near-miss review queue — the dual of q_weakest_links: scored pairs
+    // just BELOW the 0.94 match threshold (2-edit name pairs, s ≈ 0.889)
+    // whose endpoints landed in DIFFERENT clusters of the
+    // q_connected_components world, top-3 per cluster pair with the
+    // cross-edge count. The assignment is COMPLETED with singleton
+    // clusters (id → own id for never-matched records — the EntityIds
+    // convention the operator documents), so a near miss between two
+    // unmatched records is in the queue too. The ≤ k filter sits
+    // directly above row_number (InferWindowGroupLimit); ≥ 0.94 pairs
+    // are intra-cluster by construction so only true near misses
+    // survive.
+    "q_near_misses" -> ((s, dir) => {
+      val scored = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.88)
+        .select(col("ka"), col("kb"),
+          levenshtein_sim(col("na"), col("nb")).as("score"))
+      val cc = graft.operators.ConnectedComponents.run(
+        scored.where(col("score") >= 0.94).select(col("ka"), col("kb")))
+      val asg = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id"))
+          .as("component"))
+      graft.operators.Linkage.nearMissPairs(scored, asg, "id",
+        clusterCol = "component", k = 3)
     }),
 
     // Splink-style graph QA, node level: per-record degree in the
@@ -5225,6 +5274,78 @@ object SparkEntry {
         |    / CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT)
         |           AS DOUBLE) END AS auc
         |FROM agg""".stripMargin,
+    // PR curve: the q_roc_curve cumulative cells projected to
+    // precision = tp/(tp+fp) (cumulative n at s — never 0) and
+    // recall = tpr (same exact division).
+    "q_pr_curve" ->
+      s"""WITH $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), labeled AS (
+        |  SELECT DISTINCT c.c_custkey AS id_l, s.s_suppkey AS id_r
+        |  FROM customer c JOIN supplier s
+        |    ON right(c.c_name, 9) = right(s.s_name, 9)
+        |), flag AS (
+        |  SELECT b.score, CASE WHEN l.id_l IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM base b LEFT JOIN labeled l
+        |    ON b.id_l = l.id_l AND b.id_r = l.id_r
+        |), cells AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS t
+        |  FROM flag GROUP BY score
+        |), cum AS (
+        |  SELECT score, n, t,
+        |    CAST(sum(t) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT)
+        |      - CAST(sum(t) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+        |  FROM cells
+        |), tot AS (SELECT CAST(sum(t) AS BIGINT) AS p FROM flag)
+        |SELECT c.score, c.n, c.t, c.tp, c.fp,
+        |  CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE) AS "precision",
+        |  CASE WHEN tot.p > 0 THEN
+        |    CAST(c.tp AS DOUBLE) / CAST(tot.p AS DOUBLE) END AS recall
+        |FROM cum c, tot""".stripMargin,
+    // Average precision: the same cells folded SEQUENTIALLY in score-DESC
+    // order — each term (t/P)·(tp/(tp+fp)) in the operator's pinned op
+    // order, summed by a list_reduce left fold seeded with 0.0 (the
+    // prepended element), mirroring Spark's aggregate(arr, 0.0, ...).
+    "q_avg_precision" ->
+      s"""WITH $linkTablesCtes,
+        |base AS (
+        |  SELECT id_l, id_r, jw + dice AS score
+        |  FROM scored WHERE jw + dice >= 1.0
+        |), labeled AS (
+        |  SELECT DISTINCT c.c_custkey AS id_l, s.s_suppkey AS id_r
+        |  FROM customer c JOIN supplier s
+        |    ON right(c.c_name, 9) = right(s.s_name, 9)
+        |), flag AS (
+        |  SELECT b.score, CASE WHEN l.id_l IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM base b LEFT JOIN labeled l
+        |    ON b.id_l = l.id_l AND b.id_r = l.id_r
+        |), cells AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS t
+        |  FROM flag GROUP BY score
+        |), cum AS (
+        |  SELECT score, n, t,
+        |    CAST(sum(t) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS cn
+        |  FROM cells
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_scores,
+        |    CAST(sum(t) AS BIGINT) AS n_pos,
+        |    list(struct_pack(t := t, tp := tp, cn := cn)
+        |         ORDER BY score DESC) AS cells_ord
+        |  FROM cum
+        |)
+        |SELECT n_scores, n_pos,
+        |  CASE WHEN n_pos > 0 THEN
+        |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(cells_ord,
+        |      x -> (CAST(x.t AS DOUBLE) / CAST(n_pos AS DOUBLE))
+        |         * (CAST(x.tp AS DOUBLE) / CAST(x.cn AS DOUBLE))),
+        |      (x, y) -> x + y) END AS ap
+        |FROM agg""".stripMargin,
     // Progressive recall: ranked sorted-neighborhood pairs consumed in
     // (window distance, left rank) order; per-budget counts replayed.
     "q_progressive_recall" ->
@@ -6441,6 +6562,57 @@ object SparkEntry {
         |)
         |SELECT a.component, a.n_edges, w.weak_ia, w.weak_ib, w.weak_score
         |FROM agg a JOIN weak w ON a.component = w.component""".stripMargin,
+    // near misses: the same CC walk over the >= 0.94 match edges, the
+    // assignment completed with singleton clusters (coalesce to own id),
+    // then the 0.88-floor scored pairs whose endpoints land in DIFFERENT
+    // components, top-3 per unordered cluster pair + cross counts.
+    "q_near_misses" ->
+      s"""WITH RECURSIVE scored AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |    ${levSimSql("a.c_name", "b.c_name")} AS s
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.88
+        |), pairs AS (
+        |  SELECT ka, kb FROM scored WHERE s >= 0.94
+        |), edges AS (
+        |  SELECT ka AS u, kb AS v FROM pairs
+        |  UNION ALL SELECT kb, ka FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT u AS id FROM edges
+        |), walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
+        |), comp0 AS (
+        |  SELECT id, min(r) AS component FROM walk GROUP BY id
+        |), comp AS (
+        |  SELECT c.c_custkey AS id,
+        |         coalesce(c0.component, c.c_custkey) AS component
+        |  FROM customer c LEFT JOIN comp0 c0 ON c.c_custkey = c0.id
+        |), cross_e AS (
+        |  SELECT least(ca.component, cb.component) AS cluster_a,
+        |    greatest(ca.component, cb.component) AS cluster_b,
+        |    p.ka AS ia, p.kb AS ib, p.s AS score
+        |  FROM scored p
+        |  JOIN comp ca ON p.ka = ca.id
+        |  JOIN comp cb ON p.kb = cb.id
+        |  WHERE ca.component <> cb.component
+        |), counts AS (
+        |  SELECT cluster_a, cluster_b, CAST(count(*) AS BIGINT) AS n_cross
+        |  FROM cross_e GROUP BY cluster_a, cluster_b
+        |), ranked AS (
+        |  SELECT cluster_a, cluster_b, ia, ib, score,
+        |    CAST(row_number() OVER (PARTITION BY cluster_a, cluster_b
+        |      ORDER BY score DESC, ia, ib) AS INT) AS rank
+        |  FROM cross_e
+        |)
+        |SELECT r.cluster_a, r.cluster_b, r.ia, r.ib, r.score, r.rank,
+        |       c.n_cross
+        |FROM ranked r JOIN counts c
+        |  ON r.cluster_a = c.cluster_a AND r.cluster_b = c.cluster_b
+        |WHERE r.rank <= 3""".stripMargin,
     // graph QA: normalize edges (least/greatest + distinct), keep only
     // same-cluster edges, degree = endpoint-exploded count, edgeless
     // records coalesce to 0.

@@ -131,6 +131,64 @@ object Evaluation {
           .as("auc"))
   }
 
+  /** Precision-recall operating curve from a [[rocCurve]] frame — the
+    * view that stays informative when negatives dominate positives by
+    * orders of magnitude (the universal regime of blocking-generated
+    * candidate pairs: fpr moves microscopically while precision
+    * collapses, so ROC flatters a linkage scorer and PR does not).
+    *
+    * One row per distinct score s (prediction "match ⇔ score ≥ s"):
+    *  - `precision` = tp / (tp + fp) — the cumulative count at s
+    *    includes s's own cell (n ≥ 1), so the denominator is never 0;
+    *  - `recall` = tp / P (NULL when there are no positives — identical
+    *    to [[rocCurve]]'s tpr, re-emitted under its PR name).
+    *
+    * Pure projection over the score-cell frame — the distributed
+    * cumulative work already happened in [[rocCurve]]; adding this costs
+    * nothing at any scale. */
+  def prCurve(roc: DataFrame): DataFrame =
+    roc.select(col("score"), col("n"), col("t"), col("tp"), col("fp"),
+      (col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double")).as("precision"),
+      col("tpr").as("recall"))
+
+  /** Average precision — the area under the step-wise PR curve in the
+    * scikit-learn / TREC sense: AP = Σₛ (t(s)/P) · precision(s), the
+    * recall mass banked at each threshold weighted by the precision
+    * there. Unlike [[auc]], no algebra removes the per-threshold
+    * division (each term has its own cumulative denominator), so the
+    * scalar is a SEQUENTIAL IEEE sum by definition; the fold order is
+    * pinned to score DESC (threshold order) and replayed by the oracle
+    * as an ordered `list_reduce` left fold — each term computed as
+    * `(t/P) · (tp/(tp+fp))` in exactly that operation order, so the
+    * double is bit-reproducible.
+    *
+    * Scale shape: everything distributed happens in [[rocCurve]] (pair
+    * join, score cells, distributed prefix sums); this fold collects the
+    * CELL frame — |distinct scores| rows, already ≪ the pair count, and
+    * model-sized by construction for pattern-style scorers (a
+    * Fellegi-Sunter scorer emits ≤ 2^k distinct likelihood ratios). For
+    * a continuous scorer over a corpus-scale pair set, bin the scores
+    * first (the [[FellegiSunter.matchWeightHistogram]] power-of-two
+    * discipline) — AP over bins is AP of the binned classifier, which is
+    * the honest statement of what one machine can fold sequentially.
+    * Output: 1 row (n_scores, n_pos, ap — NULL when no positives). */
+  def averagePrecision(roc: DataFrame): DataFrame = {
+    val one = roc
+      .select(col("score"), col("t"), col("tp"),
+        (col("tp") + col("fp")).as("__cn"))
+      .agg(count(lit(1)).as("n_scores"), sum(col("t")).as("n_pos"),
+        sort_array(collect_list(struct((-col("score")).as("negs"),
+          col("t"), col("tp"), col("__cn").as("cn")))).as("__cells"))
+    one.select(col("n_scores"), col("n_pos"),
+      when(col("n_pos") > 0,
+        aggregate(col("__cells"), lit(0.0), (acc, x) =>
+          acc + (x.getField("t").cast("double") /
+              col("n_pos").cast("double")) *
+            (x.getField("tp").cast("double") /
+              x.getField("cn").cast("double")))).as("ap"))
+  }
+
   /** Pay-as-you-go recall curve of a PROGRESSIVE pair generator
     * (Whang-Marmaros-Garcia-Molina "pay-as-you-go ER"): the pairs arrive
     * in a quality-likelihood order (`rankCol`, 1-based, globally unique —

@@ -1379,6 +1379,58 @@ object Linkage {
         col("__w").getField("s").as("weak_score"))
   }
 
+  /** Strongest CROSS-cluster scored pairs — the under-merge review queue,
+    * the dual of [[weakestLinks]]: weakestLinks asks "which edge barely
+    * holds this cluster together" (over-merge suspects); this asks
+    * "which scored pair ALMOST merged two clusters" (under-merge
+    * suspects — typically candidates that scored just below θ). Per
+    * unordered cluster pair connected by at least one cross edge, the
+    * top-k edges by (score DESC, ia, ib) plus the total cross-edge count
+    * `n_cross` — a cluster pair held apart by many near misses is the
+    * first merge a reviewer confirms.
+    *
+    * Only records present in `assignment` participate (inner joins);
+    * callers who want never-matched singletons in the queue pass a
+    * completed assignment (id → singleton id) — the
+    * [[graft.operators.EntityIds]] convention.
+    *
+    * Output: (cluster_a, cluster_b, ia, ib, score, rank, n_cross) with
+    * cluster_a < cluster_b and rank 1-based per cluster pair.
+    *
+    * Scale shape: two id-keyed equi-joins hang cluster ids on the edge
+    * endpoints; the count is one map-side-combinable groupBy; the top-k
+    * window's ≤ k filter sits directly above row_number, so
+    * InferWindowGroupLimit bounds every map task to k rows per cluster
+    * pair before the shuffle. Cost ∝ scored edges; nothing quadratic in
+    * clusters or records. */
+  def nearMissPairs(scored: DataFrame, assignment: DataFrame,
+      idCol: String, clusterCol: String = "component",
+      iaCol: String = "ka", ibCol: String = "kb",
+      scoreCol: String = "score", k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a1 = assignment.select(col(idCol).as("__nia"),
+      col(clusterCol).as("__nca"))
+    val a2 = assignment.select(col(idCol).as("__nib"),
+      col(clusterCol).as("__ncb"))
+    val cross = scored.select(col(iaCol).as("__nia"), col(ibCol).as("__nib"),
+        col(scoreCol).as("__ns"))
+      .join(a1, "__nia").join(a2, "__nib")
+      .where(col("__nca") =!= col("__ncb"))
+      .select(least(col("__nca"), col("__ncb")).as("cluster_a"),
+        greatest(col("__nca"), col("__ncb")).as("cluster_b"),
+        col("__nia").as("ia"), col("__nib").as("ib"), col("__ns").as("score"))
+    val counts = cross.groupBy(col("cluster_a"), col("cluster_b"))
+      .agg(count(lit(1)).as("n_cross"))
+    cross
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col("cluster_a"), col("cluster_b"))
+          .orderBy(col("score").desc, col("ia"), col("ib"))))
+      .where(col("rank") <= k)
+      .join(counts, Seq("cluster_a", "cluster_b"))
+      .select(col("cluster_a"), col("cluster_b"), col("ia"), col("ib"),
+        col("score"), col("rank"), col("n_cross"))
+  }
+
   /** Pairwise precision/recall/F1 of predicted match pairs vs labeled true
     * pairs, both restricted to candidate pairs (= pairs sharing a blocking
     * key, per BASELINE.json:2,14). */

@@ -95,6 +95,76 @@ class EvaluationSpec extends SparkFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // ------------------------------------------- PR curve + average precision
+
+  /** Sequential step-AP reference in the operator's pinned op order:
+    * fold over score-desc cells of acc + (t/P)·(tp/cn). */
+  private def refAp(rows: Seq[(Double, Int)]): Double = {
+    val p = rows.count(_._2 == 1).toDouble
+    val cells = refRoc(rows).map { case (s, tp, fp) =>
+      val t = rows.count { case (sc, l) => sc == s && l == 1 }.toLong
+      (t, tp, tp + fp)
+    }
+    cells.foldLeft(0.0) { case (acc, (t, tp, cn)) =>
+      acc + (t.toDouble / p) * (tp.toDouble / cn.toDouble)
+    }
+  }
+
+  test("prCurve precision/recall match brute force at every threshold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = (1L to 280L).map { i =>
+      (i, i + 700L, rng.nextInt(16) / 8.0, if (rng.nextInt(3) == 0) 1 else 0)
+    }
+    val (scored, labeled) = scoredFrame(rows)
+    val p = rows.count(_._4 == 1).toDouble
+    val got = Evaluation.prCurve(Evaluation.rocCurve(scored, labeled,
+        partitions = 5))
+      .select("score", "precision", "recall").as[(Double, Double, Double)]
+      .collect().sortBy(-_._1).toSeq
+    val want = refRoc(rows.map(r => (r._3, r._4))).map { case (s, tp, fp) =>
+      (s, tp.toDouble / (tp + fp).toDouble, tp.toDouble / p)
+    }
+    assert(got == want)
+  }
+
+  test("averagePrecision equals the sequential step fold bit-for-bit") {
+    val rng = new scala.util.Random(41)
+    val rows = (1L to 260L).map { i =>
+      (i, i + 800L, rng.nextInt(13) / 6.0, if (rng.nextInt(4) == 0) 1 else 0)
+    }
+    val (scored, labeled) = scoredFrame(rows)
+    val got = Evaluation.averagePrecision(
+        Evaluation.rocCurve(scored, labeled, partitions = 4))
+      .select("n_scores", "n_pos", "ap").head()
+    assert(got.getLong(1) == rows.count(_._4 == 1).toLong)
+    assert(got.getDouble(2) == refAp(rows.map(r => (r._3, r._4))))
+  }
+
+  test("averagePrecision: 1.0 for a perfect scorer, NULL with no positives") {
+    val perfect = (1L to 40L).map(i =>
+      (i, i + 100L, if (i <= 10) 2.0 else 1.0, if (i <= 10) 1 else 0))
+    val (s1, l1) = scoredFrame(perfect)
+    assert(Evaluation.averagePrecision(Evaluation.rocCurve(s1, l1))
+      .select("ap").head().getDouble(0) == 1.0)
+    val onlyNeg = (1L to 20L).map(i => (i, i + 100L, 1.0, 0))
+    val (s2, l2) = scoredFrame(onlyNeg)
+    assert(Evaluation.averagePrecision(Evaluation.rocCurve(s2, l2))
+      .select("ap").head().isNullAt(0))
+  }
+
+  test("averagePrecision is partitioning-independent") {
+    val rng = new scala.util.Random(53)
+    val rows = (1L to 190L).map(i =>
+      (i, i + 900L, rng.nextInt(9) / 4.0, rng.nextInt(2)))
+    val (scored, labeled) = scoredFrame(rows)
+    val a = Evaluation.averagePrecision(Evaluation.rocCurve(
+      scored.repartition(7), labeled, partitions = 2)).collect().toSeq
+    val b = Evaluation.averagePrecision(Evaluation.rocCurve(
+      scored.repartition(3), labeled, partitions = 8)).collect().toSeq
+    assert(a == b)
+  }
+
   // ------------------------------------------------- progressive recall
 
   test("progressiveCurve banks recall in rank order") {
