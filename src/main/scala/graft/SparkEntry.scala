@@ -2533,6 +2533,20 @@ object SparkEntry {
           normalize_match(col("raw")).as("norm"))
     }),
 
+    // Dictionary token standardization (the nickname/abbreviation
+    // stage): part names mapped token-by-token through a 5-entry
+    // canonicalization dictionary folded into the plan as a map
+    // literal — ONE codegen projection, zero shuffle at any corpus
+    // size. Unmapped tokens pass through verbatim; exact match only.
+    "q_standardize_tokens" -> ((s, dir) => {
+      val dict = Map("red" -> "crimson", "blue" -> "azure",
+        "small" -> "sm", "large" -> "lg", "hot" -> "heated")
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      graft.operators.Standardize.applyTokenDictionary(
+        p, "name", "name_std", dict)
+    }),
+
     // Fingerprint keys (OpenRefine's fingerprint + ngram-fingerprint
     // keyers): normalize → sorted distinct tokens (word order /
     // duplication collapse) and normalize → distinct sorted 2-grams
@@ -2875,6 +2889,26 @@ object SparkEntry {
     // log; one shuffle by user, single sort reused by both window passes)
     "q_sessionize" -> ((s, dir) => graft.operators.Sessionize.sessions(
       s.read.parquet(s"$dir/events.parquet"), "user_id", "ts")),
+
+    // Temporal linkage: interval-overlap candidate pairs over event
+    // validity windows [ts, ts + (⌊value⌋+1) minutes], keyed by user —
+    // the bucketed equi-join formulation of the interval join Spark
+    // lacks (10-minute grid cells, exact long micros, NO double
+    // arithmetic), verified exact with closed-interval overlap. The
+    // oracle is the tier-blind brute-force θ-join — candidate
+    // completeness is exactly what equality proves.
+    "q_interval_pairs" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").as("id"), col("user_id"),
+          // .cast("timestamp") hop covers TIMESTAMP_NTZ (identity under
+          // the pinned UTC session timezone — the Comparators convention)
+          unix_micros(col("ts").cast("timestamp")).as("start_us"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            (floor(col("value")).cast("long") + 1L) * 60000000L)
+            .as("end_us"))
+      graft.operators.Temporal.intervalCandidates(e, "id", "start_us",
+        "end_us", bucketWidth = 600000000L, partitionCols = Seq("user_id"))
+    }),
 
     // multimodal: typed metadata over a binary column (documents text
     // re-encoded as the opaque blob — testdata ships no native binary)
@@ -7598,6 +7632,18 @@ object SparkEntry {
         |  trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
         |       '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm
         |FROM f""".stripMargin,
+    // dictionary standardization: the same exact-match token map as a
+    // list_transform CASE chain, rejoined on the literal separator
+    "q_standardize_tokens" ->
+      """SELECT p_partkey AS id, p_name AS name,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    t -> CASE WHEN t = 'red' THEN 'crimson'
+        |              WHEN t = 'blue' THEN 'azure'
+        |              WHEN t = 'small' THEN 'sm'
+        |              WHEN t = 'large' THEN 'lg'
+        |              WHEN t = 'hot' THEN 'heated'
+        |              ELSE t END), ' ') AS name_std
+        |FROM part""".stripMargin,
     // fingerprint keys: the normalize chain + list ops; the kernel's
     // whole-string short-circuit for len <= n replays as a CASE
     "q_fingerprint_keys" ->
@@ -7877,6 +7923,20 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sid GROUP BY user_id, session_id""".stripMargin,
+    // interval join: brute-force θ-join over the same validity windows
+    // (epoch_us == unix_micros, floor(value) cast exact in both engines)
+    "q_interval_pairs" ->
+      """WITH e AS (
+        |  SELECT event_id AS id, user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000
+        |      AS e2
+        |  FROM events
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  least(a.e2, b.e2) - greatest(a.s, b.s) AS overlap
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.id < b.id
+        | AND a.s <= b.e2 AND b.s <= a.e2""".stripMargin,
     "q_media_metadata" ->
       """WITH m AS (
         |  SELECT doc_id AS id, strlen(text) AS n_bytes,

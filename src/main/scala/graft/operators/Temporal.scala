@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temporal (interval-overlap) candidate generation — the blocking family
+  * for TEMPORAL record linkage: entities carry validity intervals
+  * (person-at-address spans, account-active windows, sensor sessions) and
+  * two records can only co-refer when their intervals overlap. Spark has
+  * no native interval join; the naive θ-join (`a.start <= b.end AND
+  * b.start <= a.end`) plans as a nested-loop cross product — quadratic in
+  * the corpus, not in the answer. This is the bucketed equi-join
+  * formulation: quantize each interval to the grid cells it touches,
+  * explode to (cell, id) keys, and run the house equi-self-join with the
+  * full 3-tier skew contract.
+  *
+  * Completeness: overlapping closed intervals share at least the point
+  * p = max(start_a, start_b) ≤ min(end_a, end_b), and the grid cell
+  * containing p is covered by BOTH intervals — so every true overlap pair
+  * shares ≥ 1 key and survives to verification (before caps; the caps are
+  * the same observable recall trade every house pair generator exposes).
+  * Cells are exact long floor-divisions (no double arithmetic anywhere),
+  * so the blocking is bit-deterministic.
+  *
+  * Cost: each record fans out to `len/bucketWidth + 1..2` cells — pick
+  * `bucketWidth` near the median interval length so the fan-out is ~2 and
+  * a cell holds ~concurrent records. A pair overlapping many cells meets
+  * in each, which the pair `distinct` inside [[Linkage.candidatePairs]]
+  * absorbs; the final verify re-joins bounds by id (equi-joins) and keeps
+  * exact overlaps only.
+  *
+  * Bounds are LONGs in caller units (epoch micros via `unix_micros`,
+  * days, versions — the operator never touches timestamp semantics, so
+  * there is no timezone or calendar drift to pin). Rows with a NULL bound
+  * or `end < start` define no interval and are excluded (documented, not
+  * an error — at 10^12 rows a malformed minority must not kill the job;
+  * count them with a `where` if the pipeline needs the number). */
+object Temporal {
+
+  /** (key, url) cell-membership frame shared by [[intervalCandidates]]
+    * and [[droppedIntervalBuckets]] — `key` is
+    * `partitionCols.mkString(":") : cell`, `url` the record id (the
+    * [[Linkage.candidatePairs]] input schema). */
+  def intervalKeys(df: DataFrame, idCol: String, startCol: String,
+      endCol: String, bucketWidth: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    // cells are labeled by their bucket START: x − pmod(x, w) — exact
+    // long arithmetic for any sign, NO division anywhere (long / long
+    // is double division in Spark SQL, inexact past 2^53)
+    def floorTo(x: Column): Column = x - pmod(x, lit(bucketWidth))
+    val exploded = Seq(col(idCol).as("url"),
+      explode(sequence(floorTo(s), floorTo(e), lit(bucketWidth)))
+        .as("__cell")) ++ partitionCols.map(col)
+    df.where(s.isNotNull && e.isNotNull && e >= s)
+      .select(exploded: _*)
+      .select(col("url"),
+        concat_ws(":", partitionCols.map(col) :+ col("__cell"): _*)
+          .as("key"))
+  }
+
+  /** Interval-overlap candidate pairs, verified exact: (id_a, id_b,
+    * overlap) with id_a < id_b and `overlap` = min(end) − max(start) ≥ 0
+    * (0 = the closed intervals touch at a point). `partitionCols` are
+    * additional equality keys (tenant, entity type, user) ANDed into the
+    * blocking — the usual way a 10^12-row event corpus keeps cells small.
+    *
+    * Scale shape: explode → [[Linkage.candidatePairs]] (cold / salted /
+    * dropped tiers, pair distinct) → two id-keyed equi-joins against the
+    * bounds → one codegen overlap filter. Run
+    * [[droppedIntervalBuckets]] with the same arguments alongside — a
+    * dropped cell here means "too many concurrent intervals at one grid
+    * slot", the temporal analogue of a stopword block. */
+  def intervalCandidates(df: DataFrame, idCol: String, startCol: String,
+      endCol: String, bucketWidth: Long, partitionCols: Seq[String] = Nil,
+      bucketCap: Int = 200, hardCap: Int = 100000,
+      saltGroups: Int = 16): DataFrame = {
+    val keys = intervalKeys(df, idCol, startCol, endCol, bucketWidth,
+      partitionCols)
+    val pairs = Linkage.candidatePairs(keys, bucketCap, hardCap, saltGroups)
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val bounds = df.where(s.isNotNull && e.isNotNull && e >= s)
+      .select(col(idCol).as("__tid"), s.as("__ts"), e.as("__te"))
+    pairs
+      .join(bounds.select(col("__tid").as("url_a"), col("__ts").as("__sa"),
+        col("__te").as("__ea")), "url_a")
+      .join(bounds.select(col("__tid").as("url_b"), col("__ts").as("__sb"),
+        col("__te").as("__eb")), "url_b")
+      .where(col("__sa") <= col("__eb") && col("__sb") <= col("__ea"))
+      .select(col("url_a").as("id_a"), col("url_b").as("id_b"),
+        (least(col("__ea"), col("__eb")) -
+          greatest(col("__sa"), col("__sb"))).as("overlap"))
+  }
+
+  /** Grid cells excluded by `hardCap` with their sizes — the observable
+    * record of what the cap dropped (the [[Linkage.droppedBuckets]]
+    * contract over the same keys frame). */
+  def droppedIntervalBuckets(df: DataFrame, idCol: String, startCol: String,
+      endCol: String, bucketWidth: Long, partitionCols: Seq[String] = Nil,
+      hardCap: Int = 100000): DataFrame =
+    Linkage.droppedBuckets(
+      intervalKeys(df, idCol, startCol, endCol, bucketWidth, partitionCols),
+      hardCap)
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Pins [[Temporal.intervalCandidates]] — the bucketed interval-overlap
+  * join — to the brute-force θ-join on random inputs (any bucket width,
+  * negative bounds included), plus the closed-interval touch contract,
+  * the NULL/invalid exclusions, salted-tier losslessness, partition-key
+  * separation, and cap observability. */
+class TemporalSpec extends SparkFunSuite {
+
+  private def brute(rows: Seq[(Long, String, Long, Long)])
+      : Set[(Long, Long, Long)] = {
+    val valid = rows.filter { case (_, _, s, e) => e >= s }
+    (for {
+      a <- valid; b <- valid
+      if a._1 < b._1 && a._2 == b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, b._1, math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
+  }
+
+  private def run(rows: Seq[(Long, String, Long, Long)], w: Long,
+      bucketCap: Int = 200): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    val df = rows.toDF("id", "grp", "s", "e")
+    Temporal.intervalCandidates(df, "id", "s", "e", w,
+        partitionCols = Seq("grp"), bucketCap = bucketCap)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("equals brute force across bucket widths, negative bounds included") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 120L).map { i =>
+      val s = rng.nextLong() % 1000 // negatives exercised
+      (i, s"g${rng.nextInt(3)}", s, s + rng.nextInt(200))
+    }
+    val want = brute(rows)
+    assert(want.nonEmpty)
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      assert(run(rows, w) == want, s"width $w")
+    }
+  }
+
+  test("closed intervals: touching at a point -> overlap 0; disjoint -> absent") {
+    val rows = Seq((1L, "g", 0L, 10L), (2L, "g", 10L, 20L),
+      (3L, "g", 21L, 30L)) // 2 and 3 are disjoint by one unit
+    assert(run(rows, 5L) == Set((1L, 2L, 0L)))
+  }
+
+  test("NULL bounds and end < start rows are excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g", Some(0L), Some(10L)),
+      (2L, "g", Some(5L), Some(15L)),
+      (3L, "g", None: Option[Long], Some(9L)),  // NULL start
+      (4L, "g", Some(9L), None: Option[Long]),  // NULL end
+      (5L, "g", Some(9L), Some(3L))             // inverted
+    ).toDF("id", "grp", "s", "e")
+    val got = Temporal.intervalCandidates(df, "id", "s", "e", 4L,
+      partitionCols = Seq("grp"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L)))
+  }
+
+  test("bucketCap = 1 routes everything through the salted grid, losslessly") {
+    val rng = new scala.util.Random(13)
+    val rows = (1L to 60L).map { i =>
+      val s = rng.nextInt(100).toLong
+      (i, "hot", s, s + rng.nextInt(50))
+    }
+    assert(run(rows, 20L, bucketCap = 1) == brute(rows))
+  }
+
+  test("partition columns separate: same times, different key -> no pair") {
+    val rows = Seq((1L, "a", 0L, 100L), (2L, "b", 0L, 100L))
+    assert(run(rows, 10L).isEmpty)
+  }
+
+  test("droppedIntervalBuckets lists over-cap cells; pairs drop observably") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i, "g", 0L, 5L)) // all in one cell
+    val df = rows.toDF("id", "grp", "s", "e")
+    val dropped = Temporal.droppedIntervalBuckets(df, "id", "s", "e", 100L,
+      partitionCols = Seq("grp"), hardCap = 10)
+    assert(dropped.count() == 1L &&
+      dropped.select("bucket_n").head().getLong(0) == 30L)
+    val pairs = Temporal.intervalCandidates(df, "id", "s", "e", 100L,
+      partitionCols = Seq("grp"), bucketCap = 5, hardCap = 10)
+    assert(pairs.count() == 0L)
+  }
+}
