@@ -2717,6 +2717,21 @@ object SparkEntry {
         d.select(col("doc_id"), ml.as("ml")), "doc_id", "ml")
     }),
 
+    // Lee-et-al-style exact-substring dedup (token-window formulation):
+    // every 8-token window occurring >1× corpus-wide is marked at every
+    // occurrence but its global (id, pos)-first; overlapping/touching
+    // windows merge into maximal spans. k = 8 (not the paper's 50) so the
+    // synthetic corpus's shared 60-char prefixes actually trip it.
+    "q_dedup_substring_spans" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateTokenSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)),
+
+    // the applied form: documents rebuilt with marked spans cut out
+    // (whitespace-normalized rejoin; possibly empty)
+    "q_dedup_substring_strip" -> ((s, dir) =>
+      graft.operators.Dedup.stripDuplicateTokenSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)),
+
     // the WHOLE corpus-construction pipeline (CorpusPipeline.run:
     // signals → filter → scrub → exact dedup → near-dup CC dedup →
     // split/mixture/pack), checkpoint machinery included, hash-checked
@@ -3193,6 +3208,45 @@ object SparkEntry {
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** CTE list (no WITH) deriving the exact-substring-dedup spans of
+    * `documents` at k = 8: toks(id, tk) — whitespace tokens on the shared
+    * explicit class (RE2's \s lacks \x0B; Java's has it) — wins (every
+    * 8-token window with its 1-based start), marked (all-but-global-first
+    * occurrences of duplicated windows as [s, e] intervals), and spans
+    * (overlapping/touching intervals merged via the running-max island
+    * scan). Shared by the spans gate and the strip gate so the span
+    * derivation cannot de-sync between them. */
+  private def substringSpanCtes: String =
+    """toks AS (
+      |  SELECT doc_id AS id,
+      |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), wins AS (
+      |  SELECT id, pos, array_to_string(tk[pos:pos+7], ' ') AS gram
+      |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS pos
+      |        FROM toks WHERE len(tk) >= 8)
+      |), marked AS (
+      |  SELECT id, pos AS s, pos + 7 AS e FROM (
+      |    SELECT id, pos,
+      |      row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rnk
+      |    FROM wins)
+      |  WHERE rnk > 1
+      |), flagged AS (
+      |  SELECT id, s, e,
+      |    CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp + 1
+      |         THEN 1 ELSE 0 END AS new_island
+      |  FROM marked
+      |  WINDOW wp AS (PARTITION BY id ORDER BY s
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), islanded AS (
+      |  SELECT id, s, e, sum(new_island) OVER (PARTITION BY id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged
+      |), spans AS (
+      |  SELECT id, min(s) AS span_start, max(e) AS span_end
+      |  FROM islanded GROUP BY id, island
+      |)""".stripMargin
 
   /** CTE list (no WITH) deriving the one-permutation MinHash signature of
     * `from`(doc_id, text) as rows: base(id, tk) — sorted distinct
@@ -4385,6 +4439,34 @@ object SparkEntry {
         |)
         |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
         |FROM d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    // exact-substring dedup: full re-derivation — tokenize on the shared
+    // whitespace class, mint every 8-token window, keep-first via
+    // row_number over (id, pos) order (the hot-gram-safe groupBy+join on
+    // the Spark side is semantically identical), then the same
+    // running-max interval merge. Window start positions are 1-based on
+    // both engines by construction.
+    "q_dedup_substring_spans" ->
+      s"""WITH $substringSpanCtes
+        |SELECT id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens
+        |FROM spans""".stripMargin,
+    // the applied form: anti-range-join the token positions against the
+    // merged spans, rebuild in position order, empty string when nothing
+    // survives (or the document had no tokens)
+    "q_dedup_substring_strip" ->
+      s"""WITH $substringSpanCtes, tokpos AS (
+        |  SELECT id, unnest(tk) AS tok, unnest(range(1, len(tk) + 1)) AS pos
+        |  FROM toks
+        |), kept AS (
+        |  SELECT t.id, t.tok, t.pos FROM tokpos t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.id = t.id AND t.pos BETWEEN sp.span_start AND sp.span_end)
+        |), rebuilt AS (
+        |  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY id
+        |)
+        |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
     // the salted-tier run must reproduce the PLAIN-tier oracle exactly
     // (the 2000-bucket cut in annLshOracle never bites at gate SFs, so

@@ -443,6 +443,121 @@ object Dedup {
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** (id, 1-based window start, sha256 of the k-token window) for every
+    * whitespace-token window of length `k` — the shared base of
+    * [[duplicateTokenSpans]] / [[stripDuplicateTokenSpans]]. The window
+    * content travels as its sha256 (fixed 64-byte shuffle key, collision-
+    * free at any conceivable corpus size) rather than the k-token string:
+    * at the paper's k=50 that is ~6× less shuffle payload. Built with
+    * `transform(sequence(...))` over the token array — ONE projection per
+    * document, no window shuffle. */
+  private def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => sha2(concat_ws(" ", slice(col("toks"), i, lit(k))), 256)))
+          .as(Seq("off", "g")))
+      .select(col("id"), (col("off") + 1).as("pos"), col("g"))
+
+  /** Duplicated token windows MINUS each window content's globally-first
+    * occurrence, as (id, s, e) token intervals (1-based, inclusive).
+    *
+    * The non-first pick is groupBy(min(struct(id, pos))) + join-back, NOT
+    * a row_number window like [[dropRepeatedSpans]]'s keep-first: there
+    * InferWindowGroupLimit prunes to 1 row per map task because only
+    * rnk==1 survives, but here the KEPT side is `rnk >= 2` — a window
+    * would buffer a 10^9-occurrence boilerplate window in one task, while
+    * the groupBy is map-side combinable and the join-back is an AQE-skew-
+    * splittable equi-join. */
+  private def markedWindows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val wins = tokenWindows(docs, idCol, textCol, k)
+    val firsts = wins.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(struct(col("id"), col("pos"))).as("first"))
+      .where(col("n") > 1)
+      .select(col("g"), col("first"))
+    wins.join(firsts, "g")
+      .where(!(col("id") === col("first").getField("id") &&
+        col("pos") === col("first").getField("pos")))
+      .select(col("id"), col("pos").as("s"), (col("pos") + (k - 1)).as("e"))
+  }
+
+  /** Cross-document exact-substring dedup — the token-window analogue of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), which removes every repeated substring
+    * of >= 50 tokens from a training corpus, keeping one occurrence.
+    *
+    * Semantics (pinned): every whitespace-token window of length `k`
+    * whose content occurs MORE THAN ONCE corpus-wide is marked for
+    * removal at every occurrence EXCEPT the globally-first one (minimum
+    * (id, position)); overlapping and touching marked windows merge into
+    * maximal spans. A repeated run of length L >= k is covered because
+    * each of its L-k+1 interior windows is itself repeated; the windowed
+    * formulation trades the paper's suffix array (inherently sequential,
+    * single-machine) for one distributed hash shuffle.
+    *
+    * Output: (id, span_start, span_end, span_tokens) — one row per
+    * maximal span to drop, 1-based token positions, both ends inclusive.
+    * Documents with fewer than `k` tokens never produce spans.
+    *
+    * Scale shape: per-doc window mint is one projection (no shuffle);
+    * duplicate detection is ONE map-side-combinable groupBy on the
+    * window hash + an AQE-splittable join-back (see [[markedWindows]]);
+    * the interval merge windows only over (id) — bounded by document
+    * length, never by corpus skew. */
+  def duplicateTokenSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"window length k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    markedWindows(docs, idCol, textCol, k)
+      .withColumn("prev_max_e", max(col("e")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** [[duplicateTokenSpans]] applied: each document rebuilt with its
+    * marked spans cut out. Output (id, clean_text) for EVERY input
+    * document; the rebuild re-joins surviving tokens with single spaces,
+    * so untouched documents come back whitespace-NORMALIZED (the same
+    * contract as every token-level dedup oracle here), and a document
+    * whose every token sat in marked spans (or that had no tokens at
+    * all) comes back as the empty string.
+    *
+    * Scale shape: spans collapse to one array per AFFECTED document
+    * (bounded by document length), the join back to the corpus is an
+    * equi-join on the primary key, and the cut itself is a higher-order
+    * `filter` over the token array — no per-token explode, no range
+    * join. */
+  def stripDuplicateTokenSpans(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 50): DataFrame = {
+    val spans = duplicateTokenSpans(docs, idCol, textCol, k)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        array_join(
+          filter(col("toks"), (t, i) =>
+            col("spans").isNull ||
+              !exists(col("spans"), sp =>
+                i + 1 >= sp.getField("span_start") &&
+                  i + 1 <= sp.getField("span_end"))),
+          " ").as("clean_text"))
+  }
+
   /** Near-dup CLUSTER assignment — the "keep one per group" step that
     * turns pairwise near-dups into a dedup decision. Composes the two
     * gate-proven operators: [[minhashLshPairs]] emits verified pairs,

@@ -116,6 +116,60 @@ class DedupSpec extends SparkFunSuite {
       .agg(sum(col("n"))).head().getLong(0) > 0)
   }
 
+  // Exact-substring (k-token window) dedup — hand-derived fixture, k = 3.
+  // Every expected interval below is computed by hand from the keep-first
+  // rule: a window's FIRST occurrence in (id, pos) order is never marked.
+  private val subDocs = Seq(
+    (1L, "a b c d e f"),       // all its windows are global firsts
+    (2L, "m n o"),             // single window, global first
+    (3L, "x a b c d y"),       // overlap merge: [2,4]∪[3,5] → [2,5]
+    (4L, "a b c q a b c"),     // two DISJOINT marked islands (gap at q)
+    (5L, "z z"),               // < k tokens: never produces windows
+    (6L, ""),                  // empty text
+    (7L, "a b c d e f"),       // exact dup of 1 → whole doc one span
+    (8L, "a b c m n o"),       // TOUCHING islands [1,3]+[4,6] merge (s = e+1)
+    (9L, "u v w z u v w"),     // within-doc dup: first kept, second marked
+  ).toDF("doc_id", "text")
+
+  test("duplicateTokenSpans marks all-but-first occurrences as maximal spans") {
+    val got = Dedup.duplicateTokenSpans(subDocs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val want = Set(
+      (3L, 2, 5, 4),  // "a b c"@2 ∪ "b c d"@3 overlap-merged
+      (4L, 1, 3, 3), (4L, 5, 7, 3), // disjoint: 5 > 3 + 1
+      (7L, 1, 6, 6),  // every window dup of doc 1 → one full-doc span
+      (8L, 1, 6, 6),  // [1,3] and [4,6] touch (4 == 3 + 1) → merged
+      (9L, 5, 7, 3))  // within-doc: (9,1) is the global first, kept
+    assert(got == want)
+  }
+
+  test("stripDuplicateTokenSpans rebuilds documents minus marked spans") {
+    val got = Dedup.stripDuplicateTokenSpans(subDocs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "a b c d e f", // untouched (whitespace-normalized rejoin)
+      2L -> "m n o",
+      3L -> "x y",
+      4L -> "q",
+      5L -> "z z",         // < k tokens: passes through
+      6L -> "",            // no tokens → empty string
+      7L -> "",            // fully duplicated → everything cut
+      8L -> "",
+      9L -> "u v w z"))
+  }
+
+  test("duplicateTokenSpans: k=1 degenerates to repeated-token marking; k<1 rejected") {
+    val d = Seq((1L, "p p q"), (2L, "q r")).toDF("doc_id", "text")
+    // token "p": first (1,1) kept, (1,2) marked; "q": first (1,3), (2,1) marked
+    val got = Dedup.duplicateTokenSpans(d, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2, 2), (2L, 1, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateTokenSpans(d, "doc_id", "text", k = 0)
+    }
+  }
+
   test("simhash 3-tier policy: salted grid is lossless, hardCap drops observably") {
     // degenerate boilerplate fixture: identical docs → identical signatures
     // → every band bucket is an attractor holding ALL of them (the shape
