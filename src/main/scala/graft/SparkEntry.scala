@@ -1321,6 +1321,22 @@ object SparkEntry {
         golden, "id", cols = Seq("text", "lang", "source", "n_chars"))
     }),
 
+    // Over-merge audit: single-valuedness violations per cluster over the
+    // same %89 clustering as the golden gates — lang/source/n_chars are
+    // all entity-unique by declaration, so nearly every cluster conflicts
+    // (the audit runs on MEMBER records; survivorship would erase the
+    // evidence). Values audited as strings (documented cast); one
+    // map-explode + one map-side-combinable groupBy.
+    "q_merge_conflicts" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val records = d.select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      val assignment = d.select(col("doc_id").as("id"),
+        (col("doc_id") % 89).as("component"))
+      graft.operators.Canonicalize.mergeConflicts(records, assignment, "id",
+        Seq("lang", "source", "n_chars"))
+    }),
+
     // Stable entity ids across runs: previous run's entity map at
     // doc_id % 97, this run's clustering at doc_id % 89 — heavy
     // merge/split churn with near-universal overlap ties, so both
@@ -6312,6 +6328,25 @@ object SparkEntry {
         |FROM base b
         |LEFT JOIN longest l ON b.component = l.component
         |LEFT JOIN langmode m ON b.component = m.component""".stripMargin,
+    // merge-conflict audit: long-format (field, value-as-string) union,
+    // non-null only, grouped per (cluster, field), kept when >1 distinct
+    "q_merge_conflicts" ->
+      """WITH long AS (
+        |  SELECT doc_id % 89 AS component, 'lang' AS field, lang AS value
+        |  FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id % 89, 'source', source
+        |  FROM documents WHERE source IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id % 89, 'n_chars', CAST(n_chars AS VARCHAR)
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT component, field,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_values,
+        |  CAST(count(*) AS BIGINT) AS n_nonnull,
+        |  min(value) AS value_min, max(value) AS value_max
+        |FROM long GROUP BY component, field
+        |HAVING count(DISTINCT value) > 1""".stripMargin,
     // golden records + per-field (cluster, value) argmin source joins.
     "q_golden_provenance" ->
       """WITH j AS (

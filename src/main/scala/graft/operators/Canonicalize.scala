@@ -132,6 +132,48 @@ object Canonicalize {
     }
   }
 
+  /** Over-merge audit: single-valuedness (functional-dependency)
+    * violations per cluster — the QA step BETWEEN clustering and
+    * survivorship. A field declared entity-unique (one SSN, one birth
+    * date, one canonical URL per entity) taking two distinct non-null
+    * values inside one cluster is the loudest over-merge signal there
+    * is, and it is exactly the evidence survivorship then DESTROYS (the
+    * golden record keeps one value and the conflict disappears) — so
+    * the audit must run on the member records, not the golden frame.
+    *
+    * Output: one row per (cluster, field) WITH a conflict —
+    * (clusterCol, field, n_values, n_nonnull, value_min, value_max):
+    * distinct non-null value count (> 1 by construction), non-null
+    * member count, and the extreme values as evidence. Values are
+    * compared and reported AS STRINGS (fields of any type audit
+    * uniformly; the cast is the audit's equality, documented not
+    * hidden). Clean clusters and all-null fields produce no rows.
+    *
+    * Scale shape: one equi-join on the record id, one map-literal
+    * explode (|fields| rows per record — fields are a handful by
+    * nature), one map-side-combinable groupBy. A hot mega-cluster
+    * costs its row count; nothing pairs, nothing windows, nothing
+    * collects. */
+  def mergeConflicts(records: DataFrame, assignment: DataFrame,
+      idCol: String, fields: Seq[String],
+      clusterCol: String = "component"): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to audit")
+    val joined = records
+      .select(col(idCol) +: fields.map(f => col(f).cast("string").as(f)): _*)
+      .join(assignment.select(col(idCol), col(clusterCol)), idCol)
+    joined
+      .select(col(clusterCol),
+        explode(map(fields.flatMap(f => Seq(lit(f), col(f))): _*))
+          .as(Seq("field", "value")))
+      .where(col("value").isNotNull)
+      .groupBy(col(clusterCol), col("field"))
+      .agg(countDistinct(col("value")).as("n_values"),
+        count(lit(1)).as("n_nonnull"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+      .where(col("n_values") > 1)
+  }
+
   /** Incremental golden-record maintenance — the continuous-crawl seam
     * that completes the incremental chain ([[Dedup.bandIndex]] makes
     * candidate generation incremental, [[ConnectedComponents.addEdges]]

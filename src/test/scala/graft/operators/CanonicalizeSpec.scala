@@ -181,4 +181,33 @@ class CanonicalizeSpec extends SparkFunSuite {
       oldRecs2, "id", rules = rules)
     assert(sortedRows(noop) == sortedRows(prev2))
   }
+
+  test("mergeConflicts reports per-(cluster, field) single-valuedness violations") {
+    // the shared fixture by hand:
+    //  cluster 10 name:  anne/annie/annia   → 3 distinct  → conflict
+    //  cluster 10 seg:   AUTO/AUTO/BIKE     → 2 distinct  → conflict
+    //  cluster 10 bal:   5.0/null/3.0       → 2 distinct  → conflict ("3.0" < "5.0")
+    //  cluster 20 name:  null/null          → no non-null → NO row
+    //  cluster 20 seg:   CARS/BIKE          → conflict
+    //  cluster 20 bal:   9.0/7.0            → conflict
+    //  record 6 is unassigned → never participates
+    val got = Canonicalize.mergeConflicts(records, assignment, "id",
+        Seq("name", "seg", "bal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    assert(got == Set(
+      (10L, "name", 3L, 3L, "anne", "annie"),
+      (10L, "seg", 2L, 3L, "AUTO", "BIKE"),
+      (10L, "bal", 2L, 2L, "3.0", "5.0"),
+      (20L, "seg", 2L, 2L, "BIKE", "CARS"),
+      (20L, "bal", 2L, 2L, "7.0", "9.0")))
+    // single-valued everywhere → empty audit, and empty field list rejected
+    val clean = Seq((1L, "x"), (2L, "x")).toDF("id", "v")
+    val asg = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    assert(Canonicalize.mergeConflicts(clean, asg, "id", Seq("v")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Canonicalize.mergeConflicts(clean, asg, "id", Seq.empty)
+    }
+  }
 }
