@@ -2941,6 +2941,25 @@ object SparkEntry {
         "end_us", bucketWidth = 600000000L, partitionCols = Seq("user_id"))
     }),
 
+    // spatial grid blocking: venue-style points minted from customer by
+    // pure integer arithmetic (microdegree fixed-point — the operator's
+    // coordinate contract), partitioned by nation; radius 30000 within
+    // cell 50000 keeps the forward-half-neighborhood coverage guarantee
+    // live; bucketCap 60 routes the denser nations through the salted
+    // tier at sf0.1 (the grid is lossless, so the oracle is tier-blind
+    // brute force per nation). %4 subsample keeps the oracle's all-pairs
+    // verification tractable.
+    "q_grid_pairs" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          (col("c_custkey") * 48271L % 200000L).as("lat"),
+          (col("c_custkey") * 69621L % 200000L).as("lon"))
+      graft.operators.Spatial.gridCandidates(c, "id", "lat", "lon",
+        radius = 30000L, cellSize = 50000L, partitionCols = Seq("nk"),
+        bucketCap = 60)
+    }),
+
     // multimodal: typed metadata over a binary column (documents text
     // re-encoded as the opaque blob — testdata ships no native binary)
     "q_media_metadata" -> ((s, dir) => {
@@ -8054,6 +8073,20 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id AND a.id < b.id
         | AND a.s <= b.e2 AND b.s <= a.e2""".stripMargin,
+    // spatial grid blocking: tier-blind brute-force Chebyshev θ-join per
+    // nation over the same integer-minted points (grid is lossless by
+    // the cellSize >= radius coverage guarantee)
+    "q_grid_pairs" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nk,
+        |    c_custkey * 48271 % 200000 AS lat,
+        |    c_custkey * 69621 % 200000 AS lon
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  greatest(abs(a.lat - b.lat), abs(a.lon - b.lon)) AS d_chebyshev
+        |FROM pts a JOIN pts b ON a.nk = b.nk AND a.id < b.id
+        |WHERE greatest(abs(a.lat - b.lat), abs(a.lon - b.lon)) <= 30000""".stripMargin,
     "q_media_metadata" ->
       """WITH m AS (
         |  SELECT doc_id AS id, strlen(text) AS n_bytes,
