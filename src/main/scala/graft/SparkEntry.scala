@@ -1391,6 +1391,45 @@ object SparkEntry {
         BigDecimal(n * n / 20), maxSchemes = 3)
     }),
 
+    // Supervised DNF blocking-scheme learning (Michelson-Knoblock /
+    // Bilenko adaptive blocking): 3 base families + their 3 arity-2
+    // conjunctions priced against labeled positives (name-suffix truth)
+    // under a budget on DISTINCT co-blocked negatives (deterministic
+    // hash-bucket sample, suffix-unequal). Budget totalNeg/8 admits one
+    // base family and then only a CONJUNCTION (nat&seg at both SFs) —
+    // the learner's signature move is live in the gated plan. The
+    // oracle replays all three greedy steps (pos marginal DESC, neg
+    // marginal ASC, name) with per-step anti-joins on BOTH sides.
+    "q_learn_scheme" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val id = col("c_custkey")
+      val keyed = c.select(lit("seg").as("family"), id.as("id"),
+          col("c_mktsegment").as("key"))
+        .unionAll(c.select(lit("nat").as("family"), id.as("id"),
+          col("c_nationkey").cast("string").as("key")))
+        .unionAll(c.select(lit("bal").as("family"), id.as("id"),
+          floor(col("c_acctbal") / 1000.0).cast("string").as("key")))
+      val a = c.select(id.as("pa"), substring(col("c_name"), 16, 3).as("sfx"))
+      val b = c.select(id.as("pb"), substring(col("c_name"), 16, 3).as("sfx"))
+      val pos = a.join(b, "sfx").where(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      // negatives are PSEUDO-RANDOM (hash-bucket) non-matching pairs, not
+      // same-nation pairs: a negative sample sharing a family's key by
+      // construction would make every conjunction with that family cost
+      // as much as its other half, silencing the learner's whole trade
+      val cn = c.where(id % 4 === 0)
+        .select(id.as("nid"), (id * 7919L % 211L).as("bk"),
+          substring(col("c_name"), 16, 3).as("sfx"))
+      val neg = cn.select(col("nid").as("pa"), col("bk"), col("sfx").as("sa"))
+        .join(cn.select(col("nid").as("pb"), col("bk"), col("sfx").as("sb")),
+          "bk")
+        .where(col("pa") < col("pb") && col("sa") =!= col("sb"))
+        .select(col("pa"), col("pb"))
+      val budget = neg.count() / 8
+      graft.operators.BlockingSelection.learnScheme(keyed, pos, neg,
+        budget, maxTerms = 3)
+    }),
+
     // Pre-linkage column profiling (the Splink profile_columns step):
     // completeness / cardinality / dominant value per candidate field,
     // from one (value -> count) groupBy per column + a 1-row fold;
@@ -6536,6 +6575,119 @@ object SparkEntry {
         |  CAST(volume + (SELECT volume FROM p1) + (SELECT volume FROM p2)
         |    AS DECIMAL(38,0)),
         |  (SELECT total_truth FROM tt) FROM p3""".stripMargin,
+    // supervised DNF learner: full 3-step greedy replay — candidate pool
+    // is the 3 base families + their 3 conjunctions (names sorted, keys
+    // chr(1)-joined; key SPELLING may differ from the Spark side, only
+    // per-family key EQUALITY matters and floor/CAST agree on that);
+    // each step anti-joins covered pairs on BOTH label sides, then picks
+    // by (pos marginal DESC, neg marginal ASC, family) under the
+    // cumulative negative budget totalNeg // 8
+    "q_learn_scheme" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS seg,
+        |    CAST(c_nationkey AS VARCHAR) AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS VARCHAR) AS bal,
+        |    substr(c_name, 16, 3) AS sfx, c_nationkey AS nk
+        |  FROM customer
+        |), keys AS (
+        |  SELECT 'seg' AS family, id, seg AS key FROM c
+        |  UNION ALL SELECT 'nat', id, nat FROM c
+        |  UNION ALL SELECT 'bal', id, bal FROM c
+        |  UNION ALL SELECT 'bal&nat', id, bal || chr(1) || nat FROM c
+        |  UNION ALL SELECT 'bal&seg', id, bal || chr(1) || seg FROM c
+        |  UNION ALL SELECT 'nat&seg', id, nat || chr(1) || seg FROM c
+        |), pos AS (
+        |  SELECT a.id AS pa, b.id AS pb
+        |  FROM c a JOIN c b ON a.sfx = b.sfx AND a.id < b.id
+        |), neg AS (
+        |  SELECT a.id AS pa, b.id AS pb
+        |  FROM c a JOIN c b ON (a.id * 7919) % 211 = (b.id * 7919) % 211
+        |   AND a.id < b.id AND a.sfx <> b.sfx
+        |  WHERE a.id % 4 = 0 AND b.id % 4 = 0
+        |), tp AS (SELECT CAST(count(*) AS BIGINT) AS total_pos FROM pos),
+        |tn AS (SELECT CAST(count(*) AS BIGINT) AS total_neg FROM neg),
+        |bud AS (SELECT CAST(count(*) // 8 AS BIGINT) AS b FROM neg),
+        |covp AS (
+        |  SELECT DISTINCT k1.family, t.pa, t.pb FROM pos t
+        |  JOIN keys k1 ON k1.id = t.pa
+        |  JOIN keys k2 ON k2.family = k1.family AND k2.key = k1.key
+        |              AND k2.id = t.pb
+        |), covn AS (
+        |  SELECT DISTINCT k1.family, t.pa, t.pb FROM neg t
+        |  JOIN keys k1 ON k1.id = t.pa
+        |  JOIN keys k2 ON k2.family = k1.family AND k2.key = k1.key
+        |              AND k2.id = t.pb
+        |), mp1 AS (
+        |  SELECT family, CAST(count(*) AS BIGINT) AS p FROM covp GROUP BY family
+        |), mn1 AS (
+        |  SELECT family, CAST(count(*) AS BIGINT) AS n FROM covn GROUP BY family
+        |), p1 AS (
+        |  SELECT mp1.family, mp1.p, COALESCE(mn1.n, 0) AS n
+        |  FROM mp1 LEFT JOIN mn1 USING (family) CROSS JOIN bud
+        |  WHERE mp1.p > 0 AND COALESCE(mn1.n, 0) <= bud.b
+        |  ORDER BY mp1.p DESC, COALESCE(mn1.n, 0) ASC, mp1.family LIMIT 1
+        |), cp1 AS (SELECT t.pa, t.pb FROM covp t JOIN p1 USING (family)),
+        |cn1 AS (SELECT t.pa, t.pb FROM covn t JOIN p1 USING (family)),
+        |mp2 AS (
+        |  SELECT t.family, CAST(count(*) AS BIGINT) AS p FROM covp t
+        |  LEFT JOIN cp1 ON t.pa = cp1.pa AND t.pb = cp1.pb
+        |  WHERE cp1.pa IS NULL AND t.family <> (SELECT family FROM p1)
+        |  GROUP BY t.family
+        |), mn2 AS (
+        |  SELECT t.family, CAST(count(*) AS BIGINT) AS n FROM covn t
+        |  LEFT JOIN cn1 ON t.pa = cn1.pa AND t.pb = cn1.pb
+        |  WHERE cn1.pa IS NULL AND t.family <> (SELECT family FROM p1)
+        |  GROUP BY t.family
+        |), p2 AS (
+        |  SELECT mp2.family, mp2.p, COALESCE(mn2.n, 0) AS n
+        |  FROM mp2 LEFT JOIN mn2 USING (family) CROSS JOIN bud
+        |  WHERE mp2.p > 0
+        |    AND (SELECT n FROM p1) + COALESCE(mn2.n, 0) <= bud.b
+        |  ORDER BY mp2.p DESC, COALESCE(mn2.n, 0) ASC, mp2.family LIMIT 1
+        |), cp2 AS (
+        |  SELECT pa, pb FROM cp1
+        |  UNION SELECT t.pa, t.pb FROM covp t JOIN p2 USING (family)
+        |), cn2 AS (
+        |  SELECT pa, pb FROM cn1
+        |  UNION SELECT t.pa, t.pb FROM covn t JOIN p2 USING (family)
+        |), mp3 AS (
+        |  SELECT t.family, CAST(count(*) AS BIGINT) AS p FROM covp t
+        |  LEFT JOIN cp2 ON t.pa = cp2.pa AND t.pb = cp2.pb
+        |  WHERE cp2.pa IS NULL
+        |    AND t.family NOT IN (SELECT family FROM p1
+        |                         UNION SELECT family FROM p2)
+        |  GROUP BY t.family
+        |), mn3 AS (
+        |  SELECT t.family, CAST(count(*) AS BIGINT) AS n FROM covn t
+        |  LEFT JOIN cn2 ON t.pa = cn2.pa AND t.pb = cn2.pb
+        |  WHERE cn2.pa IS NULL
+        |    AND t.family NOT IN (SELECT family FROM p1
+        |                         UNION SELECT family FROM p2)
+        |  GROUP BY t.family
+        |), p3 AS (
+        |  SELECT mp3.family, mp3.p, COALESCE(mn3.n, 0) AS n
+        |  FROM mp3 LEFT JOIN mn3 USING (family) CROSS JOIN bud
+        |  WHERE mp3.p > 0
+        |    AND (SELECT n FROM p1) + (SELECT n FROM p2)
+        |        + COALESCE(mn3.n, 0) <= bud.b
+        |  ORDER BY mp3.p DESC, COALESCE(mn3.n, 0) ASC, mp3.family LIMIT 1
+        |)
+        |SELECT CAST(1 AS INT) AS step, family, p AS marginal_pos,
+        |  p AS cumulative_pos, n AS marginal_neg, n AS cumulative_neg,
+        |  (SELECT total_pos FROM tp) AS total_pos,
+        |  (SELECT total_neg FROM tn) AS total_neg
+        |FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), family, p, p + (SELECT p FROM p1), n,
+        |  n + (SELECT n FROM p1),
+        |  (SELECT total_pos FROM tp), (SELECT total_neg FROM tn)
+        |FROM p2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), family, p,
+        |  p + (SELECT p FROM p1) + (SELECT p FROM p2), n,
+        |  n + (SELECT n FROM p1) + (SELECT n FROM p2),
+        |  (SELECT total_pos FROM tp), (SELECT total_neg FROM tn)
+        |FROM p3""".stripMargin,
     // top-k frequencies: per-column count desc / value asc rank ≤ 4.
     "q_top_values" ->
       """WITH vc AS (

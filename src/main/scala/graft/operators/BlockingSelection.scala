@@ -35,6 +35,140 @@ import org.apache.spark.sql.types._
   *          volume, cumulative_volume, total_truth). */
 object BlockingSelection {
 
+  /** All arity-2 conjunction families derivable from `keyed` —
+    * (f1&f2, id, key1␁key2) for every unordered base-family pair a record
+    * holds keys in, the candidate pool for DNF scheme learning
+    * ([[learnScheme]]): a conjunction blocks a pair iff BOTH base
+    * predicates agree, so it is always tighter (fewer negatives) and
+    * never recall-better than its parts — exactly the trade the learner
+    * prices. Records with multiple keys per family conjoin every
+    * combination (the token-blocking semantics carried through).
+    *
+    * ONE id-keyed self-equi-join regardless of family count; output size
+    * is Σ per-record keys², bounded by (families × keys-per-family)² per
+    * record — family pools are tens by nature, never corpus-shaped. The
+    * ␁ separator keeps composite keys unambiguous (the [[Dedup]] block-
+    * key convention); keep '&' out of base family names so learned term
+    * names parse unambiguously. */
+  def conjunctions(keyed: DataFrame): DataFrame = {
+    val k = keyed.select(col(keyed.columns(0)).as("family"),
+      col(keyed.columns(1)).as("__id"), col(keyed.columns(2)).as("__key"))
+    val a = k.select(col("__id"), col("family").as("__fa"),
+      col("__key").as("__ka"))
+    val b = k.select(col("__id"), col("family").as("__fb"),
+      col("__key").as("__kb"))
+    a.join(b, "__id").where(col("__fa") < col("__fb"))
+      .select(concat(col("__fa"), lit("&"), col("__fb")).as("family"),
+        col("__id"),
+        concat(col("__ka"), lit("\u0001"), col("__kb")).as("__key"))
+  }
+
+  /** Supervised DNF blocking-scheme learning (Michelson & Knoblock,
+    * AAAI'06 "Learning Blocking Schemes for Record Linkage"; Bilenko,
+    * Kamath & Mooney, ICDM'06 "Adaptive Blocking"): from labeled
+    * POSITIVE and NEGATIVE pairs, greedily assemble a disjunction of
+    * blocking terms (base families and, when `includeConjunctions`,
+    * their arity-2 conjunctions) that maximizes positive-pair coverage
+    * subject to a budget on DISTINCT negative pairs co-blocked — the
+    * supervised counterpart of [[greedySelection]], whose cost is
+    * unlabeled pair volume. Greedy per step: among terms whose negative
+    * union stays within `maxNegCovered`, take the largest uncovered-
+    * positive marginal; ties break to the smaller negative marginal,
+    * then the term name (pinned, so an ANSI-SQL oracle replays the
+    * whole selection). Stops at `maxTerms`, when nothing feasible
+    * remains, or when every remaining term has zero positive marginal.
+    *
+    * Negative accounting exploits the same anti-join trick as the
+    * positive side: after removing already-covered negatives, a term's
+    * grouped count IS its marginal, so cumulative = spent + marginal
+    * with no distinct-union recount — one distributed pass per side per
+    * step over the LABEL-sized coverage tables (labels are samples by
+    * nature; nothing here touches corpus pairs).
+    *
+    * @return one row per selected term, in selection order:
+    *         (step, family, marginal_pos, cumulative_pos, marginal_neg,
+    *          cumulative_neg, total_pos, total_neg). */
+  def learnScheme(keyed: DataFrame, posPairs: DataFrame,
+      negPairs: DataFrame, maxNegCovered: Long, maxTerms: Int,
+      includeConjunctions: Boolean = true): DataFrame = {
+    require(maxTerms > 0, "maxTerms must be positive")
+    require(maxNegCovered >= 0, "maxNegCovered must be >= 0")
+    val spark = keyed.sparkSession
+    val base = keyed.select(col(keyed.columns(0)).as("family"),
+      col(keyed.columns(1)).as("__id"), col(keyed.columns(2)).as("__key"))
+    val all = if (includeConjunctions) base.union(conjunctions(base))
+      else base
+
+    def pairsOf(df: DataFrame) = df
+      .select(col(df.columns(0)).as("pa"), col(df.columns(1)).as("pb"))
+      .distinct()
+    def coverage(pairs: DataFrame) = pairs
+      .join(all.select(col("family"), col("__id").as("pa"), col("__key")),
+        Seq("pa"))
+      .join(all.select(col("family"), col("__id").as("pb"), col("__key")),
+        Seq("family", "pb", "__key"))
+      .select("family", "pa", "pb").distinct()
+      .cache()
+
+    val pos = pairsOf(posPairs)
+    val neg = pairsOf(negPairs)
+    val covP = coverage(pos)
+    val covN = coverage(neg)
+    val totalPos = pos.count()
+    val totalNeg = neg.count()
+
+    var selected = Vector.empty[(Int, String, Long, Long, Long, Long)]
+    var spentNeg = 0L
+    var cumPos = 0L
+    var step = 1
+    var done = false
+    while (!done && step <= maxTerms) {
+      val picked = selected.map(_._2)
+      def remaining(cov: DataFrame) = {
+        if (picked.isEmpty) cov
+        else {
+          val covered = cov.where(col("family").isin(picked: _*))
+            .select("pa", "pb").distinct()
+          cov.where(!col("family").isin(picked: _*))
+            .join(covered, Seq("pa", "pb"), "left_anti")
+        }
+      }
+      val margP = remaining(covP).groupBy("family").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val margN = remaining(covN).groupBy("family").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val feasible = margP.toSeq.filter { case (f, p) =>
+        p > 0 && spentNeg + margN.getOrElse(f, 0L) <= maxNegCovered
+      }
+      if (feasible.isEmpty) done = true
+      else {
+        val (f, p) = feasible.minBy { case (name, cnt) =>
+          (-cnt, margN.getOrElse(name, 0L), name)
+        }
+        val n = margN.getOrElse(f, 0L)
+        cumPos += p
+        spentNeg += n
+        selected :+= ((step, f, p, cumPos, n, spentNeg))
+        step += 1
+      }
+    }
+    covP.unpersist(); covN.unpersist()
+
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("family", StringType, nullable = false),
+      StructField("marginal_pos", LongType, nullable = false),
+      StructField("cumulative_pos", LongType, nullable = false),
+      StructField("marginal_neg", LongType, nullable = false),
+      StructField("cumulative_neg", LongType, nullable = false),
+      StructField("total_pos", LongType, nullable = false),
+      StructField("total_neg", LongType, nullable = false)))
+    val rows = selected.map { case (s, f, p, cp, n, cn) =>
+      Row(s, f, p, cp, n, cn, totalPos, totalNeg)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   def greedySelection(keyed: DataFrame, truePairs: DataFrame,
       budget: BigDecimal, maxSchemes: Int): DataFrame = {
     require(maxSchemes > 0, "maxSchemes must be positive")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkFunSuite
 
 class BlockingSelectionSpec extends SparkFunSuite {
@@ -60,5 +62,66 @@ class BlockingSelectionSpec extends SparkFunSuite {
         r.getLong(3), BigDecimal(r.getDecimal(4)),
         BigDecimal(r.getDecimal(5)), r.getLong(6))).toSeq
     assert(a == b)
+  }
+
+  // ---- supervised DNF learner (learnScheme) ----
+  // hand fixture: pos (1,2) covered by x, y, x&y; (3,4) by x only;
+  // (5,6) by y only. negs: (7,8) on x, y, x&y; (9,10) on x only;
+  // (11,12) on y only.
+  private lazy val dnfKeyed = Seq(
+    (1L, "a", "p"), (2L, "a", "p"), (3L, "b", "q"), (4L, "b", "r"),
+    (5L, "c", "s"), (6L, "d", "s"), (7L, "e", "t"), (8L, "e", "t"),
+    (9L, "f", "u"), (10L, "f", "v"), (11L, "g", "w"), (12L, "h", "w"))
+    .toDF("id", "x", "y")
+    .select(col("id"), col("x"), col("y"))
+  private lazy val dnfKeys = {
+    val d = dnfKeyed
+    d.select(org.apache.spark.sql.functions.lit("x").as("family"),
+        col("id"), col("x").as("key"))
+      .union(d.select(org.apache.spark.sql.functions.lit("y").as("family"),
+        col("id"), col("y").as("key")))
+  }
+  private lazy val dnfPos = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("pa", "pb")
+  private lazy val dnfNeg = Seq((7L, 8L), (9L, 10L), (11L, 12L)).toDF("pa", "pb")
+
+  private def learned(budget: Long, terms: Int = 3) =
+    BlockingSelection.learnScheme(dnfKeys, dnfPos, dnfNeg, budget, terms)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+
+  test("learnScheme: greedy pos-marginal order with pinned tie-breaks") {
+    // x and y tie on pos marginal (2) AND neg marginal (2) → name "x"
+    // first; step 2 covers the remaining (5,6) via y at one new neg;
+    // step 3 finds no uncovered positive → stops early
+    assert(learned(budget = 10L) == Seq(
+      (1, "x", 2L, 2L, 2L, 2L, 3L, 3L),
+      (2, "y", 1L, 3L, 1L, 3L, 3L, 3L)))
+  }
+
+  test("learnScheme: tight negative budget prefers the conjunction (DNF move)") {
+    // budget 1: both base families co-block 2 negs → infeasible; the
+    // x&y conjunction covers (1,2) at one neg — picked; afterwards
+    // every remaining feasible term has zero marginal or breaks budget
+    assert(learned(budget = 1L) == Seq(
+      (1, "x&y", 1L, 1L, 1L, 1L, 3L, 3L)))
+    // budget 0: only neg-free terms are feasible; nothing qualifies here
+    assert(learned(budget = 0L).isEmpty)
+  }
+
+  test("learnScheme: conjunction keys are per-record combinations") {
+    val c = BlockingSelection.conjunctions(dnfKeys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(c.forall(_._1 == "x&y"))
+    assert(c.exists(t => t._2 == 1L && t._3 == "a\u0001p"))
+    assert(c.length == 12) // one per record: one x key × one y key each
+    // maxTerms truncates; invalid args rejected
+    assert(learned(budget = 10L, terms = 1).map(_._2) == Seq("x"))
+    intercept[IllegalArgumentException] {
+      BlockingSelection.learnScheme(dnfKeys, dnfPos, dnfNeg, -1L, 3)
+    }
+    intercept[IllegalArgumentException] {
+      BlockingSelection.learnScheme(dnfKeys, dnfPos, dnfNeg, 1L, 0)
+    }
   }
 }
