@@ -3232,6 +3232,25 @@ object SparkEntry {
       graft.operators.Evaluation.clusterTriangles(asg, edges)
     }),
 
+    // k-core decomposition of the same graph via iterated h-index —
+    // integer fixpoint identical to sequential peeling, so the oracle's
+    // recursive-CTE replay of the SAME iteration (h₀ = degree, hₜ₊₁ =
+    // H-operator over neighbor values) must agree hash-for-hash. The
+    // 0.94 fixture graph carries chains, stars AND triangle cores at
+    // both sf, so core 0 (edgeless), 1 (tails) and ≥2 (cycles) are all
+    // load-bearing rows.
+    "q_core_numbers" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.coreNumbers(asg, edges)
+    }),
+
     // Date comparators over orders pairs blocked two ways: a same-month
     // family (exercises the ≤7 and ≤365 day bands) and a YEAR-FREE
     // {month,day}-multiset family (same-year members are exactly the
@@ -8332,6 +8351,60 @@ object SparkEntry {
         |FROM (SELECT DISTINCT g FROM asg) asg
         |LEFT JOIN wed ON asg.g = wed.g
         |LEFT JOIN tri ON asg.g = tri.g""".stripMargin,
+    // coreness: the same intra-cluster graph, then the h-index iteration
+    // as a recursive CTE — each level recomputes every node's H-operator
+    // from the previous level's full value set and stops at the first
+    // unchanged level; min(h) per id is the (monotone) fixpoint.
+    "q_core_numbers" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e.u, e.v FROM e
+        |  JOIN asg au ON e.u = au.id
+        |  JOIN asg av ON e.v = av.id
+        |  WHERE au.g = av.g
+        |), b AS (
+        |  SELECT u, v FROM intra UNION ALL SELECT v, u FROM intra
+        |), deg AS (
+        |  SELECT u AS id, CAST(count(*) AS BIGINT) AS h FROM b GROUP BY u
+        |), hs(iter, id, h) AS (
+        |  SELECT 0, id, h FROM deg
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    WITH nv AS (
+        |      SELECT b.u AS id, hs.h AS hv FROM b JOIN hs ON b.v = hs.id
+        |    ), ranked AS (
+        |      SELECT id, hv, row_number() OVER (
+        |        PARTITION BY id ORDER BY hv DESC) AS rn FROM nv
+        |    ), hidx AS (
+        |      SELECT id, CAST(max(least(rn, hv)) AS BIGINT) AS hh
+        |      FROM ranked GROUP BY id
+        |    ), nxt AS (
+        |      SELECT hs.iter + 1 AS iter, hs.id,
+        |             least(hs.h, coalesce(hidx.hh, 0)) AS h
+        |      FROM hs LEFT JOIN hidx ON hs.id = hidx.id
+        |    )
+        |    SELECT iter, id, h FROM nxt
+        |    WHERE EXISTS (SELECT 1 FROM nxt n JOIN hs o ON n.id = o.id
+        |                  WHERE n.h <> o.h)
+        |  )
+        |), core AS (
+        |  SELECT id, min(h) AS core FROM hs GROUP BY id
+        |)
+        |SELECT asg.id, asg.g AS cluster_id,
+        |  CAST(coalesce(core.core, 0) AS BIGINT) AS core_number
+        |FROM asg LEFT JOIN core ON asg.id = core.id""".stripMargin,
     // date comparators: identical blocking key construction (two
     // families), identical CASE ladders — exact, transposed
     // (year equal + month/day swapped), then the day bands.

@@ -318,4 +318,73 @@ class GraphMetricsSpec extends SparkFunSuite {
       }
     }
   }
+
+  /** Sequential peeling reference for coreness: repeatedly delete the
+    * minimum-degree node, recording the running max of that minimum. */
+  private def peelCores(nodes: Seq[Long],
+      canon: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    nodes.foreach(n => adj(n) = scala.collection.mutable.Set.empty[Long])
+    canon.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    val alive = scala.collection.mutable.Set(nodes: _*)
+    while (alive.nonEmpty) {
+      val v = alive.minBy(n => (adj(n).size.toLong, n))
+      k = math.max(k, adj(v).size.toLong)
+      core(v) = k
+      adj(v).foreach(u => adj(u) -= v)
+      adj(v).clear()
+      alive -= v
+    }
+    core.toMap
+  }
+
+  test("coreNumbers: triangle core, chain tail, edgeless zero") {
+    // A: triangle {1,2,3} + tail 3-4 → cores 2,2,2,1; B: edge → 1,1;
+    // C: singleton → 0. Noise edges (dup/reverse/self/cross) must not
+    // perturb anything.
+    val got = Evaluation.coreNumbers(asg, edges)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "A", 2L), (2L, "A", 2L), (3L, "A", 2L),
+      (4L, "A", 1L), (5L, "B", 1L), (6L, "B", 1L), (7L, "C", 0L)))
+  }
+
+  test("coreNumbers: edgeless graph converges immediately to all-zero") {
+    val none = Seq.empty[(Long, Long)].toDF("url_a", "url_b")
+    val got = Evaluation.coreNumbers(asg, none)
+      .select("core_number").as[Long].collect()
+    assert(got.length == 7 && got.forall(_ == 0L))
+  }
+
+  test("coreNumbers matches sequential peeling on random graphs") {
+    for (seed <- Seq(3, 11, 42)) {
+      val rng = new scala.util.Random(seed)
+      val n = 36
+      val asgSeq = (1 to n).map(i => (i.toLong, s"c${i % 3}"))
+      val cluster = asgSeq.toMap
+      val edgeSeq = Seq.fill(150)((rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+      val canon = edgeSeq
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && cluster(a) == cluster(b) }
+        .distinct
+      val ref = peelCores((1 to n).map(_.toLong), canon)
+      val got = Evaluation.coreNumbers(
+          asgSeq.toDF("id", "cluster_id").repartition(5),
+          edgeSeq.toDF("url_a", "url_b").repartition(7))
+        .select("id", "core_number").as[(Long, Long)].collect().toMap
+      assert(got == ref, s"seed $seed")
+    }
+  }
+
+  test("coreNumbers: clique minus one edge — uniform high core") {
+    // K6 missing edge (1,2): every node still has core 4
+    val asg6 = (1L to 6L).map((_, "A")).toDF("id", "cluster_id")
+    val e6 = (for { u <- 1L to 6L; v <- (u + 1) to 6L
+      if !(u == 1L && v == 2L) } yield (u, v)).toDF("url_a", "url_b")
+    val got = Evaluation.coreNumbers(asg6, e6)
+      .select("core_number").as[Long].collect()
+    assert(got.length == 6 && got.forall(_ == 4L))
+  }
 }
