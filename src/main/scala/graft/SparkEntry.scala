@@ -2133,6 +2133,29 @@ object SparkEntry {
       graft.operators.Linkage.blockingQuality(c, cand, truePairs)
     }),
 
+    // label-free dual-system recall estimation: the SAME 0.94 matcher
+    // run over two evidence-disjoint blockings (nation key vs a
+    // name-substring key) — the overlap of the two accepted-pair sets
+    // drives Lincoln-Petersen/Chapman population estimates; both
+    // captures are real at both sf, and neither covers the other, so
+    // every estimate column is load-bearing.
+    "q_capture_recapture" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val capA = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      val a2 = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+        substring(col("c_name"), 16, 3).as("sfx"))
+      val b2 = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+        substring(col("c_name"), 16, 3).as("sfx"))
+      val capB = a2.join(b2, "sfx")
+        .where(col("ka") < col("kb") && col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Linkage.captureRecapture(capA, capB)
+    }),
+
     // composite scoring + threshold (stage: pairwise scoring, JW + Dice)
     "q_match_pairs" -> ((s, dir) => partPairs(s, dir)
       .select(col("ka"), col("kb"),
@@ -5977,6 +6000,49 @@ object SparkEntry {
         |  CASE WHEN n_true > 0
         |       THEN CAST(n_true_covered AS DOUBLE) / CAST(n_true AS DOUBLE)
         |  END AS pairs_completeness
+        |FROM agg""".stripMargin,
+    // dual-system estimation: the two captures rebuilt verbatim, then
+    // the Lincoln-Petersen / Chapman formulas in the Scala's exact
+    // double-expression order.
+    "q_capture_recapture" ->
+      s"""WITH capa AS (
+        |  SELECT DISTINCT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), capb AS (
+        |  SELECT DISTINCT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM customer a JOIN customer b
+        |    ON substring(a.c_name, 16, 3) = substring(b.c_name, 16, 3)
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.94
+        |), agg AS (
+        |  SELECT
+        |    (SELECT count(*) FROM capa) AS n_a,
+        |    (SELECT count(*) FROM capb) AS n_b,
+        |    (SELECT count(*) FROM capa JOIN capb USING (u, v)) AS n_both,
+        |    (SELECT count(*) FROM (SELECT u, v FROM capa
+        |                           UNION SELECT u, v FROM capb)) AS n_union
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CASE WHEN n_both > 0 THEN
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_both AS DOUBLE)
+        |  END AS lincoln_petersen,
+        |  (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+        |    / (CAST(n_both AS DOUBLE) + 1.0) - 1.0 AS chapman,
+        |  (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+        |    / (CAST(n_both AS DOUBLE) + 1.0) - 1.0
+        |    - CAST(n_union AS DOUBLE) AS est_missed,
+        |  CASE WHEN n_b > 0 THEN
+        |    CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |  END AS coverage_a,
+        |  CASE WHEN n_a > 0 THEN
+        |    CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |  END AS coverage_b
         |FROM agg""".stripMargin,
     "q_block_keys" ->
       """SELECT p_partkey AS id,

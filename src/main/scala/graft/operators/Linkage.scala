@@ -924,6 +924,67 @@ object Linkage {
           col("n_true_covered").cast("double") / col("n_true").cast("double")))
   }
 
+  /** Dual-system (capture-recapture) estimate of the TRUE match-pair
+    * count from two independently-designed blocking passes — the
+    * label-free complement to [[blockingQuality]] (which needs
+    * `truePairs`): run two blocking schemes built on unrelated evidence
+    * (say phonetic name keys vs address q-grams), score both candidate
+    * sets with the same matcher, and treat each scheme's accepted pairs
+    * as one "capture" of the unknown duplicate population. Under the
+    * standard independence assumption (a pair's chance of being caught by
+    * scheme A doesn't depend on being caught by B — the Lincoln-Petersen
+    * model, the same estimator census coverage evaluation uses), the
+    * overlap pins the population size:
+    *
+    *  - `lincoln_petersen` = n_a·n_b / n_both (NULL when the captures are
+    *    disjoint — no evidence, not infinity);
+    *  - `chapman` = (n_a+1)(n_b+1)/(n_both+1) − 1 — the bias-corrected
+    *    small-overlap variant, always defined;
+    *  - `est_missed` = chapman − n_union — the estimated count of true
+    *    pairs NEITHER scheme surfaced (the number that decides whether a
+    *    third blocking family is worth its candidate volume);
+    *  - `coverage_a` = n_both/n_b, `coverage_b` = n_both/n_a — each
+    *    scheme's estimated recall, measured by the other's capture.
+    *
+    * Correlated schemes (two spellings of the same key) violate
+    * independence and bias the estimate LOW on missed pairs — pick
+    * evidence-disjoint families, and read est_missed as a floor.
+    *
+    * Shapes: each side is normalized once (least/greatest + distinct,
+    * self-loops out), then ONE pair-keyed groupBy folds the side flags
+    * and ONE global aggregate reduces to the 1-row output — counts in
+    * long, every estimate a pinned-order double expression over them, so
+    * the oracle reproduces each value bit-for-bit. Nothing scales past
+    * the candidate sets themselves. */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame,
+      aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df
+      .select(least(col(aCol), col(bCol)).as("__cru"),
+        greatest(col(aCol), col(bCol)).as("__crv"))
+      .where(col("__cru") =!= col("__crv"))
+      .distinct()
+    val tagged = norm(pairsA)
+      .select(col("__cru"), col("__crv"), lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionAll(norm(pairsB)
+        .select(col("__cru"), col("__crv"), lit(0L).as("__ca"), lit(1L).as("__cb")))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val m = col("n_both").cast("double")
+    tagged.groupBy(col("__cru"), col("__crv"))
+      .agg(max(col("__ca")).as("__ca"), max(col("__cb")).as("__cb"))
+      .agg(coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("n_union"),
+        when(col("n_both") > 0, na * nb / m).as("lincoln_petersen"),
+        ((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0).as("chapman"),
+        ((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0 -
+          col("n_union").cast("double")).as("est_missed"),
+        when(col("n_b") > 0, m / nb).as("coverage_a"),
+        when(col("n_a") > 0, m / na).as("coverage_b"))
+  }
+
   /** Candidate-pair PROVENANCE across blocking key families — the audit
     * answering "which scheme found this pair": given multi-family key
     * assignments (family, key, url), emit each candidate pair once with

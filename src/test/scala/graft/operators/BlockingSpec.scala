@@ -337,6 +337,47 @@ class BlockingSpec extends SparkFunSuite {
     assert(r.isNullAt(r.fieldIndex("pairs_completeness")))
   }
 
+  test("captureRecapture: hand-computed Lincoln-Petersen/Chapman estimates") {
+    import spark.implicits._
+    // A catches 4 pairs, B catches 3, overlap 2, union 5. Noise that
+    // normalization must absorb: duplicate + reversed rows, a self-loop.
+    val capA = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L),
+      (2L, 1L), (9L, 9L)).toDF("url_a", "url_b")
+    val capB = Seq((1L, 2L), (3L, 4L), (10L, 11L),
+      (3L, 4L)).toDF("url_a", "url_b")
+    val r = Linkage.captureRecapture(capA, capB).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_both") == 2L && r.getAs[Long]("n_union") == 5L)
+    assert(r.getAs[Double]("lincoln_petersen") == 4.0 * 3.0 / 2.0)
+    assert(r.getAs[Double]("chapman") == 5.0 * 4.0 / 3.0 - 1.0)
+    assert(r.getAs[Double]("est_missed") == 5.0 * 4.0 / 3.0 - 1.0 - 5.0)
+    assert(r.getAs[Double]("coverage_a") == 2.0 / 3.0)
+    assert(r.getAs[Double]("coverage_b") == 2.0 / 4.0)
+  }
+
+  test("captureRecapture: disjoint captures — LP null, Chapman defined") {
+    import spark.implicits._
+    val capA = Seq((1L, 2L)).toDF("url_a", "url_b")
+    val capB = Seq((3L, 4L)).toDF("url_a", "url_b")
+    val r = Linkage.captureRecapture(capA, capB).head()
+    assert(r.getAs[Long]("n_both") == 0L)
+    assert(r.isNullAt(r.fieldIndex("lincoln_petersen")))
+    assert(r.getAs[Double]("chapman") == 2.0 * 2.0 / 1.0 - 1.0)
+  }
+
+  test("captureRecapture: identical captures estimate zero missed") {
+    import spark.implicits._
+    val cap = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("url_a", "url_b")
+    val r = Linkage.captureRecapture(cap, cap).head()
+    assert(r.getAs[Long]("n_both") == 3L && r.getAs[Long]("n_union") == 3L)
+    assert(r.getAs[Double]("lincoln_petersen") == 3.0)
+    assert(r.getAs[Double]("coverage_a") == 1.0 &&
+      r.getAs[Double]("coverage_b") == 1.0)
+    // Chapman bias correction: 4*4/4 - 1 = 3 exactly here
+    assert(r.getAs[Double]("chapman") == 3.0 &&
+      r.getAs[Double]("est_missed") == 0.0)
+  }
+
   test("suffixBlockKeys: tails >= minLen, shared-tail blocking, size cap") {
     import spark.implicits._
     val recs = Seq(
