@@ -1450,6 +1450,26 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"),
       Seq("lang", "source"), k = 4)),
 
+    // Engine-pinned HyperLogLog register table (sha256 double-hash,
+    // bucket = h1 mod 2^12, rho = 33 - bitlen(h2)) over the full-
+    // cardinality doc_id column — every register value is hash-checked,
+    // so a bucket-assignment or leading-zero-count slip anywhere
+    // mismatches. This is the mergeable/persistable sketch artifact;
+    // the estimate face is gated separately below.
+    "q_hll_registers" -> ((s, dir) => graft.operators.Profiling.hllRegisters(
+      s.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"), p = 12)),
+
+    // HLL raw-estimate face over four documents columns spanning three
+    // cardinality regimes (5 langs / 20 sources / n_docs ids+texts):
+    // n_seen, v_zero, the exact integer Sigma 2^(33-rho) scaling, the
+    // one pinned IEEE raw-estimate expression, and the correction flag.
+    // ln()-corrected estimates are deliberately NOT here (libm differs
+    // across engines) — they are spec-pinned in ProfilingSpec.
+    "q_hll_profile" -> ((s, dir) => graft.operators.Profiling.hllRawEstimate(
+      graft.operators.Profiling.hllRegisters(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("doc_id", "lang", "source", "text"), p = 12), p = 12)),
+
     // Incremental golden-record maintenance: previous canonical frame
     // built WITHOUT the batch (doc_id % 64 == 0 held out), then
     // goldenRecordsIncremental folds the batch in by recomputing only
@@ -4027,6 +4047,58 @@ object SparkEntry {
   /** Column-profile re-derivation: per column, the (value → count) table,
     * the integer stat fold over it, and the argmax-by-(count desc, value
     * asc) top value. */
+  /** HLL register SELECT for one column: sha256 double-hash, bucket =
+    * h1 mod 2^p, rho = 33 − bitlength(h2) — over DISTINCT values
+    * (registers are dedup-invariant, so the oracle may shrink its input),
+    * mirroring [[graft.operators.Profiling.hllRegisters]] exactly. */
+  private def hllRegSql(table: String, colExpr: String, name: String,
+      p: Int): String =
+    s"""SELECT CAST('$name' AS VARCHAR) AS col_name, h1 % ${1 << p} AS bucket,
+       |  max(33 - length(ltrim(bin(CAST(h2 AS BIGINT)), '0'))) AS max_rho
+       |FROM (
+       |  SELECT ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
+       |  FROM (SELECT sha256(v) AS h FROM (
+       |    SELECT DISTINCT CAST($colExpr AS VARCHAR) AS v FROM $table
+       |    WHERE $colExpr IS NOT NULL) z0) z1) z2
+       |GROUP BY 2""".stripMargin
+
+  /** Raw-estimate oracle: per column, the exact integer Σ 2^(33−rho)
+    * scaling, then the ONE pinned IEEE raw-estimate expression and the
+    * correction flag — double literals passed as strings so both engines
+    * strtod the same value. */
+  private def hllProfileOracle: String = {
+    val p = 12; val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val cols = Seq("doc_id", "lang", "source", "text")
+    val regs = cols.map(c =>
+      s"reg_$c AS (\n${hllRegSql("documents", c, c, p)})").mkString(",\n")
+    val ests = cols.map(c =>
+      s"""SELECT CAST('$c' AS VARCHAR) AS col_name, $m AS m,
+         |  CAST(count(*) AS BIGINT) AS n_seen,
+         |  CAST($m - count(*) AS BIGINT) AS v_zero,
+         |  CAST(($m - count(*)) * 8589934592 +
+         |    sum(CAST(1 AS BIGINT) << (33 - max_rho)) AS BIGINT)
+         |    AS total_scaled
+         |FROM reg_$c""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH $regs,
+       |est AS (
+       |$ests
+       |), raw AS (
+       |  SELECT col_name, m, n_seen, v_zero, total_scaled,
+       |    CAST('$alpha' AS DOUBLE) * CAST('${m.toDouble * m}' AS DOUBLE) /
+       |      (CAST(total_scaled AS DOUBLE) / CAST('8589934592' AS DOUBLE))
+       |      AS raw_estimate
+       |  FROM est
+       |)
+       |SELECT *,
+       |  CASE WHEN raw_estimate <= CAST('${2.5 * m}' AS DOUBLE)
+       |        AND v_zero > 0 THEN 'linear'
+       |       WHEN raw_estimate > CAST('${4294967296.0 / 30.0}' AS DOUBLE)
+       |        THEN 'large'
+       |       ELSE 'none' END AS correction
+       |FROM raw""".stripMargin
+  }
+
   private def profileColumnsOracle: String = {
     val cols = Seq("lang", "source_n", "nc")
     val per = cols.map { c =>
@@ -6578,6 +6650,11 @@ object SparkEntry {
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
     "q_profile_columns" -> profileColumnsOracle,
+    // HLL register table rebuilt from scratch: sha256 double-hash,
+    // bucket = h1 % 4096, rho = 33 - bitlen(h2) — any slip in bucket
+    // assignment or leading-zero counting mismatches a register.
+    "q_hll_registers" -> hllRegSql("documents", "doc_id", "doc_id", 12),
+    "q_hll_profile" -> hllProfileOracle,
     // unrolled 3-step budgeted greedy: per step, argmax marginal
     // coverage (count desc, family asc) among families whose volume
     // still fits; an empty step NULL-propagates into later steps,

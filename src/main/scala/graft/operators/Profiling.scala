@@ -81,4 +81,114 @@ object Profiling {
       .orderBy(col("cnt").desc, col("value").asc)
     counted.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ---------------------------------------------------------------------
+  // Engine-pinned HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007) —
+  // the 100 TB answer to "how many distinct blocking keys does this
+  // column have": [[profileColumns]]'s exact path shuffles a
+  // distinct-value table (corpus-scale for free text), and Spark's
+  // approx_count_distinct is an opaque HLL++ whose registers another
+  // engine cannot reproduce. This one is pinned to sha256 double-hashing
+  // (the house CLK/PPRL technique), so an independent engine rebuilds
+  // the register table AND the raw estimate bit-for-bit — and the
+  // register table itself is the persistable, mergeable artifact
+  // (profile per day/partition, [[hllMergeRegisters]] later; merge is a
+  // max-fold, so it never re-reads data).
+  //
+  // Hash: h = sha256(utf8(value)); h1 = first 8 hex digits as u32,
+  // h2 = next 8 (independent words of the digest). bucket = h1 mod 2^p;
+  // rho = leading-zero count of h2 in 32 bits + 1 = 33 - bitlength(h2)
+  // (h2 = 0 → 33). Register = max rho per bucket — duplicate values hash
+  // identically, so registers are dedup-invariant by construction.
+  //
+  // Determinism discipline: the raw estimate keeps ALL floating math in
+  // exactly-representable territory — Σ 2^-rho is accumulated as the
+  // INTEGER Σ 2^(33-rho) (each term ≤ 2^32, ≤ 2^p terms, fits a long
+  // exactly) and scaled by 2^-33 in one exact power-of-two division, so
+  // summation order cannot matter; alpha_m is one pinned literal. The
+  // ln()-based small/large-range corrections are libm-dependent across
+  // engines, so [[hllRawEstimate]] (hash-gate-faced) emits the raw
+  // estimate plus a `correction` FLAG, and [[hllEstimate]] (spec-pinned
+  // in sbt, production-faced) applies them.
+  // ---------------------------------------------------------------------
+
+  private def hllScale = 8589934592L // 2^33
+
+  /** HLL register table for each column: (col_name, bucket, max_rho),
+    * ≤ 2^p rows per column (absent buckets mean rho 0). One map-side-
+    * combinable groupBy per column over the raw frame — no distinct-value
+    * table, no countDistinct expansion; the only shuffle is 2^p rows. */
+  def hllRegisters(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to sketch")
+    require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
+    val m = 1 << p
+    cols.map { c =>
+      val h = sha2(col(c).cast("string"), 256)
+      df.where(col(c).isNotNull)
+        .select(
+          (conv(substring(h, 1, 8), 16, 10).cast("long") % m).as("bucket"),
+          (lit(33) - length(ltrim(bin(
+            conv(substring(h, 9, 8), 16, 10).cast("long")), "0"))).as("rho"))
+        .groupBy(col("bucket"))
+        .agg(max(col("rho")).as("max_rho"))
+        .select(lit(c).as("col_name"), col("bucket"), col("max_rho"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Merge two register tables (same p): per-(col, bucket) max — the
+    * sketch-union property that makes per-partition/per-day profiling
+    * additive without re-reading data. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** alpha_m of the 2007 paper for m = 2^p >= 128 (p >= 7 — the only
+    * sizes this module admits for estimation). */
+  private def alphaM(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Engine-exact estimate face: per column
+    * (col_name, m, n_seen, v_zero, total_scaled, raw_estimate,
+    * correction) where total_scaled = Σ_buckets 2^(33 - max_rho) over all
+    * m registers (absent → rho 0 → 2^33) — an exact long; raw_estimate =
+    * alpha_m · m² / (total_scaled · 2^-33); and correction ∈
+    * {linear, large, none} says which 2007 correction [[hllEstimate]]
+    * would apply (raw ≤ 2.5m with empty registers → linear counting;
+    * raw > 2^32/30 → large-range). Every double here is exact or a
+    * single pinned IEEE expression — safe for cross-engine hash gates. */
+  def hllRawEstimate(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 18, s"p must be in [7,18] for estimation, got $p")
+    val m = 1 << p
+    val alpha = alphaM(m)
+    val largeBar = 4294967296.0 / 30.0
+    regs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rho)")).as("__sumw"))
+      .select(col("col_name"), lit(m).as("m"), col("n_seen"),
+        (lit(m.toLong) - col("n_seen")).as("v_zero"),
+        ((lit(m.toLong) - col("n_seen")) * lit(hllScale) + col("__sumw"))
+          .as("total_scaled"))
+      .withColumn("raw_estimate",
+        lit(alpha) * lit(m.toDouble * m) /
+          (col("total_scaled").cast("double") / lit(hllScale.toDouble)))
+      .withColumn("correction",
+        when(col("raw_estimate") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit("linear"))
+          .when(col("raw_estimate") > lit(largeBar), lit("large"))
+          .otherwise(lit("none")))
+  }
+
+  /** Production estimate: [[hllRawEstimate]] plus the corrected
+    * `estimate` — linear counting m·ln(m/V) in the small range,
+    * −2^32·ln(1 − E/2^32) in the large range, raw otherwise. ln() is
+    * libm-dependent across engines, so this face is spec-pinned in sbt
+    * (vs exact distinct counts), never hash-gate-faced. */
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    hllRawEstimate(regs, p).withColumn("estimate",
+      when(col("correction") === "linear",
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+        .when(col("correction") === "large",
+          -lit(4294967296.0) * log(lit(1.0) - col("raw_estimate") / lit(4294967296.0)))
+        .otherwise(col("raw_estimate")))
+  }
 }

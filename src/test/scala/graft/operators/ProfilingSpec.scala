@@ -36,6 +36,60 @@ class ProfilingSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("hllRegisters: bucket/rho match a hand-rolled sha256 double-hash") {
+    val vals = Seq("hello", "world", "en", "").toDF("v")
+    val got = Profiling.hllRegisters(vals, Seq("v"), p = 12)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val expected = Seq("hello", "world", "en", "").map { s =>
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      val rho = 33 - (64 - java.lang.Long.numberOfLeadingZeros(h2))
+      (h1 % 4096, rho)
+    }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }.toSet
+    assert(got == expected)
+  }
+
+  test("hllRegisters: dedup-invariant, null-skipping, partition-independent") {
+    import org.apache.spark.sql.functions.col
+    val dups = Seq("a", "a", "b", null, "b", "c").toDF("v")
+    val dist = Seq("a", "b", "c").toDF("v")
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Profiling.hllRegisters(d, Seq("v"), p = 8)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(regs(dups) == regs(dist))
+    assert(regs(dups.repartition(7)) == regs(dups))
+    // merge of disjoint halves == registers of the union
+    val whole = regs(Seq("a", "b", "c", "d").toDF("v"))
+    val merged = Profiling.hllMergeRegisters(
+      Profiling.hllRegisters(Seq("a", "b").toDF("v"), Seq("v"), 8),
+      Profiling.hllRegisters(Seq("c", "d").toDF("v"), Seq("v"), 8))
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(merged == whole)
+    // all-null column contributes no registers at all
+    assert(Profiling.hllRegisters(
+      Seq[String](null, null).toDF("v"), Seq("v"), 8).count() == 0L)
+  }
+
+  test("hllEstimate: within 6% of truth at 10k distinct, linear flag small") {
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(10000).selectExpr("concat('key_', id) AS v")
+    val est = Profiling.hllEstimate(
+      Profiling.hllRegisters(big, Seq("v"), p = 12), p = 12).collect()(0)
+    val e = est.getAs[Double]("estimate")
+    assert(math.abs(e - 10000.0) / 10000.0 < 0.06, s"estimate $e")
+    // tiny cardinality sits squarely in the linear-counting zone and the
+    // corrected estimate lands very close to truth
+    val small = Profiling.hllEstimate(
+      Profiling.hllRegisters(df, Seq("lang"), p = 12), p = 12).collect()(0)
+    assert(small.getAs[String]("correction") == "linear")
+    assert(math.abs(small.getAs[Double]("estimate") - 2.0) < 0.1)
+    intercept[IllegalArgumentException](
+      Profiling.hllRawEstimate(Profiling.hllRegisters(df, Seq("lang"), 8), p = 6))
+  }
+
   test("profileColumns approxDistinct path: exact counts, sketched cardinality") {
     val got = Profiling.profileColumns(df, Seq("lang"), approxDistinct = true)
       .collect()(0)
