@@ -2906,6 +2906,38 @@ object SparkEntry {
         tau = 0.5, hashFamily = "sha256")
     }),
 
+    // Bloom-filter membership with the FULL production cycle: build the
+    // set-bits frame over the even-custkey half, persist it to parquet,
+    // read it back, probe ALL customers — no-false-negative and FP
+    // accounting columns both derived (exact membership = key parity,
+    // names being 1:1 with keys). Every verdict is hash-checked against
+    // a DuckDB re-derivation of the same sha256 double-hash positions.
+    "q_bloom_membership" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val corpus = c.where(pmod(col("c_custkey"), lit(2)) === 0)
+      val bitsDir = java.nio.file.Files
+        .createTempDirectory("graft_bloom_bits").toString
+      deleteTreeOnExit(bitsDir)
+      graft.operators.Dedup.bloomBits(corpus, "c_name", m = 65536, k = 4)
+        .write.mode("overwrite").parquet(bitsDir)
+      val probed = graft.operators.Dedup.bloomProbe(
+        s.read.parquet(bitsDir), c, "c_custkey", "c_name", m = 65536, k = 4)
+      probed
+        .join(c.select(col("c_custkey").as("id"),
+          (pmod(col("c_custkey"), lit(2)) === 0).as("exact_hit")), "id")
+        .select(col("id"), col("bloom_hit"), col("exact_hit"),
+          (col("bloom_hit") && !col("exact_hit")).as("is_fp"))
+    }),
+
+    // Filter-fill observability for the same build: bits_set / m /
+    // fill_ratio (rational, hash-safe) — the gauge that says when the
+    // next build needs a bigger m.
+    "q_bloom_stats" -> ((s, dir) => graft.operators.Dedup.bloomStats(
+      graft.operators.Dedup.bloomBits(
+        s.read.parquet(s"$dir/customer.parquet")
+          .where(pmod(col("c_custkey"), lit(2)) === 0),
+        "c_name", m = 65536, k = 4), m = 65536)),
+
     // SimHash near-dup. sha256 family (60-bit signatures from sha256 token
     // hashes) → the whole pipeline (signature, 15-bit banding, 3-tier
     // bucket policy, Hamming verification) is hash-checked against a
@@ -4587,6 +4619,41 @@ object SparkEntry {
     // oracle, so any drift between bandIndex+indexed-join and the one-shot
     // operator fails the gate
     "q_dedup_incremental_indexed" -> minhashIncrementalOracle,
+    // Bloom set-bits + probe verdicts rebuilt from scratch: sha256
+    // double-hash, positions (h1 + i*h2) % 65536, hit ⇔ all distinct
+    // positions present.
+    "q_bloom_membership" ->
+      s"""WITH ch AS (
+        |  SELECT ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
+        |  FROM (SELECT sha256(c_name) AS h FROM customer
+        |        WHERE c_custkey % 2 = 0) z
+        |), bits AS (
+        |  SELECT DISTINCT (h1 + r.i * h2) % 65536 AS bit
+        |  FROM ch CROSS JOIN range(0, 4) r(i)
+        |), ph AS (
+        |  SELECT id, ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
+        |  FROM (SELECT c_custkey AS id, sha256(c_name) AS h FROM customer) z
+        |), pos AS (
+        |  SELECT DISTINCT id, (h1 + r.i * h2) % 65536 AS bit
+        |  FROM ph CROSS JOIN range(0, 4) r(i)
+        |)
+        |SELECT p.id, count(*) = count(b.bit) AS bloom_hit,
+        |  (p.id % 2 = 0) AS exact_hit,
+        |  (count(*) = count(b.bit)) AND NOT (p.id % 2 = 0) AS is_fp
+        |FROM pos p LEFT JOIN bits b ON p.bit = b.bit
+        |GROUP BY p.id""".stripMargin,
+    "q_bloom_stats" ->
+      s"""WITH ch AS (
+        |  SELECT ${hexU32Sql("h", 1)} AS h1, ${hexU32Sql("h", 9)} AS h2
+        |  FROM (SELECT sha256(c_name) AS h FROM customer
+        |        WHERE c_custkey % 2 = 0) z
+        |), bits AS (
+        |  SELECT DISTINCT (h1 + r.i * h2) % 65536 AS bit
+        |  FROM ch CROSS JOIN range(0, 4) r(i)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS bits_set, 65536 AS m,
+        |  CAST(count(*) AS DOUBLE) / CAST(65536 AS DOUBLE) AS fill_ratio
+        |FROM bits""".stripMargin,
     "q_unicode_sims" -> unicodeSimsOracle,
     "q_unicode_edit_sims" -> unicodeEditSimsOracle,
     "q_dedup_groups" -> nearDupGroupsOracle,

@@ -715,4 +715,80 @@ object Dedup {
           (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= tau)
   }
+
+  // ---------------------------------------------------------------------
+  // Bloom-filter membership — "was this key ever in the historical
+  // corpus?" WITHOUT joining against the historical corpus. The filter is
+  // represented as its SET-BITS FRAME: one row per set bit position,
+  // ≤ m rows total no matter how many corpus keys went in — a
+  // broadcastable, persistable (parquet, [[bandIndex]] precedent),
+  // UNION-mergeable artifact (filters over two corpus slices merge as
+  // `bitsA.union(bitsB).distinct()`). Probing is a broadcast join of the
+  // batch's k·|batch| candidate positions against that ≤ m-row frame —
+  // the historical corpus itself is never re-read and never shuffled,
+  // which is the whole point at 100 TB (the exact-dedup alternative is a
+  // shuffle join against every key ever seen).
+  //
+  // Hashing is the house sha256 double-hash (the CLK/PPRL/HLL technique):
+  // h1/h2 = first/second 32-bit words of sha256(utf8(key)); positions
+  // (h1 + i·h2) mod m for i in 0..k−1 (Kirsch-Mitzenmacher). Fully
+  // engine-reproducible, so probe verdicts are hash-gate-faced.
+  //
+  // Semantics: NO false negatives (a key that was inserted always hits);
+  // false positives at the classical (1−e^{−kn/m})^k rate — callers
+  // treat a hit as "candidate, verify downstream" (or accept the FP rate
+  // as over-dropping in best-effort dedup). Null keys are no-ops on both
+  // sides: they insert nothing and are not probed.
+  // ---------------------------------------------------------------------
+
+  /** Distinct (h1 + i·h2) mod m positions of `keyCol` values, one row per
+    * (input row, i) before the distinct — shared by build and probe so
+    * the two sides can never disagree on the hash. */
+  private def bloomPositions(df: DataFrame, keyCol: String, m: Int,
+      k: Int): DataFrame = {
+    val h = sha2(col(keyCol).cast("string"), 256)
+    df.where(col(keyCol).isNotNull)
+      .select(conv(substring(h, 1, 8), 16, 10).cast("long").as("__h1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("__h2"),
+        col("*"))
+      .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .withColumn("bit", (col("__h1") + col("__i") * col("__h2")) % m)
+      .drop("__h1", "__h2", "__i")
+  }
+
+  /** Build the set-bits frame of an m-bit, k-hash Bloom filter over
+    * `keyCol`: (bit) long rows, distinct, ≤ m of them. One map-side-
+    * combinable distinct is the only shuffle; output is O(m) regardless
+    * of corpus size. */
+  def bloomBits(corpus: DataFrame, keyCol: String, m: Int = 1 << 16,
+      k: Int = 4): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    bloomPositions(corpus, keyCol, m, k).select(col("bit")).distinct()
+  }
+
+  /** Probe each batch row's key against a set-bits frame: (id, bloom_hit)
+    * where bloom_hit ⇔ ALL the key's distinct candidate positions are
+    * set. `bits` is broadcast (≤ m rows by construction); the batch-side
+    * work is one k-way position expansion + one per-id fold. */
+  def bloomProbe(bits: DataFrame, batch: DataFrame, idCol: String,
+      keyCol: String, m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    require(m > 0 && k >= 1 && k <= 16)
+    val pos = bloomPositions(
+      batch.select(col(idCol).as("id"), col(keyCol)), keyCol, m, k)
+      .select(col("id"), col("bit")).distinct()
+    pos.join(broadcast(bits.select(col("bit"), lit(1).as("__set"))),
+        Seq("bit"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"), count(col("__set")).as("__hit"))
+      .select(col("id"), (col("__n") === col("__hit")).as("bloom_hit"))
+  }
+
+  /** Fill observability: (bits_set, m, fill_ratio) — the rational gauge
+    * of how saturated the filter is (fill past ~0.5 means the FP rate is
+    * degrading and m needs resizing on the next build). */
+  def bloomStats(bits: DataFrame, m: Int): DataFrame =
+    bits.agg(count(lit(1)).as("bits_set"))
+      .select(col("bits_set"), lit(m).as("m"),
+        (col("bits_set").cast("double") / lit(m.toDouble)).as("fill_ratio"))
 }

@@ -390,4 +390,56 @@ class DedupSpec extends SparkFunSuite {
       Dedup.lshBandPlan(spark, 16, 0.5, Nil)
     }
   }
+
+  test("bloomBits: positions match a hand-rolled Kirsch-Mitzenmacher expansion") {
+    import spark.implicits._
+    val keys = Seq("alpha", "beta", "gamma")
+    val got = Dedup.bloomBits(keys.toDF("key"), "key", m = 65536, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    val expected = keys.flatMap { s =>
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      (0 until 4).map(i => (h1 + i * h2) % 65536)
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("bloomProbe: no false negatives, union-mergeable, nulls are no-ops") {
+    import spark.implicits._
+    val corpus = Seq("a", "b", "c", null, "d").toDF("key")
+    val bits = Dedup.bloomBits(corpus, "key", m = 65536, k = 4)
+    val batch = Seq((1L, "a"), (2L, "d"), (3L, "zzz_not_in_corpus"),
+      (4L, null)).toDF("id", "key")
+    val got = Dedup.bloomProbe(bits, batch, "id", "key", m = 65536, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // members always hit; the null-keyed row is not probed at all
+    assert(got(1L) && got(2L) && got.size == 3)
+    // a far-off key misses at this fill (16 of 65536 bits set)
+    assert(!got(3L))
+    // merge = union.distinct of the slices' set-bits frames
+    val merged = Dedup.bloomBits(Seq("a", "b").toDF("key"), "key", 65536, 4)
+      .union(Dedup.bloomBits(Seq("c", "d").toDF("key"), "key", 65536, 4))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(merged == bits.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("bloomProbe: saturated tiny filter hits everything (FP semantics)") {
+    import spark.implicits._
+    val corpus = (0 until 40).map(i => s"k$i").toDF("key")
+    val bits = Dedup.bloomBits(corpus, "key", m = 8, k = 2)
+    val stats = Dedup.bloomStats(bits, m = 8).collect()(0)
+    assert(stats.getAs[Long]("bits_set") == 8L &&
+      stats.getAs[Double]("fill_ratio") == 1.0)
+    val got = Dedup.bloomProbe(bits,
+      Seq((1L, "never_inserted")).toDF("id", "key"), "id", "key", 8, 2)
+      .collect()(0)
+    assert(got.getBoolean(1)) // full filter: every probe is a (true) FP
+    intercept[IllegalArgumentException](
+      Dedup.bloomBits(corpus, "key", m = 0, k = 2))
+    intercept[IllegalArgumentException](
+      Dedup.bloomBits(corpus, "key", m = 8, k = 0))
+  }
 }
