@@ -2730,6 +2730,15 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       Seq("lang", "source"), tau = 0.5, bucketCap = 8, saltGroups = 8)),
 
+    // Asymmetric containment dedup (Broder's second resemblance): both
+    // |A∩B|/|A| and |A∩B|/|B| per candidate pair, kept when the LARGER
+    // direction clears 0.8 — the quote/wrap duplicates Jaccard misses.
+    // Same blocking, small bucketCap and salted grid as the ngram gate,
+    // so the 3-tier path is exercised at gate scale.
+    "q_dedup_containment" -> ((s, dir) => graft.operators.Dedup.containmentPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Seq("lang", "source"), tau = 0.8, bucketCap = 8, saltGroups = 8)),
+
     // the lossy tier-3 cut, oracle-mirrored: blocks > hardCap=13 members
     // are dropped (their record is Dedup.droppedNgramBuckets — DedupSpec
     // pins the pairs-dropped <-> buckets-reported correspondence); the
@@ -8331,6 +8340,29 @@ object SparkEntry {
         |FROM hashed h JOIN canon c USING (content_hash)""".stripMargin,
     "q_dedup_ngram_jaccard" -> dedupNgramOracle(None),
     "q_dedup_ngram_capped" -> dedupNgramOracle(Some(13)),
+    // containment both directions, zero-token docs excluded, max-side
+    // threshold — tier-blind brute force over the same blocks.
+    "q_dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0)) AS tk,
+        |    lang || chr(1) || source AS bk
+        |  FROM documents
+        |), ne AS (
+        |  SELECT id, tk, bk FROM base WHERE len(tk) > 0
+        |), scored AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |      / CAST(len(a.tk) AS DOUBLE) AS containment_a,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |      / CAST(len(b.tk) AS DOUBLE) AS containment_b,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+        |      AS jaccard
+        |  FROM ne a JOIN ne b ON a.bk = b.bk AND a.id < b.id
+        |)
+        |SELECT * FROM scored
+        |WHERE greatest(containment_a, containment_b) >= 0.8""".stripMargin,
     // Ed-Join oracle: tier-blind brute force, DuckDB builtin levenshtein.
     "q_edjoin" ->
       """SELECT a.c_custkey AS ia, b.c_custkey AS ib,

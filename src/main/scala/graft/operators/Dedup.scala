@@ -96,6 +96,20 @@ object Dedup {
       blockCols: Seq[String], tau: Double, bucketCap: Int = 500,
       hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
     val base = ngramBase(docs, idCol, textCol, blockCols)
+    blockedCandidates(base, bucketCap, hardCap, saltGroups)
+      .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
+      .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
+      .select(col("ia"), col("ib"),
+        jaccardOf(col("ta"), col("tb")).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** The shared 3-tier (plain / salted-lossless / dropped) candidate
+    * generator over a `(id, bk)` base — bare (ia, ib) pairs; token
+    * verification joins back on the primary key so variable-length
+    * payloads never ride through the salted grid. */
+  private def blockedCandidates(base: DataFrame, bucketCap: Int,
+      hardCap: Int, saltGroups: Int): DataFrame = {
     val sized = base.groupBy(col("bk")).agg(count(lit(1)).as("n"))
     val keyed = base.select(col("bk"), col("id")).join(sized, "bk")
     val good = keyed.where(col("n") <= bucketCap)
@@ -108,11 +122,40 @@ object Dedup {
     val hotPairs = Linkage.saltedSelfJoin(hot, saltGroups)
       .select(col("url_a").as("ia"), col("url_b").as("ib"))
     cold.union(hotPairs)
+  }
+
+  /** ASYMMETRIC containment dedup — catches the near-SUBSET duplicates
+    * Jaccard structurally misses: a short document quoted whole inside a
+    * long one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny) on Jaccard but
+    * |A∩B|/|A| ≈ 1 on containment from the short side (Broder 1997's
+    * second resemblance measure). Emits both directions —
+    * `containment_a` = |A∩B|/|A| (how much of A is inside B),
+    * `containment_b` = |A∩B|/|B| — and keeps pairs whose LARGER
+    * direction clears `tau`, so wrap-duplicates surface regardless of
+    * which side is the quote. Jaccard rides along for triage (a pair
+    * with high max-containment and low Jaccard IS the quote shape).
+    *
+    * Same 3-tier skew contract and verification-join shape as
+    * [[ngramJaccardPairs]] (shared [[blockedCandidates]]); zero-token
+    * documents are excluded up front — containment of an empty set is
+    * undefined, and Spark's NaN-ordering would otherwise smuggle 0/0
+    * pairs through the threshold. A finite `hardCap` requires evaluating
+    * [[droppedNgramBuckets]] alongside (same args), as everywhere. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], tau: Double, bucketCap: Int = 500,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    val base = ngramBase(docs, idCol, textCol, blockCols)
+      .where(size(col("toks")) > 0)
+    blockedCandidates(base, bucketCap, hardCap, saltGroups)
       .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
       .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
       .select(col("ia"), col("ib"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")).cast("double")).as("containment_a"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("tb")).cast("double")).as("containment_b"),
         jaccardOf(col("ta"), col("tb")).as("jaccard"))
-      .where(col("jaccard") >= tau)
+      .where(greatest(col("containment_a"), col("containment_b")) >= tau)
   }
 
   /** Blocks excluded by `hardCap` with their sizes — the non-silent record

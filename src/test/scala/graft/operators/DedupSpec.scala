@@ -391,6 +391,36 @@ class DedupSpec extends SparkFunSuite {
     }
   }
 
+  test("containmentPairs: subset duplicate scores 1.0 where Jaccard misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y", "en"),
+      (2L, "x y z w p q r s", "en"),       // doc 1 wholly inside doc 2
+      (3L, "completely different words here", "en"),
+      (4L, "", "en")                        // zero tokens — excluded
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang"),
+      tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(got == List((1L, 2L, 1.0, 0.25, 0.25)))
+    // Jaccard at the same threshold structurally misses the quote shape
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"),
+      tau = 0.9).count() == 0L)
+  }
+
+  test("containmentPairs: salted hot tier is lossless vs plain blocking") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"tok${i % 5} tok${(i + 1) % 5} common", "en")
+    }.toDF("doc_id", "text", "lang")
+    def run(cap: Int) = Dedup.containmentPairs(docs, "doc_id", "text",
+      Seq("lang"), tau = 0.5, bucketCap = cap, saltGroups = 4)
+      .orderBy("ia", "ib").collect().map(_.toSeq).toSeq
+    assert(run(1000) == run(3)) // block of 30 forced through the grid
+    assert(run(1000).nonEmpty)
+  }
+
   test("bloomBits: positions match a hand-rolled Kirsch-Mitzenmacher expansion") {
     import spark.implicits._
     val keys = Seq("alpha", "beta", "gamma")
