@@ -2159,6 +2159,22 @@ object SparkEntry {
     // drives Lincoln-Petersen/Chapman population estimates; both
     // captures are real at both sf, and neither covers the other, so
     // every estimate column is load-bearing.
+    // collective-linkage evidence: customer pairs sharing >= 3 distinct
+    // parts across their orders (bipartite common-neighbor link
+    // prediction) — raw counts plus degree-normalized neighborhood
+    // Jaccard; parts bought by > 30 customers route through the salted
+    // grid (lossless, tier-2-exercising at gate scale).
+    "q_common_neighbors" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ent"), col("l_partkey").as("nb"))
+      graft.operators.Linkage.commonNeighborPairs(edges, "ent", "nb",
+        minCommon = 3, bucketCap = 30, saltGroups = 8)
+    }),
+
     "q_capture_recapture" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
       val capA = customerPairs(s, dir)
@@ -6149,6 +6165,28 @@ object SparkEntry {
         |       THEN CAST(n_true_covered AS DOUBLE) / CAST(n_true AS DOUBLE)
         |  END AS pairs_completeness
         |FROM agg""".stripMargin,
+    // tier-blind brute force over the distinct bipartite edge set; the
+    // jaccard denominator in long before the one double division.
+    "q_common_neighbors" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS id, l.l_partkey AS nb
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), deg AS (
+        |  SELECT id, count(*) AS d FROM e GROUP BY id
+        |), pr AS (
+        |  SELECT a.id AS url_a, b.id AS url_b,
+        |         CAST(count(*) AS BIGINT) AS common_neighbors
+        |  FROM e a JOIN e b ON a.nb = b.nb AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.url_a, p.url_b, p.common_neighbors,
+        |  CAST(p.common_neighbors AS DOUBLE)
+        |    / CAST(da.d + db.d - p.common_neighbors AS DOUBLE)
+        |    AS neighborhood_jaccard
+        |FROM pr p
+        |JOIN deg da ON p.url_a = da.id
+        |JOIN deg db ON p.url_b = db.id
+        |WHERE p.common_neighbors >= 3""".stripMargin,
     // dual-system estimation: the two captures rebuilt verbatim, then
     // the Lincoln-Petersen / Chapman formulas in the Scala's exact
     // double-expression order.

@@ -985,6 +985,97 @@ object Linkage {
         when(col("n_a") > 0, m / na).as("coverage_b"))
   }
 
+  /** Common-neighbor link prediction over BIPARTITE evidence — the
+    * collective-linkage signal textual comparators can't see: two entity
+    * records that share many relational neighbors (suppliers shipping the
+    * same parts, accounts touching the same devices, authors on the same
+    * papers) are match candidates even when their names disagree. Input is
+    * the (entity, neighbor) edge table; output is one row per entity pair
+    * with ≥ `minCommon` shared neighbors:
+    *
+    *  - `common_neighbors` — |Γ(a) ∩ Γ(b)|, the raw count;
+    *  - `neighborhood_jaccard` — |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|, the
+    *    degree-normalized variant (a pair sharing 5 of 6 neighbors
+    *    outranks one sharing 5 of 500).
+    *
+    * Scale shape: edges are distinct-ed once, then pairs are generated BY
+    * NEIGHBOR with the house 3-tier skew contract — a hub neighbor (a
+    * commodity part every supplier ships) is exactly the hot-bucket shape
+    * that melts a reducer, so neighbors over `bucketCap` route through the
+    * salted grid ([[saltedSelfJoin]], lossless) and neighbors over
+    * `hardCap` are dropped (opt-in, default lossless; a finite cap
+    * requires evaluating [[droppedBuckets]] on the (neighbor → key) frame
+    * alongside — hubs carry little identity signal anyway, which is why
+    * capping them is the standard move). The per-pair count then needs NO
+    * intersection recomputation: each surviving (neighbor, pair) row
+    * contributes 1 to one map-side-combinable groupBy, and degrees join
+    * back on the entity key. Σ common over all pairs = Σ_nb n·(n−1)/2, so
+    * hub capping is also the volume-observability story. */
+  def commonNeighborPairs(edges: DataFrame, entityCol: String,
+      neighborCol: String, minCommon: Long = 1L, bucketCap: Int = 1000,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = edges
+      .select(col(entityCol).as("id"), col(neighborCol).as("nb"))
+      .where(col("id").isNotNull && col("nb").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
+    val keyed = e.join(sized, "nb")
+    val good = keyed.where(col("__n") <= bucketCap)
+    val cold = good.select(col("nb"), col("id").as("url_a"))
+      .join(good.select(col("nb"), col("id").as("url_b")), "nb")
+      .where(col("url_a") < col("url_b"))
+      .select(col("url_a"), col("url_b"))
+    val hot = keyed.where(col("__n") > bucketCap && col("__n") <= hardCap)
+      .select(col("nb").as("key"), col("id").as("url"))
+    val hotPairs = saltedSelfJoin(hot, saltGroups)
+      .select(col("url_a"), col("url_b"))
+    cold.union(hotPairs)
+      .groupBy(col("url_a"), col("url_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .where(col("common_neighbors") >= minCommon)
+      .join(deg.select(col("id").as("url_a"), col("__deg").as("__da")), "url_a")
+      .join(deg.select(col("id").as("url_b"), col("__deg").as("__db")), "url_b")
+      .select(col("url_a"), col("url_b"), col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors"))
+            .cast("double")).as("neighborhood_jaccard"))
+  }
+
+  /** Adamic-Adar weighting for the same pairs — Σ_{z ∈ Γ(a)∩Γ(b)}
+    * 1/ln(deg z): rare shared neighbors count more than hubs. ln() is
+    * libm-dependent across engines, so this face is spec-pinned in sbt
+    * (vs hand-computed fixtures), never hash-gate-faced — gate on
+    * [[commonNeighborPairs]] instead. Neighbors of degree 1 appear in no
+    * pair; degree-2+ gives ln ≥ ln 2 > 0, so the division is safe. */
+  def adamicAdarPairs(edges: DataFrame, entityCol: String,
+      neighborCol: String, minCommon: Long = 1L, bucketCap: Int = 1000,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    require(minCommon >= 1)
+    val e = edges
+      .select(col(entityCol).as("id"), col(neighborCol).as("nb"))
+      .where(col("id").isNotNull && col("nb").isNotNull)
+      .distinct()
+    val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
+    val keyed = e.join(sized, "nb")
+    val good = keyed.where(col("__n") <= bucketCap)
+    val cold = good.select(col("nb"), col("__n"), col("id").as("url_a"))
+      .join(good.select(col("nb"), col("id").as("url_b")), "nb")
+      .where(col("url_a") < col("url_b"))
+      .select(col("url_a"), col("url_b"), col("__n"))
+    // carry the neighbor degree through the grid as payload
+    val hot = keyed.where(col("__n") > bucketCap && col("__n") <= hardCap)
+      .select(col("nb").as("key"), col("id").as("url"), col("__n"))
+    val hotPairs = saltedSelfJoin(hot, saltGroups, payload = Seq("__n"))
+      .select(col("url_a"), col("url_b"), col("__n_a").as("__n"))
+    cold.union(hotPairs)
+      .groupBy(col("url_a"), col("url_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("__n").cast("double"))).as("adamic_adar"))
+      .where(col("common_neighbors") >= minCommon)
+  }
+
   /** Candidate-pair PROVENANCE across blocking key families — the audit
     * answering "which scheme found this pair": given multi-family key
     * assignments (family, key, url), emit each candidate pair once with

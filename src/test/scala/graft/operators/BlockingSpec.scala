@@ -378,6 +378,63 @@ class BlockingSpec extends SparkFunSuite {
       r.getAs[Double]("est_missed") == 0.0)
   }
 
+  test("commonNeighborPairs: counts, neighborhood jaccard, dup edges folded") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "p"), ("a", "q"), ("a", "r"),
+      ("b", "p"), ("b", "q"), ("b", "s"),
+      ("b", "p"), // duplicate edge must not double-count
+      ("c", "x"),
+      ("d", null)).toDF("ent", "nb")
+    val got = Linkage.commonNeighborPairs(edges, "ent", "nb")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toList
+    assert(got == List(("a", "b", 2L, 2.0 / 4.0)))
+    // minCommon prunes below the bar
+    assert(Linkage.commonNeighborPairs(edges, "ent", "nb", minCommon = 3)
+      .count() == 0L)
+  }
+
+  test("commonNeighborPairs: hub neighbors through the salted grid, lossless") {
+    import spark.implicits._
+    val hub = (0 until 20).map(i => (s"e$i", "hub"))
+    val pair = Seq(("e1", "n1"), ("e2", "n1"))
+    val edges = (hub ++ pair).toDF("ent", "nb")
+    def run(cap: Int) = Linkage.commonNeighborPairs(edges, "ent", "nb",
+      bucketCap = cap, saltGroups = 4)
+      .orderBy("url_a", "url_b").collect().map(_.toSeq).toSeq
+    val plain = run(1000)
+    assert(run(3) == plain && plain.size == 190) // C(20,2) hub pairs
+    // e1-e2 share hub AND n1
+    assert(plain.exists(r => r(0) == "e1" && r(1) == "e2" && r(2) == 2L))
+    // finite hardCap drops the hub; droppedBuckets reports it
+    val capped = Linkage.commonNeighborPairs(edges, "ent", "nb",
+      bucketCap = 3, hardCap = 10, saltGroups = 4).collect()
+    assert(capped.length == 1 && capped(0).getLong(2) == 1L)
+  }
+
+  test("adamicAdarPairs: hand-computed weights, grid-tier equal") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "p"), ("b", "p"),               // deg(p) = 2
+      ("a", "q"), ("b", "q"), ("c", "q")    // deg(q) = 3
+    ).toDF("ent", "nb")
+    val got = Linkage.adamicAdarPairs(edges, "ent", "nb")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val ab = got.find(t => t._1 == "a" && t._2 == "b").get
+    assert(ab._3 == 2L)
+    assert(math.abs(ab._4 - (1.0 / math.log(2.0) + 1.0 / math.log(3.0))) < 1e-12)
+    val ac = got.find(t => t._1 == "a" && t._2 == "c").get
+    assert(ac._3 == 1L && math.abs(ac._4 - 1.0 / math.log(3.0)) < 1e-12)
+    // hot tier carries the degree payload: same values through the grid
+    val grid = Linkage.adamicAdarPairs(edges, "ent", "nb",
+      bucketCap = 1, saltGroups = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(grid.toList == got.map(t => (t._1, t._2, t._3)).toList)
+  }
+
   test("suffixBlockKeys: tails >= minLen, shared-tail blocking, size cap") {
     import spark.implicits._
     val recs = Seq(
