@@ -2228,6 +2228,18 @@ object SparkEntry {
       graft.operators.ConnectedComponents.run(edges)
     }),
 
+    // synchronous label propagation (3 pinned rounds, neighbor-majority,
+    // min-label ties) over the SAME match graph as
+    // q_connected_components — community structure instead of reach;
+    // the oracle unrolls all 3 vote/argmax/carry rounds.
+    "q_label_propagation" -> ((s, dir) => {
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.94)
+        .select(col("ka"), col("kb"))
+      graft.operators.ConnectedComponents.labelPropagation(edges, rounds = 3)
+    }),
+
     // Weakest-link review queue: for every cluster of the
     // q_connected_components world, the lowest-scoring intra-cluster
     // edge (argmin with pinned ties) plus the intra-edge count — the
@@ -4104,6 +4116,45 @@ object SparkEntry {
   /** Column-profile re-derivation: per column, the (value → count) table,
     * the integer stat fold over it, and the argmax-by-(count desc, value
     * asc) top value. */
+  /** Unrolled synchronous label propagation: per round, a (dst, label)
+    * vote count over the symmetric edge set joined to the PREVIOUS
+    * round's labels, an argmax (count desc, label asc), and a
+    * carry-forward left join — exactly the operator's three plan steps,
+    * `rounds` times. Edge derivation = the q_connected_components match
+    * graph (names are ASCII here, so DuckDB's byte levenshtein agrees
+    * with the code-point kernel). */
+  private def lpaOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT e.dst, l.label, count(*) AS cnt
+         |  FROM edges e JOIN l${r - 1} l ON e.src = l.id GROUP BY 1, 2
+         |), w$r AS (
+         |  SELECT dst, label FROM (
+         |    SELECT dst, label, row_number() OVER (
+         |      PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM v$r) z WHERE rn = 1
+         |), l$r AS (
+         |  SELECT p.id, coalesce(w.label, p.label) AS label
+         |  FROM l${r - 1} p LEFT JOIN w$r w ON p.id = w.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       |  WHERE a.c_name <> b.c_name
+       |    AND 1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+       |        / greatest(length(a.c_name), length(b.c_name)) >= 0.94
+       |), edges AS (
+       |  SELECT ka AS src, kb AS dst FROM pairs
+       |  UNION SELECT kb, ka FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT dst AS id, dst AS label FROM edges
+       |),
+       |$iters
+       |SELECT id, label FROM l$rounds""".stripMargin
+  }
+
   /** HLL register SELECT for one column: sha256 double-hash, bucket =
     * h1 mod 2^p, rho = 33 − bitlength(h2) — over DISTINCT values
     * (registers are dedup-invariant, so the oracle may shrink its input),
@@ -7102,6 +7153,7 @@ object SparkEntry {
          |            ELSE jaro_winkler_similarity(p.na, p.nb) END
          |     + CASE WHEN p.na = p.nb THEN 1.0
          |            ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END) >= 1.75""".stripMargin,
+    "q_label_propagation" -> lpaOracle(3),
     "q_connected_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb

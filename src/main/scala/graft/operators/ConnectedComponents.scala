@@ -216,4 +216,52 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("newComp"), col("id")).as("component"))
     updated.union(newAssigned)
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, pinned
+    * deterministic): COMMUNITY detection inside match graphs — where
+    * [[run]] answers "what is connected", this answers "what sticks
+    * together", splitting the chain-shaped over-merges a single weak
+    * edge creates (two dense name-clusters joined by one bad pair keep
+    * their own majority labels; the bridge can't outvote either side).
+    *
+    * Pinned semantics (classic LPA is randomized — every source of
+    * nondeterminism is replaced by an order-free rule):
+    *  - labels start as the node's own id;
+    *  - each round, EVERY node simultaneously adopts the most frequent
+    *    label among its neighbors' previous-round labels (undirected:
+    *    both edge directions vote; self-label does NOT vote); ties break
+    *    to the smallest label; isolated nodes keep their label;
+    *  - exactly `rounds` synchronous rounds — a fixed budget, not a
+    *    convergence loop, so bipartite two-cycles (sync LPA's classic
+    *    failure) still yield a deterministic, oracle-reproducible output.
+    *
+    * Scale shape: each round is one (dst, label) map-side-combinable
+    * count + one argmax fold (min(struct(-cnt, label)) — no window) +
+    * one left join back to the node set; lineage depth is `rounds`
+    * (small by design — communities stabilize in a handful of rounds;
+    * the caller picks the budget, and each round is materialized through
+    * the same localCheckpoint-free plan CC uses at these depths). */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
+    val Seq(e0, e1) = edges0.columns.take(2).toSeq
+    val sym = edges0.select(col(e0).as("src"), col(e1).as("dst"))
+      .unionAll(edges0.select(col(e1).as("src"), col(e0).as("dst")))
+      .where(col("src") =!= col("dst")) // self-loops vote for nobody
+      .distinct()
+    val nodes = sym.select(col("dst").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+      val winner = votes.groupBy(col("dst"))
+        .agg(min(struct((-col("__cnt")).as("nc"), col("label").as("l")))
+          .getField("l").as("__win"))
+      labels = labels
+        .join(winner.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__win"), col("label")).as("label"))
+    }
+    labels
+  }
 }

@@ -142,6 +142,65 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     assert(incr(base5, batch5) == unionFind(base5 ++ batch5))
   }
 
+  /** Brute-force synchronous LPA with the operator's pinned rules:
+    * neighbor-majority, min-label ties, self excluded, isolated keep. */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val nbrs = sym.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = lbl.map { case (n, l) =>
+        val votes = nbrs(n).map(lbl)
+        if (votes.isEmpty) n -> l
+        else {
+          val byLabel = votes.groupBy(identity).view.mapValues(_.size)
+          val best = byLabel.toSeq.minBy { case (v, c) => (-c, v) }._1
+          n -> best
+        }
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: barbell splits at the bridge where CC merges") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = ConnectedComponents.labelPropagation(edges.toDF("a", "b"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lpaRef(edges, 3))
+    // the two triangles carry different labels (community split) even
+    // though CC puts all six nodes in one component
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L))
+    assert(ConnectedComponents.run(edges.toDF("a", "b"))
+      .select("component").distinct().count() == 1L)
+  }
+
+  test("labelPropagation: matches brute force on random graphs, all budgets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    for (r <- Seq(1, 2, 4)) {
+      val got = ConnectedComponents
+        .labelPropagation(edges.toDF("a", "b"), r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == lpaRef(edges, r), s"rounds=$r")
+    }
+    // partitioning independence + self-loop-only nodes excluded
+    val withLoop = edges ++ Seq((99L, 99L))
+    val a = ConnectedComponents
+      .labelPropagation(withLoop.toDF("a", "b").repartition(7), 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == lpaRef(edges, 2) && !a.contains(99L))
+    intercept[IllegalArgumentException](
+      ConnectedComponents.labelPropagation(edges.toDF("a", "b"), 0))
+  }
+
   test("addEdges: random incremental batches match full union-find") {
     val rng = new scala.util.Random(7)
     val all = Seq.fill(300)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))
