@@ -2750,6 +2750,25 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => graft.operators.Dedup.exactGroups(
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // MOSS winnowing fingerprints (k=8 char grams, w=4 windows, sha256
+    // verification family): every selected (hash, position) is
+    // hash-checked, so the sliding-min frame, the rightmost tie rule and
+    // the full-window cutoff are all load-bearing.
+    "q_winnow_fingerprints" -> ((s, dir) => graft.operators.Dedup
+      .winnowFingerprints(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 8, w = 4, hashFamily = "sha256")),
+
+    // winnowing composes with common-neighbor: document pairs sharing
+    // >= 30 distinct fingerprint hashes (the shared-span candidate
+    // generator, hub-capped like every pair path).
+    "q_winnow_pairs" -> ((s, dir) => graft.operators.Linkage
+      .commonNeighborPairs(
+        graft.operators.Dedup.winnowFingerprints(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", k = 8, w = 4, hashFamily = "sha256")
+          .select(col("doc_id"), col("fp_hash")),
+        "doc_id", "fp_hash", minCommon = 30)),
+
     // token-set Jaccard near-dup over (lang, source) blocks. bucketCap=8
     // routes every real block at sf0.01 (max 16) through the SALTED grid
     // tier — the result must equal the plain blocked-join oracle (tiers
@@ -4116,6 +4135,38 @@ object SparkEntry {
   /** Column-profile re-derivation: per column, the (value → count) table,
     * the integer stat fold over it, and the argmax-by-(count desc, value
     * asc) top value. */
+  /** Winnowing fingerprint CTEs (k=8, w=4, sha256 family): per-position
+    * gram hashes, full windows only, argmin with rightmost tie via
+    * row_number — ends as a `fp(doc_id, fp_hash, fp_pos)` CTE so the
+    * fingerprint gate and the pair-composition gate share one
+    * derivation. */
+  private def winnowCtes: String =
+    s"""src AS (
+       |  SELECT doc_id, text, length(text) - 7 AS ng FROM documents
+       |  WHERE text IS NOT NULL AND length(text) >= 8
+       |), gh AS (
+       |  SELECT doc_id, ng, unnest(range(1, ng + 1)) AS pos, text
+       |  FROM src
+       |), g AS (
+       |  SELECT doc_id, ng, pos, ${hexU32Sql("h", 1)} AS h
+       |  FROM (SELECT doc_id, ng, pos,
+       |          sha256(substr(text, CAST(pos AS INTEGER), 8)) AS h
+       |        FROM gh) z
+       |), starts AS (
+       |  SELECT doc_id, pos AS s FROM g WHERE pos <= ng - 3
+       |), cand AS (
+       |  SELECT st.doc_id, st.s, g.h, g.pos
+       |  FROM starts st JOIN g
+       |    ON g.doc_id = st.doc_id AND g.pos BETWEEN st.s AND st.s + 3
+       |), sel AS (
+       |  SELECT doc_id, h, pos, row_number() OVER (
+       |    PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn
+       |  FROM cand
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, h AS fp_hash, CAST(pos AS INTEGER) AS fp_pos
+       |  FROM sel WHERE rn = 1
+       |)""".stripMargin
+
   /** Unrolled synchronous label propagation: per round, a (dst, label)
     * vote count over the symmetric edge set joined to the PREVIOUS
     * round's labels, an argmax (count desc, label asc), and a
@@ -7154,6 +7205,29 @@ object SparkEntry {
          |     + CASE WHEN p.na = p.nb THEN 1.0
          |            ELSE 2.0 * CAST(s.inter AS DOUBLE) / s.total END) >= 1.75""".stripMargin,
     "q_label_propagation" -> lpaOracle(3),
+    "q_winnow_fingerprints" ->
+      s"WITH $winnowCtes SELECT doc_id, fp_hash, fp_pos FROM fp",
+    // fingerprint-sharing pairs: distinct (doc, hash) edges, then the
+    // same brute-force common-neighbor tail as q_common_neighbors.
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes, e AS (
+        |  SELECT DISTINCT doc_id AS id, fp_hash AS nb FROM fp
+        |), deg AS (
+        |  SELECT id, count(*) AS d FROM e GROUP BY id
+        |), pr AS (
+        |  SELECT a.id AS url_a, b.id AS url_b,
+        |         CAST(count(*) AS BIGINT) AS common_neighbors
+        |  FROM e a JOIN e b ON a.nb = b.nb AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.url_a, p.url_b, p.common_neighbors,
+        |  CAST(p.common_neighbors AS DOUBLE)
+        |    / CAST(da.d + db.d - p.common_neighbors AS DOUBLE)
+        |    AS neighborhood_jaccard
+        |FROM pr p
+        |JOIN deg da ON p.url_a = da.id
+        |JOIN deg db ON p.url_b = db.id
+        |WHERE p.common_neighbors >= 30""".stripMargin,
     "q_connected_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb

@@ -834,4 +834,62 @@ object Dedup {
     bits.agg(count(lit(1)).as("bits_set"))
       .select(col("bits_set"), lit(m).as("m"),
         (col("bits_set").cast("double") / lit(m.toDouble)).as("fill_ratio"))
+
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003, the
+    * MOSS algorithm) — POSITION-BEARING local fingerprints with a hard
+    * guarantee MinHash doesn't give: any verbatim match of length
+    * ≥ w + k − 1 characters shares at least one selected fingerprint, so
+    * plagiarism/quotation spans are caught deterministically, not with
+    * LSH probability, and the positions localize WHERE the copy sits
+    * (MinHash/SimHash answer "how similar overall"; winnowing answers
+    * "which span is lifted").
+    *
+    * Pinned semantics: character k-grams at every position (1-based);
+    * hash = first 32-bit word of sha256(gram) (`hashFamily = "sha256"`,
+    * the engine-reproducible verification family) or xxhash64(gram)
+    * (`"xxhash64"`, cheaper production family, sbt-spec-faced only); for
+    * each window of w CONSECUTIVE gram positions (starts 1 …
+    * n_grams − w + 1), select the minimal hash, ties to the RIGHTMOST
+    * position (the paper's rule — it minimizes distinct selections);
+    * output = DISTINCT (doc_id, fp_hash, fp_pos). Documents with fewer
+    * than w k-grams emit nothing (no full window exists — the guarantee
+    * only speaks above w + k − 1 anyway).
+    *
+    * Scale shape: the gram explode is per-doc-linear (the same cost every
+    * shingler here pays), the sliding min is ONE window frame
+    * (rows [0, w−1]) partitioned BY DOCUMENT — documents are the
+    * parallelism unit, no global ordering anywhere — and the distinct is
+    * map-side combinable. Overlap detection composes downstream:
+    * fingerprints are a (doc, fp) bipartite edge table, so
+    * [[Linkage.commonNeighborPairs]] over the output IS the
+    * shared-span candidate generator, hub caps included. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, hashFamily: String = "xxhash64"): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
+    require(w >= 1 && w <= 256, s"w must be in [1,256], got $w")
+    require(hashFamily == "xxhash64" || hashFamily == "sha256",
+      s"hashFamily must be xxhash64 or sha256, got $hashFamily")
+    val gram = expr(s"substring(t, pos, $k)")
+    val h = if (hashFamily == "sha256")
+      conv(substring(sha2(gram, 256), 1, 8), 16, 10).cast("long")
+    else xxhash64(gram)
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .where(col("t").isNotNull && length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        (length(col("t")) - (k - 1)).as("__ng"))
+      .select(col("doc_id"), col("__ng"), col("t"),
+        explode(sequence(lit(1), col("__ng"))).as("pos"))
+      .select(col("doc_id"), col("__ng"), col("pos"), h.as("h"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("__sel",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .where(col("pos") <= col("__ng") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("__sel").getField("h").as("fp_hash"),
+        (-col("__sel").getField("np")).as("fp_pos"))
+      .distinct()
+  }
 }

@@ -391,6 +391,62 @@ class DedupSpec extends SparkFunSuite {
     }
   }
 
+  /** Brute-force winnowing with the operator's pinned rules (sha256
+    * family): min hash per w-window, rightmost tie, full windows only. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Int)] = {
+    if (text.length < k) return Set.empty
+    val hs = (1 to text.length - k + 1).map { p =>
+      val g = text.substring(p - 1, p - 1 + k)
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16), p)
+    }
+    if (hs.size < w) return Set.empty
+    (0 to hs.size - w).map { s =>
+      hs.slice(s, s + w).minBy { case (h, p) => (h, -p) }
+    }.toSet
+  }
+
+  test("winnowFingerprints: matches brute force, short docs emit nothing") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    val texts = Seq(rand(60), rand(25), rand(9), rand(7), "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      k = 5, w = 4, hashFamily = "sha256")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val exp = winnowRef(t, 5, 4)
+      assert(got.getOrElse(i.toLong, Set.empty) == exp, s"doc $i")
+    }
+    // doc with 9 chars has 5 grams >= w: emits; 7 chars -> 3 grams < w: none
+    assert(got.contains(2L) && !got.contains(3L) && !got.contains(4L))
+  }
+
+  test("winnowFingerprints: shared span >= w+k-1 guarantees a shared print") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(20)).toChar).mkString
+    val span = rand(8 + 4 - 1) // exactly w + k - 1
+    val docs = Seq((1L, rand(40) + span + rand(40)),
+      (2L, rand(30) + span + rand(55))).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    val shared = Linkage.commonNeighborPairs(fps, "doc_id", "fp_hash")
+    assert(shared.count() >= 1L) // the winnowing guarantee
+    // partitioning independence of the fingerprint set
+    val a = fps.orderBy("doc_id", "fp_hash", "fp_pos").collect().toSeq
+    val b = Dedup.winnowFingerprints(docs.repartition(7), "doc_id", "text",
+      k = 8, w = 4).orderBy("doc_id", "fp_hash", "fp_pos").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Dedup.winnowFingerprints(docs, "doc_id", "text", k = 1))
+    intercept[IllegalArgumentException](
+      Dedup.winnowFingerprints(docs, "doc_id", "text", hashFamily = "md5"))
+  }
+
   test("containmentPairs: subset duplicate scores 1.0 where Jaccard misses") {
     import spark.implicits._
     val docs = Seq(
