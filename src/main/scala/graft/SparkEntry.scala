@@ -1450,6 +1450,15 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"),
       Seq("lang", "source"), k = 4)),
 
+    // Functional-dependency audit over part: the key FD holds
+    // (p_partkey -> p_brand), the two attribute FDs are violated —
+    // group counts, rates, violating-row mass and the pinned smallest
+    // violating lhs are all hash-checked.
+    "q_fd_audit" -> ((s, dir) => graft.operators.Profiling.fdViolations(
+      s.read.parquet(s"$dir/part.parquet"),
+      Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+        ("p_type", "p_size")))),
+
     // Engine-pinned HyperLogLog register table (sha256 double-hash,
     // bucket = h1 mod 2^12, rho = 33 - bitlen(h2)) over the full-
     // cardinality doc_id column — every register value is hash-checked,
@@ -6866,6 +6875,26 @@ object SparkEntry {
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
     "q_profile_columns" -> profileColumnsOracle,
+    "q_fd_audit" -> Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+      ("p_type", "p_size")).map { case (l, r) =>
+      s"""SELECT '$l' AS lhs_col, '$r' AS rhs_col,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(coalesce(sum(CASE WHEN nr > 1 THEN 1 END), 0) AS BIGINT)
+         |    AS n_violating,
+         |  CASE WHEN count(*) > 0 THEN
+         |    CAST(coalesce(sum(CASE WHEN nr > 1 THEN 1 END), 0) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) END AS violation_rate,
+         |  CAST(coalesce(sum(CASE WHEN nr > 1 THEN rws END), 0) AS BIGINT)
+         |    AS n_rows_violating,
+         |  min(CASE WHEN nr > 1 THEN lv END) AS example_lhs
+         |FROM (
+         |  SELECT lv, count(*) AS nr, sum(n) AS rws FROM (
+         |    SELECT CAST($l AS VARCHAR) AS lv, CAST($r AS VARCHAR) AS rv,
+         |           count(*) AS n
+         |    FROM part WHERE $l IS NOT NULL AND $r IS NOT NULL
+         |    GROUP BY 1, 2) p
+         |  GROUP BY lv) g""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     // HLL register table rebuilt from scratch: sha256 double-hash,
     // bucket = h1 % 4096, rho = 33 - bitlen(h2) — any slip in bucket
     // assignment or leading-zero counting mismatches a register.

@@ -82,6 +82,48 @@ object Profiling {
     counted.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Functional-dependency violation audit — the standardization QA step:
+    * a dependency lhs → rhs that SHOULD hold (postcode → city, entity_id
+    * → canonical name after survivorship, brand → manufacturer) is
+    * violated wherever one lhs value maps to >1 distinct rhs value, and
+    * each violating group is either a data error or an un-merged
+    * duplicate. One row per audited FD:
+    * (lhs_col, rhs_col, n_groups, n_violating, violation_rate,
+    * n_rows_violating, example_lhs) — example_lhs is the SMALLEST
+    * violating lhs value (pinned, a deterministic reviewer entry point),
+    * NULL when the FD holds. Null semantics: rows with a null lhs are
+    * out of scope (no group), null rhs values don't contradict (missing
+    * ≠ different) — both pinned.
+    *
+    * Scale shape per FD: one (lhs, rhs) map-side-combinable count, one
+    * (lhs) fold over that distinct-pair table, one 1-row fold — no
+    * countDistinct expansion, no window; rates are one double division
+    * over exact longs. */
+  def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty, "need at least one dependency to audit")
+    fds.map { case (l, r) =>
+      val pairs = df.where(col(l).isNotNull && col(r).isNotNull)
+        .groupBy(col(l).cast("string").as("__l"),
+          col(r).cast("string").as("__r"))
+        .agg(count(lit(1)).as("__n"))
+      val per = pairs.groupBy(col("__l"))
+        .agg(count(lit(1)).as("__nr"), sum(col("__n")).as("__rows"))
+      per.agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__nr") > 1, lit(1L))), lit(0L))
+          .as("n_violating"),
+        coalesce(sum(when(col("__nr") > 1, col("__rows"))), lit(0L))
+          .as("n_rows_violating"),
+        min(when(col("__nr") > 1, col("__l"))).as("example_lhs"))
+        .select(lit(l).as("lhs_col"), lit(r).as("rhs_col"),
+          col("n_groups"), col("n_violating"),
+          when(col("n_groups") > 0,
+            col("n_violating").cast("double") /
+              col("n_groups").cast("double")).as("violation_rate"),
+          col("n_rows_violating"), col("example_lhs"))
+    }.reduce(_ unionAll _)
+  }
+
   // ---------------------------------------------------------------------
   // Engine-pinned HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007) —
   // the 100 TB answer to "how many distinct blocking keys does this

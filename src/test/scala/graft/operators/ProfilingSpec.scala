@@ -36,6 +36,29 @@ class ProfilingSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("fdViolations: holds vs violated, null policy, pinned example") {
+    import spark.implicits._
+    val t = Seq(
+      ("10115", "Berlin", "DE"), ("10115", "Berlin", "DE"),
+      ("75001", "Paris", "FR"), ("75001", "Lutetia", "FR"), // violated
+      ("00100", "Rome", "IT"), ("00100", null, "IT"),       // null rhs ok
+      (null, "Nowhere", "XX")                               // null lhs out
+    ).toDF("zip", "city", "cc")
+    val got = Profiling.fdViolations(t,
+      Seq(("zip", "city"), ("zip", "cc"), ("cc", "city")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val zc = got(("zip", "city"))
+    assert(zc.getLong(2) == 3L && zc.getLong(3) == 1L)
+    assert(zc.getDouble(4) == 1.0 / 3.0 && zc.getLong(5) == 2L)
+    assert(zc.getString(6) == "75001")
+    val cc = got(("zip", "cc"))
+    assert(cc.getLong(3) == 0L && cc.isNullAt(6)) // FD holds
+    val c2 = got(("cc", "city"))
+    assert(c2.getLong(2) == 4L && c2.getLong(3) == 1L) // FR -> 2 cities
+    assert(c2.getString(6) == "FR")
+    intercept[IllegalArgumentException](Profiling.fdViolations(t, Nil))
+  }
+
   test("hllRegisters: bucket/rho match a hand-rolled sha256 double-hash") {
     val vals = Seq("hello", "world", "en", "").toDF("v")
     val got = Profiling.hllRegisters(vals, Seq("v"), p = 12)
