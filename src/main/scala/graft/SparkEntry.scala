@@ -1450,6 +1450,17 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"),
       Seq("lang", "source"), k = 4)),
 
+    // Instance-based schema matching customer vs supplier: value-set
+    // overlap finds the comparable columns from the data alone —
+    // nationkeys align at jaccard 1.0, entity keys show containment
+    // without domain identity, names stay (near-)disjoint.
+    "q_schema_match" -> ((s, dir) => graft.operators.Profiling
+      .columnValueOverlap(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_custkey", "c_nationkey", "c_name"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        Seq("s_suppkey", "s_nationkey", "s_name"))),
+
     // Functional-dependency audit over part: the key FD holds
     // (p_partkey -> p_brand), the two attribute FDs are violated —
     // group counts, rates, violating-row mass and the pinned smallest
@@ -6875,6 +6886,41 @@ object SparkEntry {
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
     "q_profile_columns" -> profileColumnsOracle,
+    // distinct value sets per column both sides, value equi-join,
+    // overlap fold — only pairs with n_common >= 1 appear.
+    "q_schema_match" ->
+      """WITH a AS (
+        |  SELECT 'c_custkey' AS col_a, CAST(c_custkey AS VARCHAR) AS v
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION
+        |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |  FROM customer WHERE c_nationkey IS NOT NULL
+        |  UNION
+        |  SELECT 'c_name', c_name FROM customer WHERE c_name IS NOT NULL
+        |), b AS (
+        |  SELECT 's_suppkey' AS col_b, CAST(s_suppkey AS VARCHAR) AS v
+        |  FROM supplier WHERE s_suppkey IS NOT NULL
+        |  UNION
+        |  SELECT 's_nationkey', CAST(s_nationkey AS VARCHAR)
+        |  FROM supplier WHERE s_nationkey IS NOT NULL
+        |  UNION
+        |  SELECT 's_name', s_name FROM supplier WHERE s_name IS NOT NULL
+        |), sa AS (
+        |  SELECT col_a, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY 1
+        |), sb AS (
+        |  SELECT col_b, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1
+        |), ov AS (
+        |  SELECT col_a, col_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM a JOIN b USING (v) GROUP BY 1, 2
+        |)
+        |SELECT o.col_a, o.col_b, sa.n_a, sb.n_b, o.n_common,
+        |  CAST(o.n_common AS DOUBLE)
+        |    / CAST(sa.n_a + sb.n_b - o.n_common AS DOUBLE) AS jaccard,
+        |  CAST(o.n_common AS DOUBLE) / CAST(sa.n_a AS DOUBLE)
+        |    AS containment_a,
+        |  CAST(o.n_common AS DOUBLE) / CAST(sb.n_b AS DOUBLE)
+        |    AS containment_b
+        |FROM ov o JOIN sa USING (col_a) JOIN sb USING (col_b)""".stripMargin,
     "q_fd_audit" -> Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
       ("p_type", "p_size")).map { case (l, r) =>
       s"""SELECT '$l' AS lhs_col, '$r' AS rhs_col,

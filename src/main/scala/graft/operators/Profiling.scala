@@ -124,6 +124,52 @@ object Profiling {
     }.reduce(_ unionAll _)
   }
 
+  /** Instance-based schema matching (the Rahm-Bernstein "instance-level
+    * matcher"): BEFORE two sources can be linked, someone must decide
+    * which column of A compares against which column of B — and value
+    * overlap answers it from the data when names/types don't. For every
+    * (colA, colB) pair with at least one shared value:
+    * (col_a, col_b, n_a, n_b, n_common, jaccard, containment_a,
+    * containment_b) over the columns' DISTINCT non-null string-cast value
+    * sets — high jaccard ⇒ same domain (a join/blocking key candidate);
+    * high containment_a with low jaccard ⇒ A's column is a subset code
+    * list of B's. Pairs with zero overlap are omitted (the candidate
+    * matrix stays sparse; absent = disjoint).
+    *
+    * Scale shape: each side is one distinct per column (map-side
+    * combinable), the cross-side equi-join is on the VALUE (the only
+    * shuffle; a value shared by every column still fans out to at most
+    * |colsA|·|colsB| rows), and the overlap fold is one groupBy over
+    * column-name pairs — model-sized output by construction. */
+  def columnValueOverlap(dfA: DataFrame, colsA: Seq[String],
+      dfB: DataFrame, colsB: Seq[String]): DataFrame = {
+    require(colsA.nonEmpty && colsB.nonEmpty, "need columns on both sides")
+    def side(df: DataFrame, cols: Seq[String], name: String): DataFrame =
+      cols.map { c =>
+        df.where(col(c).isNotNull)
+          .select(lit(c).as(name), col(c).cast("string").as("__v"))
+          .distinct()
+      }.reduce(_ unionAll _)
+    val a = side(dfA, colsA, "col_a")
+    val b = side(dfB, colsB, "col_b")
+    val sizeA = a.groupBy(col("col_a")).agg(count(lit(1)).as("n_a"))
+    val sizeB = b.groupBy(col("col_b")).agg(count(lit(1)).as("n_b"))
+    a.join(b, "__v")
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizeA, "col_a")
+      .join(sizeB, "col_b")
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Engine-pinned HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007) —
   // the 100 TB answer to "how many distinct blocking keys does this

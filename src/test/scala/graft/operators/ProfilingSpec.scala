@@ -36,6 +36,30 @@ class ProfilingSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("columnValueOverlap: jaccard/containment per column pair, sparse") {
+    import spark.implicits._
+    val a = Seq(("1", "x"), ("2", "y"), ("3", "z"), ("3", "z"), (null, "w"))
+      .toDF("ida", "taga")
+    val b = Seq(("2", "p"), ("3", "q"), ("4", "r")).toDF("idb", "tagb")
+    val got = Profiling.columnValueOverlap(a, Seq("ida", "taga"),
+      b, Seq("idb", "tagb"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    // ida {1,2,3} vs idb {2,3,4}: common 2, union 4
+    assert(got(("ida", "idb")) == ((3L, 3L, 2L, 0.5, 2.0 / 3.0, 2.0 / 3.0)))
+    // disjoint pairs are ABSENT, not zero rows
+    assert(!got.contains(("taga", "tagb")) && !got.contains(("taga", "idb")))
+    assert(got.size == 1)
+    // numeric cast alignment: ints match strings after the string cast
+    val c = Seq(1, 2).toDF("n")
+    val d = Seq("2", "5").toDF("s")
+    val g2 = Profiling.columnValueOverlap(c, Seq("n"), d, Seq("s")).collect()
+    assert(g2.length == 1 && g2(0).getLong(4) == 1L)
+    intercept[IllegalArgumentException](
+      Profiling.columnValueOverlap(a, Nil, b, Seq("idb")))
+  }
+
   test("fdViolations: holds vs violated, null policy, pinned example") {
     import spark.implicits._
     val t = Seq(
