@@ -1450,6 +1450,20 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"),
       Seq("lang", "source"), k = 4)),
 
+    // SCD-2 versioning of each customer's order-status history:
+    // consecutive equal-status runs collapse to versions with
+    // valid_from/valid_to chains (open-ended current version) — the
+    // run-length-over-time shape (F->O->F = three versions), windows
+    // partitioned per entity.
+    // (gate face only: the open-ended NULL valid_to becomes a 9999-12-31
+    // sentinel — datetime NaT defeats value comparators that only
+    // special-case float NaN; the operator itself keeps NULL.)
+    "q_scd2" -> ((s, dir) => graft.operators.Temporal.scd2Intervals(
+      s.read.parquet(s"$dir/orders.parquet"),
+      "o_custkey", "o_orderdate", Seq("o_orderstatus"))
+      .withColumn("valid_to", coalesce(col("valid_to"),
+        lit(java.sql.Date.valueOf("9999-12-31"))))),
+
     // Instance-based schema matching customer vs supplier: value-set
     // overlap finds the comparable columns from the data alone —
     // nationkeys align at jaccard 1.0, entity keys show containment
@@ -6886,6 +6900,33 @@ object SparkEntry {
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
     "q_profile_columns" -> profileColumnsOracle,
+    // identical two-window run-length encoding: change flag vs lag,
+    // running sum as version, min(ts) per run, lead for valid_to.
+    "q_scd2" ->
+      """WITH obs AS (
+        |  SELECT o_custkey AS id, o_orderdate AS ts, o_orderstatus AS v
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |), flagged AS (
+        |  SELECT id, ts, v,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR NOT (v IS NOT DISTINCT FROM lag(v) OVER w)
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM obs WINDOW w AS (PARTITION BY id ORDER BY ts, v)
+        |), versioned AS (
+        |  SELECT id, v, ts, sum(chg) OVER (
+        |    PARTITION BY id ORDER BY ts, v ROWS UNBOUNDED PRECEDING)
+        |    AS version
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT id, version, v, min(ts) AS valid_from
+        |  FROM versioned GROUP BY 1, 2, 3
+        |)
+        |SELECT id AS o_custkey, v AS o_orderstatus,
+        |  CAST(version AS BIGINT) AS version, valid_from,
+        |  coalesce(lead(valid_from) OVER (
+        |    PARTITION BY id ORDER BY version), DATE '9999-12-31')
+        |    AS valid_to
+        |FROM runs""".stripMargin,
     // distinct value sets per column both sides, value equi-join,
     // overlap fold — only pairs with n_common >= 1 appear.
     "q_schema_match" ->

@@ -104,4 +104,56 @@ object Temporal {
     Linkage.droppedBuckets(
       intervalKeys(df, idCol, startCol, endCol, bucketWidth, partitionCols),
       hardCap)
+
+  /** SCD-2 validity-interval construction — master-data versioning from
+    * raw observation history: given per-entity observations
+    * (id, ts, attribute values), collapse CONSECUTIVE runs of identical
+    * values into versions (id, values…, version, valid_from, valid_to)
+    * where valid_from = the run's first observation timestamp, valid_to =
+    * the next version's valid_from (NULL for the current version — the
+    * open interval), version = 1-based change ordinal. The output feeds
+    * [[intervalCandidates]] directly: temporal linkage wants versions,
+    * not observations, and A-value → B-value → A-value history yields
+    * THREE versions (this is run-length encoding over time, not a
+    * group-by on values).
+    *
+    * Pinned order: observations sort by (ts, values… as strings) inside
+    * the entity — simultaneous contradictory observations get a
+    * deterministic order instead of a nondeterministic winner; exact
+    * duplicate rows collapse into their run harmlessly. Null timestamps
+    * are out of scope (excluded, pinned); null values participate as
+    * values (a NULL-valued run is a version like any other).
+    *
+    * Scale shape: two windows (lag-change flag, running sum) and one
+    * lead, ALL partitioned by entity id — entities are the parallelism
+    * unit, nothing global; the groupBy is map-side combinable. */
+  def scd2Intervals(obs: DataFrame, idCol: String, tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one tracked value column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__ts") +: valueCols.map(c => col(c).cast("string").asc): _*)
+    val changed = valueCols.map(c =>
+      !(col(c).cast("string") <=> lag(col(c).cast("string"), 1).over(w)))
+      .reduce(_ || _)
+    val versioned = obs
+      .select(col(idCol).as("__id") +: col(tsCol).as("__ts") +:
+        valueCols.map(col): _*)
+      .where(col("__ts").isNotNull)
+      .withColumn("__chg",
+        when(lag(col("__ts"), 1).over(w).isNull || changed, 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val runs = versioned
+      .groupBy(col("__id") +: col("version") +: valueCols.map(col): _*)
+      .agg(min(col("__ts")).as("valid_from"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wl))
+      .select(col("__id").as(idCol) +: valueCols.map(col) :+
+        col("version") :+ col("valid_from") :+ col("valid_to"): _*)
+  }
 }

@@ -89,4 +89,47 @@ class TemporalSpec extends SparkFunSuite {
       partitionCols = Seq("grp"), bucketCap = 5, hardCap = 10)
     assert(pairs.count() == 0L)
   }
+
+  test("scd2Intervals: run-length versions, A->B->A yields three") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, Some(10L), "A"), (1L, Some(20L), "A"), (1L, Some(30L), "B"),
+      (1L, Some(40L), "B"), (1L, Some(50L), "A"), // back to A: NEW version
+      (1L, Some(20L), "A"),                       // exact duplicate collapses
+      (2L, Some(5L), "X"),
+      (3L, None, "Z")                             // null ts excluded
+    ).toDF("id", "ts", "status")
+    val got = Temporal.scd2Intervals(obs, "id", "ts", Seq("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(t => (t._1, t._3)).toList
+    assert(got == List(
+      (1L, "A", 1L, 10L, Some(30L)),
+      (1L, "B", 2L, 30L, Some(50L)),
+      (1L, "A", 3L, 50L, None),
+      (2L, "X", 1L, 5L, None)))
+  }
+
+  test("scd2Intervals: simultaneous ties pinned by value, null values run") {
+    import spark.implicits._
+    val obs = Seq(
+      // same ts, contradictory values: order pinned (B before null? no —
+      // nulls sort FIRST in asc) — pinned either way, assert the result
+      (7L, 100L, "B"), (7L, 100L, "A"), (7L, 200L, null)
+    ).toDF("id", "ts", "v")
+    val got = Temporal.scd2Intervals(obs, "id", "ts", Seq("v"))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2),
+        r.getLong(3))).sortBy(_._2).toList
+    // ts ties order by value asc: A then B; then the null-valued version
+    assert(got == List((Some("A"), 1L, 100L), (Some("B"), 2L, 100L),
+      (None, 3L, 200L)))
+    // partitioning independence
+    val a = Temporal.scd2Intervals(obs.repartition(5), "id", "ts", Seq("v"))
+      .orderBy("version").collect().map(_.toSeq).toSeq
+    val b = Temporal.scd2Intervals(obs, "id", "ts", Seq("v"))
+      .orderBy("version").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Temporal.scd2Intervals(obs, "id", "ts", Nil))
+  }
 }
