@@ -1450,6 +1450,22 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"),
       Seq("lang", "source"), k = 4)),
 
+    // acronym comparator sweep: per part, a probe string that is the
+    // name's token-initials (key%3=0 -> level 1), the uppercased name
+    // (%3=1 -> level 2), or the name plus a stray token (%3=2 -> level
+    // 0) — all three branches and both asymmetric acronym directions are
+    // load-bearing in the gamma distribution.
+    "q_acronym_levels" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val probe = when(pmod(col("p_partkey"), lit(3)) === 0,
+        graft.operators.Comparators.acronym(col("p_name")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1, upper(col("p_name")))
+        .otherwise(concat(col("p_name"), lit(" xq")))
+      p.select(col("p_partkey").as("id"),
+        graft.operators.Comparators.acronymLevels(col("p_name"), probe)
+          .as("gamma"))
+    }),
+
     // SCD-2 versioning of each customer's order-status history:
     // consecutive equal-status runs collapse to versions with
     // valid_from/valid_to chains (open-ended current version) — the
@@ -6900,6 +6916,32 @@ object SparkEntry {
         |LEFT JOIN win w USING (component)""".stripMargin,
     "q_split_cluster" -> splitByClusterOracle,
     "q_profile_columns" -> profileColumnsOracle,
+    "q_acronym_levels" -> {
+      def acr(x: String) =
+        s"""array_to_string(list_transform(list_filter(
+           |  string_split_regex(trim($x), '\\s+'), t -> len(t) > 0),
+           |  t -> upper(substr(t, 1, 1))), '')""".stripMargin
+      def ntok(x: String) =
+        s"len(list_filter(string_split_regex(trim($x), '\\s+'), t -> len(t) > 0))"
+      def compact(x: String) =
+        s"upper(regexp_replace($x, '[^A-Za-z0-9]', '', 'g'))"
+      s"""WITH probe AS (
+         |  SELECT p_partkey AS id, p_name AS a,
+         |    CASE WHEN p_partkey % 3 = 0 THEN ${acr("p_name")}
+         |         WHEN p_partkey % 3 = 1 THEN upper(p_name)
+         |         ELSE p_name || ' xq' END AS b
+         |  FROM part
+         |)
+         |SELECT id,
+         |  CAST(CASE WHEN a IS NULL OR b IS NULL THEN NULL
+         |    WHEN upper(trim(a)) = upper(trim(b)) THEN 2
+         |    WHEN (${ntok("a")} >= 2 AND ${ntok("b")} = 1
+         |          AND len(${acr("a")}) >= 2 AND ${compact("b")} = ${acr("a")})
+         |      OR (${ntok("b")} >= 2 AND ${ntok("a")} = 1
+         |          AND len(${acr("b")}) >= 2 AND ${compact("a")} = ${acr("b")})
+         |    THEN 1 ELSE 0 END AS BIGINT) AS gamma
+         |FROM probe""".stripMargin
+    },
     // identical two-window run-length encoding: change flag vs lag,
     // running sum as version, min(ts) per run, lead for valid_to.
     "q_scd2" ->

@@ -211,4 +211,38 @@ object Comparators {
       unix_micros(tsB.cast("timestamp"))).cast("double")
     sim / (lit(1.0) + dt / lit(tauSeconds * 1e6))
   }
+
+  /** Whitespace-token initials of `x`, uppercased and concatenated —
+    * "International Business Machines" → "IBM". Building block for
+    * [[acronymLevels]], exposed for blocking keys too. */
+  def acronym(x: Column): Column =
+    array_join(transform(
+      filter(split(trim(x), "\\s+"), t => length(t) > 0),
+      t => upper(substring(t, 1, 1))), "")
+
+  /** Arity 3: organization-name acronym comparator — "IBM" vs
+    * "International Business Machines" is level-1 agreement that every
+    * string-distance kernel scores as a miss (JW ≈ 0.5, Jaccard 0).
+    *  - level 2: case-insensitive exact equality (trimmed);
+    *  - level 1: one side's alphanumeric compaction (punctuation
+    *    stripped, uppercased: "I.B.M." → "IBM") equals the OTHER side's
+    *    token initials, the abbreviated side being a single token and
+    *    the expanded side ≥ 2 tokens (so two multi-token names can't
+    *    back into level 1 via initials, and 1-letter "acronyms" don't
+    *    fire);
+    *  - level 0: neither. NULL either side → NULL gamma, as everywhere.
+    * Pure codegen projection (split/filter/transform/regexp chains). */
+  def acronymLevels(a: Column, b: Column): Column = {
+    def compact(x: Column): Column =
+      upper(regexp_replace(x, "[^A-Za-z0-9]", ""))
+    def nTokens(x: Column): Column =
+      size(filter(split(trim(x), "\\s+"), t => length(t) > 0))
+    val acrOf = (full: Column, short: Column) =>
+      nTokens(full) >= 2 && nTokens(short) === 1 &&
+        length(acronym(full)) >= 2 && compact(short) === acronym(full)
+    guarded(a, b)(
+      when(upper(trim(a)) === upper(trim(b)), 2L)
+        .when(acrOf(a, b) || acrOf(b, a), 1L)
+        .otherwise(0L))
+  }
 }

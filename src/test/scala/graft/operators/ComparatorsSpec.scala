@@ -124,4 +124,28 @@ class ComparatorsSpec extends SparkFunSuite {
     }
     assert(e.getMessage.contains("g0"), e.getMessage)
   }
+
+  test("acronymLevels: exact, acronym, miss, guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("International Business Machines", "IBM"),          // 1
+      ("I.B.M.", "International Business Machines"),       // 1 (compacted)
+      ("ibm", "IBM"),                                      // 2 (case-insens)
+      ("International Business Machines",
+        "international business machines"),                // 2
+      ("General Electric", "GM"),                          // 0 (wrong acr)
+      ("Alpha Beta", "Gamma Delta"),                       // 0 (both multi)
+      ("Ab", "Alpha Beta"),                                // 1
+      ("A", "Alpha"),                                      // 0 (1-letter acr)
+      (null, "IBM")                                        // null gamma
+    ).toDF("a", "b")
+    val got = df.select(Comparators.acronymLevels(col("a"), col("b"))
+      .as("g")).collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(got.toList == List(1L, 1L, 2L, 2L, 0L, 0L, 1L, 0L, -1L))
+    // acronym() building block (row 0/4/5 'a' values are multi-token)
+    val acr = df.where(col("a").isNotNull)
+      .select(Comparators.acronym(col("a")).as("x"))
+      .collect().map(_.getString(0))
+    assert(acr(0) == "IBM" && acr(4) == "GE" && acr(5) == "AB")
+  }
 }
