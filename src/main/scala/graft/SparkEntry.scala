@@ -1491,6 +1491,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/supplier.parquet"),
         Seq("s_suppkey", "s_nationkey", "s_name"))),
 
+    // Schema matching at the 100 TB shape: the same customer-vs-supplier
+    // column pairs as q_schema_match, but from HLL REGISTERS only — the
+    // gate face is the exact integer aggregates of each side and of the
+    // bucket-wise-max union sketch (9 pairs x 6 integers); the
+    // ln-corrected inclusion-exclusion estimates over them are
+    // spec-pinned (ProfilingSpec) because ln is libm-dependent.
+    "q_hll_overlap" -> ((s, dir) => graft.operators.Profiling.hllOverlapRaw(
+      graft.operators.Profiling.hllRegisters(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_custkey", "c_nationkey", "c_name"), p = 12),
+      graft.operators.Profiling.hllRegisters(
+        s.read.parquet(s"$dir/supplier.parquet"),
+        Seq("s_suppkey", "s_nationkey", "s_name"), p = 12), p = 12)),
+
     // Functional-dependency audit over part: the key FD holds
     // (p_partkey -> p_brand), the two attribute FDs are violated —
     // group counts, rates, violating-row mass and the pinned smallest
@@ -4216,6 +4230,36 @@ object SparkEntry {
        |  SELECT DISTINCT doc_id, h AS fp_hash, CAST(pos AS INTEGER) AS fp_pos
        |  FROM sel WHERE rn = 1
        |)""".stripMargin
+
+  /** HLL overlap oracle: per-column register CTEs (both tables), a
+    * bucket-wise-max merge per column pair, and the exact integer
+    * (n_seen, Σ 2^(33−rho)) aggregates of all three sketches. */
+  private def hllOverlapOracle: String = {
+    val p = 12; val m = 1 << p
+    val aCols = Seq("c_custkey", "c_nationkey", "c_name")
+    val bCols = Seq("s_suppkey", "s_nationkey", "s_name")
+    def reg(t: String, c: String, pre: String) =
+      s"${pre}_$c AS (SELECT bucket, max_rho FROM (\n${hllRegSql(t, c, c, p)}) q)"
+    def agg(src: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_seen,
+         |  CAST(($m - count(*)) * 8589934592 +
+         |    sum(CAST(1 AS BIGINT) << (33 - max_rho)) AS BIGINT) AS ts
+         |FROM $src""".stripMargin
+    val regs = aCols.map(c => reg("customer", c, "ra")) ++
+      bCols.map(c => reg("supplier", c, "rb"))
+    val merges = for (a <- aCols; b <- bCols) yield
+      s"""m_${a}_$b AS (SELECT bucket, max(max_rho) AS max_rho FROM (
+         |  SELECT * FROM ra_$a UNION ALL SELECT * FROM rb_$b) z
+         |  GROUP BY 1)""".stripMargin
+    val rows = for (a <- aCols; b <- bCols) yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  ea.n_seen AS n_seen_a, ea.ts AS total_scaled_a,
+         |  eb.n_seen AS n_seen_b, eb.ts AS total_scaled_b,
+         |  eu.n_seen AS n_seen_union, eu.ts AS total_scaled_union
+         |FROM (${agg(s"ra_$a")}) ea, (${agg(s"rb_$b")}) eb,
+         |  (${agg(s"m_${a}_$b")}) eu""".stripMargin
+    s"WITH ${(regs ++ merges).mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}"
+  }
 
   /** Unrolled synchronous label propagation: per round, a (dst, label)
     * vote count over the symmetric edge set joined to the PREVIOUS
@@ -7004,6 +7048,7 @@ object SparkEntry {
         |  CAST(o.n_common AS DOUBLE) / CAST(sb.n_b AS DOUBLE)
         |    AS containment_b
         |FROM ov o JOIN sa USING (col_a) JOIN sb USING (col_b)""".stripMargin,
+    "q_hll_overlap" -> hllOverlapOracle,
     "q_fd_audit" -> Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
       ("p_type", "p_size")).map { case (l, r) =>
       s"""SELECT '$l' AS lhs_col, '$r' AS rhs_col,

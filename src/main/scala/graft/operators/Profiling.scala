@@ -243,18 +243,24 @@ object Profiling {
     * would apply (raw ≤ 2.5m with empty registers → linear counting;
     * raw > 2^32/30 → large-range). Every double here is exact or a
     * single pinned IEEE expression — safe for cross-engine hash gates. */
-  def hllRawEstimate(regs: DataFrame, p: Int): DataFrame = {
+  def hllRawEstimate(regs: DataFrame, p: Int): DataFrame =
+    rawAgg(regs, Seq("col_name"), p)
+
+  /** The raw-estimate fold over any grouping (single columns, or
+    * (col_a, col_b) merged pairs): exact integers + the pinned IEEE raw
+    * expression + the correction flag. */
+  private def rawAgg(regs: DataFrame, gcols: Seq[String], p: Int): DataFrame = {
     require(p >= 7 && p <= 18, s"p must be in [7,18] for estimation, got $p")
     val m = 1 << p
     val alpha = alphaM(m)
     val largeBar = 4294967296.0 / 30.0
-    regs.groupBy(col("col_name"))
+    regs.groupBy(gcols.map(col): _*)
       .agg(count(lit(1)).as("n_seen"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rho)")).as("__sumw"))
-      .select(col("col_name"), lit(m).as("m"), col("n_seen"),
+      .select(gcols.map(col) ++ Seq(lit(m).as("m"), col("n_seen"),
         (lit(m.toLong) - col("n_seen")).as("v_zero"),
         ((lit(m.toLong) - col("n_seen")) * lit(hllScale) + col("__sumw"))
-          .as("total_scaled"))
+          .as("total_scaled")): _*)
       .withColumn("raw_estimate",
         lit(alpha) * lit(m.toDouble * m) /
           (col("total_scaled").cast("double") / lit(hllScale.toDouble)))
@@ -265,18 +271,113 @@ object Profiling {
           .otherwise(lit("none")))
   }
 
+  /** The 2007 corrected `estimate` column over a [[rawAgg]] output —
+    * ln-based, libm-dependent, never hash-gate-faced. */
+  private def withCorrected(raw: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    raw.withColumn("estimate",
+      when(col("correction") === "linear",
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+        .when(col("correction") === "large",
+          -lit(4294967296.0) *
+            log(lit(1.0) - col("raw_estimate") / lit(4294967296.0)))
+        .otherwise(col("raw_estimate")))
+  }
+
+  /** HLL OVERLAP estimation — [[columnValueOverlap]]'s 100 TB shape:
+    * exact schema matching joins the distinct value sets (a corpus-scale
+    * shuffle per column pair); this face needs only the ≤ 2^p-row
+    * REGISTER tables of each side. Per (col_a, col_b) pair:
+    * union registers = bucket-wise max (the HLL merge property), then
+    * raw estimates est_a / est_b / est_union and inclusion-exclusion
+    * `inter_est` = est_a + est_b − est_union, `jaccard_est` =
+    * max(0, inter) / est_union (inclusion-exclusion can go slightly
+    * negative on near-disjoint sets — clamped at the jaccard face,
+    * reported raw in inter_est so the noise is visible). All doubles are
+    * single pinned IEEE expressions over exact integers (raw-estimate
+    * discipline, no ln) — hash-gate-safe; accuracy is the standard
+    * 1.04/√m per term, spec-pinned against exact overlap in sbt.
+    *
+    * Shapes: each register table fans out |otherSide| times (model-sized
+    * — registers, not data), one groupBy-max merge, one fold per pair. */
+  /** Bucket-wise-max merged registers for every (col_a, col_b) pair —
+    * the union sketches. Model-sized: registers × |otherSide| columns. */
+  private def mergedPairRegisters(regsA: DataFrame,
+      regsB: DataFrame): DataFrame = {
+    val colsA = regsA.select(col("col_name").as("col_a")).distinct()
+    val colsB = regsB.select(col("col_name").as("col_b")).distinct()
+    val a = regsA.select(col("col_name").as("col_a"), col("bucket"),
+      col("max_rho"))
+    val b = regsB.select(col("col_name").as("col_b"), col("bucket"),
+      col("max_rho"))
+    a.crossJoin(colsB).unionByName(b.crossJoin(colsA))
+      .groupBy(col("col_a"), col("col_b"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
+
+  /** Engine-exact overlap face (hash-gate-safe): per (col_a, col_b), the
+    * EXACT integer register aggregates of both sides and of the
+    * bucket-wise-max union sketch — n_seen and the Σ 2^(33−rho) scaling,
+    * nothing floating. This is the artifact another engine must
+    * reproduce bit-for-bit; the estimates derived from it live in
+    * [[hllOverlapEstimate]] (ln-corrected, spec-pinned — RAW estimates
+    * are biased ≈ alpha·m at small n, so inclusion-exclusion over them
+    * is meaningless; the corrected form is the only honest one). */
+  def hllOverlapRaw(regsA: DataFrame, regsB: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 18, s"p must be in [7,18], got $p")
+    val u = rawAgg(mergedPairRegisters(regsA, regsB), Seq("col_a", "col_b"), p)
+      .select(col("col_a"), col("col_b"),
+        col("n_seen").as("n_seen_union"),
+        col("total_scaled").as("total_scaled_union"))
+    u.join(rawAgg(regsA, Seq("col_name"), p)
+        .select(col("col_name").as("col_a"), col("n_seen").as("n_seen_a"),
+          col("total_scaled").as("total_scaled_a")), "col_a")
+      .join(rawAgg(regsB, Seq("col_name"), p)
+        .select(col("col_name").as("col_b"), col("n_seen").as("n_seen_b"),
+          col("total_scaled").as("total_scaled_b")), "col_b")
+      .select(col("col_a"), col("col_b"), col("n_seen_a"),
+        col("total_scaled_a"), col("n_seen_b"), col("total_scaled_b"),
+        col("n_seen_union"), col("total_scaled_union"))
+  }
+
+  /** HLL OVERLAP estimation — [[columnValueOverlap]]'s 100 TB shape:
+    * exact schema matching joins the distinct value sets (a corpus-scale
+    * shuffle per column pair); this face needs only the ≤ 2^p-row
+    * register tables. Per (col_a, col_b): CORRECTED cardinality
+    * estimates of A, B and the merged-union sketch, inclusion-exclusion
+    * `inter_est` = est_a + est_b − est_union (reported raw — it can go
+    * slightly negative on near-disjoint sets), and `jaccard_est` =
+    * max(0, inter) / est_union. ln-corrected (the raw estimate is biased
+    * ≈ alpha·m at small n, which would make inclusion-exclusion
+    * meaningless), hence spec-pinned in sbt, not hash-gate-faced — gate
+    * on [[hllOverlapRaw]]'s integers instead. Accuracy is the standard
+    * 1.04/√m per term, compounded across the three estimates. */
+  def hllOverlapEstimate(regsA: DataFrame, regsB: DataFrame,
+      p: Int): DataFrame = {
+    require(p >= 7 && p <= 18, s"p must be in [7,18], got $p")
+    def est(raw: DataFrame) = withCorrected(raw, p)
+    val u = est(rawAgg(mergedPairRegisters(regsA, regsB),
+      Seq("col_a", "col_b"), p))
+      .select(col("col_a"), col("col_b"), col("estimate").as("est_union"))
+    u.join(est(rawAgg(regsA, Seq("col_name"), p))
+        .select(col("col_name").as("col_a"), col("estimate").as("est_a")),
+        "col_a")
+      .join(est(rawAgg(regsB, Seq("col_name"), p))
+        .select(col("col_name").as("col_b"), col("estimate").as("est_b")),
+        "col_b")
+      .select(col("col_a"), col("col_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("inter_est"))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0,
+          greatest(col("inter_est"), lit(0.0)) / col("est_union")))
+  }
+
   /** Production estimate: [[hllRawEstimate]] plus the corrected
     * `estimate` — linear counting m·ln(m/V) in the small range,
     * −2^32·ln(1 − E/2^32) in the large range, raw otherwise. ln() is
     * libm-dependent across engines, so this face is spec-pinned in sbt
     * (vs exact distinct counts), never hash-gate-faced. */
-  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
-    val m = 1 << p
-    hllRawEstimate(regs, p).withColumn("estimate",
-      when(col("correction") === "linear",
-        lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
-        .when(col("correction") === "large",
-          -lit(4294967296.0) * log(lit(1.0) - col("raw_estimate") / lit(4294967296.0)))
-        .otherwise(col("raw_estimate")))
-  }
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame =
+    withCorrected(hllRawEstimate(regs, p), p)
 }

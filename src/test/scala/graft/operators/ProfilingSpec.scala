@@ -137,6 +137,28 @@ class ProfilingSpec extends SparkFunSuite {
       Profiling.hllRawEstimate(Profiling.hllRegisters(df, Seq("lang"), 8), p = 6))
   }
 
+  test("hllOverlapEstimate: inclusion-exclusion near truth, clamp on disjoint") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.range(10000).selectExpr("concat('k', id) AS v") // k0..k9999
+    val b = spark.range(5000, 15000).selectExpr("concat('k', id) AS v")
+    val ra = Profiling.hllRegisters(a, Seq("v"), p = 12)
+    val rb = Profiling.hllRegisters(b, Seq("v"), p = 12)
+    val r = Profiling.hllOverlapEstimate(ra, rb, p = 12).collect()(0)
+    // truth: |A|=|B|=10000, union 15000, inter 5000
+    assert(math.abs(r.getAs[Double]("est_union") - 15000) / 15000.0 < 0.08)
+    assert(math.abs(r.getAs[Double]("inter_est") - 5000) / 5000.0 < 0.25)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j > 0.2 && j < 0.46) // truth 1/3, sketch noise compounded
+    // near-disjoint sets: inter_est may go negative; jaccard clamps to 0
+    val c = spark.range(200).selectExpr("concat('x', id) AS v")
+    val d = spark.range(200).selectExpr("concat('y', id) AS v")
+    val r2 = Profiling.hllOverlapEstimate(
+      Profiling.hllRegisters(c, Seq("v"), 12),
+      Profiling.hllRegisters(d, Seq("v"), 12), 12).collect()(0)
+    assert(r2.getAs[Double]("jaccard_est") < 0.05)
+    assert(r2.getAs[Double]("jaccard_est") >= 0.0)
+  }
+
   test("profileColumns approxDistinct path: exact counts, sketched cardinality") {
     val got = Profiling.profileColumns(df, Seq("lang"), approxDistinct = true)
       .collect()(0)
