@@ -1480,6 +1480,38 @@ object SparkEntry {
       .withColumn("valid_to", coalesce(col("valid_to"),
         lit(java.sql.Date.valueOf("9999-12-31"))))),
 
+    // Point-in-time (as-of) join: each probe fetches the customer's
+    // order-status SCD-2 version current at the probe timestamp — the
+    // union + ONE-entity-window formulation (no range join, one shuffle
+    // keyed by entity). Probe timestamps are derived deterministically
+    // from event_id to span BEFORE the first version (unmatched → NULL
+    // payload), inside the history (mid-chain lookups), and exactly ON
+    // version dates (the >= tie rule — a probe at valid_from sees that
+    // version). Payload carries (version, o_orderstatus) with the
+    // ordinal FIRST so same-day duplicate versions collapse to the
+    // latest deterministically; oracle is DuckDB's NATIVE ASOF LEFT
+    // JOIN over the identically-deduped version frame — independent
+    // semantics, not a replay.
+    // (gate face only: NULL matched valid_from → 1900-01-01 sentinel —
+    // datetime NaT defeats value comparators; the operator keeps NULL.)
+    "q_asof_join" -> ((s, dir) => {
+      val versions = graft.operators.Temporal.scd2Intervals(
+        s.read.parquet(s"$dir/orders.parquet"),
+        "o_custkey", "o_orderdate", Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("version"), col("o_orderstatus"),
+          col("valid_from").cast("timestamp").as("valid_from"))
+      val probes = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          date_add(lit(java.sql.Date.valueOf("1993-01-01")),
+            pmod(col("event_id") * 7919, lit(3650)).cast("int"))
+            .cast("timestamp").as("ts"))
+      graft.operators.Temporal.asOfJoin(probes, "user_id", "ts",
+        versions, "o_custkey", "valid_from",
+        Seq("version", "o_orderstatus"))
+        .withColumn("valid_from", coalesce(col("valid_from"),
+          lit(java.sql.Timestamp.valueOf("1900-01-01 00:00:00"))))
+    }),
+
     // Instance-based schema matching customer vs supplier: value-set
     // overlap finds the comparable columns from the data alone —
     // nationkeys align at jaccard 1.0, entity keys show containment
@@ -7013,6 +7045,44 @@ object SparkEntry {
         |    PARTITION BY id ORDER BY version), DATE '9999-12-31')
         |    AS valid_to
         |FROM runs""".stripMargin,
+    // the same SCD-2 version derivation, then DuckDB's NATIVE ASOF LEFT
+    // JOIN (independent as-of semantics) over the deduped version frame.
+    "q_asof_join" ->
+      """WITH obs AS (
+        |  SELECT o_custkey AS id, o_orderdate AS ts, o_orderstatus AS v
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |), flagged AS (
+        |  SELECT id, ts, v,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR NOT (v IS NOT DISTINCT FROM lag(v) OVER w)
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM obs WINDOW w AS (PARTITION BY id ORDER BY ts, v)
+        |), versioned AS (
+        |  SELECT id, v, ts, sum(chg) OVER (
+        |    PARTITION BY id ORDER BY ts, v ROWS UNBOUNDED PRECEDING)
+        |    AS version
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT id, version, v, min(ts) AS valid_from
+        |  FROM versioned GROUP BY 1, 2, 3
+        |), vd AS (
+        |  SELECT id, CAST(version AS BIGINT) AS version, v AS status,
+        |    CAST(valid_from AS TIMESTAMP) AS vf
+        |  FROM runs
+        |  QUALIFY row_number() OVER (PARTITION BY id, valid_from
+        |    ORDER BY version DESC) = 1
+        |), p AS (
+        |  SELECT event_id, user_id,
+        |    CAST(DATE '1993-01-01'
+        |      + to_days(CAST((event_id * 7919) % 3650 AS INT))
+        |      AS TIMESTAMP) AS ts
+        |  FROM events
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, vd.version,
+        |  vd.status AS o_orderstatus,
+        |  coalesce(vd.vf, TIMESTAMP '1900-01-01') AS valid_from
+        |FROM p ASOF LEFT JOIN vd
+        |  ON p.user_id = vd.id AND p.ts >= vd.vf""".stripMargin,
     // distinct value sets per column both sides, value equi-join,
     // overlap fold — only pairs with n_common >= 1 appear.
     "q_schema_match" ->

@@ -127,6 +127,91 @@ object Temporal {
     * Scale shape: two windows (lag-change flag, running sum) and one
     * lead, ALL partitioned by entity id — entities are the parallelism
     * unit, nothing global; the groupBy is map-side combinable. */
+  /** Distributed point-in-time (as-of) join — for each probe row
+    * (id, ts, …) attach the LATEST version of that entity with
+    * version-ts <= probe-ts: the lookup every temporal-linkage pipeline
+    * needs between [[scd2Intervals]] (which builds the versions) and
+    * scoring (which must compare a record against the attribute values
+    * that were CURRENT when the record was observed, not today's).
+    * Spark has no native as-of join; the naive formulations are a range
+    * θ-join (nested-loop, quadratic) or a per-probe max-subquery (one
+    * aggregation + self-join per probe set). This is the union + single
+    * entity-partitioned window formulation: tag versions kind=0 and
+    * probes kind=1, union them, sort each entity's rows once by
+    * (ts, kind), and let every probe pick up the last non-null version
+    * struct at-or-before it — ONE shuffle keyed by entity id, one
+    * in-partition sort, zero range join, cost O((|P|+|V|) log) per
+    * entity regardless of how many versions precede each probe.
+    *
+    * Semantics (all pinned):
+    *   - match rule: version.ts <= probe.ts, greatest version.ts wins
+    *     (a probe AT a version's ts sees that version — closed lower
+    *     bound, same as DuckDB/kdb as-of);
+    *   - probes with no version at-or-before keep NULL payload +
+    *     NULL matched ts (left-join shape, probe rows never drop, exact
+    *     probe multiplicity preserved);
+    *   - versions sharing one (id, ts) collapse deterministically to
+    *     the greatest payload struct (field-order lexicographic max —
+    *     put the version ordinal first in `payloadCols` and "greatest"
+    *     means "latest version") via one map-side-combinable groupBy,
+    *     so duplicate-keyed version history cannot make the answer
+    *     partitioning-dependent;
+    *   - version rows with NULL ts define no point in time → excluded;
+    *     NULL-ts probes match nothing (NULL payload), pinned.
+    *   - payload values may themselves be NULL: the window carries the
+    *     whole version STRUCT (non-null whenever a version row exists),
+    *     so a NULL attribute inside a version is faithfully returned,
+    *     never skipped through to an older version.
+    *
+    * Output: every probe column unchanged, then `payloadCols`, then the
+    * matched version timestamp as `asOfTsCol` (default `vTsCol`; rename
+    * when it collides with a probe column — probe and payload names must
+    * be disjoint, required below).
+    *
+    * 100 TB shape: the window partitions by entity id — entities are the
+    * parallelism unit (the same contract as [[scd2Intervals]] /
+    * Sessionize). A pathologically hot entity concentrates its probes in
+    * one task; if one id carries a corpus-scale probe share, pre-split
+    * probes by time range and union the per-range as-of results (the
+    * window is prefix-computable), or broadcast that entity's version
+    * list — both compose from this operator unchanged. */
+  def asOfJoin(probes: DataFrame, probeIdCol: String, probeTsCol: String,
+      versions: DataFrame, vIdCol: String, vTsCol: String,
+      payloadCols: Seq[String], asOfTsCol: String = ""): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    val outTs = if (asOfTsCol.nonEmpty) asOfTsCol else vTsCol
+    val probeCols = probes.columns.toSeq
+    val clash = probeCols.toSet
+    require(!payloadCols.exists(clash) && !clash.contains(outTs),
+      s"probe columns ${probeCols.mkString(",")} must be disjoint from " +
+        s"payload/as-of output columns")
+    // one (id, ts)-keyed version struct per point in time, pinned max
+    val vd = versions.where(col(vTsCol).isNotNull)
+      .groupBy(col(vIdCol).as("__id"), col(vTsCol).as("__ts"))
+      .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
+      .select(col("__id"), col("__ts"),
+        struct(col("__ts").as("__vts"), col("__p").as("__pp")).as("__v"))
+    val vType = vd.schema("__v").dataType
+    val pType = org.apache.spark.sql.types.StructType(
+      probes.schema.fields)
+    val vSide = vd.select(col("__id"), col("__ts"), lit(0).as("__k"),
+      col("__v"), lit(null).cast(pType).as("__probe"))
+    val pSide = probes.select(col(probeIdCol).as("__id"),
+      col(probeTsCol).as("__ts"), lit(1).as("__k"),
+      lit(null).cast(vType).as("__v"),
+      struct(probeCols.map(col): _*).as("__probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__ts").asc, col("__k").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    vSide.unionByName(pSide)
+      .withColumn("__last", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__k") === 1)
+      .select(probeCols.map(c => col(s"__probe.`$c`").as(c)) ++
+        payloadCols.map(c => col(s"__last.__pp.`$c`").as(c)) :+
+        col("__last.__vts").as(outTs): _*)
+  }
+
   def scd2Intervals(obs: DataFrame, idCol: String, tsCol: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "need at least one tracked value column")

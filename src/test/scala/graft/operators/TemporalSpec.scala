@@ -132,4 +132,70 @@ class TemporalSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](
       Temporal.scd2Intervals(obs, "id", "ts", Nil))
   }
+
+  // ------------------------------------------------------------ asOfJoin
+
+  private def asOfBrute(probes: Seq[(Long, Long, Long)],
+      versions: Seq[(Long, Long, String)]): Seq[(Long, Option[String])] =
+    probes.map { case (pid, id, ts) =>
+      val at = versions.filter(v => v._1 == id && v._2 <= ts)
+      (pid, if (at.isEmpty) None
+            else Some(at.maxBy(v => (v._2, v._3))._3))
+    }
+
+  test("asOfJoin matches brute force on random histories") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val versions = (1 to 120).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong,
+        s"v${rnd.nextInt(5)}"))
+    val probes = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(60).toLong))
+    val vdf = versions.toDF("id", "vts", "status")
+    val pdf = probes.toDF("pid", "id2", "pts")
+    val got = Temporal.asOfJoin(pdf, "id2", "pts", vdf, "id", "vts",
+        Seq("status"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).sortBy(_._1).toList
+    // brute tie rule: same (id, ts) versions pinned to max payload struct
+    assert(got == asOfBrute(probes, versions).sortBy(_._1).toList)
+  }
+
+  test("asOfJoin: tie at version ts, unmatched probes, NULL payload kept") {
+    import spark.implicits._
+    val vdf = Seq((1L, 10L, 2L, Some("B")), (1L, 10L, 1L, Some("A")),
+      (1L, 20L, 3L, None)).toDF("id", "vts", "ver", "s")
+    val pdf = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 1L, 25L),
+      (103L, 2L, 50L)).toDF("pid", "id2", "pts")
+    val got = Temporal.asOfJoin(pdf, "id2", "pts", vdf, "id", "vts",
+        Seq("ver", "s"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .sortBy(_._1).toList
+    assert(got == List(
+      (100L, Some(2L), Some("B"), Some(10L)), // probe AT ts sees it; max ver wins tie
+      (101L, None, None, None),               // before first version
+      (102L, Some(3L), None, Some(20L)),      // version's own NULL payload kept
+      (103L, None, None, None)))              // entity with no versions
+  }
+
+  test("asOfJoin is partitioning-independent and preserves probe multiplicity") {
+    import spark.implicits._
+    val vdf = Seq((1L, 10L, "A"), (1L, 20L, "B")).toDF("id", "vts", "s")
+    val pdf = Seq((1L, 1L, 15L), (1L, 1L, 15L), (2L, 1L, 15L))
+      .toDF("pid", "id2", "pts")
+    val a = Temporal.asOfJoin(pdf.repartition(7), "id2", "pts",
+      vdf.repartition(3), "id", "vts", Seq("s"))
+      .orderBy("pid", "pts").collect().map(_.toSeq).toSeq
+    val b = Temporal.asOfJoin(pdf, "id2", "pts", vdf, "id", "vts", Seq("s"))
+      .orderBy("pid", "pts").collect().map(_.toSeq).toSeq
+    assert(a == b && a.length == 3)
+    intercept[IllegalArgumentException](
+      Temporal.asOfJoin(pdf, "id2", "pts", vdf, "id", "vts", Nil))
+    intercept[IllegalArgumentException]( // output-name collision guarded
+      Temporal.asOfJoin(pdf.withColumnRenamed("pid", "s"), "id2", "pts",
+        vdf, "id", "vts", Seq("s")))
+  }
 }
