@@ -1566,6 +1566,56 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("doc_id", "lang", "source", "text"), p = 12), p = 12)),
 
+    // KMV sketch over the same four documents columns: the k-minimum-
+    // values face next to HLL — k smallest distinct 60-bit sha hashes
+    // per column, exact longs end to end (no unsigned wraparound, no
+    // ln anywhere). lang/source land in the exact regime (n < k, the
+    // sketch IS the value set); doc_id/text exercise the estimator
+    // regime. InferWindowGroupLimit sends <= k rows per column out of
+    // every map task.
+    "q_kmv_sketch" -> ((s, dir) => graft.operators.Profiling.kmvSketch(
+      s.read.parquet(s"$dir/documents.parquet"),
+      Seq("doc_id", "lang", "source", "text"), k = 64)),
+
+    // KMV merge + estimate: per-table custkey sketches built
+    // INDEPENDENTLY over customer and orders, merged (k smallest of the
+    // union — the associative dedup-invariant combine), then estimated:
+    // n_seen / u_k exact integers, est_distinct = (k-1)*2^60/u_k as ONE
+    // pinned IEEE expression ((k-1)*2^60 is exactly representable).
+    // The documents sketches ride along so the exact regime (n < k,
+    // est = n) is gated too. Oracle rebuilds the merged sketch from the
+    // UNION of distinct values — equality IS the KMV merge property.
+    "q_kmv_estimate" -> ((s, dir) => {
+      val skC = graft.operators.Profiling.kmvSketch(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("custkey")), Seq("custkey"), k = 128)
+      val skO = graft.operators.Profiling.kmvSketch(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").as("custkey")), Seq("custkey"), k = 128)
+      graft.operators.Profiling.kmvEstimate(
+          graft.operators.Profiling.kmvMerge(skC, skO, 128), 128)
+        .unionAll(graft.operators.Profiling.kmvEstimate(
+          graft.operators.Profiling.kmvSketch(
+            s.read.parquet(s"$dir/documents.parquet"),
+            Seq("lang", "source", "doc_id"), k = 64), 64))
+    }),
+
+    // KMV schema matching customer-vs-supplier (the q_schema_match /
+    // q_hll_overlap column grid): per pair the union sketch is the k
+    // smallest of the two sketches' union, n_common counts union-sketch
+    // members present in BOTH sides — DIRECT intersection estimation
+    // (no inclusion-exclusion, cannot go negative), every output an
+    // exact integer or one pinned IEEE expression, fully hash-graded
+    // (unlike HLL whose corrected overlap face is spec-pinned).
+    "q_kmv_overlap" -> ((s, dir) => graft.operators.Profiling.kmvOverlap(
+      graft.operators.Profiling.kmvSketch(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_custkey", "c_nationkey", "c_name"), k = 128),
+      graft.operators.Profiling.kmvSketch(
+        s.read.parquet(s"$dir/supplier.parquet"),
+        Seq("s_suppkey", "s_nationkey", "s_name"), k = 128),
+      k = 128)),
+
     // Incremental golden-record maintenance: previous canonical frame
     // built WITHOUT the batch (doc_id % 64 == 0 held out), then
     // goldenRecordsIncremental folds the batch in by recomputing only
@@ -3611,6 +3661,35 @@ object SparkEntry {
     (0 until 8).map { k =>
       s"(strpos('0123456789abcdef', substr($h, ${from + k}, 1)) - 1) * ${1L << (4 * (7 - k))}"
     }.mkString("(", " + ", ")")
+
+  /** First 15 sha256 hex chars as an exact 60-bit BIGINT — the KMV hash
+    * (fits signed 64-bit on both engines, no wraparound to pin). */
+  private def hexU60Sql(h: String): String =
+    (0 until 15).map { k =>
+      s"(strpos('0123456789abcdef', substr($h, ${1 + k}, 1)) - 1) * ${1L << (4 * (14 - k))}"
+    }.mkString("(", " + ", ")")
+
+  /** KMV sketch SELECT for one column: distinct values → sha → 60-bit
+    * hash → k smallest with rank (the [[graft.operators.Profiling
+    * .kmvSketch]] face, replayed value-for-value). */
+  private def kmvSketchSql(table: String, colExpr: String, name: String,
+      k: Int): String =
+    s"""SELECT CAST('$name' AS VARCHAR) AS col_name,
+       |  CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rnk, hv
+       |FROM (
+       |  SELECT DISTINCT ${hexU60Sql("h")} AS hv
+       |  FROM (SELECT sha256(v) AS h FROM (
+       |    SELECT DISTINCT CAST($colExpr AS VARCHAR) AS v FROM $table
+       |    WHERE $colExpr IS NOT NULL) z0) z1) z2
+       |QUALIFY rnk <= $k""".stripMargin
+
+  /** The pinned KMV estimator expression: (k−1)·2^60/u_k past the exact
+    * regime. String literals so both engines strtod identical doubles. */
+  private def kmvEstSql(k: Int): String =
+    s"""CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |  ELSE CAST('${k - 1}' AS DOUBLE) *
+       |    CAST('1152921504606846976' AS DOUBLE) /
+       |    CAST(max(hv) AS DOUBLE) END""".stripMargin
 
   /** CLK bit-set CTEs from an arbitrary `(id, nn)` source CTE `src`,
     * prefixed `pre` (producing `${pre}bits(id, bit)`): padded bigrams,
@@ -7143,6 +7222,87 @@ object SparkEntry {
     // bucket = h1 % 4096, rho = 33 - bitlen(h2) — any slip in bucket
     // assignment or leading-zero counting mismatches a register.
     "q_hll_registers" -> hllRegSql("documents", "doc_id", "doc_id", 12),
+    // KMV sketches replayed value-for-value: distinct values → sha256 →
+    // exact 60-bit hash → rank window, per column.
+    "q_kmv_sketch" ->
+      Seq("doc_id", "lang", "source", "text")
+        .map(c => kmvSketchSql("documents", c, c, 64))
+        .mkString("", "\nUNION ALL\n", ""),
+    // merged custkey sketch == sketch of the VALUE UNION (the KMV merge
+    // property — the oracle never sees the per-table sketches), plus the
+    // documents sketches in both regimes; the estimator is the single
+    // pinned (k−1)·2^60/u_k expression.
+    "q_kmv_estimate" -> {
+      val uni =
+        """(SELECT c_custkey AS x FROM customer WHERE c_custkey IS NOT NULL
+          |   UNION ALL
+          |   SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) uu""".stripMargin
+      val parts = Seq(
+        s"""SELECT col_name, CAST(count(*) AS BIGINT) AS n_seen,
+           |  max(hv) AS u_k, count(*) < 128 AS exact,
+           |  ${kmvEstSql(128)} AS est_distinct
+           |FROM (${kmvSketchSql(uni, "x", "custkey", 128)}) s0
+           |GROUP BY col_name""".stripMargin) ++
+        Seq("lang", "source", "doc_id").map(c =>
+          s"""SELECT col_name, CAST(count(*) AS BIGINT) AS n_seen,
+             |  max(hv) AS u_k, count(*) < 64 AS exact,
+             |  ${kmvEstSql(64)} AS est_distinct
+             |FROM (${kmvSketchSql("documents", c, c, 64)}) s_$c
+             |GROUP BY col_name""".stripMargin)
+      parts.mkString("", "\nUNION ALL\n", "")
+    },
+    // per column pair: union sketch = rank window over the deduped
+    // union of the two side sketches, n_common = members in BOTH —
+    // the direct-intersection estimator, all-integer gate face plus
+    // the two pinned IEEE expressions.
+    "q_kmv_overlap" -> {
+      val ska = Seq("c_custkey", "c_nationkey", "c_name")
+        .map(c => kmvSketchSql("customer", c, c, 128))
+        .mkString("(", "\nUNION ALL\n", ")")
+      val skb = Seq("s_suppkey", "s_nationkey", "s_name")
+        .map(c => kmvSketchSql("supplier", c, c, 128))
+        .mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH ska AS $ska, skb AS $skb,
+         |pairs AS (
+         |  SELECT ska.col_name AS col_a, cb.col_b, ska.hv,
+         |    1 AS in_a, 0 AS in_b
+         |  FROM ska CROSS JOIN
+         |    (SELECT DISTINCT col_name AS col_b FROM skb) cb
+         |  UNION ALL
+         |  SELECT ca.col_a, skb.col_name, skb.hv, 0, 1
+         |  FROM skb CROSS JOIN
+         |    (SELECT DISTINCT col_name AS col_a FROM ska) ca
+         |), g AS (
+         |  SELECT col_a, col_b, hv,
+         |    max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM pairs GROUP BY 1, 2, 3
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY col_a, col_b ORDER BY hv) AS rnk
+         |  FROM g QUALIFY rnk <= 128
+         |), sz AS (
+         |  SELECT col_a, col_b, CAST(count(*) AS BIGINT) AS n_union_seen,
+         |    max(hv) AS u_k_union,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+         |  FROM rk GROUP BY 1, 2
+         |), na AS (
+         |  SELECT col_name AS col_a, CAST(count(*) AS BIGINT) AS n_seen_a
+         |  FROM ska GROUP BY 1
+         |), nb AS (
+         |  SELECT col_name AS col_b, CAST(count(*) AS BIGINT) AS n_seen_b
+         |  FROM skb GROUP BY 1
+         |)
+         |SELECT sz.col_a, sz.col_b, n_seen_a, n_seen_b, n_union_seen,
+         |  u_k_union, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(n_union_seen AS DOUBLE)
+         |    AS jaccard_est,
+         |  CAST(n_common AS DOUBLE) / CAST(n_union_seen AS DOUBLE) *
+         |    (CASE WHEN n_union_seen < 128 THEN CAST(n_union_seen AS DOUBLE)
+         |      ELSE CAST('127' AS DOUBLE) *
+         |        CAST('1152921504606846976' AS DOUBLE) /
+         |        CAST(u_k_union AS DOUBLE) END) AS inter_est
+         |FROM sz JOIN na USING (col_a) JOIN nb USING (col_b)""".stripMargin
+    },
     "q_hll_profile" -> hllProfileOracle,
     // unrolled 3-step budgeted greedy: per step, argmax marginal
     // coverage (count desc, family asc) among families whose volume

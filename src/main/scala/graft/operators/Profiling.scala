@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -380,4 +380,134 @@ object Profiling {
     * (vs exact distinct counts), never hash-gate-faced. */
   def hllEstimate(regs: DataFrame, p: Int): DataFrame =
     withCorrected(hllRawEstimate(regs, p), p)
+
+  // ------------------------------------------------------------ KMV sketch
+
+  /** 2^60 — the KMV hash-space size. Hashes are the first 15 hex chars of
+    * the house sha256 (60 bits), so they are EXACT nonnegative longs on
+    * both engines (no unsigned-64 wraparound to pin). */
+  private def kmvSpace: Double = 1152921504606846976.0d // 2^60, dyadic-exact
+
+  private def kmvHash(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values) distinct-value sketch — Bar-Yossef et al.
+    * RANDOM'02; Beyer et al. SIGMOD'07: per column, the k SMALLEST
+    * distinct 60-bit value hashes with their 1-based rank,
+    * (col_name, rnk, hv). The third sketch face next to exact
+    * [[columnValueOverlap]] and [[hllRegisters]]: unlike HLL it supports
+    * DIRECT intersection estimation ([[kmvOverlap]] — the union sketch's
+    * members are checked against both sides, no inclusion-exclusion over
+    * corrected estimates), and every statistic it yields is an exact
+    * integer or a single pinned IEEE division — fully hash-gate-safe,
+    * nothing ln-corrected.
+    *
+    * Mergeable ([[kmvMerge]]: k smallest of the union — associative,
+    * dedup-invariant) and persistable (≤ k rows per column, write the
+    * frame anywhere). Estimation: with n_seen < k the sketch IS the
+    * distinct value set (exact regime); at n_seen = k the kth-smallest
+    * hash U_k estimates the cardinality as (k−1)·2^60/U_k (the standard
+    * unbiased KMV estimator), relative error ~1/√(k−2).
+    *
+    * 100 TB shape: one map-side-combinable distinct over (col, hash),
+    * then ONE rank-k window per column whose `rn <= k` filter Spark's
+    * InferWindowGroupLimit pushes below the exchange — every map task
+    * forwards at most k rows per column, so the reducer ranks
+    * tasks·k rows, never the corpus's distinct values. NULLs carry no
+    * identity and are excluded (profileColumns counts them). */
+  def kmvSketch(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to sketch")
+    require(k >= 16 && k <= 65536, s"k must be in [16, 65536], got $k")
+    val hashes = cols.map { c =>
+      df.where(col(c).isNotNull)
+        .select(lit(c).as("col_name"), kmvHash(col(c)).as("hv"))
+    }.reduce(_ unionAll _).distinct()
+    rankK(hashes, k)
+  }
+
+  /** Rank the k smallest distinct hashes per column — shared by sketch
+    * construction and merge. Input must already be distinct. */
+  private def rankK(distinctHashes: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("hv").asc)
+    distinctHashes
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("col_name"), col("rnk").cast("long").as("rnk"), col("hv"))
+  }
+
+  /** Merge two KMV sketch frames: per column, the k smallest of the
+    * union (columns present in only one side pass through). Associative
+    * and dedup-invariant — merge order can never change the result, so
+    * per-shard sketches built independently (per day, per source, per
+    * batch) combine into the corpus sketch without re-reading anything. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    rankK(a.select(col("col_name"), col("hv"))
+      .unionAll(b.select(col("col_name"), col("hv"))).distinct(), k)
+
+  /** Cardinality estimate per column — every output either an exact
+    * integer or ONE pinned IEEE division over exact operands
+    * (hash-gate-safe): n_seen, the kth-smallest hash u_k (= max over the
+    * sketch; NULL never appears — n_seen >= 1 rows exist per listed
+    * column), `exact` = whether the sketch holds the whole distinct set
+    * (n_seen < k), and est_distinct = n_seen when exact else
+    * (k−1)·2^60/u_k. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_seen"), max(col("hv")).as("u_k"))
+      .select(col("col_name"), col("n_seen"), col("u_k"),
+        (col("n_seen") < k).as("exact"),
+        when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
+            col("u_k").cast("double")).as("est_distinct"))
+
+  /** KMV overlap / sketch schema matching — the DIRECT-intersection
+    * alternative to [[hllOverlapEstimate]]: for every (col_a, col_b)
+    * pair, build the union sketch K = k smallest distinct hashes of
+    * A ∪ B (bit-exactly [[kmvMerge]] of the two sketches), then COUNT
+    * which members of K appear in both input sketches — n_common/|K| is
+    * the standard KMV Jaccard estimator (Beyer et al.), and
+    * jaccard_est · est_union estimates the intersection size without
+    * inclusion-exclusion over corrected estimates (so it cannot go
+    * negative, unlike HLL's inter_est). Outputs per pair: n_seen_a/b,
+    * n_union_seen, u_k_union, n_common (all exact integers) +
+    * jaccard_est and inter_est (each one pinned IEEE expression) —
+    * fully hash-gate-safe.
+    *
+    * Shapes: sketches fan out |otherSide| times (model-sized — k rows,
+    * not data), one groupBy merge per pair frame, one rank window, one
+    * fold; the corpus is never touched after the sketch build. */
+  def kmvOverlap(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    val colsA = skA.select(col("col_name").as("col_a")).distinct()
+    val colsB = skB.select(col("col_name").as("col_b")).distinct()
+    val a = skA.select(col("col_name").as("col_a"), col("hv"),
+      lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val b = skB.select(col("col_name").as("col_b"), col("hv"),
+      lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val u = a.crossJoin(colsB).unionByName(b.crossJoin(colsA))
+      .groupBy(col("col_a"), col("col_b"), col("hv"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_a"), col("col_b")).orderBy(col("hv").asc)
+    val ranked = u.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+    val sizes = ranked.groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_union_seen"), max(col("hv")).as("u_k_union"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+    val nA = skA.groupBy(col("col_name").as("col_a"))
+      .agg(count(lit(1)).as("n_seen_a"))
+    val nB = skB.groupBy(col("col_name").as("col_b"))
+      .agg(count(lit(1)).as("n_seen_b"))
+    val jac = col("n_common").cast("double") /
+      col("n_union_seen").cast("double")
+    val estUnion = when(col("n_union_seen") < k,
+        col("n_union_seen").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
+        col("u_k_union").cast("double"))
+    sizes.join(nA, "col_a").join(nB, "col_b")
+      .select(col("col_a"), col("col_b"), col("n_seen_a"), col("n_seen_b"),
+        col("n_union_seen"), col("u_k_union"), col("n_common"),
+        jac.as("jaccard_est"),
+        (jac * estUnion).as("inter_est"))
+  }
 }

@@ -177,4 +177,87 @@ class ProfilingSpec extends SparkFunSuite {
       ("tag", "a", 2L, 1), ("tag", "b", 1L, 2)))
     intercept[IllegalArgumentException](Profiling.topValues(df, Seq(), 2))
   }
+
+  // ------------------------------------------------------------------ KMV
+
+  test("kmvSketch: k smallest distinct hashes, hand-checked, dedup/null-safe") {
+    val src = spark.range(500).selectExpr(
+      "concat('v', id % 100) AS v",                  // dups collapse
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('w', id) END AS w")
+    val sk = Profiling.kmvSketch(src, Seq("v", "w"), k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val vRows = sk.filter(_._1 == "v").sortBy(_._2)
+    assert(vRows.length == 16 && vRows.map(_._2).toList == (1L to 16L).toList)
+    // hand-rolled reference: sha256 of each distinct value, 60-bit prefix
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val expect = (0 until 100).map(i => h60(s"v$i")).distinct.sorted.take(16)
+    assert(vRows.map(_._3).toList == expect.toList)
+    // hashes strictly increasing with rank; all nonnegative
+    assert(sk.forall(_._3 >= 0L))
+  }
+
+  test("kmvMerge == sketch of the value union; merge is order-invariant") {
+    val a = spark.range(300).selectExpr("concat('k', id) AS x")
+    val b = spark.range(150, 450).selectExpr("concat('k', id) AS x")
+    val skA = Profiling.kmvSketch(a, Seq("x"), 32)
+    val skB = Profiling.kmvSketch(b, Seq("x"), 32)
+    val direct = Profiling.kmvSketch(a.unionAll(b), Seq("x"), 32)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    val merged = Profiling.kmvMerge(skA, skB, 32)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    val mergedRev = Profiling.kmvMerge(skB, skA, 32)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    assert(merged == direct && mergedRev == direct)
+  }
+
+  test("kmvEstimate: exact regime is exact; sketch regime within 15% at 10k") {
+    val small = spark.range(40).selectExpr("concat('s', id) AS x")
+    val eSmall = Profiling.kmvEstimate(
+      Profiling.kmvSketch(small, Seq("x"), 256), 256).collect()(0)
+    assert(eSmall.getAs[Boolean]("exact") &&
+      eSmall.getAs[Double]("est_distinct") == 40.0d &&
+      eSmall.getAs[Long]("n_seen") == 40L)
+    val big = spark.range(10000).selectExpr("concat('b', id) AS x")
+    val eBig = Profiling.kmvEstimate(
+      Profiling.kmvSketch(big, Seq("x"), 256), 256).collect()(0)
+    assert(!eBig.getAs[Boolean]("exact"))
+    val est = eBig.getAs[Double]("est_distinct")
+    assert(est > 8500.0 && est < 11500.0, s"est=$est")
+  }
+
+  test("kmvOverlap: direct jaccard near truth, disjoint exactly zero") {
+    // truth: |A|=600, |B|=600, |A∩B|=300 → J = 1/3
+    val a = spark.range(600).selectExpr("concat('k', id) AS ca")
+    val b = spark.range(300, 900).selectExpr("concat('k', id) AS cb")
+    val r = Profiling.kmvOverlap(
+      Profiling.kmvSketch(a, Seq("ca"), 256),
+      Profiling.kmvSketch(b, Seq("cb"), 256), 256).collect()(0)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j > 0.22 && j < 0.45, s"j=$j") // truth 1/3 ± sketch noise
+    val inter = r.getAs[Double]("inter_est")
+    assert(inter > 180.0 && inter < 430.0, s"inter=$inter")
+    // disjoint → n_common = 0 → jaccard EXACTLY 0 (no estimator bias)
+    val d = spark.range(600).selectExpr("concat('z', id) AS cd")
+    val r2 = Profiling.kmvOverlap(
+      Profiling.kmvSketch(a, Seq("ca"), 256),
+      Profiling.kmvSketch(d, Seq("cd"), 256), 256).collect()(0)
+    assert(r2.getAs[Long]("n_common") == 0L &&
+      r2.getAs[Double]("jaccard_est") == 0.0d &&
+      r2.getAs[Double]("inter_est") == 0.0d)
+  }
+
+  test("kmv frames are partitioning-independent; k bounds guarded") {
+    val src = spark.range(2000).selectExpr("concat('p', id) AS x")
+    val a = Profiling.kmvSketch(src.repartition(13), Seq("x"), 64)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    val b = Profiling.kmvSketch(src, Seq("x"), 64)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](Profiling.kmvSketch(src, Seq(), 64))
+    intercept[IllegalArgumentException](Profiling.kmvSketch(src, Seq("x"), 8))
+  }
 }
