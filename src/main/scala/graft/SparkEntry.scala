@@ -2915,6 +2915,30 @@ object SparkEntry {
           .select(col("doc_id"), col("fp_hash")),
         "doc_id", "fp_hash", minCommon = 30)),
 
+    // Content-defined chunking (LBFS/FastCDC family): boundaries decided
+    // by the sha-u32 of the 16-char window ending at each position
+    // (mod 32 = 0 → expected ~47-char chunks), document end always a
+    // cut — an exact disjoint COVER whose chunk hashes survive
+    // insertions/deletions elsewhere in the document
+    // (shift-resistance). Position explode + boundary filter are
+    // map-side; only CUTS shuffle; one per-doc window + one id join.
+    "q_cdc_chunks" -> ((s, dir) => graft.operators.Dedup.cdcChunks(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      w = 16, maskBits = 5)),
+
+    // Sub-document duplication via shared CDC chunks, composed through
+    // the SAME 3-tier common-neighbor machinery as q_winnow_pairs —
+    // documents sharing >= 4 chunk hashes with neighborhood-Jaccard
+    // normalization (chunk identity = content, so these are
+    // copied/syndicated spans, not resemblance estimates).
+    "q_cdc_pairs" -> ((s, dir) => graft.operators.Linkage
+      .commonNeighborPairs(
+        graft.operators.Dedup.cdcChunks(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          w = 16, maskBits = 5)
+          .select(col("doc_id"), col("chunk_sha")),
+        "doc_id", "chunk_sha", minCommon = 4)),
+
     // token-set Jaccard near-dup over (lang, source) blocks. bucketCap=8
     // routes every real block at sf0.01 (max 16) through the SALTED grid
     // tier — the result must equal the plain blocked-join oracle (tiers
@@ -3661,6 +3685,40 @@ object SparkEntry {
     (0 until 8).map { k =>
       s"(strpos('0123456789abcdef', substr($h, ${from + k}, 1)) - 1) * ${1L << (4 * (7 - k))}"
     }.mkString("(", " + ", ")")
+
+  /** CDC chunk CTEs over documents text (w=16, maskBits=5): produces
+    * `ck(doc_id, chunk_idx, chunk_start, chunk_len, chunk_sha)` — the
+    * [[graft.operators.Dedup.cdcChunks]] face replayed
+    * position-for-position (window-sha boundary rule, forced end cut,
+    * lag-window spans, chunk sha). */
+  private def cdcChunkCtes: String =
+    s"""b AS (
+       |  SELECT doc_id, text AS t, length(text) AS n FROM documents
+       |  WHERE text IS NOT NULL AND length(text) >= 1
+       |), wpos AS (
+       |  SELECT doc_id, t, n, unnest(range(16, n + 1)) AS pos
+       |  FROM b WHERE n >= 16
+       |), cuts AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, ${hexU32Sql("h", 1)} AS hv
+       |    FROM (SELECT doc_id, pos, sha256(substr(t, pos - 15, 16)) AS h
+       |          FROM wpos) z0) z1
+       |  WHERE hv % 32 = 0
+       |  UNION
+       |  SELECT doc_id, n FROM b
+       |), sp AS (
+       |  SELECT doc_id, row_number() OVER w AS chunk_idx,
+       |    coalesce(lag(pos) OVER w, 0) + 1 AS chunk_start,
+       |    pos - coalesce(lag(pos) OVER w, 0) AS chunk_len
+       |  FROM cuts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |), ck AS (
+       |  SELECT sp.doc_id, CAST(sp.chunk_idx AS BIGINT) AS chunk_idx,
+       |    CAST(sp.chunk_start AS BIGINT) AS chunk_start,
+       |    CAST(sp.chunk_len AS BIGINT) AS chunk_len,
+       |    sha256(substr(b.t, CAST(sp.chunk_start AS INT),
+       |      CAST(sp.chunk_len AS INT))) AS chunk_sha
+       |  FROM sp JOIN b ON sp.doc_id = b.doc_id
+       |)""".stripMargin
 
   /** First 15 sha256 hex chars as an exact 60-bit BIGINT — the KMV hash
     * (fits signed 64-bit on both engines, no wraparound to pin). */
@@ -7642,6 +7700,33 @@ object SparkEntry {
       s"WITH $winnowCtes SELECT doc_id, fp_hash, fp_pos FROM fp",
     // fingerprint-sharing pairs: distinct (doc, hash) edges, then the
     // same brute-force common-neighbor tail as q_common_neighbors.
+    // CDC chunks replayed position-for-position: window-sha boundary
+    // filter, forced end cut, lag-window spans, chunk sha.
+    "q_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_sha
+         |FROM ck""".stripMargin,
+    // shared-chunk pair composition — the q_winnow_pairs fold over the
+    // CDC chunk bipartite frame.
+    "q_cdc_pairs" ->
+      s"""WITH $cdcChunkCtes, e AS (
+        |  SELECT DISTINCT doc_id AS id, chunk_sha AS nb FROM ck
+        |), deg AS (
+        |  SELECT id, count(*) AS d FROM e GROUP BY id
+        |), pr AS (
+        |  SELECT a.id AS url_a, b.id AS url_b,
+        |         CAST(count(*) AS BIGINT) AS common_neighbors
+        |  FROM e a JOIN e b ON a.nb = b.nb AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.url_a, p.url_b, p.common_neighbors,
+        |  CAST(p.common_neighbors AS DOUBLE)
+        |    / CAST(da.d + db.d - p.common_neighbors AS DOUBLE)
+        |    AS neighborhood_jaccard
+        |FROM pr p
+        |JOIN deg da ON p.url_a = da.id
+        |JOIN deg db ON p.url_b = db.id
+        |WHERE p.common_neighbors >= 4""".stripMargin,
     "q_winnow_pairs" ->
       s"""WITH $winnowCtes, e AS (
         |  SELECT DISTINCT doc_id AS id, fp_hash AS nb FROM fp

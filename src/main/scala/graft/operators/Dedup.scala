@@ -892,4 +892,145 @@ object Dedup {
         (-col("__sel").getField("np")).as("fp_pos"))
       .distinct()
   }
+
+  // ------------------------------------------- content-defined chunking
+
+  /** Content-defined chunking (CDC) — the storage-dedup primitive
+    * (Muthitacharoen et al. LBFS SOSP'01; FastCDC, Xia et al. ATC'16)
+    * over document content: cut each document into variable-length
+    * chunks whose boundaries are decided by the CONTENT of a small
+    * sliding window, not by fixed offsets — so inserting or deleting a
+    * run of characters only re-chunks the spans whose windows overlap
+    * the edit, and every chunk outside it keeps its identity
+    * (shift-resistance, the property fixed-size blocking lacks).
+    * Shared-chunk hashes across documents then expose partial/embedded
+    * duplication — quoted articles, syndicated boilerplate, wrapper
+    * pages — at sub-document granularity, complementing
+    * [[winnowFingerprints]] (which samples k-grams) with an exact
+    * disjoint COVER of the text: chunks concatenate back to the
+    * document, so shared mass is directly measurable in characters.
+    *
+    * Cut rule (house verification hash family, replayable in SQL): a
+    * boundary falls AFTER character position i (w <= i <= n) iff the
+    * u32 sha256 prefix of the w-character window ending at i is ≡ 0
+    * mod 2^maskBits — expected chunk length 2^maskBits + w − 1; the
+    * document end is always a boundary. Documents shorter than w (or
+    * boundary-free) come back as one whole-document chunk; empty/NULL
+    * text is excluded (exact dedup owns it). Output per chunk:
+    * (doc_id, chunk_idx 1-based, chunk_start 1-based, chunk_len,
+    * chunk_sha = sha256 hex of the chunk text). A byte-level
+    * Gear-rolling-hash production family would only change the window
+    * hash; the plumbing here is hash-family-agnostic, and the sha face
+    * is what the DuckDB gate replays bit-for-bit.
+    *
+    * 100 TB shape: position explode + boundary filter are map-side
+    * (the filter keeps ~2^−maskBits of positions, so the only
+    * doc_id-keyed shuffle carries CUTS, not positions); one per-document
+    * window orders each doc's cuts (documents are the parallelism unit);
+    * one id-keyed equi-join re-attaches the text for the chunk hash.
+    * Nothing is global, nothing quadratic. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, maskBits: Int = 6): DataFrame = {
+    val b = cdcBase(docs, idCol, textCol)
+    val spans = cdcSpans(cdcCuts(b, w, maskBits))
+    spans.join(b.select(col("doc_id"), col("t")), "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"),
+        sha2(expr("substring(t, chunk_start, chunk_len)"), 256)
+          .as("chunk_sha"))
+  }
+
+  private def cdcBase(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .where(col("t").isNotNull && length(col("t")) >= 1)
+      .withColumn("n", length(col("t")))
+
+  /** Distinct cut positions per doc: content cuts + the forced end cut. */
+  private def cdcCuts(b: DataFrame, w: Int, maskBits: Int): DataFrame = {
+    require(w >= 4 && w <= 256, s"w must be in [4,256], got $w")
+    require(maskBits >= 1 && maskBits <= 24,
+      s"maskBits must be in [1,24], got $maskBits")
+    val winHash = conv(substring(
+      sha2(expr(s"substring(t, pos - ${w - 1}, $w)"), 256), 1, 8), 16, 10)
+      .cast("long")
+    b.where(col("n") >= w)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(w), col("n"))).as("pos"))
+      .where(pmod(winHash, lit(1L << maskBits)) === 0)
+      .select(col("doc_id"), col("pos"))
+      .unionAll(b.select(col("doc_id"), col("n").as("pos")))
+      .distinct()
+  }
+
+  /** Cuts → (chunk_idx, chunk_start, chunk_len) spans via one
+    * per-document window. */
+  private def cdcSpans(cuts: DataFrame): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = coalesce(lag(col("pos"), 1).over(wd), lit(0))
+    cuts
+      .select(col("doc_id"),
+        row_number().over(wd).cast("long").as("chunk_idx"),
+        (prev + 1).cast("long").as("chunk_start"),
+        (col("pos") - prev).cast("long").as("chunk_len"))
+  }
+
+  /** [[cdcChunks]] with production chunk-size bounds, two deterministic
+    * refinement phases over the same content cuts (each a pure per-doc
+    * array fold/explode — no new shuffle):
+    *   1. minLen: scan content cuts left to right, accepting a cut only
+    *      when it lands >= minLen after the last ACCEPTED cut (tiny
+    *      chunks merge forward; the tail chunk may still be short —
+    *      standard CDC tail exemption);
+    *   2. maxLen: any remaining span longer than maxLen is subdivided
+    *      at fixed maxLen offsets (the forced-cut guarantee: no chunk
+    *      ever exceeds maxLen, bounding worst-case chunk skew on
+    *      low-entropy content where the mask never fires).
+    * Equals [[cdcChunks]] exactly when minLen = 1 and maxLen >= every
+    * document (bounds don't bite — spec-pinned). Note the documented
+    * variant semantics: minLen filters relative to accepted CONTENT
+    * cuts; forced maxLen sub-cuts do not re-seed the minLen scan (this
+    * keeps the fold associative-free and partitioning-independent). */
+  def cdcChunksBounded(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, maskBits: Int = 6, minLen: Int = 16,
+      maxLen: Int = 4096): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(maxLen >= minLen, s"maxLen $maxLen must be >= minLen $minLen")
+    val b = cdcBase(docs, idCol, textCol)
+    // per-doc sorted content-cut array (bounded by the doc's own size)
+    val cand = cdcCuts(b, w, maskBits)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("cand"))
+      .join(b.select(col("doc_id"), col("n")), "doc_id")
+    // phase 1: greedy minLen acceptance (left fold; doc end always kept)
+    val folded = cand.select(col("doc_id"), col("n"),
+      aggregate(col("cand"),
+        struct(array().cast("array<int>").as("a"), lit(0).as("last")),
+        (acc, c) => when(
+          (c - acc.getField("last") >= minLen && c < col("n")) ||
+            c === col("n"),
+          struct(concat(acc.getField("a"), array(c)).as("a"),
+            c.cast("int").as("last"))).otherwise(acc),
+        acc => acc.getField("a")).as("cuts"))
+    // phase 2: subdivide each span at fixed maxLen offsets
+    val spans = folded
+      .select(col("doc_id"), posexplode(col("cuts")))
+      .withColumn("prev",
+        coalesce(lag(col("col"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))), lit(0)))
+      .select(col("doc_id"), col("prev"), col("col").as("cut"))
+      .select(col("doc_id"),
+        explode(sequence(col("prev") + maxLen, col("cut") + maxLen - 1,
+          lit(maxLen))).as("sub"), col("cut"))
+      .select(col("doc_id"), least(col("sub"), col("cut")).as("pos"))
+      .distinct()
+    cdcSpans(spans)
+      .join(b.select(col("doc_id"), col("t")), "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"),
+        sha2(expr("substring(t, chunk_start, chunk_len)"), 256)
+          .as("chunk_sha"))
+  }
 }

@@ -528,4 +528,96 @@ class DedupSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](
       Dedup.bloomBits(corpus, "key", m = 8, k = 0))
   }
+
+  // ------------------------------------------------------------------ CDC
+
+  private def randText(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("cdcChunks: exact disjoint cover, shas match hand-hashed slices") {
+    import spark.implicits._
+    val texts = Seq((1L, randText(7, 800)), (2L, randText(8, 300)),
+      (3L, "short"), (4L, null.asInstanceOf[String]), (5L, ""))
+    val out = Dedup.cdcChunks(texts.toDF("doc_id", "text"), "doc_id",
+        "text", w = 16, maskBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(!out.exists(c => c._1 == 4L || c._1 == 5L)) // null/empty excluded
+    for ((id, t) <- texts.take(3) if t != null && t.nonEmpty) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      // contiguous 1-based cover, indexes 1..m, ends at length
+      assert(cs.head._3 == 1L && cs.map(_._2).toList == (1L to cs.length).toList)
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a._3 + a._4 == b._3 })
+      assert(cs.last._3 + cs.last._4 - 1 == t.length)
+      // every sha matches the hand hash of its slice
+      assert(cs.forall(c =>
+        c._5 == sha(t.substring((c._3 - 1).toInt, (c._3 - 1 + c._4).toInt))))
+    }
+    // a doc shorter than w is one whole-document chunk
+    val s3 = out.filter(_._1 == 3L)
+    assert(s3.length == 1 && s3.head._4 == 5L && s3.head._5 == sha("short"))
+  }
+
+  test("cdcChunks is shift-resistant: prefix insertion keeps tail chunk ids") {
+    import spark.implicits._
+    val t = randText(11, 1200)
+    val ins = "ZZZZ-INSERTED-PREFIX-" + randText(12, 40)
+    val df = Seq((1L, t), (2L, ins + t)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(df, "doc_id", "text", w = 16, maskBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val base = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toList
+    val shifted = out.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSet
+    // every chunk of t except the first survives the insertion verbatim
+    assert(base.length >= 3, s"need several chunks, got ${base.length}")
+    assert(base.drop(1).forall(shifted.contains))
+    // and the first (window-straddled) one is the only possible casualty
+    assert(base.drop(1).toSet.subsetOf(shifted))
+  }
+
+  test("cdcChunksBounded: size bounds hold, cover holds, degenerate == pure") {
+    import spark.implicits._
+    val df = Seq((1L, randText(21, 1500)), (2L, randText(22, 90)),
+      (3L, "x" * 700)) // low-entropy: mask may never fire -> maxLen forces
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunksBounded(df, "doc_id", "text", w = 16,
+        maskBits = 4, minLen = 24, maxLen = 96)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    for (id <- Seq(1L, 2L, 3L)) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1L)
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a._3 + a._4 == b._3 })
+      assert(cs.forall(_._4 <= 96L))                    // maxLen is hard
+      assert(cs.dropRight(1).forall(_._4 >= 24L))       // minLen except tail
+    }
+    // the all-equal doc is forced into exact maxLen pieces
+    val lens3 = out.filter(_._1 == 3L).sortBy(_._2).map(_._4).toList
+    assert(lens3.dropRight(1).forall(_ == 96L) && lens3.sum == 700L)
+    // bounds that cannot bite reproduce the pure face bit-for-bit
+    val pure = Dedup.cdcChunks(df, "doc_id", "text", w = 16, maskBits = 4)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    val nobite = Dedup.cdcChunksBounded(df, "doc_id", "text", w = 16,
+        maskBits = 4, minLen = 1, maxLen = 1000000)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    assert(nobite == pure)
+    intercept[IllegalArgumentException](Dedup.cdcChunksBounded(df,
+      "doc_id", "text", minLen = 10, maxLen = 5))
+  }
+
+  test("cdc chunking is partitioning-independent") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, randText(100 + i.toInt, 400)))
+      .toDF("doc_id", "text")
+    val a = Dedup.cdcChunks(df.repartition(9), "doc_id", "text", 16, 5)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    val b = Dedup.cdcChunks(df, "doc_id", "text", 16, 5)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
