@@ -3210,6 +3210,19 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       k = 3, dim = 64, bucketCap = 1, saltGroups = 8)),
 
+    // Multi-probe LSH (Lv et al. VLDB'07): vectors INDEX under their
+    // true band signatures but PROBE every single-bit perturbation too,
+    // recovering the one-plane-flip misses without extra bands. The
+    // probe fan-out multiplies (id, band, sig) scalars only — vectors
+    // re-attach by primary key AFTER the candidate distinct, so each
+    // unique pair is scored once. Candidates are a strict superset of
+    // q_ann_lsh's; oracle re-derives sig ints, xor-perturbed probe
+    // keys, the probe-index join, and the top-k window.
+    "q_ann_multiprobe" -> ((s, dir) => graft.operators.Similarity
+      .lshMultiProbeTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 3, dim = 64)),
+
     // Recall@k of the LSH tier against the exact baseline — the ANN
     // acceptance metric, computed per query (missed queries appear with
     // recall 0.0, keeping the macro average honest). One equi-join over
@@ -4099,6 +4112,52 @@ object SparkEntry {
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
        |  FROM good a JOIN good b ON a.key = b.key AND a.vec_id <> b.vec_id
+       |), scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand c JOIN embeddings ea ON c.vec_id = ea.vec_id
+       |              JOIN embeddings eb ON c.neighbor_id = eb.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** Multi-probe LSH oracle: integer band signatures re-derived with the
+    * planes inlined, probe keys = sig plus every single-bit xor, then
+    * the probe-index join / pair distinct / cosine / top-k window —
+    * the [[graft.operators.Similarity.lshMultiProbeTopK]] defaults
+    * (bands=4, planesPerBand=6, probeBits=1, bucketCap=2000). */
+  private def annMultiProbeOracle: String = {
+    val planes = graft.operators.Similarity.hyperplanes(64, 4, 6, 42L)
+    def dot(plane: Array[Double]): String = {
+      val lits = plane.map(v => s"CAST('$v' AS DOUBLE)").mkString(",")
+      s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([$lits])[i]))"
+    }
+    def sig(b: Int): String = (0 until 6).map { p =>
+      s"(CASE WHEN ${dot(planes(b)(p))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val indexKeys = (0 until 4)
+      .map(b => s"'$b:' || CAST(${sig(b)} AS VARCHAR)").mkString(", ")
+    val probeKeys = (0 until 4).flatMap { b =>
+      s"'$b:' || CAST(${sig(b)} AS VARCHAR)" +:
+        (0 until 6).map(j =>
+          s"'$b:' || CAST(xor(${sig(b)}, ${1 << j}) AS VARCHAR)")
+    }.mkString(", ")
+    s"""WITH buckets AS (
+       |  SELECT vec_id, unnest([$indexKeys]) AS key FROM embeddings
+       |), sized AS (
+       |  SELECT key, count(*) AS n FROM buckets GROUP BY key
+       |), good AS (
+       |  SELECT b.vec_id, b.key FROM buckets b JOIN sized s USING (key)
+       |  WHERE s.n <= 2000
+       |), probes AS (
+       |  SELECT vec_id AS qid, unnest([$probeKeys]) AS key FROM embeddings
+       |), cand AS (
+       |  SELECT DISTINCT p.qid AS vec_id, g.vec_id AS neighbor_id
+       |  FROM probes p JOIN good g ON p.key = g.key AND p.qid <> g.vec_id
        |), scored AS (
        |  SELECT c.vec_id, c.neighbor_id,
        |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
@@ -5113,6 +5172,7 @@ object SparkEntry {
         |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_multiprobe" -> annMultiProbeOracle,
     // the salted-tier run must reproduce the PLAIN-tier oracle exactly
     // (the 2000-bucket cut in annLshOracle never bites at gate SFs, so
     // the oracle is the uncapped candidate set either way)

@@ -464,4 +464,101 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** (id, band, sig) integer signatures — the un-stringified face of
+    * [[lshBucketed]], shared by multi-probe (which must perturb the sig
+    * BITS, impossible on the concatenated key). No vectors here: the
+    * probe fan-out below multiplies rows, so it multiplies scalars only. */
+  private def lshSigs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(dim, bands, planesPerBand, seed)
+    val sigCols = (0 until bands).map(b =>
+      graft.functions.hyperplane_sig(col("v"), planes(b)).as(s"sig$b"))
+    emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: Nil: _*)
+      .select(col("id") +: sigCols: _*)
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b => col(s"sig$b")): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+  }
+
+  /** Multi-probe LSH top-k (Lv et al. VLDB'07): each vector INDEXES
+    * under its true band signatures but PROBES its own bucket plus every
+    * single-bit perturbation of each band signature — a vector whose
+    * true neighbor fell just across one hyperplane (the dominant LSH
+    * miss mode: one near-zero projection flips one bit) is recovered
+    * without adding bands or re-hashing the corpus. Candidates are a
+    * strict superset of [[lshTopK]]'s at the same (bands, planesPerBand),
+    * so recall can only improve — at the cost of probing
+    * (planesPerBand + 1)× more buckets per band, the standard
+    * memory-vs-recall trade multi-probe was invented for (fewer bands,
+    * same recall).
+    *
+    * probeBits = 0 degenerates to single-probe and is spec-pinned equal
+    * to [[lshTopK]]; probeBits = 1 probes all single-bit flips
+    * (deterministic probe set — no query-adaptive scoring, so the
+    * whole operator stays an oracle-replayable projection chain).
+    *
+    * Scale shape — DIFFERENT from lshTopK, deliberately: signatures are
+    * (id, band, sig) scalars with NO vector attached, so the
+    * (planesPerBand+1)-way probe explosion multiplies integers, never
+    * embedding bytes; the probe⋈index equi-join emits bare (qid, id)
+    * candidate pairs; ONE distinct dedups multi-band/multi-probe
+    * collisions on scalars; exactly then are vectors+norms re-attached
+    * by two primary-key equi-joins for one cosine per UNIQUE pair
+    * (lshTopK instead scores per collision and max-dedups — equal
+    * results, but under a probe fan-out that would score each pair up
+    * to 2·(planesPerBand+1)·bands times). Index-side skew tiers: plain
+    * join for buckets ≤ bucketCap; bucketCap < n ≤ hardCap via an
+    * asymmetric salted equi-join (index rows salted by id-hash, probes
+    * replicated saltGroups ways — lossless); n > hardCap dropped,
+    * observable via [[droppedLshBuckets]] (same keys, same contract). */
+  def lshMultiProbeTopK(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, bands: Int = 4, planesPerBand: Int = 6,
+      probeBits: Int = 1, seed: Long = 42L, bucketCap: Int = 2000,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (single-probe) or 1 (1-bit flips), got $probeBits")
+    val sigs = lshSigs(emb, idCol, vecCol, dim, bands, planesPerBand, seed)
+    val index = sigs.select(
+      concat(col("band"), lit(":"), col("sig")).as("key"), col("id"))
+    val sized = index.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val keyed = index.join(sized, "key")
+    val probeSigs =
+      if (probeBits == 0) array(col("sig"))
+      else array(col("sig") +: (0 until planesPerBand).map(j =>
+        col("sig").bitwiseXOR(lit(1 << j))): _*)
+    val probes = sigs
+      .select(col("id").as("qid"), col("band"),
+        explode(probeSigs).as("psig"))
+      .select(concat(col("band"), lit(":"), col("psig")).as("key"),
+        col("qid"))
+    val cold = keyed.where(col("n") <= bucketCap)
+      .join(probes, "key")
+      .select(col("qid"), col("id"))
+    val hotIdx = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltGroups)))
+    val hotPrb = probes
+      .join(sized.where(col("n") > bucketCap && col("n") <= hardCap)
+        .select(col("key")), "key")
+      .select(col("key"), col("qid"),
+        explode(array((0 until saltGroups).map(g => lit(g)): _*)).as("salt"))
+    val hot = hotIdx.join(hotPrb, Seq("key", "salt"))
+      .select(col("qid"), col("id"))
+    val cand = cold.unionAll(hot)
+      .where(col("qid") =!= col("id")).distinct()
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.vec_norm(col(vecCol)).as("nrm"))
+    val scored = cand
+      .join(base.select(col("id").as("qid"), col("v").as("va"),
+        col("nrm").as("na")), "qid")
+      .join(base.select(col("id"), col("v").as("vb"),
+        col("nrm").as("nb")), "id")
+      .select(col("qid").as("vec_id"), col("id").as("neighbor_id"),
+        cosPre(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
 }

@@ -275,4 +275,65 @@ class SimilaritySpec extends SparkFunSuite {
       .count()
     assert(cand < n * n / 4, s"LSH produced near-quadratic candidates: $cand vs ${n * n}")
   }
+
+  test("multi-probe at probeBits=0 is BIT-identical to single-probe lshTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+        dim = 64, bands = 8, planesPerBand = 4)
+      .orderBy("vec_id", "rank").collect().map(_.toSeq).toSeq
+    val zero = Similarity.lshMultiProbeTopK(emb, "vec_id", "embedding",
+        k = 3, dim = 64, bands = 8, planesPerBand = 4, probeBits = 0)
+      .orderBy("vec_id", "rank").collect().map(_.toSeq).toSeq
+    assert(zero == single)
+    intercept[IllegalArgumentException](Similarity.lshMultiProbeTopK(emb,
+      "vec_id", "embedding", k = 3, dim = 64, probeBits = 2))
+  }
+
+  test("multi-probe recall >= single-probe recall, scores stay exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    // fewer planes per band -> sparser single-probe recall; 1-bit probes
+    // must recover a visible share of the one-plane-flip misses
+    val rSingle = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding",
+      k = 3, dim = 64, bands = 4, planesPerBand = 8))
+    val rMulti = recallOf(Similarity.lshMultiProbeTopK(emb, "vec_id",
+      "embedding", k = 3, dim = 64, bands = 4, planesPerBand = 8))
+    info(f"single=$rSingle%.3f multi=$rMulti%.3f (bands=4, planes=8)")
+    assert(rMulti >= rSingle)
+    assert(rMulti > rSingle + 0.05,
+      f"multi-probe gained nothing: $rSingle%.3f -> $rMulti%.3f")
+    // reported cosines are exact (brute-force agreement on shared pairs)
+    val bruteCos = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.lshMultiProbeTopK(emb, "vec_id", "embedding", k = 3,
+      dim = 64, bands = 4, planesPerBand = 8).collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  test("multi-probe salted hot tier is lossless and partition-independent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // bucketCap=1 forces EVERY multi-member index bucket through the
+    // asymmetric salted join; result must equal the uncapped plain path
+    val plain = Similarity.lshMultiProbeTopK(emb, "vec_id", "embedding",
+        k = 3, dim = 64, bands = 4, planesPerBand = 6)
+      .orderBy("vec_id", "rank").collect().map(_.toSeq).toSeq
+    val salted = Similarity.lshMultiProbeTopK(emb, "vec_id", "embedding",
+        k = 3, dim = 64, bands = 4, planesPerBand = 6, bucketCap = 1,
+        saltGroups = 8)
+      .orderBy("vec_id", "rank").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    val repart = Similarity.lshMultiProbeTopK(emb.repartition(11), "vec_id",
+        "embedding", k = 3, dim = 64, bands = 4, planesPerBand = 6)
+      .orderBy("vec_id", "rank").collect().map(_.toSeq).toSeq
+    assert(repart == plain)
+  }
 }
