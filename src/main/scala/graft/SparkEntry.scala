@@ -3223,6 +3223,34 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = 3, dim = 64)),
 
+    // Reciprocal-rank fusion (Cormack et al. SIGIR'09): two directed
+    // same-nation candidate rankings per customer — by the Jaro kernel
+    // and by normalized-Levenshtein similarity — fused score-free as
+    // Σ 1/(60 + rank), top-3 per query. Rank agreement between engines
+    // rests on the kernels' bit-equality (q_jaro_sim /
+    // q_levenshtein_sim gates); the fused score is ONE fixed-order
+    // expression, ties by candidate id.
+    "q_rrf_fuse" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          col("c_name").as("nm"))
+      val pairs = c.select(col("nk"), col("id").as("qid"), col("nm").as("qn"))
+        .join(c.select(col("nk"), col("id").as("cid"), col("nm").as("cn")),
+          "nk")
+        .where(col("qid") =!= col("cid"))
+      def top10(sim: org.apache.spark.sql.Column) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+        pairs.select(col("qid"), col("cid"), sim.as("sim"))
+          .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+          .select(col("qid"), col("cid"), col("r"))
+      }
+      graft.operators.Similarity.rrfFuse(Seq(
+          top10(graft.functions.jaro_sim(col("qn"), col("cn"))),
+          top10(graft.functions.levenshtein_sim(col("qn"), col("cn")))),
+        "qid", "cid", "r", k = 3)
+    }),
+
     // Recall@k of the LSH tier against the exact baseline — the ANN
     // acceptance metric, computed per query (missed queries appear with
     // recall 0.0, keeping the macro average honest). One equi-join over
@@ -5173,6 +5201,44 @@ object SparkEntry {
         |FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_multiprobe" -> annMultiProbeOracle,
+    // two kernel-ranked top-10 lists, full-outer fused with the
+    // fixed-order Σ 1/(60+rank) expression, top-3 window.
+    "q_rrf_fuse" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS qid, b.c_custkey AS cid,
+        |         a.c_name AS qn, b.c_name AS cn
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+        |), la AS (
+        |  SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, cid ASC) AS r
+        |  FROM (SELECT qid, cid, CASE WHEN qn = cn THEN 1.0
+        |          ELSE jaro_similarity(qn, cn) END AS sim FROM p) z
+        |  QUALIFY r <= 10
+        |), lb AS (
+        |  SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, cid ASC) AS r
+        |  FROM (SELECT qid, cid, CASE WHEN qn = cn THEN 1.0
+        |          ELSE 1.0 - CAST(levenshtein(qn, cn) AS DOUBLE)
+        |               / greatest(length(qn), length(cn)) END AS sim
+        |        FROM p) z
+        |  QUALIFY r <= 10
+        |), f AS (
+        |  SELECT coalesce(la.qid, lb.qid) AS qid,
+        |    coalesce(la.cid, lb.cid) AS cid,
+        |    coalesce(CAST(1 AS DOUBLE)
+        |        / (CAST(60 AS DOUBLE) + CAST(la.r AS DOUBLE)),
+        |      CAST(0 AS DOUBLE))
+        |    + coalesce(CAST(1 AS DOUBLE)
+        |        / (CAST(60 AS DOUBLE) + CAST(lb.r AS DOUBLE)),
+        |      CAST(0 AS DOUBLE)) AS rrf_score
+        |  FROM la FULL JOIN lb ON la.qid = lb.qid AND la.cid = lb.cid
+        |)
+        |SELECT qid, cid, rrf_score,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf_score DESC, cid ASC) AS BIGINT)
+        |    AS rank
+        |FROM f QUALIFY rank <= 3""".stripMargin,
     // the salted-tier run must reproduce the PLAIN-tier oracle exactly
     // (the 2000-bucket cut in annLshOracle never bites at gate SFs, so
     // the oracle is the uncapped candidate set either way)

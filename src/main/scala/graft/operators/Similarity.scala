@@ -561,4 +561,50 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) — merge
+    * several per-query ranked candidate lists into one, score =
+    * Σ_lists 1/(k0 + rank): the standard score-free ensemble for hybrid
+    * retrieval (LSH + IVF, embedding + lexical, two independent index
+    * draws). Rank-based, so incomparable scores (cosine vs Jaccard vs
+    * edit similarity) fuse without calibration, and a candidate found by
+    * SEVERAL retrievers outranks one found high by a single retriever —
+    * exactly the redundancy-rewarding behavior an ER candidate stage
+    * wants before expensive verification.
+    *
+    * Inputs must share (idCol, candCol, rankCol) with rank >= 1 per
+    * query; a (query, candidate) absent from a list contributes 0 from
+    * that list (the published convention). Each list is deduped on
+    * (query, candidate) by MIN rank first, so a pathological input with
+    * duplicate rows cannot double-count. The fused score is evaluated as
+    * ONE fixed-order expression (list order = argument order), so it is
+    * bit-deterministic and oracle-replayable; ties break by candidate id
+    * ascending. Output: (idCol, candCol, rrf_score, rank) — top `k` per
+    * query.
+    *
+    * 100 TB shape: L−1 full-outer equi-joins on (query, candidate) over
+    * top-k-sized frames (k·|queries| rows each — retrieval outputs, not
+    * corpora) + one per-query top-k window; nothing touches the
+    * underlying corpus. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, candCol: String,
+      rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"need >= 2 lists to fuse, got ${lists.size}")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.groupBy(col(idCol).as("__id"), col(candCol).as("__cand"))
+        .agg(min(col(rankCol)).cast("double").as(s"__r$i"))
+    }
+    val joined = renamed.reduce((a, b) =>
+      a.join(b, Seq("__id", "__cand"), "full_outer"))
+    val score = lists.indices.map(i =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("__cand").asc)
+    joined.withColumn("__score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__id").as(idCol), col("__cand").as(candCol),
+        col("__score").as("rrf_score"), col("rank"))
+  }
 }

@@ -319,6 +319,29 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("rrfFuse: hand-checked scores, redundancy outranks single high rank") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q", "c", "r")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("q", "c", "r")
+    val got = Similarity.rrfFuse(Seq(a, b), "q", "c", "r", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    // c=20 is rank 2 + rank 1 -> 1/62 + 1/61: beats either solo rank 1
+    assert(got == List(
+      (20L, 1.0 / 62.0 + 1.0 / 61.0, 1L),
+      (10L, 1.0 / 61.0, 2L),
+      (30L, 1.0 / 62.0, 3L)))
+    // duplicate rows in one list collapse to MIN rank (no double count)
+    val aDup = a.unionAll(Seq((1L, 10L, 5L)).toDF("q", "c", "r"))
+    val got2 = Similarity.rrfFuse(Seq(aDup, b), "q", "c", "r", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got2.toList == got.map(t => (t._1, t._2)))
+    intercept[IllegalArgumentException](
+      Similarity.rrfFuse(Seq(a), "q", "c", "r", k = 3))
+    intercept[IllegalArgumentException](
+      Similarity.rrfFuse(Seq(a, b), "q", "c", "r", k = 3, k0 = 0))
+  }
+
   test("multi-probe salted hot tier is lossless and partition-independent") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // bucketCap=1 forces EVERY multi-member index bucket through the
