@@ -2926,6 +2926,17 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       w = 16, maskBits = 5)),
 
+    // Bounded CDC (the production face): the same content cuts at
+    // maskBits=4, then greedy minLen=24 acceptance (left fold — tiny
+    // chunks merge forward, tail exempt) and fixed maxLen=96
+    // subdivision. The oracle replays the sequential fold as a
+    // recursive-CTE walk over rank-ordered candidates (the NYSIIS
+    // full-replay technique; DuckDB 1.0's list_reduce mis-folds
+    // growing-list accumulators, so the lambda route is closed).
+    "q_cdc_bounded" -> ((s, dir) => graft.operators.Dedup.cdcChunksBounded(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      w = 16, maskBits = 4, minLen = 24, maxLen = 96)),
+
     // Sub-document duplication via shared CDC chunks, composed through
     // the SAME 3-tier common-neighbor machinery as q_winnow_pairs —
     // documents sharing >= 4 chunk hashes with neighborhood-Jaccard
@@ -7832,6 +7843,60 @@ object SparkEntry {
       s"""WITH $cdcChunkCtes
          |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_sha
          |FROM ck""".stripMargin,
+    // bounded CDC: content cuts at maskBits=4, the greedy minLen fold
+    // replayed as a recursive-CTE walk (rank-ordered candidates, one
+    // recursion step per candidate), then fixed maxLen subdivision.
+    "q_cdc_bounded" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, text AS t, length(text) AS n FROM documents
+         |  WHERE text IS NOT NULL AND length(text) >= 1
+         |), wpos AS (
+         |  SELECT doc_id, t, n, unnest(range(16, n + 1)) AS pos
+         |  FROM b WHERE n >= 16
+         |), cuts0 AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, ${hexU32Sql("h", 1)} AS hv
+         |    FROM (SELECT doc_id, pos, sha256(substr(t, pos - 15, 16)) AS h
+         |          FROM wpos) z0) z1
+         |  WHERE hv % 16 = 0
+         |  UNION
+         |  SELECT doc_id, n FROM b
+         |), cand AS (
+         |  SELECT doc_id, pos, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY pos) AS INT) AS rn
+         |  FROM cuts0
+         |), walk(doc_id, rn, last, emit) AS (
+         |  SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT) FROM b
+         |  UNION ALL
+         |  SELECT c.doc_id, c.rn,
+         |    CASE WHEN (c.pos - w.last >= 24 AND c.pos < d.n) OR c.pos = d.n
+         |         THEN CAST(c.pos AS BIGINT) ELSE w.last END,
+         |    CASE WHEN (c.pos - w.last >= 24 AND c.pos < d.n) OR c.pos = d.n
+         |         THEN CAST(c.pos AS BIGINT) ELSE NULL END
+         |  FROM walk w
+         |  JOIN cand c ON c.doc_id = w.doc_id AND c.rn = w.rn + 1
+         |  JOIN b d ON d.doc_id = w.doc_id
+         |), acc AS (
+         |  SELECT doc_id, emit AS cut FROM walk WHERE emit IS NOT NULL
+         |), sp0 AS (
+         |  SELECT doc_id, coalesce(lag(cut) OVER (
+         |    PARTITION BY doc_id ORDER BY cut), 0) AS prev, cut
+         |  FROM acc
+         |), subs AS (
+         |  SELECT DISTINCT doc_id, least(u.s, cut) AS pos
+         |  FROM sp0, unnest(range(prev + 96, cut + 96, 96)) u(s)
+         |), sp AS (
+         |  SELECT doc_id, row_number() OVER w2 AS chunk_idx,
+         |    coalesce(lag(pos) OVER w2, 0) + 1 AS chunk_start,
+         |    pos - coalesce(lag(pos) OVER w2, 0) AS chunk_len
+         |  FROM subs WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+         |)
+         |SELECT sp.doc_id, CAST(sp.chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(sp.chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(sp.chunk_len AS BIGINT) AS chunk_len,
+         |  sha256(substr(b.t, CAST(sp.chunk_start AS INT),
+         |    CAST(sp.chunk_len AS INT))) AS chunk_sha
+         |FROM sp JOIN b ON sp.doc_id = b.doc_id""".stripMargin,
     // shared-chunk pair composition — the q_winnow_pairs fold over the
     // CDC chunk bipartite frame.
     "q_cdc_pairs" ->
