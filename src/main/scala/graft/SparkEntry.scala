@@ -2926,6 +2926,24 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       w = 16, maskBits = 5)),
 
+    // Char-trigram LM sufficient statistics (the CCNet-perplexity /
+    // DSIR-importance pipeline shape with an engine-fitted trigram
+    // table): every document scored against a TARGET model (fit on the
+    // English slice) and the BACKGROUND model (fit on the whole corpus)
+    // — n_tris, Σ model counts, OOV mass under each, all exact
+    // integers. The ln-based importance log-ratio over these models is
+    // spec-pinned (TextAnalysisSpec), where genuinely disjoint
+    // distributions separate cleanly; NOTE the synthetic corpus draws
+    // all lang labels from one character distribution, so here the gate
+    // exercises exactness, not separation (oov_t is 0 across labels).
+    "q_trigram_lm" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.TextAnalysis.trigramLmFace(d, "doc_id", "text",
+        graft.operators.TextAnalysis.charTrigramCounts(
+          d.where(col("lang") === "en"), "doc_id", "text"),
+        graft.operators.TextAnalysis.charTrigramCounts(d, "doc_id", "text"))
+    }),
+
     // Bounded CDC (the production face): the same content cuts at
     // maskBits=4, then greedy minLen=24 acceptance (left fold — tiny
     // chunks merge forward, tail exempt) and fixed maxLen=96
@@ -7837,6 +7855,38 @@ object SparkEntry {
       s"WITH $winnowCtes SELECT doc_id, fp_hash, fp_pos FROM fp",
     // fingerprint-sharing pairs: distinct (doc, hash) edges, then the
     // same brute-force common-neighbor tail as q_common_neighbors.
+    // per-doc trigram explode, two model left joins, one integer fold.
+    "q_trigram_lm" ->
+      """WITH tri AS (
+        |  SELECT doc_id AS id, unnest(list_transform(
+        |    range(1, greatest(length(text) - 2, 0) + 1),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS tri
+        |  FROM documents WHERE text IS NOT NULL
+        |), tgt AS (
+        |  SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM (
+        |    SELECT unnest(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS tri
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 3 AND lang = 'en'
+        |  ) z GROUP BY 1
+        |), bg AS (
+        |  SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM (
+        |    SELECT unnest(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS tri
+        |    FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+        |  ) z GROUP BY 1
+        |)
+        |SELECT t.id, CAST(count(*) AS BIGINT) AS n_tris,
+        |  CAST(sum(coalesce(tgt.ct, 0)) AS BIGINT) AS sum_cnt_t,
+        |  CAST(sum(CASE WHEN tgt.ct IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_t,
+        |  CAST(sum(coalesce(bg.ct, 0)) AS BIGINT) AS sum_cnt_b,
+        |  CAST(sum(CASE WHEN bg.ct IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_b
+        |FROM tri t
+        |LEFT JOIN tgt ON t.tri = tgt.tri
+        |LEFT JOIN bg ON t.tri = bg.tri
+        |GROUP BY 1""".stripMargin,
     // CDC chunks replayed position-for-position: window-sha boundary
     // filter, forced end cut, lag-window spans, chunk sha.
     "q_cdc_chunks" ->

@@ -183,4 +183,88 @@ object TextAnalysis {
       langId(col(textCol)).as("lang_id"),
       graft.functions.min_kgram_hash(col(textCol), 16).as("fingerprint"),
       graft.functions.simhash64(col(textCol)).as("simhash"))
+
+  // ------------------------------------ char-trigram LM scoring (CCNet/DSIR)
+
+  /** Character-trigram language-model counts — the MODEL frame for
+    * LM-based quality scoring and importance weighting (the CCNet
+    * perplexity-filter / DSIR importance-resampling pipeline shape, with
+    * the KenLM n-gram model replaced by a deterministic char-trigram
+    * table the engine itself fits): (tri, cnt) over every
+    * position-multiplicity trigram in the corpus. Persistable (write the
+    * frame, reuse across scoring jobs — fit once, score many) and
+    * mergeable (union + groupBy-sum). One map-side explode + one
+    * combinable groupBy; docs shorter than 3 code points contribute
+    * nothing. */
+  def charTrigramCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(textCol).as("t"))
+      .where(col("t").isNotNull && length(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+        .as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-document integer sufficient statistics against a TARGET and a
+    * BACKGROUND trigram model — the hash-gradeable face under the
+    * ln-based scores ([[trigramLogRatio]]): n_tris (position
+    * multiplicity), Σ model counts and out-of-vocabulary counts under
+    * each model. Monotone intuition: target-like text accumulates large
+    * `sum_cnt_t` and zero `oov_t`; off-distribution text shows low sums
+    * and OOV mass. Shapes: one explode, two trigram-keyed left joins
+    * (model tables — broadcastable at any realistic vocabulary), one
+    * combinable per-doc fold; docs with < 3 code points report zeros. */
+  def trigramLmFace(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, background: DataFrame): DataFrame = {
+    val tris = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, greatest(length(t) - 2, 0)), " +
+          "i -> substring(t, i, 3))")).as("tri"))
+    tris
+      .join(target.select(col("tri"), col("cnt").as("ct")), Seq("tri"),
+        "left_outer")
+      .join(background.select(col("tri"), col("cnt").as("cb")), Seq("tri"),
+        "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(coalesce(col("ct"), lit(0L))).as("sum_cnt_t"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("oov_t"),
+        sum(coalesce(col("cb"), lit(0L))).as("sum_cnt_b"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("oov_b"))
+  }
+
+  /** DSIR-style importance log-ratio (Xie et al. 2023): per document,
+    * (1/m) Σ_tris [ln p_target(tri) − ln p_background(tri)] with
+    * add-one smoothing p_m(tri) = (C_m(tri)+1)/(T_m + V_m) — positive
+    * for target-like text, negative for background-like; resample the
+    * corpus by these weights to steer it toward the target domain.
+    * ln() is libm-dependent across engines, so this face is spec-pinned
+    * (monotone vs a JVM re-derivation), never hash-gate-faced — gate on
+    * [[trigramLmFace]]'s integers instead. `totalT`/`vocabT` (and _b)
+    * are the model's Σ cnt and row count — model-sized scalars the
+    * caller computes once. */
+  def trigramLogRatio(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, background: DataFrame, totalT: Long, vocabT: Long,
+      totalB: Long, vocabB: Long): DataFrame = {
+    val tris = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, greatest(length(t) - 2, 0)), " +
+          "i -> substring(t, i, 3))")).as("tri"))
+    val lnT = log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+      lit((totalT + vocabT).toDouble))
+    val lnB = log((coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+      lit((totalB + vocabB).toDouble))
+    tris
+      .join(target.select(col("tri"), col("cnt").as("ct")), Seq("tri"),
+        "left_outer")
+      .join(background.select(col("tri"), col("cnt").as("cb")), Seq("tri"),
+        "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tris"), sum(lnT - lnB).as("sum_log_ratio"))
+      .select(col("id"), col("n_tris"),
+        (col("sum_log_ratio") / col("n_tris").cast("double"))
+          .as("avg_log_ratio"))
+  }
 }

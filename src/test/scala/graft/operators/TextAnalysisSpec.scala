@@ -154,4 +154,63 @@ class TextAnalysisSpec extends SparkFunSuite {
       Seq("doc_id", "n_tokens", "quality", "lang_id", "fingerprint", "simhash"))
     assert(out.count() == docs.count())
   }
+
+  // ------------------------------------------------- char-trigram LM
+
+  test("charTrigramCounts: hand-checked multiplicities, short docs ignored") {
+    import spark.implicits._
+    val d = Seq((1L, "abcab"), (2L, "aaaa"), (3L, "xy"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.charTrigramCounts(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("abc" -> 1L, "bca" -> 1L, "cab" -> 1L, "aaa" -> 2L))
+  }
+
+  test("trigramLmFace: self-model has zero OOV; foreign text shows OOV mass") {
+    import spark.implicits._
+    val en = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log")).toDF("doc_id", "text")
+    val zh = Seq((10L, "qqqzzzqqqzzz")).toDF("doc_id", "text")
+    val all = en.unionAll(zh)
+    val tgt = TextAnalysis.charTrigramCounts(en, "doc_id", "text")
+    val bg = TextAnalysis.charTrigramCounts(all, "doc_id", "text")
+    val face = TextAnalysis.trigramLmFace(all, "doc_id", "text", tgt, bg)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // background fit on everything: nothing is ever background-OOV
+    assert(face.values.forall(_._5 == 0L))
+    // english docs: zero target-OOV; the foreign doc: ALL trigrams OOV
+    assert(face(1L)._3 == 0L && face(2L)._3 == 0L)
+    assert(face(10L)._3 == face(10L)._1 && face(10L)._2 == 0L)
+  }
+
+  test("trigramLogRatio: target-like text scores above background-only text") {
+    import spark.implicits._
+    val en = (1L to 20L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog " + i))
+      .toDF("doc_id", "text")
+    val other = (100L to 119L)
+      .map(i => (i, "zzz qqq vvv kkk www xxx yyy uuu ppp " + i))
+      .toDF("doc_id", "text")
+    val all = en.unionAll(other)
+    val tgt = TextAnalysis.charTrigramCounts(en, "doc_id", "text")
+    val bg = TextAnalysis.charTrigramCounts(all, "doc_id", "text")
+    val tT = tgt.agg(sum("cnt")).head().getLong(0)
+    val vT = tgt.count()
+    val tB = bg.agg(sum("cnt")).head().getLong(0)
+    val vB = bg.count()
+    val got = TextAnalysis.trigramLogRatio(all, "doc_id", "text", tgt, bg,
+        tT, vT, tB, vB)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val enAvg = (1L to 20L).map(got).sum / 20.0
+    val otherAvg = (100L to 119L).map(got).sum / 20.0
+    assert(enAvg > 0.0 && otherAvg < 0.0 && enAvg > otherAvg + 1.0,
+      s"en=$enAvg other=$otherAvg")
+    // repartitioning only reorders the float sum (tolerance, not bits —
+    // which is exactly why this face is spec-pinned, never hash-gated)
+    val a = TextAnalysis.trigramLogRatio(all.repartition(7), "doc_id",
+        "text", tgt, bg, tT, vT, tB, vB)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((1L to 20L).forall(i => math.abs(a(i) - got(i)) < 1e-12))
+  }
 }
