@@ -3052,6 +3052,19 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet").where(col("doc_id") % 2 === 0),
       "doc_id", "text", tau = 0.95, bucketCap = 40, saltGroups = 8)),
 
+    // Exact CONTAINMENT self-join (block-free companion to
+    // q_dedup_containment): probe-prefix × full-inverted-index — the
+    // pair's overlap requirement is tau·min(|A|,|B|), so the smaller
+    // side's tau-prefix must hit the larger side's full token list;
+    // complete by the one-sided prefix lemma. bucketCap=40 exercises
+    // the asymmetric salted index tier in the gated plan (lossless, so
+    // the oracle stays tier-blind brute force over the %2 slice).
+    "q_containment_join" -> ((s, dir) => graft.operators.SetSimJoin
+      .prefixContainmentPairs(
+        s.read.parquet(s"$dir/documents.parquet")
+          .where(col("doc_id") % 2 === 0),
+        "doc_id", "text", tau = 0.8, bucketCap = 40, saltGroups = 8)),
+
     // MinHash-LSH near-dup (sub-quadratic path). sha256 family → the full
     // pipeline (signature, banding, bucket cap, candidate join, exact
     // verification) is hash-checked against a DuckDB re-derivation.
@@ -9346,6 +9359,26 @@ object SparkEntry {
         |)
         |SELECT ia, ib, jaccard FROM p
         |WHERE jaccard >= CAST(0.95 AS DOUBLE)""".stripMargin,
+    // tier-blind brute-force max-containment truth over the %2 slice.
+    "q_containment_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      CAST(len(a.toks) AS DOUBLE) AS containment_a,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      CAST(len(b.toks) AS DOUBLE) AS containment_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+        |      AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |)
+        |SELECT ia, ib, containment_a, containment_b, jaccard FROM p
+        |WHERE greatest(containment_a, containment_b)
+        |  >= CAST(0.8 AS DOUBLE)""".stripMargin,
     "q_ann_bruteforce" -> oracleSqlBruteForce,
     // mutual kNN: the same ranked CTE joined to itself with the roles
     // swapped; cos is fold-order-identical in both directions so the

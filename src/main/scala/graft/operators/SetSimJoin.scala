@@ -265,4 +265,86 @@ object SetSimJoin {
       .groupBy(col("g"), col("occ")).agg(count(lit(1)).as("n"))
       .where(col("n") > hardCap)
   }
+
+  // --------------------------------------------------- containment join
+
+  /** Exact token-set CONTAINMENT self-join: (ia, ib, containment_a,
+    * containment_b, jaccard) with ia < ib, complete for
+    * max(|A∩B|/|A|, |A∩B|/|B|) >= tau — Broder's second resemblance,
+    * the asymmetric threshold [[Dedup.containmentPairs]] verifies inside
+    * BLOCKS; this is the block-free exact variant, the containment
+    * analogue of [[prefixJaccardPairs]].
+    *
+    * Why the Jaccard prefix trick does not transfer: the required
+    * overlap tau·min(|A|,|B|) is a property of the PAIR, so a large
+    * record cannot shorten its prefix by its own size — against a small
+    * partner its requirement stays small. The classic exact shape
+    * (overlap/containment-join literature; also LSH-Ensemble's
+    * motivation) is therefore asymmetric: every record PROBES with its
+    * own tau-prefix (rarest |r| − ceil(tau·|r|) + 1 tokens — correct
+    * because the pair's overlap requirement never exceeds
+    * ceil(tau·|r|) for the smaller record r, and at least one side of
+    * every qualifying pair IS its smaller side), while every record
+    * INDEXES under ALL its tokens (an inverted index — the price of
+    * containment's asymmetry). Probe-prefix × full-index candidates
+    * dedup on scalars, then two primary-key joins verify both exact
+    * containments.
+    *
+    * 100 TB shape: probe volume = prefix rows (Jaccard-join sized);
+    * index volume = one row per token occurrence (the same inverted
+    * index a search engine shuffles); candidate cost concentrates in
+    * high-df index tokens, governed by the house 3-tier policy on the
+    * INDEX token's df — plain <= bucketCap, salted asymmetric grid <=
+    * hardCap (probes replicate saltGroups ways, index rows salt by
+    * id-hash — lossless), dropped beyond (observable via
+    * [[droppedContainmentTokens]]). */
+  def prefixContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, tau: Double, bucketCap: Int = 10000,
+      hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val b = base(docs, idCol, textCol)
+    val probes = prefixRows(b, tau)
+      .select(col("tok"), col("id").as("qid"))
+    val index = b.select(col("id"), explode(col("toks")).as("tok"))
+    val sized = index.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val keyed = index.join(sized, "tok")
+    val cold = keyed.where(col("n") <= bucketCap)
+      .join(probes, "tok")
+      .select(col("qid"), col("id"))
+    val hotIdx = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltGroups)))
+    val hotPrb = probes
+      .join(sized.where(col("n") > bucketCap && col("n") <= hardCap)
+        .select(col("tok")), "tok")
+      .select(col("tok"), col("qid"),
+        explode(array((0 until saltGroups).map(g => lit(g)): _*)).as("salt"))
+    val hot = hotIdx.join(hotPrb, Seq("tok", "salt"))
+      .select(col("qid"), col("id"))
+    val cand = cold.unionAll(hot)
+      .where(col("qid") =!= col("id"))
+      .select(least(col("qid"), col("id")).as("ia"),
+        greatest(col("qid"), col("id")).as("ib"))
+      .distinct()
+    cand
+      .join(b.select(col("id").as("ia"), col("toks").as("ta")), "ia")
+      .join(b.select(col("id").as("ib"), col("toks").as("tb")), "ib")
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")).cast("double")).as("containment_a"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("tb")).cast("double")).as("containment_b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+          .as("jaccard"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= tau)
+  }
+
+  /** Index tokens excluded by `hardCap` with their occurrence counts —
+    * the non-silent record of what [[prefixContainmentPairs]] dropped. */
+  def droppedContainmentTokens(docs: DataFrame, idCol: String,
+      textCol: String, hardCap: Int): DataFrame =
+    base(docs, idCol, textCol)
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .where(col("n") > hardCap)
 }

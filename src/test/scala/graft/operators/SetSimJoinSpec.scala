@@ -189,4 +189,67 @@ class SetSimJoinSpec extends SparkFunSuite {
       .collect()
     assert(dropped.nonEmpty && dropped.forall(_.getLong(2) > 10L))
   }
+
+  // ----------------------------------------------------- containment join
+
+  /** Brute-force max-containment >= tau over all pairs. */
+  private def bruteContainment(docs: Seq[(Long, String)], tau: Double) = {
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSet
+    (for {
+      (ia, ta) <- docs.map { case (i, t) => (i, toks(t)) } if ta.nonEmpty
+      (ib, tb) <- docs.map { case (i, t) => (i, toks(t)) }
+        if ib > ia && tb.nonEmpty
+      i = (ta & tb).size.toDouble
+      if math.max(i / ta.size, i / tb.size) >= tau
+    } yield (ia, ib)).toSet
+  }
+
+  private def runContainment(docs: Seq[(Long, String)], tau: Double,
+      bucketCap: Int = 10000, hardCap: Int = Int.MaxValue,
+      saltGroups: Int = 16) =
+    SetSimJoin.prefixContainmentPairs(docs.toDF("id", "text"), "id",
+      "text", tau, bucketCap, hardCap, saltGroups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("containment join equals brute force on random corpora") {
+    val rnd = new Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    for (tau <- Seq(0.5, 0.8, 1.0)) {
+      assert(runContainment(docs, tau) == bruteContainment(docs, tau),
+        s"tau=$tau")
+    }
+  }
+
+  test("containment join: tiny subset of a huge doc found despite tiny jaccard") {
+    val big = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, "tok7 tok9"), (3L, "zzz yyy"))
+    val got = SetSimJoin.prefixContainmentPairs(docs.toDF("id", "text"),
+        "id", "text", tau = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // the subset pair is found with jaccard far below any symmetric bar
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 < 0.01)
+  }
+
+  test("containment salted index tier is lossless; drops observable") {
+    val rnd = new Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val plain = runContainment(docs, 0.8)
+    val salted = runContainment(docs, 0.8, bucketCap = 1, saltGroups = 4)
+    assert(salted == plain)
+    val dropped = SetSimJoin.droppedContainmentTokens(
+      docs.toDF("id", "text"), "id", "text", hardCap = 5).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(1) > 5L))
+    intercept[IllegalArgumentException](
+      runContainment(docs, 0.0))
+  }
 }

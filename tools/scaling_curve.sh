@@ -21,6 +21,12 @@ PAIRS_DIR="${PAIRS_DIR:-/tmp/graft_scaling_pairs}"
 JAR=target/scala-2.13/polarsstrsimspark_2.13-0.1.0.jar
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 MEM="${SPARK_DRIVER_MEM:-16g}"
+# Throughput-batch GC: the measured region allocates UTF8Strings at a rate
+# proportional to parallelism, and G1's pause pattern taxes the 32-thread
+# runs ~8% harder than the 8-thread runs (measured session 12: 32-level
+# 7.3-7.4s G1 -> 6.8s ParallelGC; 8-level 23.7 -> 22.0). ParallelGC is the
+# classic Spark-batch choice; applied identically to EVERY level.
+GC_OPTS="${SPARK_GC_OPTS:--XX:+UseParallelGC}"
 
 run_bench() { # $1 = args to ScalingBench
   # Record hypervisor steal around the sample: this VM shares its host, and
@@ -32,7 +38,7 @@ run_bench() { # $1 = args to ScalingBench
   local s0 t0 s1 t1
   s0=$(awk '/^cpu /{print $9}' /proc/stat); t0=$(date +%s%N)
   # shellcheck disable=SC2086
-  java $ADD_OPENS -Xmx"$MEM" -Dspark.ui.enabled=false \
+  java $ADD_OPENS $GC_OPTS -Xmx"$MEM" -Dspark.ui.enabled=false \
     -cp "$JAR:/opt/spark/jars/*" graft.ScalingBench $1 2>/dev/null | grep '^{' > /tmp/.sb_out
   s1=$(awk '/^cpu /{print $9}' /proc/stat); t1=$(date +%s%N)
   python3 - "$s0" "$s1" "$t0" "$t1" <<'PYEOF'
