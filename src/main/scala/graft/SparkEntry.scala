@@ -3635,6 +3635,26 @@ object SparkEntry {
       graft.operators.Evaluation.coreNumbers(asg, edges)
     }),
 
+    // k-truss (k=3) of a denser name-similarity graph (0.92 threshold
+    // so triangles exist at gate scale): iterative support peeling to
+    // the FIXPOINT — every surviving edge closes >= 1 triangle with
+    // other survivors, the edge-cohesion complement to q_core_numbers.
+    // The oracle replays the peel as a recursive CTE (previous
+    // iteration's edge set -> naive common-neighbor support -> filter),
+    // emitting only rounds that removed something; peeling is monotone
+    // so the last emitted round IS the fixpoint.
+    "q_truss" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val asg = c.select(col("c_custkey").as("id"),
+        concat(col("c_mktsegment"), lit(":"), col("c_nationkey"))
+          .as("cluster_id"))
+      val edges = customerPairs(s, dir)
+        .where(col("na") =!= col("nb") &&
+          levenshtein_sim(col("na"), col("nb")) >= 0.92)
+        .select(col("ka").as("url_a"), col("kb").as("url_b"))
+      graft.operators.Evaluation.trussEdges(asg, edges, k = 3)
+    }),
+
     // Date comparators over orders pairs blocked two ways: a same-month
     // family (exercises the ≤7 and ≤365 day bands) and a YEAR-FREE
     // {month,day}-multiset family (same-year members are exactly the
@@ -9553,6 +9573,67 @@ object SparkEntry {
     // as a recursive CTE — each level recomputes every node's H-operator
     // from the previous level's full value set and stops at the first
     // unchanged level; min(h) per id is the (monotone) fixpoint.
+    // recursive peel: each iteration recomputes naive common-neighbor
+    // support over the PREVIOUS round's edges and keeps support >= k-2;
+    // rounds emit only when something was removed, so max(iter) is the
+    // fixpoint (monotone peeling).
+    "q_truss" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_name <> b.c_name
+        |    AND ${levSimSql("a.c_name", "b.c_name")} >= 0.92
+        |), asg AS (
+        |  SELECT c_custkey AS id,
+        |         c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS g
+        |  FROM customer
+        |), e0 AS (
+        |  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+        |  FROM pairs WHERE ka <> kb
+        |), intra AS (
+        |  SELECT e0.u, e0.v FROM e0
+        |  JOIN asg au ON e0.u = au.id
+        |  JOIN asg av ON e0.v = av.id
+        |  WHERE au.g = av.g
+        |), es(iter, u, v) AS (
+        |  SELECT 0, u, v FROM intra
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    WITH adj AS (
+        |      SELECT u AS x, v AS w FROM es
+        |      UNION ALL SELECT v, u FROM es
+        |    ), sup AS (
+        |      SELECT e.u, e.v, count(*) AS s
+        |      FROM es e
+        |      JOIN adj a ON a.x = e.u
+        |      JOIN adj b ON b.x = e.v AND b.w = a.w
+        |      GROUP BY 1, 2
+        |    ), nxt AS (
+        |      SELECT e.iter + 1 AS iter, e.u, e.v
+        |      FROM es e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+        |      WHERE coalesce(sup.s, 0) >= 1
+        |    )
+        |    SELECT iter, u, v FROM nxt
+        |    WHERE (SELECT count(*) FROM nxt) < (SELECT count(*) FROM es)
+        |  )
+        |), truss AS (
+        |  SELECT u, v FROM es WHERE iter = (SELECT max(iter) FROM es)
+        |), tadj AS (
+        |  SELECT u AS x, v AS w FROM truss
+        |  UNION ALL SELECT v, u FROM truss
+        |), tsup AS (
+        |  SELECT t.u, t.v, CAST(count(*) AS BIGINT) AS s
+        |  FROM truss t
+        |  JOIN tadj a ON a.x = t.u
+        |  JOIN tadj b ON b.x = t.v AND b.w = a.w
+        |  GROUP BY 1, 2
+        |)
+        |SELECT au.g AS cluster_id, t.u AS url_a, t.v AS url_b,
+        |  CAST(coalesce(tsup.s, 0) AS BIGINT) AS support
+        |FROM truss t
+        |JOIN asg au ON t.u = au.id
+        |LEFT JOIN tsup ON tsup.u = t.u AND tsup.v = t.v""".stripMargin,
     "q_core_numbers" ->
       s"""WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb

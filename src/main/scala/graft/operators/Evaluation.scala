@@ -864,4 +864,94 @@ object Evaluation {
       .select(col(idCol), col(clusterCol),
         coalesce(col("__ch"), lit(0L)).as("core_number"))
   }
+
+  /** Per-edge triangle support over a canonical (u < v) edge frame —
+    * degree-oriented wedge enumeration (each triangle found ONCE from
+    * its lowest-degree corner, Σ outdeg² ≈ O(E^1.5) wedge candidates),
+    * then each found triangle credits all three of its edges. Edges in
+    * no triangle are absent (callers coalesce to 0). */
+  private def edgeSupport(cur: DataFrame): DataFrame = {
+    val deg = cur.select(col("__gu").as("__tid"))
+      .unionAll(cur.select(col("__gv").as("__tid")))
+      .groupBy(col("__tid")).agg(count(lit(1)).as("__tdeg"))
+    val keep = col("__du") <= col("__dv")
+    val dirE = cur
+      .join(deg.select(col("__tid").as("__gu"), col("__tdeg").as("__du")),
+        "__gu")
+      .join(deg.select(col("__tid").as("__gv"), col("__tdeg").as("__dv")),
+        "__gv")
+      .select(when(keep, col("__gu")).otherwise(col("__gv")).as("__src"),
+        when(keep, col("__gv")).otherwise(col("__gu")).as("__dst"),
+        when(keep, col("__dv")).otherwise(col("__du")).as("__dd"))
+    val x = dirE.select(col("__src"), col("__dst").as("__b"),
+      col("__dd").as("__db"))
+    val y = dirE.select(col("__src"), col("__dst").as("__c"),
+      col("__dd").as("__dc"))
+    val tri = x.join(y, Seq("__src"))
+      .where(col("__db") < col("__dc") ||
+        (col("__db") === col("__dc") && col("__b") < col("__c")))
+      .join(dirE.select(col("__src").as("__b"), col("__dst").as("__c")),
+        Seq("__b", "__c"))
+      .select(col("__src"), col("__b"), col("__c"))
+    tri.select(least(col("__src"), col("__b")).as("__gu"),
+        greatest(col("__src"), col("__b")).as("__gv"))
+      .unionAll(tri.select(least(col("__src"), col("__c")).as("__gu"),
+        greatest(col("__src"), col("__c")).as("__gv")))
+      .unionAll(tri.select(least(col("__b"), col("__c")).as("__gu"),
+        greatest(col("__b"), col("__c")).as("__gv")))
+      .groupBy(col("__gu"), col("__gv"))
+      .agg(count(lit(1)).as("__sup"))
+  }
+
+  /** k-truss of the verified match graph, per cluster (Cohen 2008): the
+    * maximal subgraph in which EVERY surviving edge closes at least
+    * k−2 triangles with other surviving edges — the edge-cohesion
+    * complement to [[coreNumbers]] (a k-truss is always inside the
+    * (k−1)-core, but demands triangle evidence, not just degree):
+    * truss edges are links corroborated by mutual neighbors, exactly
+    * the redundancy a defensible ER merge wants, while bridges and
+    * chains peel away. Classic QA read: an over-merged cluster's
+    * k-truss (k ≥ 4) keeps its verified core and drops the spurious
+    * chain that glued two entities together.
+    *
+    * Algorithm: iterative peeling to the FIXED POINT — compute per-edge
+    * triangle support (degree-oriented wedge join, each triangle from
+    * its lowest-degree corner), delete edges with support < k−2,
+    * repeat until no deletion (peeling is monotone, so extra rounds
+    * are no-ops — which is also what makes the unrolled-SQL oracle
+    * exact with any generous round budget). Deterministic: deletions
+    * depend only on the current edge set, never on order. One action
+    * per round (the surviving-edge count), lineage truncated per round
+    * (the coreNumbers localCheckpoint pattern), rounds bounded by
+    * `maxIter` (each round deletes ≥ 1 edge or stops, so ≤ |E| rounds;
+    * in practice a handful).
+    *
+    * Output: (cluster, u, v, support) — the surviving edges with their
+    * final (converged) support, support ≥ k−2 by construction. */
+  def trussEdges(assignment: DataFrame, edges: DataFrame, k: Int,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      aCol: String = "url_a", bCol: String = "url_b",
+      maxIter: Int = 10000): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    var cur = intraClusterEdges(assignment, edges, idCol, clusterCol,
+      aCol, bCol).localCheckpoint(eager = true)
+    var prev = cur.count()
+    var iter = 0
+    var done = prev == 0L
+    while (!done && iter < maxIter) {
+      val next = cur.join(edgeSupport(cur), Seq("__gu", "__gv"), "left")
+        .where(coalesce(col("__sup"), lit(0L)) >= k - 2)
+        .select(col("__gu"), col("__gv"), col("__gc"))
+        .localCheckpoint(eager = false)
+      val n = next.count() // the round's single action; materializes next
+      cur = next
+      done = n == prev
+      prev = n
+      iter += 1
+    }
+    require(done, s"trussEdges did not converge in $maxIter rounds")
+    cur.join(edgeSupport(cur), Seq("__gu", "__gv"), "left")
+      .select(col("__gc").as(clusterCol), col("__gu").as(aCol),
+        col("__gv").as(bCol), coalesce(col("__sup"), lit(0L)).as("support"))
+  }
 }

@@ -387,4 +387,67 @@ class GraphMetricsSpec extends SparkFunSuite {
       .select("core_number").as[Long].collect()
     assert(got.length == 6 && got.forall(_ == 4L))
   }
+
+  // ------------------------------------------------------------- k-truss
+
+  /** Sequential reference: peel edges with support < k−2 to fixpoint. */
+  private def peelTruss(edges: Seq[(Long, Long)],
+      k: Int): Set[(Long, Long)] = {
+    var cur = edges.toSet
+    var changed = true
+    while (changed) {
+      def nb(x: Long) =
+        cur.collect { case (a, b) if a == x => b
+                      case (a, b) if b == x => a }
+      val keep = cur.filter { case (u, v) => (nb(u) & nb(v)).size >= k - 2 }
+      changed = keep != cur
+      cur = keep
+    }
+    cur
+  }
+
+  test("trussEdges: bowtie cascade — k=3 keeps both triangles, k=4 empties") {
+    // two triangles sharing edge (2,3): shared edge has support 2, the
+    // others 1. k=4 removes the outer edges, which strands the shared
+    // edge next round — the cascade must run to the fixpoint, not stop
+    // after one pass.
+    val asg = (1L to 5L).map((_, "A")).toDF("id", "cluster_id")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("url_a", "url_b")
+    val k3 = Evaluation.trussEdges(asg, e, k = 3)
+      .select("url_a", "url_b").as[(Long, Long)].collect().toSet
+    assert(k3 == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(Evaluation.trussEdges(asg, e, k = 4).count() == 0L)
+    // a K5 survives k=5 (every edge closes 3 triangles), dies at k=6
+    val asg5 = (1L to 5L).map((_, "A")).toDF("id", "cluster_id")
+    val e5 = (for { u <- 1L to 5L; v <- (u + 1) to 5L } yield (u, v))
+      .toDF("url_a", "url_b")
+    val t5 = Evaluation.trussEdges(asg5, e5, k = 5)
+    assert(t5.count() == 10L &&
+      t5.select("support").as[Long].collect().forall(_ == 3L))
+    assert(Evaluation.trussEdges(asg5, e5, k = 6).count() == 0L)
+    intercept[IllegalArgumentException](Evaluation.trussEdges(asg, e, 2))
+  }
+
+  test("trussEdges matches sequential peeling on random graphs") {
+    for (seed <- Seq(5, 23)) {
+      val rng = new scala.util.Random(seed)
+      val n = 30
+      val asgSeq = (1 to n).map(i => (i.toLong, s"c${i % 2}"))
+      val cluster = asgSeq.toMap
+      val edgeSeq = Seq.fill(160)((rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+      val canon = edgeSeq
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && cluster(a) == cluster(b) }
+        .distinct
+      for (k <- Seq(3, 4)) {
+        val ref = peelTruss(canon, k)
+        val got = Evaluation.trussEdges(
+            asgSeq.toDF("id", "cluster_id").repartition(5),
+            edgeSeq.toDF("url_a", "url_b").repartition(7), k)
+          .select("url_a", "url_b").as[(Long, Long)].collect().toSet
+        assert(got == ref, s"seed $seed k $k")
+      }
+    }
+  }
 }
