@@ -2926,6 +2926,26 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       w = 16, maskBits = 5)),
 
+    // Confusion-weighted edit distance (OCR/web-noise comparator):
+    // each sliced customer name vs a deterministically OCR-noised
+    // variant (digits -> confusable glyph letters via translate; odd
+    // keys append one char to exercise the indel lane). Substitutions
+    // between listed confusable pairs cost 1, other edits 2 —
+    // all-integer DP, replayed cell-for-cell in SQL (the q_nw_sim
+    // recursion) with the cost CASE folded from the SAME
+    // StrSimKernels.ocrConfusions table, so the engines cannot drift.
+    "q_confusion_lev" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("a"),
+          concat(translate(col("c_name"), "015", "OIS"),
+            when(col("c_custkey") % 2 === 1, lit("x"))
+              .otherwise(lit(""))).as("b"))
+      c.select(col("id"),
+        graft.functions.confusion_lev_dist(col("a"), col("b")).as("dist"),
+        graft.functions.confusion_lev_sim(col("a"), col("b")).as("sim"))
+    }),
+
     // Char-trigram LM sufficient statistics (the CCNet-perplexity /
     // DSIR-importance pipeline shape with an engine-fitted trigram
     // table): every document scored against a TARGET model (fit on the
@@ -7888,6 +7908,57 @@ object SparkEntry {
       s"WITH $winnowCtes SELECT doc_id, fp_hash, fp_pos FROM fp",
     // fingerprint-sharing pairs: distinct (doc, hash) edges, then the
     // same brute-force common-neighbor tail as q_common_neighbors.
+    // the q_nw_sim DP recursion with min + the confusion cost CASE
+    // generated from StrSimKernels.ocrConfusions (one rule list).
+    "q_confusion_lev" -> {
+      val confPairs = graft.strsim.StrSimKernels.ocrConfusions
+        .flatMap { case (x, y) => Seq(s"'$x$y'", s"'$y$x'") }
+        .mkString(", ")
+      val cost = s"""CASE WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)] THEN 0
+                    |  WHEN (xa[(t+1)//(m+1)] || xb[(t+1)%(m+1)])
+                    |    IN ($confPairs) THEN 1
+                    |  ELSE 2 END""".stripMargin
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT c_custkey AS id, c_name AS a,
+         |    translate(c_name, '015', 'OIS') ||
+         |      (CASE WHEN c_custkey % 2 = 1 THEN 'x' ELSE '' END) AS b
+         |  FROM customer WHERE c_custkey % 17 = 0
+         |), prep AS (
+         |  SELECT id, string_split(a, '') AS xa, string_split(b, '') AS xb,
+         |         length(a) AS n, length(b) AS m
+         |  FROM pairs WHERE a <> b
+         |), dp AS (
+         |  SELECT id, xa, xb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         list_transform(range(1, 2*m + 5),
+         |           k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT id, xa, xb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 THEN CAST(2*((t+1) // (m+1)) AS BIGINT)
+         |      WHEN (t+1) // (m+1) = 0 THEN CAST(2*((t+1) % (m+1)) AS BIGINT)
+         |      ELSE least(
+         |        nw[m+3] + ($cost),
+         |        nw[m+4] + 2,
+         |        nw[2*m+4] + 2)
+         |    END AS cell,
+         |    nw AS win
+         |  FROM (SELECT *, win[2:] || [cell] AS nw
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.id,
+         |  CAST(coalesce(d.cell, 0) AS BIGINT) AS dist,
+         |  CASE WHEN p.a = p.b THEN CAST(1 AS DOUBLE)
+         |       ELSE CAST(1 AS DOUBLE) - CAST(d.cell AS DOUBLE) /
+         |            (CAST(2 AS DOUBLE) *
+         |             CAST(greatest(length(p.a), length(p.b)) AS DOUBLE))
+         |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT id, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.id = d.id""".stripMargin
+    },
     // per-doc trigram explode, two model left joins, one integer fold.
     "q_trigram_lm" ->
       """WITH tri AS (

@@ -349,6 +349,46 @@ case class MongeElkanJw(left: Expression, right: Expression) extends StrSimExpre
   * pre-filter for candidate pruning at 10^12 pairs (full quadratic scoring
   * only runs on survivors). `k` must be a foldable non-negative literal so
   * codegen bakes it into the call site. */
+/** Confusion-weighted edit SIMILARITY (OCR/web-noise comparator):
+  * 1 − dist/(2·max(n,m)) with substitution cost 0/1/2 (identical /
+  * listed visually-confusable pair / other) and indel cost 2 — the
+  * UNIMATCH/strcmp95 "similar character" idea as a proper weighted DP.
+  * Table: [[graft.strsim.StrSimKernels.ocrConfusions]] (single source
+  * of truth, the SQL oracle folds the same list). */
+case class ConfusionLevSim(left: Expression, right: Expression) extends StrSimExpression {
+  override def prettyName: String = "confusion_lev_sim"
+  override protected def kernelMethod: String = "confusionLevSim"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    StrSimKernels.confusionLevSim(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Raw confusion-weighted edit DISTANCE (integer-exact; 2× Levenshtein
+  * when no confusable pair is touched). */
+case class ConfusionLevDist(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "confusion_lev_dist"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StrSimKernels.confusionLevDist(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.strsim.StrSimKernels.confusionLevDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class LevenshteinCapped(left: Expression, right: Expression, k: Int)
   extends BinaryExpression with Serializable {
   require(k >= 0, s"levenshtein_capped requires k >= 0, got $k")

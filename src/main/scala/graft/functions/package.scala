@@ -142,6 +142,22 @@ package object functions {
   def partial_ratcliff_sim(a: String, b: String): Column =
     partial_ratcliff_sim(col(a), col(b))
 
+  /** Confusion-weighted edit similarity (OCR/web-noise comparator):
+    * substitutions between visually-confusable characters (O↔0, l↔1,
+    * S↔5, …) cost half a regular edit; see
+    * [[graft.strsim.StrSimKernels.ocrConfusions]]. */
+  def confusion_lev_sim(a: Column, b: Column): Column =
+    wrap(ConfusionLevSim(expr(a), expr(b)))
+  def confusion_lev_sim(a: String, b: String): Column =
+    confusion_lev_sim(col(a), col(b))
+
+  /** Raw confusion-weighted edit distance (integer; 2× Levenshtein when
+    * no confusable pair participates). */
+  def confusion_lev_dist(a: Column, b: Column): Column =
+    wrap(ConfusionLevDist(expr(a), expr(b)))
+  def confusion_lev_dist(a: String, b: String): Column =
+    confusion_lev_dist(col(a), col(b))
+
   /** Token-level Jaccard over distinct whitespace tokens. */
   def token_jaccard_sim(a: Column, b: Column): Column =
     wrap(tokenJaccardExpr(expr(a), expr(b)))
@@ -516,6 +532,8 @@ package object functions {
     "bag_sim" -> (es => BagSim(es(0), es(1))),
     "ratcliff_obershelp_sim" -> (es => RatcliffObershelpSim(es(0), es(1))),
     "partial_ratcliff_sim" -> (es => PartialRatcliffSim(es(0), es(1))),
+    "confusion_lev_sim" -> (es => ConfusionLevSim(es(0), es(1))),
+    "confusion_lev_dist" -> (es => ConfusionLevDist(es(0), es(1))),
     // alpha/beta must be foldable non-negative numeric literals:
     //   tversky_sim(a, b, 0.25, 0.75)
     "tversky_sim" -> (es => TverskySim(es(0), es(1),

@@ -1329,4 +1329,93 @@ object StrSimKernels {
     ratcliffObershelp(UTF8String.fromString(a), UTF8String.fromString(b))
   def partialRatcliff(a: String, b: String): Double =
     partialRatcliff(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  // --------------------------------------- confusion-weighted edit distance
+
+  /** OCR / web-noise visually-confusable character pairs (symmetric) —
+    * the classic confusion classes behind weighted string comparators in
+    * census/record-linkage practice (Jaro's UNIMATCH and Winkler's
+    * strcmp95 carry "similar character" tables of exactly this kind) and
+    * OCR post-correction. ONE rule list: the DuckDB oracle's cost CASE
+    * is generated from this same array, so the two engines cannot
+    * drift. Conservative single-character classes only (rn↔m-style
+    * multi-character confusions are out of scope for a cell-level DP). */
+  val ocrConfusions: Array[(Char, Char)] = Array(
+    ('O', '0'), ('o', '0'), ('D', '0'), ('I', '1'), ('l', '1'),
+    ('i', '1'), ('|', '1'), ('Z', '2'), ('z', '2'), ('E', '3'),
+    ('A', '4'), ('S', '5'), ('s', '5'), ('G', '6'), ('b', '6'),
+    ('T', '7'), ('B', '8'), ('g', '9'), ('q', '9'), ('u', 'v'),
+    ('U', 'V'), ('c', 'e'), ('a', 'o'))
+
+  private val confusionSet: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    ocrConfusions.foreach { case (x, y) =>
+      val (lo, hi) = if (x < y) (x.toInt, y.toInt) else (y.toInt, x.toInt)
+      s.add((lo.toLong << 32) | hi.toLong)
+    }
+    s
+  }
+
+  /** Substitution cost in the integer-exact model: 0 identical, 1 for a
+    * listed confusable pair, 2 otherwise; insert/delete cost 2. With no
+    * confusables involved the distance is exactly 2× Levenshtein. */
+  def confusionCost(x: Int, y: Int): Int =
+    if (x == y) 0
+    else {
+      val lo = math.min(x, y).toLong
+      val hi = math.max(x, y).toLong
+      if (confusionSet.contains((lo << 32) | hi)) 1 else 2
+    }
+
+  /** Confusion-weighted edit distance over code points — the standard
+    * two-row DP with the cost model above, all-integer (hash-gate-safe;
+    * the DuckDB oracle replays the identical DP cell-for-cell). */
+  def confusionLevDist(a: UTF8String, b: UTF8String): Long = {
+    if (a.equals(b)) return 0L
+    val s = scratch.get()
+    s.aCp = ensure(s.aCp, a.numChars); s.bCp = ensure(s.bCp, b.numChars)
+    val n = decode(a, s.aCp)
+    val m = decode(b, s.bCp)
+    if (n == 0) return 2L * m
+    if (m == 0) return 2L * n
+    s.dp = ensure(s.dp, 2 * (m + 1))
+    val dp = s.dp
+    var j = 0
+    while (j <= m) { dp(2 * j) = 2 * j; j += 1 }
+    var i = 0
+    while (i < n) {
+      val v0 = i & 1
+      val v1 = 1 - v0
+      dp(v1) = 2 * (i + 1)
+      val ai = s.aCp(i)
+      j = 1
+      while (j <= m) {
+        var best = dp(2 * (j - 1) + v0) + confusionCost(ai, s.bCp(j - 1))
+        val del = dp(2 * j + v0) + 2
+        if (del < best) best = del
+        val ins = dp(2 * (j - 1) + v1) + 2
+        if (ins < best) best = ins
+        dp(2 * j + v1) = best
+        j += 1
+      }
+      i += 1
+    }
+    dp(2 * m + (n & 1)).toLong
+  }
+
+  /** Normalized confusion-weighted similarity: 1 − dist / (2·max(n, m))
+    * (empty-vs-empty = 1.0 via the equality fast path; empty-vs-any = 0;
+    * all-confusable substitutions bottom out at 0.5, encoding "same
+    * glyph shape" as half agreement). */
+  def confusionLevSim(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    val n = a.numChars
+    val m = b.numChars
+    1.0 - confusionLevDist(a, b).toDouble / (2.0 * math.max(n, m))
+  }
+
+  def confusionLevDist(a: String, b: String): Long =
+    confusionLevDist(UTF8String.fromString(a), UTF8String.fromString(b))
+  def confusionLevSim(a: String, b: String): Double =
+    confusionLevSim(UTF8String.fromString(a), UTF8String.fromString(b))
 }

@@ -132,4 +132,77 @@ class ExtraKernelsSpec extends SparkFunSuite {
       assert(q.getDouble(0) == k, s"SQL path diverges on ($a, $b)")
     }
   }
+
+  // --------------------------------------------------- confusionLevDist/Sim
+
+  /** Reference weighted DP, straightforward full-matrix implementation. */
+  private def refConfusion(a: String, b: String): Long = {
+    val xa = a.codePoints().toArray
+    val xb = b.codePoints().toArray
+    val n = xa.length; val m = xb.length
+    val dp = Array.tabulate(n + 1, m + 1)((i, j) =>
+      if (i == 0) 2L * j else if (j == 0) 2L * i else 0L)
+    for (i <- 1 to n; j <- 1 to m) {
+      dp(i)(j) = math.min(
+        dp(i - 1)(j - 1) + StrSimKernels.confusionCost(xa(i - 1), xb(j - 1)),
+        math.min(dp(i - 1)(j) + 2L, dp(i)(j - 1) + 2L))
+    }
+    dp(n)(m)
+  }
+
+  test("confusionLevDist: hand vectors — half-cost confusables, 2x plain edits") {
+    // pure confusable substitutions cost 1 each
+    assert(StrSimKernels.confusionLevDist("O0", "00") == 1L)
+    assert(StrSimKernels.confusionLevDist("Il5", "1l5") == 1L)
+    assert(StrSimKernels.confusionLevDist("B1ll", "Bill") == 1L)
+    // a non-confusable substitution costs 2 (== 2x Levenshtein)
+    assert(StrSimKernels.confusionLevDist("cat", "cut") == 2L)
+    // indel costs 2
+    assert(StrSimKernels.confusionLevDist("cat", "cats") == 2L)
+    assert(StrSimKernels.confusionLevDist("", "ab") == 4L)
+    assert(StrSimKernels.confusionLevDist("x", "x") == 0L)
+    // cheaper to substitute 2 confusables than delete+insert
+    assert(StrSimKernels.confusionLevDist("O1", "0I") == 2L)
+    // sim normalization: all-confusable bottoms out at 0.5
+    assert(StrSimKernels.confusionLevSim("O1S", "0I5") == 0.5)
+    assert(StrSimKernels.confusionLevSim("", "") == 1.0)
+    assert(StrSimKernels.confusionLevSim("ab", "") == 0.0)
+  }
+
+  test("confusionLevDist matches the full-matrix reference on random noise") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "ABEGIOSTUZabcegilopqsuvz0123456789é中"
+    val cps = alphabet.codePoints().toArray
+    def randStr(n: Int): String =
+      (0 until n).map(_ => new String(Character.toChars(cps(rng.nextInt(cps.length))))).mkString
+    for (_ <- 0 until 1500) {
+      val a = randStr(rng.nextInt(14))
+      val b = randStr(rng.nextInt(14))
+      assert(StrSimKernels.confusionLevDist(a, b) == refConfusion(a, b),
+        s"a='$a' b='$b'")
+    }
+  }
+
+  test("confusion_lev codegen and SQL paths equal the kernel") {
+    import spark.implicits._
+    val rows = Seq(("O0Il", "00I1"), ("Customer#0O1", "Customer#001"),
+      ("", "x"), ("same", "same"))
+    graft.functions.registerAll(spark)
+    rows.toDF("a", "b").createOrReplaceTempView("cl_t")
+    rows.foreach { case (a, b) =>
+      val kd = StrSimKernels.confusionLevDist(a, b)
+      val ks = StrSimKernels.confusionLevSim(a, b)
+      val g = Seq((a, b)).toDF("a", "b").select(
+        graft.functions.confusion_lev_dist(col("a"), col("b")),
+        graft.functions.confusion_lev_sim(col("a"), col("b"))).head()
+      assert(g.getLong(0) == kd && g.getDouble(1) == ks)
+    }
+    val q = spark.sql(
+      "SELECT confusion_lev_dist(a, b), confusion_lev_sim(a, b) FROM cl_t")
+      .collect()
+    rows.zip(q).foreach { case ((a, b), r) =>
+      assert(r.getLong(0) == StrSimKernels.confusionLevDist(a, b))
+      assert(r.getDouble(1) == StrSimKernels.confusionLevSim(a, b))
+    }
+  }
 }
