@@ -2946,6 +2946,29 @@ object SparkEntry {
         graft.functions.confusion_lev_sim(col("a"), col("b")).as("sim"))
     }),
 
+    // OCR-aware comparator levels: four deterministic probe families
+    // per sliced customer (identity / last-digit glyph swap / short
+    // append / reversal) exercise all four gammas — level 2 is the
+    // confusion-DP "same name through an OCR lens" band that plain
+    // stringLevels cannot express. Oracle = the probe CASE + the
+    // confusion DP recursion + DuckDB's bit-matching jaro_winkler.
+    "q_confusion_levels" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 13 === 0)
+      val lastSwapped = concat(
+        expr("substring(c_name, 1, length(c_name) - 1)"),
+        translate(expr("substring(c_name, length(c_name), 1)"),
+          "0123456789", "OIZEASGTBg"))
+      val probe = when(pmod(col("c_custkey"), lit(4)) === 0, col("c_name"))
+        .when(pmod(col("c_custkey"), lit(4)) === 1, lastSwapped)
+        .when(pmod(col("c_custkey"), lit(4)) === 2,
+          concat(col("c_name"), lit("xyz")))
+        .otherwise(reverse(col("c_name")))
+      c.select(col("c_custkey").as("id"),
+        graft.operators.Comparators.confusionLevels(col("c_name"), probe)
+          .as("gamma"))
+    }),
+
     // Char-trigram LM sufficient statistics (the CCNet-perplexity /
     // DSIR-importance pipeline shape with an engine-fitted trigram
     // table): every document scored against a TARGET model (fit on the
@@ -7954,6 +7977,63 @@ object SparkEntry {
          |            (CAST(2 AS DOUBLE) *
          |             CAST(greatest(length(p.a), length(p.b)) AS DOUBLE))
          |  END AS sim
+         |FROM pairs p
+         |LEFT JOIN (SELECT id, cell FROM dp
+         |           WHERE t = (n+1)*(m+1) - 1) d
+         |  ON p.id = d.id""".stripMargin
+    },
+    // probe-family CASE + the same confusion-DP recursion + DuckDB's
+    // bit-matching jaro_winkler for the fuzzy band.
+    "q_confusion_levels" -> {
+      val confPairs = graft.strsim.StrSimKernels.ocrConfusions
+        .flatMap { case (x, y) => Seq(s"'$x$y'", s"'$y$x'") }
+        .mkString(", ")
+      val cost = s"""CASE WHEN xa[(t+1)//(m+1)] = xb[(t+1)%(m+1)] THEN 0
+                    |  WHEN (xa[(t+1)//(m+1)] || xb[(t+1)%(m+1)])
+                    |    IN ($confPairs) THEN 1
+                    |  ELSE 2 END""".stripMargin
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT c_custkey AS id, c_name AS a,
+         |    CASE
+         |      WHEN c_custkey % 4 = 0 THEN c_name
+         |      WHEN c_custkey % 4 = 1 THEN
+         |        substr(c_name, 1, length(c_name) - 1) ||
+         |        translate(substr(c_name, length(c_name), 1),
+         |          '0123456789', 'OIZEASGTBg')
+         |      WHEN c_custkey % 4 = 2 THEN c_name || 'xyz'
+         |      ELSE reverse(c_name)
+         |    END AS b
+         |  FROM customer WHERE c_custkey % 13 = 0
+         |), prep AS (
+         |  SELECT id, string_split(a, '') AS xa, string_split(b, '') AS xb,
+         |         length(a) AS n, length(b) AS m
+         |  FROM pairs WHERE a <> b
+         |), dp AS (
+         |  SELECT id, xa, xb, n, m,
+         |         0 AS t, CAST(0 AS BIGINT) AS cell,
+         |         list_transform(range(1, 2*m + 5),
+         |           k -> CAST(NULL AS BIGINT)) AS win
+         |  FROM prep
+         |  UNION ALL
+         |  SELECT id, xa, xb, n, m, t + 1 AS t,
+         |    CASE
+         |      WHEN (t+1) % (m+1) = 0 THEN CAST(2*((t+1) // (m+1)) AS BIGINT)
+         |      WHEN (t+1) // (m+1) = 0 THEN CAST(2*((t+1) % (m+1)) AS BIGINT)
+         |      ELSE least(
+         |        nw[m+3] + ($cost),
+         |        nw[m+4] + 2,
+         |        nw[2*m+4] + 2)
+         |    END AS cell,
+         |    nw AS win
+         |  FROM (SELECT *, win[2:] || [cell] AS nw
+         |        FROM dp WHERE t < (n+1)*(m+1) - 1) q
+         |)
+         |SELECT p.id,
+         |  CAST(CASE WHEN p.a = p.b THEN 3
+         |    WHEN d.cell <= 2 THEN 2
+         |    WHEN jaro_winkler_similarity(p.a, p.b) >= CAST(0.88 AS DOUBLE)
+         |      THEN 1
+         |    ELSE 0 END AS BIGINT) AS gamma
          |FROM pairs p
          |LEFT JOIN (SELECT id, cell FROM dp
          |           WHERE t = (n+1)*(m+1) - 1) d

@@ -39,6 +39,26 @@ object Comparators {
         .when(jaro_winkler_sim(a, b) >= fuzzy, 1L)
         .otherwise(0L))
 
+  /** Arity 4 OCR-aware string comparison (for scanned/extracted web
+    * text): 3 = byte-exact; 2 = GLYPH-LEVEL match — confusion-weighted
+    * edit distance ([[graft.functions.confusion_lev_dist]]: confusable
+    * substitutions cost 1, real edits 2) at most `maxDist`, so at the
+    * default 2 a pair differing by up to two glyph swaps (O↔0, l↔1, …)
+    * or one real edit scores a level plain string comparators cannot
+    * express; 1 = Jaro-Winkler ≥ `fuzzy`; 0 = else. Distinguishing
+    * "same name through an OCR lens" (near-certain match evidence)
+    * from generic fuzziness lets the EM fit give glyph noise its own
+    * m/u probabilities. */
+  def confusionLevels(a: Column, b: Column, maxDist: Int = 2,
+      fuzzy: Double = 0.88): Column = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    guarded(a, b)(
+      when(a === b, 3L)
+        .when(graft.functions.confusion_lev_dist(a, b) <= maxDist, 2L)
+        .when(jaro_winkler_sim(a, b) >= fuzzy, 1L)
+        .otherwise(0L))
+  }
+
   /** Arity 3 phonetic string comparison: 2 = byte-exact, 1 = same
     * American Soundex key ([[Phonetic.soundexKey]]), 0 = else. */
   def phoneticLevels(a: Column, b: Column): Column =

@@ -148,4 +148,26 @@ class ComparatorsSpec extends SparkFunSuite {
       .collect().map(_.getString(0))
     assert(acr(0) == "IBM" && acr(4) == "GE" && acr(5) == "AB")
   }
+
+  test("confusionLevels: exact / glyph / fuzzy / disagree / missing") {
+    import spark.implicits._
+    val rows = Seq(
+      ("Smith & Co 2010", "Smith & Co 2010", Some(3L)), // byte-exact
+      ("Smith & Co 2010", "Smith & Co 2O1O", Some(2L)), // two glyph swaps
+      ("B1ll Smith", "Bill Smith", Some(2L)),           // one glyph swap
+      ("Jones Ltd", "Jones Ltd.", Some(2L)),            // one real edit (cost 2)
+      ("Martinez", "Martines", Some(2L)),               // s<->z? not listed: real edit
+      ("Anderson", "Andersen Group", Some(1L)),         // JW fuzzy only
+      ("Anderson", "nosrednA", Some(0L)),               // reversal: none
+      (null, "x", None)
+    ).toDF("a", "b", "want")
+    val got = rows.select(
+      Comparators.confusionLevels(col("a"), col("b")).as("g"), col("want"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    got.foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    intercept[IllegalArgumentException](
+      Comparators.confusionLevels(col("a"), col("b"), maxDist = 0))
+  }
 }
