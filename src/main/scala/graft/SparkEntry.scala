@@ -24,9 +24,26 @@ import graft.functions._
   */
 object SparkEntry {
 
+  /** Scale-adaptive input parallelization (optimization guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after the
+    * read"): the gate tables are single-row-group parquet files, so a scan
+    * can never split past ONE task — and every per-row kernel or pair
+    * explosion ABOVE the scan (below the first shuffle) runs serially no
+    * matter how many cores the session has. One tiny round-robin exchange
+    * of the KB-sized base table buys full-cluster parallelism for the
+    * compute above it. Derived from `defaultParallelism`, and a no-op
+    * whenever the scan already carries at least that many splits — which
+    * is exactly the 100 TB case, so production-scale inputs are never
+    * re-shuffled. Only ever applied directly to a freshly-read scan
+    * (getNumPartitions on a shuffle-free plan triggers no computation). */
+  private def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** Customer self-pairs blocked on nationkey (blocking key ≙ §7.2). */
   private def customerPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = s.read.parquet(s"$dir/customer.parquet")
+    val c = spread(s.read.parquet(s"$dir/customer.parquet"))
     val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
       col("c_nationkey").as("nk"))
     val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
@@ -57,7 +74,7 @@ object SparkEntry {
   /** Part self-pairs blocked on brand (spaces + repeated chars exercise the
     * multiset kernels). */
   private def partPairs(s: SparkSession, dir: String): DataFrame = {
-    val p = s.read.parquet(s"$dir/part.parquet")
+    val p = spread(s.read.parquet(s"$dir/part.parquet"))
     val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
       col("p_brand").as("bk"))
     val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
@@ -90,7 +107,7 @@ object SparkEntry {
   private val fsGammas = Seq("g0", "g1", "g2")
   private def fsGammaPairs(s: SparkSession, dir: String,
       withSeg: Boolean = false): DataFrame = {
-    val c = s.read.parquet(s"$dir/customer.parquet")
+    val c = spread(s.read.parquet(s"$dir/customer.parquet"))
     val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
       col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
       col("c_nationkey").as("nk"))
@@ -112,7 +129,7 @@ object SparkEntry {
     * name-suffix equality (the same truth family the blocking gates
     * use). */
   private def supervisedPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = s.read.parquet(s"$dir/customer.parquet")
+    val c = spread(s.read.parquet(s"$dir/customer.parquet"))
     val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
       col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
       col("c_nationkey").as("nk"))
@@ -135,7 +152,7 @@ object SparkEntry {
     * distance 0/1/more) plus one binary gamma (segment equality —
     * exercising mixed arity) over nationkey-blocked customer pairs. */
   private def fsLevelPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = s.read.parquet(s"$dir/customer.parquet")
+    val c = spread(s.read.parquet(s"$dir/customer.parquet"))
     val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
       col("c_acctbal").as("aa"), col("c_mktsegment").as("sa"),
       col("c_nationkey").as("nk"))
@@ -2322,7 +2339,7 @@ object SparkEntry {
     }),
 
     "q_capture_recapture" -> ((s, dir) => {
-      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c = spread(s.read.parquet(s"$dir/customer.parquet"))
       val capA = customerPairs(s, dir)
         .where(col("na") =!= col("nb") &&
           levenshtein_sim(col("na"), col("nb")) >= 0.94)
@@ -2393,11 +2410,15 @@ object SparkEntry {
     // suspected. Oracle: the same recursive-CTE CC plus an argmin
     // window over the scored edges.
     "q_weakest_links" -> ((s, dir) => {
+      // scored feeds both CC and the weakest-link fold — materialize the
+      // (small) surviving edge set once instead of re-scoring the blocked
+      // pair explosion per consumer
       val scored = customerPairs(s, dir)
         .where(col("na") =!= col("nb") &&
           levenshtein_sim(col("na"), col("nb")) >= 0.94)
         .select(col("ka"), col("kb"),
           levenshtein_sim(col("na"), col("nb")).as("score"))
+        .localCheckpoint(eager = false)
       val asg = graft.operators.ConnectedComponents.run(
         scored.select(col("ka"), col("kb")))
       graft.operators.Linkage.weakestLinks(scored, asg, "id",
@@ -2416,11 +2437,13 @@ object SparkEntry {
     // are intra-cluster by construction so only true near misses
     // survive.
     "q_near_misses" -> ((s, dir) => {
+      // scored feeds CC AND the near-miss queue — materialize once
       val scored = customerPairs(s, dir)
         .where(col("na") =!= col("nb") &&
           levenshtein_sim(col("na"), col("nb")) >= 0.88)
         .select(col("ka"), col("kb"),
           levenshtein_sim(col("na"), col("nb")).as("score"))
+        .localCheckpoint(eager = false)
       val cc = graft.operators.ConnectedComponents.run(
         scored.where(col("score") >= 0.94).select(col("ka"), col("kb")))
       val asg = s.read.parquet(s"$dir/customer.parquet")
@@ -2650,7 +2673,7 @@ object SparkEntry {
     // the SAME banded/capped/Jaccard-verified LSH tail as
     // q_dedup_minhash_lsh — the fingerprint-bound corpus's scale path.
     "q_dedup_minhash_oph" -> ((s, dir) => graft.operators.Dedup.minhashOphLshPairs(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
       tau = 0.5, bands = 4, bucketCap = 500, hashFamily = "sha256")),
 
     // CLK Bloom-filter PPRL encoding (Schnell-Bachteler-Reiher): 512-bit
@@ -2851,7 +2874,7 @@ object SparkEntry {
     // set; the rest are flagged when they share any word 8-gram with it
     // (the GPT-3/PaLM-style n-gram overlap rule). Bench grams broadcast.
     "q_decontaminate" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"))
       graft.operators.Decontaminate.flaggedDocs(
         d.where(pmod(col("doc_id"), lit(17)) =!= 0),
         d.where(pmod(col("doc_id"), lit(17)) === 0),
@@ -2901,7 +2924,7 @@ object SparkEntry {
     // hash-checked, so the sliding-min frame, the rightmost tie rule and
     // the full-window cutoff are all load-bearing.
     "q_winnow_fingerprints" -> ((s, dir) => graft.operators.Dedup
-      .winnowFingerprints(s.read.parquet(s"$dir/documents.parquet"),
+      .winnowFingerprints(spread(s.read.parquet(s"$dir/documents.parquet")),
         "doc_id", "text", k = 8, w = 4, hashFamily = "sha256")),
 
     // winnowing composes with common-neighbor: document pairs sharing
@@ -2910,7 +2933,7 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, dir) => graft.operators.Linkage
       .commonNeighborPairs(
         graft.operators.Dedup.winnowFingerprints(
-          s.read.parquet(s"$dir/documents.parquet"),
+          spread(s.read.parquet(s"$dir/documents.parquet")),
           "doc_id", "text", k = 8, w = 4, hashFamily = "sha256")
           .select(col("doc_id"), col("fp_hash")),
         "doc_id", "fp_hash", minCommon = 30)),
@@ -2923,7 +2946,7 @@ object SparkEntry {
     // (shift-resistance). Position explode + boundary filter are
     // map-side; only CUTS shuffle; one per-doc window + one id join.
     "q_cdc_chunks" -> ((s, dir) => graft.operators.Dedup.cdcChunks(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
       w = 16, maskBits = 5)),
 
     // Confusion-weighted edit distance (OCR/web-noise comparator):
@@ -2980,7 +3003,7 @@ object SparkEntry {
     // all lang labels from one character distribution, so here the gate
     // exercises exactness, not separation (oov_t is 0 across labels).
     "q_trigram_lm" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"))
       graft.operators.TextAnalysis.trigramLmFace(d, "doc_id", "text",
         graft.operators.TextAnalysis.charTrigramCounts(
           d.where(col("lang") === "en"), "doc_id", "text"),
@@ -2995,7 +3018,7 @@ object SparkEntry {
     // full-replay technique; DuckDB 1.0's list_reduce mis-folds
     // growing-list accumulators, so the lambda route is closed).
     "q_cdc_bounded" -> ((s, dir) => graft.operators.Dedup.cdcChunksBounded(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
       w = 16, maskBits = 4, minLen = 24, maxLen = 96)),
 
     // Sub-document duplication via shared CDC chunks, composed through
@@ -3006,7 +3029,7 @@ object SparkEntry {
     "q_cdc_pairs" -> ((s, dir) => graft.operators.Linkage
       .commonNeighborPairs(
         graft.operators.Dedup.cdcChunks(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
           w = 16, maskBits = 5)
           .select(col("doc_id"), col("chunk_sha")),
         "doc_id", "chunk_sha", minCommon = 4)),
@@ -3016,7 +3039,7 @@ object SparkEntry {
     // tier — the result must equal the plain blocked-join oracle (tiers
     // 1+2 are lossless; hardCap stays at its lossless default here).
     "q_dedup_ngram_jaccard" -> ((s, dir) => graft.operators.Dedup.ngramJaccardPairs(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
       Seq("lang", "source"), tau = 0.5, bucketCap = 8, saltGroups = 8)),
 
     // Asymmetric containment dedup (Broder's second resemblance): both
@@ -3025,7 +3048,7 @@ object SparkEntry {
     // Same blocking, small bucketCap and salted grid as the ngram gate,
     // so the 3-tier path is exercised at gate scale.
     "q_dedup_containment" -> ((s, dir) => graft.operators.Dedup.containmentPairs(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
       Seq("lang", "source"), tau = 0.8, bucketCap = 8, saltGroups = 8)),
 
     // the lossy tier-3 cut, oracle-mirrored: blocks > hardCap=13 members
@@ -3112,7 +3135,7 @@ object SparkEntry {
     // pipeline (signature, banding, bucket cap, candidate join, exact
     // verification) is hash-checked against a DuckDB re-derivation.
     "q_dedup_minhash_lsh" -> ((s, dir) => graft.operators.Dedup.minhashLshPairs(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", tau = 0.5,
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text", tau = 0.5,
       hashFamily = "sha256")),
 
     // C4-style corpus-wide span dedup over the same synthesized
@@ -3133,7 +3156,7 @@ object SparkEntry {
     // synthetic corpus's shared 60-char prefixes actually trip it.
     "q_dedup_substring_spans" -> ((s, dir) =>
       graft.operators.Dedup.duplicateTokenSpans(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)),
+        spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text", k = 8)),
 
     // the applied form: documents rebuilt with marked spans cut out
     // (whitespace-normalized rejoin; possibly empty)
@@ -3147,7 +3170,7 @@ object SparkEntry {
     // end-to-end via the sha256 family; runs in a fresh temp workDir so
     // the gate always exercises the compute path, not a resume
     "q_corpus_pipeline" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet"))
       val work = java.nio.file.Files
         .createTempDirectory("graft_corpus_gate").toString
       deleteTreeOnExit(work)
@@ -3160,7 +3183,7 @@ object SparkEntry {
     // clusters; every doc maps to its cluster's min id (itself when
     // unique) — the final keep-one-per-group dedup decision
     "q_dedup_groups" -> ((s, dir) => graft.operators.Dedup.nearDupGroups(
-      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spread(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text",
       tau = 0.5, hashFamily = "sha256")),
 
     // incremental clustering: CC over the even-doc edges first (the
@@ -3169,9 +3192,13 @@ object SparkEntry {
     // relabel is a broadcast join. Must hash-match the FULL q_dedup_groups
     // oracle: incremental is a cost refactoring, not new semantics.
     "q_dedup_groups_incremental" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = spread(s.read.parquet(s"$dir/documents.parquet"))
+      // the LSH pair frame feeds BOTH the base-corpus CC and the batch
+      // addEdges — materialize it once instead of re-running the sha256
+      // signature + banded-join pipeline per consumer
       val pairs = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
         tau = 0.5, hashFamily = "sha256").select(col("ia"), col("ib"))
+        .localCheckpoint(eager = false)
       val baseEdges = pairs
         .where(pmod(col("ia"), lit(2)) === 0)
         .where(pmod(col("ib"), lit(2)) === 0)
@@ -3270,14 +3297,14 @@ object SparkEntry {
 
     // brute-force cosine top-k (exact ANN baseline)
     "q_ann_bruteforce" -> ((s, dir) => graft.operators.Similarity.bruteForceTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 3)),
+      spread(s.read.parquet(s"$dir/embeddings.parquet")), "vec_id", "embedding", k = 3)),
 
     // reciprocal top-k: pairs where EACH side ranks the other in its
     // top-3 — the hub-suppressing mutual-kNN dedup criterion, one
     // equi-join over the top-k frame (composes with any ANN tier).
     "q_ann_mutual" -> ((s, dir) => graft.operators.Similarity.mutualTopK(
       graft.operators.Similarity.bruteForceTopK(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 3))),
+        spread(s.read.parquet(s"$dir/embeddings.parquet")), "vec_id", "embedding", k = 3))),
 
     // banded hyperplane-LSH ANN (scale path). The hyperplanes are
     // plan-time constants, so the oracle re-derives the exact bucket
@@ -3342,7 +3369,7 @@ object SparkEntry {
     // the two (k·n)-row top-k frames; the oracle composes the LSH and
     // brute-force derivations and replays the same join.
     "q_ann_recall" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = spread(s.read.parquet(s"$dir/embeddings.parquet"))
       graft.operators.Similarity.recallAtK(
         graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding",
           k = 3, dim = 64),

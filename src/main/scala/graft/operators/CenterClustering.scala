@@ -62,6 +62,16 @@ object CenterClustering {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** [[materialize]] whose materializing action doubles as a count probe:
+    * ONE job yields both the checkpointed frame and its row count, so the
+    * round loop's drain check costs no extra job (the former shape paid a
+    * separate isEmpty action per round). */
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(eager = false)
+    val n = ck.count()
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), n)
+  }
+
   /** Center clustering over a scored edge list.
     *
     * @param edges (aCol, bCol, simCol) — undirected; parallel edges
@@ -79,11 +89,12 @@ object CenterClustering {
     val nodes = canon.select(col("la").as("id"))
       .union(canon.select(col("lb").as("id"))).distinct()
 
-    var alive = materialize(canon)
+    val (alive0, alive0Cnt) = materializeCounted(canon)
+    var alive = alive0
     var asg = canon.limit(0)
       .select(col("la").as("id"), col("lb").as("center_id"))
     var iter = 0
-    var drained = alive.isEmpty
+    var drained = alive0Cnt == 0L
     while (!drained && iter < maxIter) {
       // annotate endpoint states as of the round start (null = unassigned)
       val st = alive
@@ -95,11 +106,18 @@ object CenterClustering {
       val bCenter = col("cb").isNotNull && col("cb") === col("lb")
       val aMember = col("ca").isNotNull && col("ca") =!= col("la")
       val bMember = col("cb").isNotNull && col("cb") =!= col("lb")
-      // EAGER materialization (see [[materialize]]): the lazy form never
-      // materializes (the only action per round is the drain probe), so
-      // plans — and the carried stats — would compound across rounds.
-      val live = materialize(
+      // the materializing count doubles as the drain probe (ONE job per
+      // round for both), and a drained round short-circuits before paying
+      // for the (empty) fire/merge plans
+      val (live, liveCnt) = materializeCounted(
         st.where(!(aMember || bMember || (aCenter && bCenter))))
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[centers] round ${iter + 1}: live=$liveCnt")
+      if (liveCnt == 0L) {
+        drained = true
+        alive = live
+        iter += 1
+      } else {
 
       // per-UNASSIGNED-node incidence; top-ranked alive edge per node
       val inc = live.where(col("ca").isNull)
@@ -131,9 +149,13 @@ object CenterClustering {
       // the loud maxIter require below
       val fired = joins.union(newClusters)
       asg = materialize(asg.union(fired))
-      alive = materialize(live.select(col("la"), col("lb"), col("s")))
-      drained = alive.isEmpty
+      // `live` is already eagerly materialized above — the next round's
+      // state is a cheap projection over its checkpointed blocks, so a
+      // second per-round checkpoint (one more eager job + block set) would
+      // buy nothing.
+      alive = live.select(col("la"), col("lb"), col("s"))
       iter += 1
+      }
     }
     require(drained, s"centers() did not drain in $maxIter rounds " +
       "(adversarial chain? raise maxIter)")

@@ -230,7 +230,11 @@ object ConnectedComponents {
     *  - each round, EVERY node simultaneously adopts the most frequent
     *    label among its neighbors' previous-round labels (undirected:
     *    both edge directions vote; self-label does NOT vote); ties break
-    *    to the smallest label; isolated nodes keep their label;
+    *    to the smallest label. NOTE the node set is derived from the
+    *    self-loop-filtered edge list: records whose only edges are
+    *    self-loops (or that appear in no edge) are ABSENT from the
+    *    output — callers wanting them left-join labels onto their own
+    *    node frame (the [[run]] isolated-node convention);
     *  - exactly `rounds` synchronous rounds — a fixed budget, not a
     *    convergence loop, so bipartite two-cycles (sync LPA's classic
     *    failure) still yield a deterministic, oracle-reproducible output.

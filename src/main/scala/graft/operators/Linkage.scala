@@ -1021,7 +1021,20 @@ object Linkage {
       .distinct()
     val deg = e.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
     val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
-    val keyed = e.join(sized, "nb")
+    // A pair's common-neighbor count is bounded by min(deg_a, deg_b), so
+    // entities with deg < minCommon cannot appear in the output: drop them
+    // BEFORE pair generation (provably lossless — the final
+    // `common_neighbors >= minCommon` filter would discard every pair they
+    // touch anyway). Tier routing and the dropped-bucket record stay on the
+    // UNFILTERED bucket sizes (`sized` above), so which buckets are
+    // cold/salted/dropped is unchanged — only ineligible members leave the
+    // buckets. On high-minCommon workloads (shared-span winnowing) this
+    // shrinks the quadratic bucket explosion by orders of magnitude.
+    val eligible =
+      if (minCommon > 1L)
+        e.join(deg.where(col("__deg") >= minCommon).select(col("id")), "id")
+      else e
+    val keyed = eligible.join(sized, "nb")
     val good = keyed.where(col("__n") <= bucketCap)
     val cold = good.select(col("nb"), col("id").as("url_a"))
       .join(good.select(col("nb"), col("id").as("url_b")), "nb")
@@ -1058,7 +1071,14 @@ object Linkage {
       .where(col("id").isNotNull && col("nb").isNotNull)
       .distinct()
     val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
-    val keyed = e.join(sized, "nb")
+    // same lossless min(deg) prefilter as [[commonNeighborPairs]]: tier
+    // routing stays on unfiltered sizes, only ineligible members leave
+    val deg0 = e.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val eligible =
+      if (minCommon > 1L)
+        e.join(deg0.where(col("__deg") >= minCommon).select(col("id")), "id")
+      else e
+    val keyed = eligible.join(sized, "nb")
     val good = keyed.where(col("__n") <= bucketCap)
     val cold = good.select(col("nb"), col("__n"), col("id").as("url_a"))
       .join(good.select(col("nb"), col("id").as("url_b")), "nb")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Prefix-filtered set-similarity self-join — the sub-quadratic scale path
@@ -307,6 +307,73 @@ object SetSimJoin {
       .select(col("tok"), col("id").as("qid"))
     val index = b.select(col("id"), explode(col("toks")).as("tok"))
     val sized = index.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
+    // DENSE-VOCABULARY fast path (optimization guide §2.3 "shuffle fewer
+    // bytes" / §1.2 step 1): when the corpus vocabulary fits in 64
+    // distinct tokens, every token set is EXACTLY a 64-bit mask —
+    // |A∩B| = bit_count(mA & mB), |A| = bit_count(mA) — so the candidate
+    // join can verify INLINE (popcount arithmetic, bit-identical
+    // integers → bit-identical ratio doubles) and only QUALIFYING pair
+    // rows reach the dedup shuffle. On a prefix-filter-hostile corpus
+    // (tiny vocab ⇒ every token hot ⇒ candidates ≈ probes × df) this
+    // cuts the dedup exchange from the full candidate volume to the
+    // result volume. Vocabulary probing is one map-combinable distinct
+    // count; vocab > 64 takes the general array path below, identically.
+    val vocab: Array[String] =
+      if (sized.limit(65).count() <= 64)
+        sized.select(col("tok")).collect().map(_.getString(0)).sorted
+      else Array.empty
+    if (vocab.nonEmpty && vocab.length <= 64) {
+      val bitOf = map(vocab.toIndexedSeq.zipWithIndex.flatMap { case (t, i) =>
+        Seq(lit(t), lit(1L << i))
+      }: _*)
+      def maskOf(toks: Column): Column = aggregate(
+        transform(toks, t => element_at(bitOf, t)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+      val bm = b.select(col("id"), maskOf(col("toks")).as("m"))
+      val probesM = probes.join(bm.select(col("id").as("qid"),
+        col("m").as("mq")), "qid")
+      val keyed = index.join(sized, "tok")
+      val cold = keyed.where(col("n") <= bucketCap)
+        .join(probesM, "tok")
+        .select(col("qid"), col("id"), col("mq"))
+      val hotIdx = keyed.where(col("n") > bucketCap && col("n") <= hardCap)
+        .withColumn("salt", pmod(xxhash64(col("id")), lit(saltGroups)))
+      val hotPrb = probesM
+        .join(sized.where(col("n") > bucketCap && col("n") <= hardCap)
+          .select(col("tok")), "tok")
+        .select(col("tok"), col("qid"), col("mq"),
+          explode(array((0 until saltGroups).map(g => lit(g)): _*)).as("salt"))
+      val hot = hotIdx.join(hotPrb, Seq("tok", "salt"))
+        .select(col("qid"), col("id"), col("mq"))
+      val withMasks = cold.unionAll(hot)
+        .where(col("qid") =!= col("id"))
+        .join(bm.select(col("id"), col("m").as("mi")), "id")
+      val inter = expr("bit_count(mq & mi)")
+      val la = expr("bit_count(mq)")
+      val lb = expr("bit_count(mi)")
+      // verify INLINE before the dedup shuffle; values are the exact
+      // integer counts the array path produces, divided in the same order
+      val verified = withMasks
+        .select(least(col("qid"), col("id")).as("ia"),
+          greatest(col("qid"), col("id")).as("ib"),
+          when(col("qid") < col("id"),
+            inter.cast("double") / la.cast("double"))
+            .otherwise(inter.cast("double") / lb.cast("double"))
+            .as("containment_a"),
+          when(col("qid") < col("id"),
+            inter.cast("double") / lb.cast("double"))
+            .otherwise(inter.cast("double") / la.cast("double"))
+            .as("containment_b"),
+          (inter.cast("double") /
+            (la + lb - inter).cast("double")).as("jaccard"))
+        .where(greatest(col("containment_a"), col("containment_b")) >= tau)
+      return verified.groupBy(col("ia"), col("ib"))
+        .agg(max(col("containment_a")).as("containment_a"),
+          max(col("containment_b")).as("containment_b"),
+          max(col("jaccard")).as("jaccard"))
+    }
+
     val keyed = index.join(sized, "tok")
     val cold = keyed.where(col("n") <= bucketCap)
       .join(probes, "tok")

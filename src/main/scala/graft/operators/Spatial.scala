@@ -59,12 +59,19 @@ object Spatial {
       struct((floorTo(la) + dla * cellSize).as("cla"),
         (floorTo(lo) + dlo * cellSize).as("clo"))
     }: _*)
+    // \u0001 separator + explicit NULL encoding: concat_ws(":") silently
+    // DROPS null partition values (aliasing (NULL,a) with (a)) and a ":"
+    // inside a partition value could alias distinct (partition, cell)
+    // combinations onto one key — either would let cross-partition pairs
+    // through the "additional equality keys ANDed in" contract.
+    val partKeyCols = partitionCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0001null")))
     df.where(la.isNotNull && lo.isNotNull)
       .select(col(idCol).as("url") +: explode(cells).as("__cell") +:
         partitionCols.map(col): _*)
       .select(col("url"),
-        concat_ws(":",
-          partitionCols.map(col) :+ col("__cell.cla") :+ col("__cell.clo"): _*)
+        concat_ws("\u0001",
+          partKeyCols :+ col("__cell.cla") :+ col("__cell.clo"): _*)
           .as("key"))
   }
 

@@ -185,6 +185,9 @@ object Temporal {
     require(!payloadCols.exists(clash) && !clash.contains(outTs),
       s"probe columns ${probeCols.mkString(",")} must be disjoint from " +
         s"payload/as-of output columns")
+    require(!payloadCols.contains(outTs),
+      s"as-of output column '$outTs' must not also be a payload column " +
+        "(the output would carry two columns with the same name)")
     // one (id, ts)-keyed version struct per point in time, pinned max
     val vd = versions.where(col(vTsCol).isNotNull)
       .groupBy(col(vIdCol).as("__id"), col(vTsCol).as("__ts"))

@@ -195,7 +195,9 @@ object TextAnalysis {
     * frame, reuse across scoring jobs — fit once, score many) and
     * mergeable (union + groupBy-sum). One map-side explode + one
     * combinable groupBy; docs shorter than 3 code points contribute
-    * nothing. */
+    * nothing. `idCol` is IGNORED — counts are corpus-wide over `textCol`
+    * only (kept in the signature for call-site uniformity with the other
+    * per-doc operators). */
   def charTrigramCounts(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(textCol).as("t"))
@@ -213,13 +215,17 @@ object TextAnalysis {
     * `sum_cnt_t` and zero `oov_t`; off-distribution text shows low sums
     * and OOV mass. Shapes: one explode, two trigram-keyed left joins
     * (model tables — broadcastable at any realistic vocabulary), one
-    * combinable per-doc fold; docs with < 3 code points report zeros. */
+    * combinable per-doc fold; docs with < 3 code points carry no trigram
+    * and emit NO row (same convention as [[charTrigramCounts]] — the
+    * two-arg sequence() steps -1 when start > stop, so the former
+    * greatest()-guarded form emitted two bogus sub-trigram rows for
+    * short docs). */
   def trigramLmFace(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, background: DataFrame): DataFrame = {
     val tris = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .where(col("t").isNotNull)
+      .where(col("t").isNotNull && length(col("t")) >= 3)
       .select(col("id"), explode(expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)), " +
+        "transform(sequence(1, length(t) - 2), " +
           "i -> substring(t, i, 3))")).as("tri"))
     tris
       .join(target.select(col("tri"), col("cnt").as("ct")), Seq("tri"),
@@ -247,10 +253,12 @@ object TextAnalysis {
   def trigramLogRatio(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, background: DataFrame, totalT: Long, vocabT: Long,
       totalB: Long, vocabB: Long): DataFrame = {
+    // docs with < 3 code points carry no trigram and emit no row (see
+    // trigramLmFace — the greatest()-guarded sequence emitted bogus rows)
     val tris = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .where(col("t").isNotNull)
+      .where(col("t").isNotNull && length(col("t")) >= 3)
       .select(col("id"), explode(expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)), " +
+        "transform(sequence(1, length(t) - 2), " +
           "i -> substring(t, i, 3))")).as("tri"))
     val lnT = log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
       lit((totalT + vocabT).toDouble))
