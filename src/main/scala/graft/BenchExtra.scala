@@ -21,6 +21,7 @@ object BenchExtra {
     var explainDir: Option[String] = None
     var suffix = ""
     var repeat = 1
+    val confs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -28,6 +29,9 @@ object BenchExtra {
         case "--explain-dir" => explainDir = Some(args(i + 1)); i += 2
         case "--suffix" => suffix = args(i + 1); i += 2
         case "--repeat" => repeat = args(i + 1).toInt; i += 2
+        case "--conf" => // k=v, set on the session after start
+          val Array(k, v) = args(i + 1).split("=", 2); confs += ((k, v)); i += 2
+        case "--plan-only" => repeat = 0; i += 1 // dump explains, skip timing
         case q => names += q; i += 1
       }
     }
@@ -41,6 +45,7 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val qs = SparkEntry.queries
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
@@ -63,8 +68,8 @@ object BenchExtra {
       results(name) = times
       println(f"TIMED $name%-34s ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
-    val js = results.map { case (k, v) => "\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
+    val js = results.collect { case (k, v) if v.nonEmpty =>
+      "\"" + k + "\":" + v.min }.mkString("{", ",", "}")
     println(s"""{"metric":"subset","unit":"sec","queries":$js,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }

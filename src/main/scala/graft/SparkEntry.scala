@@ -1437,11 +1437,14 @@ object SparkEntry {
       val cn = c.where(id % 4 === 0)
         .select(id.as("nid"), (id * 7919L % 211L).as("bk"),
           substring(col("c_name"), 16, 3).as("sfx"))
+      // the negative join feeds the budget count AND learnScheme's
+      // coverage passes — one lazy checkpoint computes it once
       val neg = cn.select(col("nid").as("pa"), col("bk"), col("sfx").as("sa"))
         .join(cn.select(col("nid").as("pb"), col("bk"), col("sfx").as("sb")),
           "bk")
         .where(col("pa") < col("pb") && col("sa") =!= col("sb"))
         .select(col("pa"), col("pb"))
+        .localCheckpoint(eager = false)
       val budget = neg.count() / 8
       graft.operators.BlockingSelection.learnScheme(keyed, pos, neg,
         budget, maxTerms = 3)
@@ -1991,7 +1994,7 @@ object SparkEntry {
     // all C(s,2) sample pairs, and each u an integer-count ratio with
     // one final division, so the oracle reproduces it bit-for-bit.
     "q_fs_estimate_u" -> ((s, dir) => {
-      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c = spread(s.read.parquet(s"$dir/customer.parquet"))
       val rp = graft.operators.FellegiSunter.randomPairs(
         c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal")),
@@ -2218,7 +2221,7 @@ object SparkEntry {
     // pre-pass a production linkage runs before probabilistic scoring.
     // One when-chain projection; the oracle replays the identical CASE.
     "q_rule_cascade" -> ((s, dir) => {
-      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c = spread(s.read.parquet(s"$dir/customer.parquet"))
       val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"),
         col("c_mktsegment").as("sa"), col("c_acctbal").as("aa"),
         col("c_nationkey").as("nk"))
@@ -3343,7 +3346,7 @@ object SparkEntry {
     // q_levenshtein_sim gates); the fused score is ONE fixed-order
     // expression, ties by candidate id.
     "q_rrf_fuse" -> ((s, dir) => {
-      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c = spread(s.read.parquet(s"$dir/customer.parquet"))
         .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"),
           col("c_name").as("nm"))
       val pairs = c.select(col("nk"), col("id").as("qid"), col("nm").as("qn"))

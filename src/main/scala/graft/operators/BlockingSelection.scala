@@ -110,8 +110,11 @@ object BlockingSelection {
       .select("family", "pa", "pb").distinct()
       .cache()
 
-    val pos = pairsOf(posPairs)
-    val neg = pairsOf(negPairs)
+    // the label frames each feed a coverage join AND a total count — cache
+    // them (label-sized by nature) so the caller's pair-generation joins
+    // run once, not once per consumer
+    val pos = pairsOf(posPairs).cache()
+    val neg = pairsOf(negPairs).cache()
     val covP = coverage(pos)
     val covN = coverage(neg)
     val totalPos = pos.count()
@@ -152,7 +155,7 @@ object BlockingSelection {
         step += 1
       }
     }
-    covP.unpersist(); covN.unpersist()
+    covP.unpersist(); covN.unpersist(); pos.unpersist(); neg.unpersist()
 
     val schema = StructType(Seq(
       StructField("step", IntegerType, nullable = false),

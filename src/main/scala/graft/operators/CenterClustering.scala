@@ -86,11 +86,89 @@ object CenterClustering {
         col(simCol).cast("double").as("s"))
       .where(col("la") =!= col("lb") && col("s").isNotNull)
       .groupBy(col("la"), col("lb")).agg(max(col("s")).as("s"))
-    val nodes = canon.select(col("la").as("id"))
-      .union(canon.select(col("lb").as("id"))).distinct()
 
     val (alive0, alive0Cnt) = materializeCounted(canon)
+    // derive the node set from the MATERIALIZED frame — deriving it from
+    // `canon` would re-evaluate the whole upstream edge pipeline (the
+    // caller's kernel join) a second time just to list ids
+    val nodes = alive0.select(col("la").as("id"))
+      .union(alive0.select(col("lb").as("id"))).distinct()
     var alive = alive0
+
+    // Scale-adaptive DRIVER FINISH (same contract as
+    // [[ConnectedComponents]]'s): when the alive-edge frontier fits a
+    // bounded driver buffer, replay the PINNED SEQUENTIAL SCAN (the
+    // definition at the top of this file) over the collected frontier +
+    // current states. The parallel rounds are proven ≡ that scan, so
+    // finishing sequentially is a cost refactoring, not new semantics —
+    // and it removes the O(log frontier) tail rounds whose per-round
+    // fixed cost dominates a shrinking edge set. Bounded collect (hard
+    // row cap, never data-sized); 0 disables; non-atomic id types fall
+    // back to the distributed loop.
+    val spark = edges.sparkSession
+    val driverCap = spark.conf.getOption("graft.centers.driverFinishEdges")
+      .orElse(spark.conf.getOption("spark.graft.centers.driverFinishEdges"))
+      .map(_.toLong).getOrElse(1000000L)
+    val idCmp: Option[(Any, Any) => Int] = {
+      import org.apache.spark.sql.types._
+      canon.schema("la").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => Some(
+          (x, y) => java.lang.Long.compare(
+            x.asInstanceOf[Number].longValue, y.asInstanceOf[Number].longValue))
+        case StringType => Some(
+          (x, y) => x.asInstanceOf[String].compareTo(y.asInstanceOf[String]))
+        case DoubleType | FloatType => Some(
+          (x, y) => java.lang.Double.compare(
+            x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue))
+        case _ => None
+      }
+    }
+
+    def sequentialFinish(live: DataFrame): DataFrame = {
+      val cmp = idCmp.get
+      val rows = live.select(col("la"), col("lb"), col("s"),
+        col("ca"), col("cb")).collect()
+      val st = new java.util.HashMap[Any, Any]()
+      rows.foreach { r =>
+        if (!r.isNullAt(3)) st.put(r.get(0), r.get(3))
+        if (!r.isNullAt(4)) st.put(r.get(1), r.get(4))
+      }
+      // decreasing similarity, ties by (min id, max id) — la < lb already
+      val sorted = rows.sortWith { (x, y) =>
+        val c0 = java.lang.Double.compare(y.getDouble(2), x.getDouble(2))
+        if (c0 != 0) c0 < 0
+        else {
+          val c1 = cmp(x.get(0), y.get(0))
+          if (c1 != 0) c1 < 0 else cmp(x.get(1), y.get(1)) < 0
+        }
+      }
+      val fired = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row]()
+      sorted.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        val ca = st.get(a); val cb = st.get(b)
+        val aUn = ca == null; val bUn = cb == null
+        val aCenter = !aUn && ca == a
+        val bCenter = !bUn && cb == b
+        if (aUn && bUn) { // new cluster seeded by the smaller id (= la)
+          st.put(a, a); st.put(b, a)
+          fired += org.apache.spark.sql.Row(a, a)
+          fired += org.apache.spark.sql.Row(b, a)
+        } else if (aUn && bCenter) {
+          st.put(a, b); fired += org.apache.spark.sql.Row(a, b)
+        } else if (bUn && aCenter) {
+          st.put(b, a); fired += org.apache.spark.sql.Row(b, a)
+        } // else: member involved or two centers → the scan skips it
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(fired.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            canon.schema("la").dataType, nullable = true),
+          org.apache.spark.sql.types.StructField("center_id",
+            canon.schema("lb").dataType, nullable = true))))
+    }
     var asg = canon.limit(0)
       .select(col("la").as("id"), col("lb").as("center_id"))
     var iter = 0
@@ -116,6 +194,12 @@ object CenterClustering {
       if (liveCnt == 0L) {
         drained = true
         alive = live
+        iter += 1
+      } else if (driverCap > 0 && liveCnt <= driverCap && idCmp.isDefined) {
+        // frontier fits the bounded buffer → sequential finish, done
+        asg = materialize(asg.union(sequentialFinish(live)))
+        alive = live
+        drained = true
         iter += 1
       } else {
 
@@ -179,10 +263,14 @@ object CenterClustering {
   def mergeCenters(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", simCol: String = "sim",
       maxIter: Int = 200): DataFrame = {
-    val asg = materialize(centers(edges, aCol, bCol, simCol, maxIter))
+    // the edge frame feeds BOTH the centers() run and the merge-edge
+    // derivation below — one lazy checkpoint evaluates the caller's
+    // (typically kernel-join) pipeline once instead of twice
+    val e0 = edges.localCheckpoint(eager = false)
+    val asg = materialize(centers(e0, aCol, bCol, simCol, maxIter))
     val centerIds = asg.where(col("id") === col("center_id"))
       .select(col("id").as("c"))
-    val canon = edges.select(
+    val canon = e0.select(
         least(col(aCol), col(bCol)).as("la"),
         greatest(col(aCol), col(bCol)).as("lb"))
       .where(col("la") =!= col("lb")).distinct()

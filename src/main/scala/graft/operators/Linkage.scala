@@ -781,27 +781,92 @@ object Linkage {
   def greedyMatches(scored: DataFrame, leftId: String = "id_l",
       rightId: String = "id_r", scoreCol: String = "score",
       maxIter: Int = 1000): DataFrame = {
+    val spark = scored.sparkSession
     var cur = scored.select(col(leftId), col(rightId), col(scoreCol))
       .localCheckpoint(eager = false)
     var matched = cur.limit(0)
+
+    // Scale-adaptive DRIVER FINISH (the [[CenterClustering]] /
+    // [[ConnectedComponents]] pattern): the distributed rounds are proven
+    // ≡ the sequential greedy scan, so once the surviving pair set fits a
+    // bounded driver buffer, ONE in-process replay of the pinned order
+    // (score DESC, leftId, rightId; accept when both endpoints free)
+    // computes the identical matching — replacing the O(log) tail of
+    // per-round fixed costs (two windows + two anti-joins + a probe
+    // action each). Bounded collect, 0 disables, exotic types fall back.
+    val driverCap = spark.conf.getOption("graft.greedy.driverFinishEdges")
+      .orElse(spark.conf.getOption("spark.graft.greedy.driverFinishEdges"))
+      .map(_.toLong).getOrElse(1000000L)
+    def cmpOf(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Int] = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => Some(
+          (x, y) => java.lang.Long.compare(
+            x.asInstanceOf[Number].longValue, y.asInstanceOf[Number].longValue))
+        case StringType => Some(
+          (x, y) => x.asInstanceOf[String].compareTo(y.asInstanceOf[String]))
+        case DoubleType | FloatType => Some(
+          (x, y) => java.lang.Double.compare(
+            x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue))
+        case _ => None
+      }
+    }
+    val cmpL = cmpOf(cur.schema(leftId).dataType)
+    val cmpR = cmpOf(cur.schema(rightId).dataType)
+    val cmpS = cmpOf(cur.schema(scoreCol).dataType)
+    val driverOk = cmpL.isDefined && cmpR.isDefined && cmpS.isDefined
+
+    def sequentialFinish(df: DataFrame): DataFrame = {
+      val (cl, cr, cs) = (cmpL.get, cmpR.get, cmpS.get)
+      val rows = df.collect()
+      val sorted = rows.sortWith { (x, y) =>
+        val c0 = cs(y.get(2), x.get(2)) // score DESC
+        if (c0 != 0) c0 < 0
+        else {
+          val c1 = cl(x.get(0), y.get(0))
+          if (c1 != 0) c1 < 0 else cr(x.get(1), y.get(1)) < 0
+        }
+      }
+      val usedL = new java.util.HashSet[Any]()
+      val usedR = new java.util.HashSet[Any]()
+      val fired = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row]()
+      sorted.foreach { r =>
+        if (!usedL.contains(r.get(0)) && !usedR.contains(r.get(1))) {
+          usedL.add(r.get(0)); usedR.add(r.get(1)); fired += r
+        }
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(fired.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism)), df.schema)
+    }
+
     var iter = 0
-    var drained = cur.isEmpty
-    while (!drained && iter < maxIter) {
-      val best = symmetricBestMatches(cur, leftId, rightId, scoreCol)
-        .localCheckpoint(eager = false)
-      matched = matched.union(best)
-      cur = cur
-        .join(best.select(col(leftId)), Seq(leftId), "left_anti")
-        .join(best.select(col(rightId)), Seq(rightId), "left_anti")
-        .localCheckpoint(eager = false)
-      drained = cur.isEmpty
-      iter += 1
+    var drained = false
+    var finished = false
+    while (!drained && !finished && iter < maxIter) {
+      val n = cur.count() // doubles as the drain probe and the cap check
+      if (n == 0L) drained = true
+      else if (driverOk && driverCap > 0 && n <= driverCap) {
+        matched = matched.union(sequentialFinish(cur))
+        finished = true
+      } else {
+        val best = symmetricBestMatches(cur, leftId, rightId, scoreCol)
+          .localCheckpoint(eager = false)
+        matched = matched.union(best)
+        cur = cur
+          .join(best.select(col(leftId)), Seq(leftId), "left_anti")
+          .join(best.select(col(rightId)), Seq(rightId), "left_anti")
+          .localCheckpoint(eager = false)
+        iter += 1
+      }
     }
     // progress is guaranteed (the globally best surviving pair is always
     // locally dominant), so non-drained means maxIter was undersized for
     // an adversarial chain — fail loudly rather than return a partial
     // matching that silently violates the greedy contract
-    require(drained, s"greedyMatches did not drain in $maxIter rounds")
+    require(drained || finished,
+      s"greedyMatches did not drain in $maxIter rounds")
     matched
   }
 
@@ -1015,10 +1080,18 @@ object Linkage {
       neighborCol: String, minCommon: Long = 1L, bucketCap: Int = 1000,
       hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    // The distinct edge frame fans out to FIVE consumers (deg, sized, the
+    // eligibility join, and the two final degree joins) — without a
+    // materialization each one re-evaluates the whole upstream pipeline
+    // (for winnowing/CDC callers that is the full sha256 fingerprint
+    // pass, measured 4 extra recomputes in the physical plan). One lazy
+    // localCheckpoint computes it exactly once (guide §5 "cut lineage" /
+    // §1.2 step 1: don't compute things twice).
     val e = edges
       .select(col(entityCol).as("id"), col(neighborCol).as("nb"))
       .where(col("id").isNotNull && col("nb").isNotNull)
       .distinct()
+      .localCheckpoint(eager = false)
     val deg = e.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
     val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
     // A pair's common-neighbor count is bounded by min(deg_a, deg_b), so
@@ -1066,10 +1139,12 @@ object Linkage {
       neighborCol: String, minCommon: Long = 1L, bucketCap: Int = 1000,
       hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
     require(minCommon >= 1)
+    // same single-materialization rationale as [[commonNeighborPairs]]
     val e = edges
       .select(col(entityCol).as("id"), col(neighborCol).as("nb"))
       .where(col("id").isNotNull && col("nb").isNotNull)
       .distinct()
+      .localCheckpoint(eager = false)
     val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
     // same lossless min(deg) prefilter as [[commonNeighborPairs]]: tier
     // routing stays on unfiltered sizes, only ineligible members leave

@@ -135,6 +135,28 @@ class CenterClusteringSpec extends SparkFunSuite {
     assert(gc(1L) == gc(10L) && gc(1L) == 1L, s"center bridge missed: $gc")
   }
 
+  test("driver finish (round-0 and mid-loop) equals the distributed loop") {
+    val rng = new scala.util.Random(101)
+    val edges = (0 until 150).map { _ =>
+      val a = rng.nextInt(60).toLong
+      val b = rng.nextInt(60).toLong
+      (a, b, math.rint(rng.nextDouble() * 20) / 20.0)
+    }.filter(e => e._1 != e._2)
+    val want = seqCenters(edges)
+    def withCap(cap: Long): Map[Long, Long] = {
+      spark.conf.set("graft.centers.driverFinishEdges", cap.toString)
+      try runCenters(edges)
+      finally spark.conf.unset("graft.centers.driverFinishEdges")
+    }
+    assert(withCap(0L) == want, "distributed loop")
+    assert(withCap(1000000L) == want, "round-0 driver finish")
+    // small cap: several distributed rounds, then the mid-loop sequential
+    // finish picks up the shrunk frontier
+    assert(withCap(10L) == want, "mid-loop driver finish")
+    // merge-center composes the finish with CC's own driver finish
+    assert(runMerge(edges) == seqMergeCenters(edges))
+  }
+
   test("parallel-edge dedup keeps max sim; isolated singletons covered") {
     val es = Seq((1L, 2L, 0.3), (2L, 1L, 0.9), (1L, 2L, 0.1), (5L, 5L, 1.0))
     val got = runCenters(es)

@@ -37,6 +37,10 @@ class ConnectedComponentsSpec extends SparkFunSuite {
 
   test("round count stays O(log n) on chains (the web-scale shape)") {
     import spark.implicits._
+    // force the distributed loop: this test is ABOUT the round telemetry,
+    // which the bounded driver finish (correctly) short-circuits
+    spark.conf.set("graft.cc.driverFinishEdges", "0")
+    try {
     // a diameter-n chain is the adversarial input: label propagation would
     // need n rounds; large-star/small-star must stay logarithmic
     for (n <- Seq(64, 256)) {
@@ -52,10 +56,40 @@ class ConnectedComponentsSpec extends SparkFunSuite {
       assert(r.roundEdges.takeRight(2).distinct.length == 1)
       assert(ConnectedComponents.maxIterFor(n.toLong) >= r.iterations)
     }
+    } finally spark.conf.unset("graft.cc.driverFinishEdges")
+  }
+
+  test("driver finish (round-0 and mid-loop) equals the distributed loop") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val edges = (Seq.fill(400)((rng.nextInt(250).toLong, rng.nextInt(250).toLong))
+      ++ (300L until 363L).map(i => (i, i + 1))) // a chain tail for rounds
+      .filter(e => e._1 != e._2)
+    val want = unionFind(edges)
+    def runWithCap(cap: Long): (Map[Long, Long], Int) = {
+      spark.conf.set("graft.cc.driverFinishEdges", cap.toString)
+      try {
+        val r = ConnectedComponents.runWithStats(edges.toDF("a", "b"))
+        (r.assignment.collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap,
+          r.iterations)
+      } finally spark.conf.unset("graft.cc.driverFinishEdges")
+    }
+    val (dist, itersDist) = runWithCap(0L) // pure distributed
+    val (immediate, iters0) = runWithCap(1000000L) // finishes at round 0
+    // a cap below the initial frontier but above the shrunk one → the
+    // loop runs distributed rounds, then the MID-LOOP finish fires
+    val (hybrid, itersH) = runWithCap(edges.distinct.size.toLong / 2)
+    assert(dist == want && immediate == want && hybrid == want)
+    assert(iters0 == 0 && itersDist > 0)
+    assert(itersH > 0 && itersH <= itersDist,
+      s"expected a mid-loop finish, got $itersH vs distributed $itersDist")
   }
 
   test("reliable checkpoint mode (parquet rounds) returns identical clusters") {
     import spark.implicits._
+    // force the distributed loop so the parquet round dirs actually land
+    spark.conf.set("graft.cc.driverFinishEdges", "0")
+    try {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val rng = new scala.util.Random(7)
     val edges = Seq.fill(200)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
@@ -78,6 +112,7 @@ class ConnectedComponentsSpec extends SparkFunSuite {
       assert(viaConf == local)
       assert(new java.io.File(dir2).list().exists(_.startsWith("cc_round_")))
     } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    } finally spark.conf.unset("graft.cc.driverFinishEdges")
   }
 
   test("two stars + separate pair") {
