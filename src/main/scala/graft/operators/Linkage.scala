@@ -492,6 +492,10 @@ object Linkage {
         sum(col("__b")).over(W.partitionBy("__pid").orderBy(col("__rnk"))))
       .select(col(idCol).as("url"),
         concat(lit("seg:"), col("__seg")).as("key"))
+      // candidatePairs consumes its key frame twice (sizing + join-back);
+      // materialize the segment derivation once (the contract its doc
+      // comment assumes of callers)
+      .localCheckpoint(eager = false)
     candidatePairs(segments, bucketCap, hardCap, saltGroups)
       .select(col("url_a").as(s"${idCol}_a"), col("url_b").as(s"${idCol}_b"))
   }
@@ -915,8 +919,66 @@ object Linkage {
     // rounds don't compound plan statistics.
     var cur = CenterClustering.materialize(cand)
     var matched = cand.limit(0)
+
+    // Scale-adaptive DRIVER FINISH ([[greedyMatches]]' pattern, scoped
+    // per group pair): within each (ga, gb) the rounds ≡ the sequential
+    // greedy scan in (s DESC, rl, rr) order with per-group endpoint
+    // bookkeeping; groups are independent, so one pass over the globally
+    // (s DESC, rl, rr)-sorted candidates with per-group used-sets
+    // reproduces every group's matching exactly. Bounded collect; 0
+    // disables; exotic rid types fall back to the distributed loop.
+    val spark = scored.sparkSession
+    val glCap = spark.conf.getOption("graft.greedy.driverFinishEdges")
+      .orElse(spark.conf.getOption("spark.graft.greedy.driverFinishEdges"))
+      .map(_.toLong).getOrElse(1000000L)
+    def glCmpOf(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Int] = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => Some(
+          (x, y) => java.lang.Long.compare(
+            x.asInstanceOf[Number].longValue, y.asInstanceOf[Number].longValue))
+        case StringType => Some(
+          (x, y) => x.asInstanceOf[String].compareTo(y.asInstanceOf[String]))
+        case DoubleType | FloatType => Some(
+          (x, y) => java.lang.Double.compare(
+            x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue))
+        case _ => None
+      }
+    }
+    val cmpRl = glCmpOf(cur.schema("rl").dataType)
+    val cmpRr = glCmpOf(cur.schema("rr").dataType)
+    var finished = false
+    if (glCap > 0 && cmpRl.isDefined && cmpRr.isDefined &&
+        cur.count() <= glCap) {
+      val (crl, crr) = (cmpRl.get, cmpRr.get)
+      // rows: (ga, gb, rl, rr, s)
+      val sorted = cur.collect().sortWith { (x, y) =>
+        val c0 = java.lang.Double.compare(y.getDouble(4), x.getDouble(4))
+        if (c0 != 0) c0 < 0
+        else {
+          val c1 = crl(x.get(2), y.get(2))
+          if (c1 != 0) c1 < 0 else crr(x.get(3), y.get(3)) < 0
+        }
+      }
+      val usedL = new java.util.HashSet[(Any, Any, Any)]()
+      val usedR = new java.util.HashSet[(Any, Any, Any)]()
+      val fired = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row]()
+      sorted.foreach { r =>
+        val kl = (r.get(0), r.get(1), r.get(2))
+        val kr = (r.get(0), r.get(1), r.get(3))
+        if (!usedL.contains(kl) && !usedR.contains(kr)) {
+          usedL.add(kl); usedR.add(kr); fired += r
+        }
+      }
+      matched = spark.createDataFrame(
+        spark.sparkContext.parallelize(fired.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism)), cur.schema)
+      finished = true
+    }
+
     var iter = 0
-    var drained = cur.isEmpty
+    var drained = finished || cur.isEmpty
     while (!drained && iter < maxIter) {
       val best = cur
         .withColumn("rn_l", row_number().over(

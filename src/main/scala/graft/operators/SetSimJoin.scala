@@ -222,12 +222,21 @@ object SetSimJoin {
         col("len_a").as("la"), col("len_b").as("lb"))
       .where(lenOk)
       .select(col("ia"), col("ib"))
+    // Verify BEFORE deduplicating (guide §2.3 "shuffle fewer bytes"):
+    // measured at sf0.1, the candidate distinct removed only ~4% of rows
+    // (912k → 870k) while paying a full shuffle of the raw candidate
+    // volume; the banded O(k·n) kernel is cheap enough to run on the
+    // duplicates, and the dedup shuffle then carries only the verified
+    // survivors (orders of magnitude fewer). A pair reached via several
+    // prefix elements verifies to the same distance, so distinct() on
+    // (ia, ib, dist) returns the identical set.
     val verify = graft.functions.levenshtein_capped(col("sa"), col("sb"), k)
-    cold.union(hotPairs).union(shortPairs).distinct()
+    cold.union(hotPairs).union(shortPairs)
       .join(b.select(col("id").as("ia"), col("s").as("sa")), "ia")
       .join(b.select(col("id").as("ib"), col("s").as("sb")), "ib")
       .select(col("ia"), col("ib"), verify.as("dist"))
       .where(col("dist") <= k)
+      .distinct()
   }
 
   /** (g, occ, id, len) prefix elements: each record's q·k+1 globally-
