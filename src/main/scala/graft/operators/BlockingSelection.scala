@@ -96,8 +96,10 @@ object BlockingSelection {
     val spark = keyed.sparkSession
     val base = keyed.select(col(keyed.columns(0)).as("family"),
       col(keyed.columns(1)).as("__id"), col(keyed.columns(2)).as("__key"))
-    val all = if (includeConjunctions) base.union(conjunctions(base))
-      else base
+    // the term pool feeds FOUR coverage joins (pa/pb × pos/neg) — one
+    // lazy checkpoint stops the conjunction self-join evaluating per use
+    val all = (if (includeConjunctions) base.union(conjunctions(base))
+      else base).localCheckpoint(eager = false)
 
     def pairsOf(df: DataFrame) = df
       .select(col(df.columns(0)).as("pa"), col(df.columns(1)).as("pb"))
@@ -178,8 +180,11 @@ object BlockingSelection {
     val spark = keyed.sparkSession
     val k = keyed.select(col(keyed.columns(0)).as("family"),
       col(keyed.columns(1)).as("__id"), col(keyed.columns(2)).as("__key"))
+    // truth feeds the coverage join AND the total count — materialize the
+    // caller's (typically join-derived) label frame once
     val truth = truePairs.select(col(truePairs.columns(0)).as("pa"),
       col(truePairs.columns(1)).as("pb")).distinct()
+      .localCheckpoint(eager = false)
 
     // cost: Σ C(block, 2) per family, decimal(38,0) (n can be 10^12)
     val volumes = k.groupBy("family", "__key")

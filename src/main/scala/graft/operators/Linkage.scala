@@ -412,6 +412,9 @@ object Linkage {
       .repartitionByRange(p, col(sortKeyCol), col(idCol))
       .sortWithinPartitions(col(sortKeyCol), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      // feeds the per-partition counts AND the offset join-back — one
+      // lazy checkpoint runs the range exchange + sort once
+      .localCheckpoint(eager = false)
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offsets = counts.withColumn("__offset",
       coalesce(sum(col("__n")).over(
@@ -482,6 +485,9 @@ object Linkage {
       .repartitionByRange(p, col("__rnk"))
       .sortWithinPartitions(col("__rnk"))
       .withColumn("__pid", spark_partition_id())
+      // same shape as [[globalRanked]]: counts + offset join-back — run
+      // the adjacency-similarity flags and the range sort once
+      .localCheckpoint(eager = false)
     val counts = parts.groupBy(col("__pid")).agg(sum(col("__b")).as("__n"))
     val offsets = counts.withColumn("__offset",
       coalesce(sum(col("__n")).over(
