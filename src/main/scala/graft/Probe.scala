@@ -87,6 +87,49 @@ object Probe {
         t("cold cand rows")(cold.count())
         t("hot tokens")(sized.where(col("n") > 40).count())
         t("hot index rows")(index.join(sized.where(col("n") > 40), "tok").count())
+      case "winnow" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet").repartition(32)
+        val fp = graft.operators.Dedup.winnowFingerprints(
+          docs, "doc_id", "text", k = 8, w = 4, hashFamily = "sha256")
+        t("fingerprints")(fp.count())
+        t("fingerprints again")(fp.count())
+        val e = fp.select(col("doc_id").as("id"), col("fp_hash").as("nb"))
+          .where(col("id").isNotNull && col("nb").isNotNull).distinct()
+          .localCheckpoint(eager = false)
+        t("distinct edges")(e.count())
+        val deg = e.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+        val sized = e.groupBy(col("nb")).agg(count(lit(1)).as("__n"))
+        t("degree>=30 ids")(deg.where(col("__deg") >= 30).count())
+        t("bucket dist")(sized.agg(max("__n"), expr("percentile(__n, 0.99)"),
+          sum(col("__n") * col("__n"))).collect().toSeq)
+        val eligible = e.join(deg.where(col("__deg") >= 30).select(col("id")), "id")
+        val keyed = eligible.join(sized, "nb")
+        val good = keyed.where(col("__n") <= 1000)
+        val cold = good.select(col("nb"), col("id").as("url_a"))
+          .join(good.select(col("nb"), col("id").as("url_b")), "nb")
+          .where(col("url_a") < col("url_b"))
+        t("cold pairs")(cold.count())
+        t("grouped")(cold.groupBy(col("url_a"), col("url_b"))
+          .agg(count(lit(1)).as("cn")).where(col("cn") >= 30).count())
+        // prefix-filter variant: rank each doc's hashes rare-first; prefix
+        // size = deg - minCommon + 1; candidates must co-occur in a prefix
+        import org.apache.spark.sql.expressions.Window
+        val degE = eligible.groupBy(col("id")).agg(count(lit(1)).as("__d"))
+        val ranked = eligible.join(sized, "nb").join(degE, "id")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("__n"), col("nb"))))
+          .where(col("rnk") <= col("__d") - lit(29))
+          .select(col("id"), col("nb"))
+        t("prefix rows")(ranked.count())
+        val sizedP = ranked.groupBy(col("nb")).agg(count(lit(1)).as("__np"))
+        t("prefix bucket dist")(sizedP.agg(max("__np"), expr("percentile(__np, 0.99)"),
+          sum(col("__np") * col("__np"))).collect().toSeq)
+        val candP = ranked.join(sizedP.where(col("__np") <= 1000), "nb")
+          .select(col("nb"), col("id").as("ca"))
+          .join(ranked.select(col("nb"), col("id").as("cb")), "nb")
+          .where(col("ca") < col("cb")).select(col("ca"), col("cb"))
+        t("prefix cand rows")(candP.count())
+        t("prefix cand distinct")(candP.distinct().count())
       case "snm" =>
         val df = spark.read.parquet(s"$sfDir/part.parquet")
           .where(col("p_partkey") % 2 === 0)
@@ -96,6 +139,16 @@ object Probe {
           df, "id", "name", theta = 0.75)
         t("adaptive pairs")(segs.count())
         t("adaptive pairs again")(segs.count())
+        // sub-stage timings
+        val ranked = graft.operators.Linkage.globalRanked(df, "id", "name")
+        t("globalRanked")(ranked.count())
+        val segKeys = graft.operators.Linkage.adaptiveSegmentKeysForProbe(
+          df, "id", "name", theta = 0.75)
+        t("segment keys")(segKeys.count())
+        t("seg size dist")(segKeys.groupBy(col("key")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)), max("n"), sum(col("n") * col("n"))).collect().toSeq)
+        val cp = graft.operators.Linkage.candidatePairs(segKeys)
+        t("candidatePairs over segs")(cp.count())
     }
     spark.stop()
   }

@@ -95,7 +95,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], tau: Double, bucketCap: Int = 500,
       hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
+    // base feeds the 3-tier candidate generator (sizing + join-back) and
+    // both verification sides — materialize the tokenization once
     val base = ngramBase(docs, idCol, textCol, blockCols)
+      .localCheckpoint(eager = false)
     blockedCandidates(base, bucketCap, hardCap, saltGroups)
       .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
       .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
@@ -146,6 +149,8 @@ object Dedup {
       hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
     val base = ngramBase(docs, idCol, textCol, blockCols)
       .where(size(col("toks")) > 0)
+      // same 4-consumer shape as [[ngramJaccardPairs]] — tokenize once
+      .localCheckpoint(eager = false)
     blockedCandidates(base, bucketCap, hardCap, saltGroups)
       .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
       .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
@@ -221,14 +226,23 @@ object Dedup {
     * exact token-set Jaccard ≥ tau. */
   private def verifiedJaccardPairs(base: DataFrame, banded: DataFrame,
       bucketCap: Int, tau: Double): DataFrame = {
-    val good = underCap(banded, bucketCap).select(col("key"), col("id"))
+    // `banded` feeds the sizing aggregate AND the join-back (underCap), and
+    // `base` feeds BOTH sides of the verification join — without a
+    // materialization each consumer re-runs the whole signature /
+    // tokenization pass (the sha256 MinHash scan is the operator's single
+    // most expensive stage). One lazy localCheckpoint each computes them
+    // exactly once; both frames are per-document-sized (id + band key /
+    // token array), never pair-sized (guide §1.2 step 1 / §5).
+    val bandedM = banded.localCheckpoint(eager = false)
+    val baseM = base.localCheckpoint(eager = false)
+    val good = underCap(bandedM, bucketCap).select(col("key"), col("id"))
     val cand = good.select(col("key"), col("id").as("ia"))
       .join(good.select(col("key"), col("id").as("ib")), "key")
       .where(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
     cand
-      .join(base.select(col("id").as("ia"), col("toks").as("ta")), "ia")
-      .join(base.select(col("id").as("ib"), col("toks").as("tb")), "ib")
+      .join(baseM.select(col("id").as("ia"), col("toks").as("ta")), "ia")
+      .join(baseM.select(col("id").as("ib"), col("toks").as("tb")), "ib")
       .select(col("ia"), col("ib"),
         jaccardOf(col("ta"), col("tb")).as("jaccard"))
       .where(col("jaccard") >= tau)
@@ -337,7 +351,10 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 500,
       hashFamily: String = "xxhash64"): DataFrame =
     underCap(
-      minhashBanded(corpus, idCol, textCol, numHashes, bands, hashFamily),
+      // underCap consumes the banded frame twice (sizing + join-back):
+      // materialize so the corpus signature pass runs once
+      minhashBanded(corpus, idCol, textCol, numHashes, bands, hashFamily)
+        .localCheckpoint(eager = false),
       bucketCap)
       .select(col("key"), col("id"))
 
@@ -710,7 +727,11 @@ object Dedup {
       maxHamming: Int = 3, hashFamily: String = "fnv",
       bucketCap: Int = 500, hardCap: Int = Int.MaxValue,
       saltGroups: Int = 16): DataFrame = {
+    // the banded frame feeds the sizing aggregate and the join-back —
+    // materialize so the SimHash signature pass runs once (same shape as
+    // [[verifiedJaccardPairs]])
     val banded = simhashBanded(docs, idCol, textCol, hashFamily)
+      .localCheckpoint(eager = false)
     val sized = banded.select(col("key")).groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
     val keyed = banded.join(sized, "key")

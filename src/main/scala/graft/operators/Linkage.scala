@@ -110,7 +110,8 @@ object Linkage {
     *     discriminative signal and would emit ~n²/2 junk pairs).
     */
   def candidatePairs(keys: DataFrame, bucketCap: Int = 200,
-      hardCap: Int = 100000, saltGroups: Int = 16): DataFrame = {
+      hardCap: Int = 100000, saltGroups: Int = 16,
+      distinctPairs: Boolean = true): DataFrame = {
     // bucket sizing: groupBy (map-side partial combine) + join-back, NOT
     // a window count — a window buffers each key's rows in one
     // unsplittable task, which is a straggler on exactly the Zipfian hot
@@ -128,7 +129,14 @@ object Linkage {
     val hot = keyed
       .where(col("bucket_n") > bucketCap && col("bucket_n") <= hardCap)
       .select(col("key"), col("url"))
-    coldPairs.union(saltedSelfJoin(hot, saltGroups)).distinct()
+    val all = coldPairs.union(saltedSelfJoin(hot, saltGroups))
+    // `distinctPairs = false` is for callers whose key frame is FUNCTIONAL
+    // (each url carries exactly one key — e.g. adaptive-SNM segment ids):
+    // within a bucket each unordered pair meets exactly once (cold join by
+    // url_a < url_b; salted grid by construction) and no pair can span two
+    // buckets, so the dedup shuffle would re-hash the full pair volume to
+    // remove nothing (guide §2.4: a distinct on already-unique data).
+    if (distinctPairs) all.distinct() else all
   }
 
   /** Salted (fragment-replicate grid) self-join: member u of bucket k with
@@ -404,7 +412,7 @@ object Linkage {
     * broadcast per-partition offsets (a P-row exclusive prefix sum — the
     * only single-partition window runs over ≤ P metadata rows).
     * Returns (idCol, sortKeyCol, __rnk) with __rnk contiguous from 1. */
-  private[operators] def globalRanked(df: DataFrame, idCol: String,
+  private[graft] def globalRanked(df: DataFrame, idCol: String,
       sortKeyCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
@@ -468,6 +476,23 @@ object Linkage {
       sim: (Column, Column) => Column = jaro_winkler_sim(_, _),
       bucketCap: Int = 200, hardCap: Int = 100000, saltGroups: Int = 16,
       partitions: Int = 0): DataFrame = {
+    val segments = adaptiveSegmentKeysForProbe(df, idCol, sortKeyCol, theta,
+      sim, partitions)
+    // segment keys are FUNCTIONAL (each record belongs to exactly one
+    // segment), so candidate pairs are unique by construction — skip the
+    // pair-volume dedup shuffle (guide §2.4)
+    candidatePairs(segments, bucketCap, hardCap, saltGroups,
+      distinctPairs = false)
+      .select(col("url_a").as(s"${idCol}_a"), col("url_b").as(s"${idCol}_b"))
+  }
+
+  /** The segment-key derivation of [[adaptiveSortedNeighborhoodPairs]]
+    * exposed for sub-stage probing/tests (same contract, returns the
+    * (url, key) frame fed to [[candidatePairs]]). */
+  private[graft] def adaptiveSegmentKeysForProbe(df: DataFrame, idCol: String,
+      sortKeyCol: String, theta: Double,
+      sim: (Column, Column) => Column = jaro_winkler_sim(_, _),
+      partitions: Int = 0): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1], got $theta")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
@@ -502,8 +527,7 @@ object Linkage {
       // materialize the segment derivation once (the contract its doc
       // comment assumes of callers)
       .localCheckpoint(eager = false)
-    candidatePairs(segments, bucketCap, hardCap, saltGroups)
-      .select(col("url_a").as(s"${idCol}_a"), col("url_b").as(s"${idCol}_b"))
+    segments
   }
 
   /** DYNAMIC BLOCKING (hierarchical key extension — the McNeill-Kardes-
