@@ -109,6 +109,25 @@ class BlockingSelectionSpec extends SparkFunSuite {
     assert(learned(budget = 0L).isEmpty)
   }
 
+  test("driver finish equals the distributed greedy loop (both operators)") {
+    // default cap routes through the in-process replay; conf 0 forces the
+    // distributed per-step anti-join loop — selections must be identical
+    def withCap[A](cap: String)(f: => A): A = {
+      spark.conf.set("graft.blocksel.driverFinishRows", cap)
+      try f finally spark.conf.unset("graft.blocksel.driverFinishRows")
+    }
+    for (budget <- Seq(1000L, 25L, 15L)) {
+      val drv = withCap("1000000")(rows(budget))
+      val dist = withCap("0")(rows(budget))
+      assert(drv.toSeq == dist.toSeq, s"greedySelection budget=$budget")
+    }
+    for (negBudget <- Seq(10L, 1L, 0L)) {
+      val drv = withCap("1000000")(learned(negBudget))
+      val dist = withCap("0")(learned(negBudget))
+      assert(drv == dist, s"learnScheme maxNegCovered=$negBudget")
+    }
+  }
+
   test("learnScheme: conjunction keys are per-record combinations") {
     val c = BlockingSelection.conjunctions(dnfKeys).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
