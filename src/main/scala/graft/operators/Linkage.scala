@@ -116,10 +116,17 @@ object Linkage {
     // a window count — a window buffers each key's rows in one
     // unsplittable task, which is a straggler on exactly the Zipfian hot
     // keys this function's tier policy exists for; the join-back is a
-    // plain equi-join AQE can skew-split, and `keys` is typically a
-    // materialized checkpoint so the second scan is cheap
-    val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
-    val keyed = keys.join(sized, "key")
+    // plain equi-join AQE can skew-split
+    // the key frame feeds the sizing aggregate AND the join-back: callers
+    // often derive it from an expensive pass (sha256 MinHash band keys),
+    // so materialize it once unless it already IS a materialized
+    // checkpoint (adaptive-SNM segments arrive as one)
+    val k = keys.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => keys
+      case _ => keys.localCheckpoint(eager = false)
+    }
+    val sized = k.groupBy(col("key")).agg(count(lit(1)).as("bucket_n"))
+    val keyed = k.join(sized, "key")
     val good = keyed.where(col("bucket_n") <= bucketCap)
     val a = good.select(col("key"), col("url").as("url_a"))
     val b = good.select(col("key"), col("url").as("url_b"))
