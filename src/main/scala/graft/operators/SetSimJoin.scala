@@ -80,7 +80,9 @@ object SetSimJoin {
       tau: Double, bucketCap: Int = 10000, hardCap: Int = Int.MaxValue,
       saltGroups: Int = 16): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val b = base(docs, idCol, textCol)
+    // tokenization feeds the prefix derivation AND both verification
+    // sides — materialize once (the Dedup.verifiedJaccardPairs shape)
+    val b = base(docs, idCol, textCol).localCheckpoint(eager = false)
     jaccardCandidates(b, tau, bucketCap, hardCap, saltGroups)
       .join(b.select(col("id").as("ia"), col("toks").as("ta")), "ia")
       .join(b.select(col("id").as("ib"), col("toks").as("tb")), "ib")
@@ -114,7 +116,9 @@ object SetSimJoin {
     * distinct) was already being paid. */
   private[operators] def jaccardCandidates(b: DataFrame, tau: Double,
       bucketCap: Int, hardCap: Int, saltGroups: Int): DataFrame = {
-    val pre = prefixRows(b, tau)
+    // the prefix frame (explode + df join + per-record rarity sort) feeds
+    // the sizing aggregate AND the join-back — materialize it once
+    val pre = prefixRows(b, tau).localCheckpoint(eager = false)
     val sized = pre.groupBy(col("tok")).agg(count(lit(1)).as("n"))
     val keyed = pre.join(sized, "tok")
     val lenOk = least(col("la"), col("lb")).cast("double") >=
@@ -196,7 +200,13 @@ object SetSimJoin {
     val b = docs.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull)
       .withColumn("len", length(col("s")))
-    val pre = edPrefixRows(b, k, q)
+      // feeds the prefix derivation, the short tier, and both
+      // verification joins — materialize the (id, s, len) frame once
+      .localCheckpoint(eager = false)
+    // the (g, occ) prefix frame (gram explode + occurrence and rarity
+    // windows + df join) feeds the sizing aggregate AND the join-back —
+    // without a materialization the whole window pipeline runs twice
+    val pre = edPrefixRows(b, k, q).localCheckpoint(eager = false)
     val sized = pre.groupBy(col("g"), col("occ")).agg(count(lit(1)).as("n"))
     val keyed = pre.join(sized, Seq("g", "occ"))
     val lenOk = abs(col("la") - col("lb")) <= k
@@ -311,9 +321,13 @@ object SetSimJoin {
       textCol: String, tau: Double, bucketCap: Int = 10000,
       hardCap: Int = Int.MaxValue, saltGroups: Int = 16): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val b = base(docs, idCol, textCol)
+    // tokenization feeds the prefix probes, the inverted index, the mask
+    // frame, and the verification joins — materialize once; likewise the
+    // prefix probes feed both the cold join and the hot-tier fan-out
+    val b = base(docs, idCol, textCol).localCheckpoint(eager = false)
     val probes = prefixRows(b, tau)
       .select(col("tok"), col("id").as("qid"))
+      .localCheckpoint(eager = false)
     val index = b.select(col("id"), explode(col("toks")).as("tok"))
     val sized = index.groupBy(col("tok")).agg(count(lit(1)).as("n"))
 
@@ -339,7 +353,9 @@ object SetSimJoin {
       def maskOf(toks: Column): Column = aggregate(
         transform(toks, t => element_at(bitOf, t)),
         lit(0L), (acc, x) => acc.bitwiseOR(x))
+      // the mask frame feeds the probe join AND the candidate re-attach
       val bm = b.select(col("id"), maskOf(col("toks")).as("m"))
+        .localCheckpoint(eager = false)
       val probesM = probes.join(bm.select(col("id").as("qid"),
         col("m").as("mq")), "qid")
       val keyed = index.join(sized, "tok")
