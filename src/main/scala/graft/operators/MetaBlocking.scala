@@ -134,7 +134,10 @@ object MetaBlocking {
     * to Σw · n ≈ 2^63; at 10^12 records the retained edge count is capped
     * by blocking long before that bound matters). One count+sum aggregate
     * reduced to a single row, broadcast back over the edges. */
-  def wepPrune(edges: DataFrame, weightCol: String = "cbs"): DataFrame = {
+  def wepPrune(edges0: DataFrame, weightCol: String = "cbs"): DataFrame = {
+    // the edge frame feeds the global aggregate AND the filtered scan —
+    // callers pass the full blockingGraph pipeline, so materialize once
+    val edges = edges0.localCheckpoint(eager = false)
     val tot = edges.agg(sum(col(weightCol)).as("__wsum"),
       count(lit(1)).as("__wcnt"))
     edges.crossJoin(broadcast(tot))
@@ -149,8 +152,11 @@ object MetaBlocking {
     * multiplication (`w · deg ≥ Σw_node`). Shapes: one groupBy over both
     * edge directions for the node sums, then two equi-joins back — all
     * map-side combinable, no windows. */
-  def wnpPrune(edges: DataFrame, weightCol: String = "cbs",
+  def wnpPrune(edges0: DataFrame, weightCol: String = "cbs",
       aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
+    // three consumers (both union directions + the join-back) — without a
+    // materialization the whole blockingGraph pipeline evaluates thrice
+    val edges = edges0.localCheckpoint(eager = false)
     val und = edges.select(col(aCol).as("__u"), col(weightCol).as("__w"))
       .union(edges.select(col(bCol).as("__u"), col(weightCol).as("__w")))
     val node = und.groupBy(col("__u"))
@@ -180,9 +186,11 @@ object MetaBlocking {
     * then one left-semi join back. No global ordering anywhere (the
     * global-K CEP variant is deliberately omitted: a total order over
     * 10^12-scale edges is a single-reducer sort). */
-  def cnpPrune(edges: DataFrame, k: Int, weightCol: String = "cbs",
+  def cnpPrune(edges0: DataFrame, k: Int, weightCol: String = "cbs",
       aCol: String = "url_a", bCol: String = "url_b"): DataFrame = {
     require(k >= 1, s"cnpPrune needs k >= 1, got $k")
+    // same three-consumer shape as [[wnpPrune]] — materialize once
+    val edges = edges0.localCheckpoint(eager = false)
     val und = edges.select(col(aCol).as("__u"), col(bCol).as("__v"),
         col(weightCol).as("__w"))
       .union(edges.select(col(bCol).as("__u"), col(aCol).as("__v"),

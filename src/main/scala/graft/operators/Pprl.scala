@@ -73,11 +73,19 @@ object Pprl {
     * Hot band keys (e.g. the all-zeros key on sparse filters) are capped
     * observably via `bucketCap`, mirroring every other pair generator's
     * contract; [[droppedKeys]] is the companion. */
-  def linkTables(a: DataFrame, b: DataFrame, idCol: String, sigCol: String,
+  def linkTables(a0: DataFrame, b0: DataFrame, idCol: String, sigCol: String,
       m: Int, theta: Double, bands: Int = 8, bitsPerBand: Int = 16,
       seed: Long = 42L, bucketCap: Int = 10000): DataFrame = {
+    // each side's (id, CLK) frame feeds its band-key derivation (itself
+    // consumed twice by the sizing + join-back) AND the Dice verification
+    // join — callers typically compute the CLK encoding inline, so
+    // materialize each side once (per-record-sized frames)
+    val a = a0.localCheckpoint(eager = false)
+    val b = b0.localCheckpoint(eager = false)
     val ka = blockKeys(a, idCol, sigCol, m, bands, bitsPerBand, seed)
+      .localCheckpoint(eager = false)
     val kb = blockKeys(b, idCol, sigCol, m, bands, bitsPerBand, seed)
+      .localCheckpoint(eager = false)
     def underCap(keys: DataFrame): DataFrame = {
       val sized = keys.groupBy(col("key")).agg(count(lit(1)).as("n"))
       keys.join(sized.where(col("n") <= bucketCap), "key")
