@@ -427,9 +427,6 @@ object Linkage {
       .repartitionByRange(p, col(sortKeyCol), col(idCol))
       .sortWithinPartitions(col(sortKeyCol), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      // feeds the per-partition counts AND the offset join-back — one
-      // lazy checkpoint runs the range exchange + sort once
-      .localCheckpoint(eager = false)
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offsets = counts.withColumn("__offset",
       coalesce(sum(col("__n")).over(
